@@ -1,0 +1,120 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Property-graph view over the test tables, following the reference's
+  * data model (SURVEY.md §1): one table per tag (vertex label) keyed by
+  * `vid`, one table per edge type keyed by `(src, dst, rank)`.
+  *
+  * Reference semantics mirrored here:
+  *  - vid is a string (Nebula default FIXED_STRING vid,
+  *    src/interface/meta.thrift:114); we namespace by label so vids are
+  *    globally unique across tags: "c:42", "o:17", ...
+  *  - edge identity includes `rank` (src/common/utils/NebulaKeyUtils.h:61);
+  *    rank defaults to 0 and carries l_linenumber for lineitem edges.
+  *  - a unified `edges` view (src, dst, etype, rank) supports untyped
+  *    traversal (`GO ... OVER *`) and the path algorithms; per-type tables
+  *    keep their properties for property-projecting traversals.
+  *
+  * Scale notes: every derived frame is a narrow projection over a parquet
+  * scan — column pruning reaches the reader, no materialization. On a real
+  * cluster these would be bucketed by src (Nebula partitions by
+  * hash(vid), NebulaKeyUtils.h:58-111); in local mode we rely on
+  * shuffle-on-key + AQE which is plan-equivalent.
+  */
+class GraphModel(val spark: SparkSession, sfDir: String) {
+  import GraphModel._
+  import spark.implicits._
+
+  private def t(name: String): DataFrame = Tables.load(spark, sfDir, name)
+
+  // ---- per-tag vertex tables: (vid, props...) ----
+  def customers: DataFrame = t("customer")
+    .select(vid("c", $"c_custkey"), $"c_name".as("name"),
+      $"c_nationkey".as("nationkey"), $"c_acctbal".as("acctbal"),
+      $"c_mktsegment".as("mktsegment"))
+  def suppliers: DataFrame = t("supplier")
+    .select(vid("s", $"s_suppkey"), $"s_name".as("name"),
+      $"s_nationkey".as("nationkey"), $"s_acctbal".as("acctbal"))
+  def parts: DataFrame = t("part")
+    .select(vid("p", $"p_partkey"), $"p_name".as("name"),
+      $"p_brand".as("brand"), $"p_type".as("ptype"), $"p_size".as("psize"))
+  def nations: DataFrame = t("nation")
+    .select(vid("n", $"n_nationkey"), $"n_name".as("name"))
+  def regions: DataFrame = t("region")
+    .select(vid("r", $"r_regionkey"), $"r_name".as("name"))
+  def orders: DataFrame = t("orders")
+    .select(vid("o", $"o_orderkey"), $"o_orderstatus".as("status"),
+      $"o_totalprice".as("totalprice"), $"o_orderpriority".as("priority"))
+
+  /** Union view of all vertices: (vid, label) — the reference's
+    * "MATCH (v) without a label sees all tags" requirement (SURVEY §7.4). */
+  def vertices: DataFrame = Seq(
+    customers.select($"vid", lit("customer").as("label")),
+    suppliers.select($"vid", lit("supplier").as("label")),
+    parts.select($"vid", lit("part").as("label")),
+    nations.select($"vid", lit("nation").as("label")),
+    regions.select($"vid", lit("region").as("label")),
+    orders.select($"vid", lit("order").as("label"))
+  ).reduce(_ unionByName _)
+
+  // ---- per-edge-type tables: (src, dst, rank, props...) ----
+  /** customer -[placed]-> order */
+  def placed: DataFrame = t("orders").select(
+    vid("c", $"o_custkey", "src"), vid("o", $"o_orderkey", "dst"),
+    lit(0L).as("rank"), $"o_totalprice".as("totalprice"),
+    $"o_orderdate".as("orderdate"))
+  /** order -[has_part]-> part (rank = line number: duplicate parts per
+    * order stay distinct edges, like Nebula's serve(:RANK)) */
+  def hasPart: DataFrame = t("lineitem").select(
+    vid("o", $"l_orderkey", "src"), vid("p", $"l_partkey", "dst"),
+    $"l_linenumber".cast("long").as("rank"), $"l_quantity".as("quantity"),
+    $"l_extendedprice".as("extendedprice"), $"l_discount".as("discount"))
+  /** order -[has_supp]-> supplier */
+  def hasSupp: DataFrame = t("lineitem").select(
+    vid("o", $"l_orderkey", "src"), vid("s", $"l_suppkey", "dst"),
+    $"l_linenumber".cast("long").as("rank"), $"l_quantity".as("quantity"))
+  /** customer|supplier -[in_nation]-> nation */
+  def inNation: DataFrame = t("customer").select(
+      vid("c", $"c_custkey", "src"), vid("n", $"c_nationkey", "dst"),
+      lit(0L).as("rank"))
+    .unionByName(t("supplier").select(
+      vid("s", $"s_suppkey", "src"), vid("n", $"s_nationkey", "dst"),
+      lit(0L).as("rank")))
+  /** nation -[in_region]-> region */
+  def inRegion: DataFrame = t("nation").select(
+    vid("n", $"n_nationkey", "src"), vid("r", $"n_regionkey", "dst"),
+    lit(0L).as("rank"))
+
+  /** Unified edge view (src, dst, etype, rank) — `GO ... OVER *`. */
+  def edges: DataFrame = Seq(
+    placed.select($"src", $"dst", lit("placed").as("etype"), $"rank"),
+    hasPart.select($"src", $"dst", lit("has_part").as("etype"), $"rank"),
+    hasSupp.select($"src", $"dst", lit("has_supp").as("etype"), $"rank"),
+    inNation.select($"src", $"dst", lit("in_nation").as("etype"), $"rank"),
+    inRegion.select($"src", $"dst", lit("in_region").as("etype"), $"rank")
+  ).reduce(_ unionByName _)
+
+  def edgesByType(etype: String): DataFrame = etype match {
+    case "placed"    => placed
+    case "has_part"  => hasPart
+    case "has_supp"  => hasSupp
+    case "in_nation" => inNation
+    case "in_region" => inRegion
+    case other => throw new IllegalArgumentException(s"unknown edge type $other")
+  }
+}
+
+object GraphModel {
+  /** Namespaced string vid, e.g. vid("c", $"c_custkey") => "c:42". */
+  def vid(ns: String, key: org.apache.spark.sql.Column,
+          as: String = "vid"): org.apache.spark.sql.Column =
+    concat(lit(ns + ":"), key.cast("string")).as(as)
+
+  /** The same vid expression in DuckDB SQL, for oracle queries. */
+  def vidSql(ns: String, keyExpr: String): String = s"'$ns:' || $keyExpr"
+
+  def apply(spark: SparkSession, sfDir: String) = new GraphModel(spark, sfDir)
+}
