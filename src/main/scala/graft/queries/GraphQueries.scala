@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.GraphModel
+import graft.traverse.Traverse
+import graft.traverse.Traverse.{Both, In, Out}
+import graft.algo.PathFinder
+
+/** SparkEntry registrations for the graph operator surface (SURVEY.md
+  * §2.1/§2.5): scans, FETCH, LOOKUP, GO/Expand, Traverse-with-paths,
+  * AppendVertices, BFS distances, FIND SHORTEST/ALL PATH with endpoint
+  * semantics, and GET SUBGRAPH (vertices + induced edges).
+  *
+  * Oracles are DuckDB recursive CTEs over the same property-graph view
+  * (the `E` edge union mirrors GraphModel.edges 1:1). BFS-shortest path
+  * enumeration uses the level-constraint trick: a path is shortest iff
+  * every prefix vertex sits at its own BFS depth, so the oracle first
+  * computes depths, then only extends along depth-increasing edges.
+  */
+object GraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB twin of GraphModel.edges (src, dst, etype, rank). */
+  val edgesCte: String =
+    """E AS (
+      |  SELECT 'c:' || o_custkey AS src, 'o:' || o_orderkey AS dst, 'placed' AS etype, CAST(0 AS BIGINT) AS rank FROM orders
+      |  UNION ALL SELECT 'o:' || l_orderkey, 'p:' || l_partkey, 'has_part', CAST(l_linenumber AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'o:' || l_orderkey, 's:' || l_suppkey, 'has_supp', CAST(l_linenumber AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'c:' || c_custkey, 'n:' || c_nationkey, 'in_nation', CAST(0 AS BIGINT) FROM customer
+      |  UNION ALL SELECT 's:' || s_suppkey, 'n:' || s_nationkey, 'in_nation', CAST(0 AS BIGINT) FROM supplier
+      |  UNION ALL SELECT 'n:' || n_nationkey, 'r:' || n_regionkey, 'in_region', CAST(0 AS BIGINT) FROM nation
+      |)""".stripMargin
+
+  private def gm(s: SparkSession, dir: String) = GraphModel(s, dir)
+
+  private def custSeeds(g: GraphModel, maxKey: Int): DataFrame =
+    g.customers.filter(expr(s"CAST(substr(vid, 3, 10) AS BIGINT) <= $maxKey"))
+      .select("vid")
+
+  val queries: Map[String, Q] = Map(
+    // ScanVertices (ScanVerticesExecutor.cpp:17): union view of all tags
+    "q_scan_vertices" -> ((s, dir) => gm(s, dir).vertices),
+
+    // ScanEdges (ScanEdgesExecutor.cpp:17) + implicit grouping
+    "q_scan_edges" -> ((s, dir) =>
+      gm(s, dir).edges.groupBy("etype").agg(count(lit(1)).as("cnt"))),
+
+    // GetVertices = FETCH PROP ON tag (GetVerticesExecutor.cpp:14)
+    "q_fetch_vertices" -> ((s, dir) =>
+      gm(s, dir).customers.filter(col("vid").isin("c:1", "c:2", "c:3"))),
+
+    // GetEdges = FETCH PROP ON edge (GetEdgesExecutor.cpp:17)
+    "q_fetch_edges" -> ((s, dir) =>
+      gm(s, dir).hasPart.filter(col("src") === "o:1")),
+
+    // LOOKUP = IndexScan + filter (LookupPlanner.cpp); Catalyst pushes
+    // the predicate to the parquet scan = the reference's index scan
+    "q_lookup" -> ((s, dir) =>
+      gm(s, dir).customers.filter(col("acctbal") > 9900)
+        .select(col("vid"), col("name"), col("acctbal"))),
+
+    // GO 1 STEP (doSimplePlan, GoPlanner.cpp:145)
+    "q_go_1" -> ((s, dir) => {
+      val g = gm(s, dir)
+      Traverse.go(custSeeds(g, 20), g.placed, 1, 1)
+    }),
+
+    // GO 1 TO 2 STEPS OVER * (ExpandAllExecutor.cpp:50, M..N range)
+    "q_go_1to2" -> ((s, dir) => {
+      val g = gm(s, dir)
+      Traverse.go(custSeeds(g, 5), g.edges, 1, 2)
+    }),
+
+    // GO ... REVERSELY (GoPlanner REVERSELY wiring)
+    "q_go_rev" -> ((s, dir) => {
+      val g = gm(s, dir)
+      val seeds = g.suppliers
+        .filter(expr("CAST(substr(vid, 3, 10) AS BIGINT) <= 5")).select("vid")
+      Traverse.go(seeds, g.hasSupp, 1, 1, dir = In)
+    }),
+
+    // Traverse with path tracking (TraverseExecutor.cpp:25)
+    "q_paths_1to2" -> ((s, dir) => {
+      val g = gm(s, dir)
+      Traverse.paths(custSeeds(g, 3), g.edges, 1, 2)
+        .select(col("origin"), array_join(col("path"), "->").as("path"),
+          col("vid"), col("step"))
+    }),
+
+    // AppendVertices (AppendVerticesExecutor.cpp:18) with prop prefixing
+    "q_append_vertices" -> ((s, dir) => {
+      val g = gm(s, dir)
+      Traverse.appendVertices(
+        Traverse.go(custSeeds(g, 20), g.placed, 1, 1), g.orders,
+        prefix = "o_")
+    }),
+
+    // BFS distances (BFSShortestPathExecutor.cpp:12 frontier semantics)
+    "q_shortest_dist" -> ((s, dir) => {
+      val g = gm(s, dir)
+      Traverse.shortestDistances(custSeeds(g, 10), g.edges, 4)
+    }),
+
+    // FIND SHORTEST PATH FROM ... TO ... (MultiShortestPathExecutor.cpp:10)
+    "q_shortest_pair" -> ((s, dir) => {
+      val g = gm(s, dir)
+      PathFinder.shortestPaths(custSeeds(g, 3), g.regions.select("vid"),
+        g.edges, 4)
+    }),
+
+    // FIND ALL PATH ... UPTO 4 STEPS, NOLOOP (AllPathsExecutor.cpp:19)
+    "q_all_paths" -> ((s, dir) => {
+      val g = gm(s, dir)
+      PathFinder.allPaths(custSeeds(g, 2), g.regions.select("vid"),
+        g.edges, 4)
+    }),
+
+    // GET SUBGRAPH 2 STEPS (SubgraphExecutor.cpp:15-52): vertex set...
+    "q_subgraph_vertices" -> ((s, dir) => {
+      val g = gm(s, dir)
+      Traverse.subgraph(g.customers.filter(col("vid") === "c:1").select("vid"),
+        g.edges, 2, Both).vertices
+    }),
+
+    // ...and induced edges (DataCollect kSubgraph, Query.h:1423-1432)
+    "q_subgraph_edges" -> ((s, dir) => {
+      val g = gm(s, dir)
+      Traverse.subgraph(g.customers.filter(col("vid") === "c:1").select("vid"),
+        g.edges, 2, Both).edges
+    })
+  )
+
+  private val vertsUnion =
+    """SELECT 'c:' || c_custkey AS vid, 'customer' AS label FROM customer
+      |UNION ALL SELECT 's:' || s_suppkey, 'supplier' FROM supplier
+      |UNION ALL SELECT 'p:' || p_partkey, 'part' FROM part
+      |UNION ALL SELECT 'n:' || n_nationkey, 'nation' FROM nation
+      |UNION ALL SELECT 'r:' || r_regionkey, 'region' FROM region
+      |UNION ALL SELECT 'o:' || o_orderkey, 'order' FROM orders""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_scan_vertices" -> vertsUnion,
+    "q_scan_edges" ->
+      s"WITH $edgesCte SELECT etype, count(*) AS cnt FROM E GROUP BY etype",
+    "q_fetch_vertices" ->
+      """SELECT 'c:' || c_custkey AS vid, c_name AS name, c_nationkey AS nationkey,
+        |  c_acctbal AS acctbal, c_mktsegment AS mktsegment
+        |FROM customer WHERE c_custkey IN (1, 2, 3)""".stripMargin,
+    "q_fetch_edges" ->
+      """SELECT 'o:' || l_orderkey AS src, 'p:' || l_partkey AS dst,
+        |  CAST(l_linenumber AS BIGINT) AS rank, l_quantity AS quantity,
+        |  l_extendedprice AS extendedprice, l_discount AS discount
+        |FROM lineitem WHERE l_orderkey = 1""".stripMargin,
+    "q_lookup" ->
+      """SELECT 'c:' || c_custkey AS vid, c_name AS name, c_acctbal AS acctbal
+        |FROM customer WHERE c_acctbal > 9900""".stripMargin,
+    "q_go_1" ->
+      """SELECT DISTINCT 'c:' || o_custkey AS origin, 'o:' || o_orderkey AS vid, 1 AS step
+        |FROM orders WHERE o_custkey <= 20""".stripMargin,
+    "q_go_1to2" ->
+      s"""WITH RECURSIVE $edgesCte,
+        |seeds AS (SELECT 'c:' || c_custkey AS vid FROM customer WHERE c_custkey <= 5),
+        |r(origin, vid, step) AS (
+        |  SELECT vid, vid, 0 FROM seeds
+        |  UNION
+        |  SELECT r.origin, e.dst, r.step + 1 FROM r JOIN E e ON e.src = r.vid WHERE r.step < 2
+        |)
+        |SELECT origin, vid, step FROM r WHERE step >= 1""".stripMargin,
+    "q_go_rev" ->
+      """SELECT DISTINCT 's:' || l_suppkey AS origin, 'o:' || l_orderkey AS vid, 1 AS step
+        |FROM lineitem WHERE l_suppkey <= 5""".stripMargin,
+    "q_paths_1to2" ->
+      s"""WITH RECURSIVE $edgesCte,
+        |seeds AS (SELECT 'c:' || c_custkey AS vid FROM customer WHERE c_custkey <= 3),
+        |p(origin, path, vid, step) AS (
+        |  SELECT vid, [vid], vid, 0 FROM seeds
+        |  UNION ALL
+        |  SELECT p.origin, list_append(p.path, e.dst), e.dst, p.step + 1
+        |  FROM p JOIN E e ON e.src = p.vid
+        |  WHERE p.step < 2 AND NOT list_contains(p.path, e.dst)
+        |)
+        |SELECT origin, array_to_string(path, '->') AS path, vid, step FROM p WHERE step >= 1""".stripMargin,
+    "q_append_vertices" ->
+      """SELECT DISTINCT 'c:' || o_custkey AS origin, 'o:' || o_orderkey AS vid, 1 AS step,
+        |  o_orderstatus AS o_status, o_totalprice AS o_totalprice, o_orderpriority AS o_priority
+        |FROM orders WHERE o_custkey <= 20""".stripMargin,
+    "q_shortest_dist" ->
+      s"""WITH RECURSIVE $edgesCte,
+        |seeds AS (SELECT 'c:' || c_custkey AS vid FROM customer WHERE c_custkey <= 10),
+        |r(origin, vid, dist) AS (
+        |  SELECT vid, vid, 0 FROM seeds
+        |  UNION
+        |  SELECT r.origin, e.dst, r.dist + 1 FROM r JOIN E e ON e.src = r.vid WHERE r.dist < 4
+        |)
+        |SELECT origin, vid, MIN(dist) AS dist FROM r GROUP BY origin, vid""".stripMargin,
+    "q_shortest_pair" ->
+      s"""WITH RECURSIVE $edgesCte,
+        |seeds AS (SELECT 'c:' || c_custkey AS vid FROM customer WHERE c_custkey <= 3),
+        |d(origin, vid, dist) AS (
+        |  SELECT vid, vid, 0 FROM seeds
+        |  UNION
+        |  SELECT d.origin, e.dst, d.dist + 1 FROM d JOIN E e ON e.src = d.vid WHERE d.dist < 4
+        |),
+        |md AS (SELECT origin, vid, MIN(dist) AS dist FROM d GROUP BY origin, vid),
+        |p(origin, path, vid, step) AS (
+        |  SELECT vid, [vid], vid, 0 FROM seeds
+        |  UNION ALL
+        |  SELECT p.origin, list_append(p.path, e.dst), e.dst, p.step + 1
+        |  FROM p JOIN E e ON e.src = p.vid
+        |  JOIN md ON md.origin = p.origin AND md.vid = e.dst AND md.dist = p.step + 1
+        |  WHERE p.step < 4
+        |)
+        |SELECT p.origin AS src, p.vid AS dst, array_to_string(p.path, '->') AS path, p.step AS hops
+        |FROM p WHERE p.vid LIKE 'r:%' AND p.step >= 1""".stripMargin,
+    "q_all_paths" ->
+      s"""WITH RECURSIVE $edgesCte,
+        |seeds AS (SELECT 'c:' || c_custkey AS vid FROM customer WHERE c_custkey <= 2),
+        |p(origin, path, vid, step) AS (
+        |  SELECT vid, [vid], vid, 0 FROM seeds
+        |  UNION ALL
+        |  SELECT p.origin, list_append(p.path, e.dst), e.dst, p.step + 1
+        |  FROM p JOIN E e ON e.src = p.vid
+        |  WHERE p.step < 4 AND NOT list_contains(p.path, e.dst)
+        |)
+        |SELECT p.origin AS src, p.vid AS dst, array_to_string(p.path, '->') AS path, p.step AS hops
+        |FROM p WHERE p.vid LIKE 'r:%' AND p.step >= 1""".stripMargin,
+    "q_subgraph_vertices" ->
+      s"""WITH RECURSIVE $edgesCte,
+        |UE AS (SELECT src, dst FROM E UNION ALL SELECT dst, src FROM E),
+        |r(vid, dist) AS (
+        |  SELECT 'c:1', 0
+        |  UNION
+        |  SELECT ue.dst, r.dist + 1 FROM r JOIN UE ue ON ue.src = r.vid WHERE r.dist < 2
+        |)
+        |SELECT vid, MIN(dist) AS depth FROM r GROUP BY vid""".stripMargin,
+    "q_subgraph_edges" ->
+      s"""WITH RECURSIVE $edgesCte,
+        |UE AS (SELECT src, dst FROM E UNION ALL SELECT dst, src FROM E),
+        |r(vid, dist) AS (
+        |  SELECT 'c:1', 0
+        |  UNION
+        |  SELECT ue.dst, r.dist + 1 FROM r JOIN UE ue ON ue.src = r.vid WHERE r.dist < 2
+        |)
+        |SELECT src, dst, etype, rank FROM E
+        |WHERE src IN (SELECT vid FROM r) AND dst IN (SELECT vid FROM r)""".stripMargin
+  )
+}

@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.functions.Fn.roundPortable
+
+/** SparkEntry registrations for the LLM-training-data pipeline pack:
+  * dedup (exact / MinHash-LSH / SimHash), text analysis (language-ID,
+  * quality, token counting, fingerprinting), embedding similarity
+  * (brute-force + LSH ANN), and multimodal column plumbing.
+  *
+  * Every oracle replays the EXACT algorithm in DuckDB SQL (md5-based
+  * hashing makes them engine-portable) — including the LSH bucketing,
+  * so the oracle checks the approximate path's real output, not just a
+  * ground-truth superset. */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String) =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup: normalize → md5 → hash-groupBy (one shuffle, no pairs)
+    "q_dedup_exact" -> ((s, dir) => Dedup.exactDedup(t(s, dir, "documents"))),
+
+    // quality-scoring feature block (Gopher/C4-style filters)
+    "q_text_quality" -> ((s, dir) =>
+      TA.qualityFeatures(t(s, dir, "documents")).select(
+        col("doc_id"), col("n_tokens"),
+        roundPortable(col("avg_token_len"), 4).as("avg_token_len"),
+        roundPortable(col("punct_ratio"), 4).as("punct_ratio"),
+        roundPortable(col("stopword_ratio"), 4).as("stopword_ratio"),
+        roundPortable(col("upper_ratio"), 4).as("upper_ratio"))),
+
+    // language-ID (stopword-list argmax heuristic)
+    "q_lang_id" -> ((s, dir) =>
+      TA.languageId(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("lang_pred"))),
+
+    // token counting: whitespace + BPE-ish pre-tokenizer regex
+    "q_token_counts" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TA.tokenCount(col("text")).as("ws_tokens"),
+        TA.bpeishCount(col("text")).as("bpeish"))),
+
+    // rolling-hash fingerprint (min 5-gram shingle md5)
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TA.fingerprint(col("text")).as("fp"))),
+
+    // MinHash(16) + LSH(4 bands) near-dup pairs, Jaccard-verified ≥ 0.8
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.nearDupPairs(t(s, dir, "documents"), 0.8)
+        .select(col("a"), col("b"), roundPortable(col("jaccard"), 6).as("jaccard"))),
+
+    // 16-bit SimHash sketch per document
+    "q_simhash" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        Dedup.simhash16(col("text")).as("sketch"))),
+
+    // brute-force cosine top-10 for 5 query vectors (exact baseline)
+    "q_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(emb, queries, 10)
+        .select(col("query_id"), col("vec_id"),
+          roundPortable(col("sim"), 6).as("sim"), col("rnk"))
+    }),
+
+    // LSH-bucketed ANN top-10 (the scale path; oracle replays buckets)
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.lshTopK(emb, queries, 10, planes = 4, dims = 64)
+        .select(col("query_id"), col("vec_id"),
+          roundPortable(col("sim"), 6).as("sim"), col("rnk"))
+    }),
+
+    // embedding-cosine near-dup pairs, LSH-bucketed (no crossJoin)
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupByEmbedding(t(s, dir, "embeddings"), 0.35,
+          planes = 4, dims = 64)
+        .select(col("a"), col("b"), roundPortable(col("sim"), 6).as("sim"))),
+
+    // multimodal: metadata inspection w/o decode (payload col pruned)
+    "q_mm_inspect" -> ((s, dir) =>
+      Multimodal.inspect(
+        Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text", "image"))),
+
+    // multimodal: stub decode (deterministic fake codec, real plumbing)
+    "q_mm_decode" -> ((s, dir) =>
+      Multimodal.decodeStub(
+          Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text", "image"))
+        .select(col("asset_id"), col("media_type"), col("width"),
+          col("height"), col("n_frames")))
+  )
+
+  // ---- oracle SQL ----
+
+  /** DuckDB twin of TextAnalysis.normalize. */
+  private val norm =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** tokens CTE fragment: (doc_id, lang, text, toks). */
+  private val tkCte =
+    s"tk AS (SELECT doc_id, lang, text, string_split($norm, ' ') AS toks FROM documents)"
+
+  /** DuckDB twin of TextAnalysis.shingles(text, n) over toks. */
+  private def shinglesSql(n: Int): String =
+    s"""CASE WHEN len(toks) >= $n
+       |  THEN list_transform(range(1, len(toks) - ${n - 2}), i -> array_to_string(toks[i:i+${n - 1}], ' '))
+       |  ELSE [$norm] END""".stripMargin
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  private val langScoresSql: String =
+    TA.langWords.toSeq.sortBy(_._1).map { case (code, words) =>
+      s"SELECT doc_id, '$code' AS code, len(list_filter(toks, x -> x IN ${inList(words)})) AS sc FROM tk"
+    }.mkString("\nUNION ALL ")
+
+  /** ±1 hyperplane literal for ANN plane p (mirrors Similarity.planeSign). */
+  private def signsLiteral(p: Int, dims: Int): String =
+    (0 until dims).map(d => Similarity.planeSign(p, d))
+      .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  /** bucket expression over a DOUBLE[] column `v`. */
+  private def bucketSql(v: String, planes: Int, dims: Int): String =
+    (0 until planes).map { p =>
+      s"(CASE WHEN list_dot_product($v, ${signsLiteral(p, dims)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+
+  private def cosExpr(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""SELECT md5($norm) AS dedup_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+         |FROM documents GROUP BY 1""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH $tkCte
+         |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+         |  floor((CASE WHEN len(toks) > 0
+         |    THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+         |    ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
+         |  floor(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / greatest(length(text), 1) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+         |  floor(CAST(len(list_filter(toks, x -> x IN ${inList(TA.stopwords)})) AS DOUBLE) / greatest(len(toks), 1) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+         |  floor(CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / greatest(length(text), 1) * 10000.0 + 0.5) / 10000.0 AS upper_ratio
+         |FROM tk""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH $tkCte,
+         |scores AS ($langScoresSql),
+         |best AS (SELECT doc_id, code, sc,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, code DESC) AS rn
+         |         FROM scores)
+         |SELECT t.doc_id, t.lang, CASE WHEN b.sc > 0 THEN b.code ELSE 'und' END AS lang_pred
+         |FROM tk t JOIN best b ON b.doc_id = t.doc_id AND b.rn = 1""".stripMargin,
+    "q_token_counts" ->
+      s"""WITH $tkCte
+         |SELECT doc_id, CAST(len(toks) AS INTEGER) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpeish
+         |FROM tk""".stripMargin,
+    "q_fingerprint" ->
+      s"""WITH $tkCte
+         |SELECT doc_id, list_aggregate(list_transform(${shinglesSql(5)}, s -> md5(s)), 'min') AS fp
+         |FROM tk""".stripMargin,
+    "q_minhash_pairs" ->
+      s"""WITH $tkCte,
+         |sh AS (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS s FROM tk),
+         |sig AS (SELECT doc_id, s,
+         |          list_transform(range(0, 16), k -> list_aggregate(list_transform(s, x -> md5(k || ':' || x)), 'min')) AS sig
+         |        FROM sh),
+         |bands AS (SELECT doc_id, b.band AS band,
+         |            md5(array_to_string(sig[b.band * 4 + 1:b.band * 4 + 4], '|')) AS band_hash
+         |          FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)
+         |SELECT c.a, c.b,
+         |  floor(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(list_distinct(sa.s || sb.s)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+         |FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+         |WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(list_distinct(sa.s || sb.s)) >= 0.8""".stripMargin,
+    "q_simhash" ->
+      s"""WITH $tkCte,
+         |v AS (SELECT doc_id, j,
+         |        list_sum(list_transform(toks, x -> CASE WHEN substr(md5(x), CAST(j + 1 AS INTEGER), 1) >= '8' THEN 1 ELSE -1 END)) AS votes
+         |      FROM tk, (SELECT unnest(range(0, 16)) AS j) jj)
+         |SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN 1 << CAST(15 - j AS INTEGER) ELSE 0 END) AS BIGINT) AS sketch
+         |FROM v GROUP BY doc_id""".stripMargin,
+    "q_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         |sims AS (SELECT q.query_id, c.vec_id, ${cosExpr("c.cv", "q.qv")} AS sim FROM c CROSS JOIN q),
+         |rk AS (SELECT query_id, vec_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rnk
+         |       FROM sims)
+         |SELECT query_id, vec_id, floor(sim * 1000000.0 + 0.5) / 1000000.0 AS sim, rnk FROM rk WHERE rnk <= 10""".stripMargin,
+    "q_ann_lsh" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         |             ${bucketSql("embedding::DOUBLE[]", 4, 64)} AS bucket
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv,
+         |        ${bucketSql("embedding::DOUBLE[]", 4, 64)} AS bucket
+         |      FROM embeddings),
+         |sims AS (SELECT q.query_id, c.vec_id, ${cosExpr("c.cv", "q.qv")} AS sim
+         |         FROM c JOIN q ON c.bucket = q.bucket),
+         |rk AS (SELECT query_id, vec_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rnk
+         |       FROM sims)
+         |SELECT query_id, vec_id, floor(sim * 1000000.0 + 0.5) / 1000000.0 AS sim, rnk FROM rk WHERE rnk <= 10""".stripMargin,
+    "q_embed_neardup" ->
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv,
+         |             ${bucketSql("embedding::DOUBLE[]", 4, 64)} AS bucket
+         |           FROM embeddings)
+         |SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+         |  floor((${cosExpr("x.cv", "y.cv")}) * 1000000.0 + 0.5) / 1000000.0 AS sim
+         |FROM c x JOIN c y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE ${cosExpr("x.cv", "y.cv")} >= 0.35""".stripMargin,
+    "q_mm_inspect" ->
+      """SELECT doc_id AS asset_id, 'image' AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  lower(hex(encode(substr(text, 1, 4)))) AS magic_hex,
+        |  md5(text) AS payload_md5
+        |FROM documents""".stripMargin,
+    "q_mm_decode" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        |b AS (SELECT doc_id,
+        |        (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1 AS b0,
+        |        (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(hx, 4, 1)) - 1 AS b1
+        |      FROM h)
+        |SELECT doc_id AS asset_id, 'image' AS media_type,
+        |  CAST(16 + b0 % 64 AS INTEGER) AS width,
+        |  CAST(16 + b1 % 64 AS INTEGER) AS height,
+        |  CAST(1 AS INTEGER) AS n_frames
+        |FROM b""".stripMargin
+  )
+}

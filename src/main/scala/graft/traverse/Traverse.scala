@@ -11,23 +11,41 @@ import org.apache.spark.sql.functions._
   *  - Expand/ExpandAll (ExpandExecutor.cpp:41, ExpandAllExecutor.cpp:50) →
   *    `go` with step range M..N accumulating per-step frontiers.
   *  - Traverse (TraverseExecutor.cpp:25) → `paths`: expansion keeping the
-  *    vertex path as an ArrayType column, with openCypher NOLOOP-style
-  *    cycle check via array_contains.
+  *    vertex path as an ArrayType column, with cycle check via
+  *    array_contains (openCypher-style uniqueness).
+  *  - AppendVertices (AppendVerticesExecutor.cpp:18) → left join on the
+  *    terminal vid with prefixed property columns.
   *  - BFSShortest / MultiShortestPath (BFSShortestPathExecutor.cpp:12,
-  *    MultiShortestPathExecutor.cpp:10) → `shortestPaths`: level-
-  *    synchronous BFS with a visited anti-join per origin.
-  *  - Subgraph (SubgraphExecutor.cpp:15-52) → `subgraphVertices`:
-  *    frontier BFS over the union of out- and (optionally) in-edges.
+  *    MultiShortestPathExecutor.cpp:10) → `shortestDistances`:
+  *    level-synchronous BFS with a visited anti-join per origin.
+  *  - Subgraph (SubgraphExecutor.cpp:15-52) → `subgraph`: BFS vertex set
+  *    plus the induced edge set (DataCollect kSubgraph packs vertices AND
+  *    edges, Query.h:1423-1432).
   *
-  * Scale posture (the part the reference does single-node, SURVEY §4.3):
-  * every step is a shuffle-on-key equi-join that Spark distributes; the
-  * frontier is the only state, deduped per level so it stays bounded by
-  * |V| rather than path count. Small frontiers broadcast (AQE converts the
-  * join automatically since frontier sizes are known after each action;
-  * we additionally hint when the seed set is a literal list). No
-  * collect() anywhere — the driver loop only controls step count.
+  * Scale posture — how each step stays sane at 100 TB:
+  *  - Every step ends in `localCheckpoint()` (eager): the frontier is
+  *    materialized and the logical plan is truncated, so step N's plan is
+  *    one join deep, not N joins deep. Without this the plan grows
+  *    super-linearly and re-derives the whole history each step (the
+  *    round-1 bug). On a multi-executor cluster swap `localCheckpoint`
+  *    for `checkpoint` on a reliable store if executor loss matters.
+  *  - The frontier count (an action) runs against the materialized
+  *    blocks, which is cheap, and drives an explicit `broadcast()` hint
+  *    when the frontier is small — so hop joins against a big edge table
+  *    become broadcast joins instead of shuffling the edge table.
+  *  - `stepLimit` caps per-step blowup (the reference's per-step
+  *    limit/sample pushdown, PushStepLimitDownGetNeighborsRule.cpp);
+  *    sampling is deterministic (md5-ordered) so runs are reproducible.
+  *  - Early exit on an empty frontier (the reference's loop condition).
+  *  - No collect() anywhere; the driver only sees counts.
   */
 object Traverse {
+
+  /** Rows below this count get an explicit broadcast hint on the hop
+    * join. Conservative: a frontier of 5M vids (~a few hundred MB) still
+    * broadcasts fine on real executors, but we stay well under driver
+    * memory in local mode too. */
+  val BroadcastFrontierRows = 2000000L
 
   /** Direction of edge traversal. REVERSELY/BIDIRECT mirror the GO
     * grammar (src/parser/parser.yy:1424). The reference stores both
@@ -49,104 +67,171 @@ object Traverse {
       edges.unionByName(rev)
   }
 
-  /** One hop: frontier(vid) ⋈ edges(src,dst,...) → (vid=dst rows).
-    * Keeps any carried columns on the frontier (e.g. origin, path). */
-  def expandOnce(frontier: DataFrame, edges: DataFrame): DataFrame =
-    frontier.join(edges, frontier("vid") === edges("src"))
-      .drop(edges("src"))
+  /** Materialize a frontier: truncate lineage + return (df, rowCount).
+    * The count doubles as the loop's empty-check and broadcast signal. */
+  private def materialize(df: DataFrame): (DataFrame, Long) = {
+    val mat = df.localCheckpoint() // eager
+    (mat, mat.count())
+  }
 
-  /** GO M TO N STEPS FROM seeds OVER edges: returns (origin, vid) pairs
-    * reachable in exactly k hops for each k in [m, n], deduped per step
-    * like the reference's ExpandAll frontier (ExpandAllExecutor.cpp:50).
+  /** Hint the hop join's build side when the frontier is small. */
+  private def maybeBroadcast(frontier: DataFrame, rows: Long): DataFrame =
+    if (rows > 0 && rows <= BroadcastFrontierRows) broadcast(frontier)
+    else frontier
+
+  /** Deterministic per-src edge cap: keep at most `k` out-edges per
+    * source, ordered by md5(dst) (a reproducible pseudo-random order —
+    * the Spark analogue of the reference's per-step sample,
+    * SampleExecutor.cpp:12-33, but stable across runs for testing). */
+  def capPerSrc(edges: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("src")).orderBy(md5(col("dst").cast("string")))
+    edges.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** GO M TO N STEPS FROM seeds OVER edges: (origin, vid, step) rows
+    * reachable in exactly k hops for each k in [m, n].
+    *
+    * `dedupPerStep=true` mirrors ExpandAll's frontier dedup
+    * (ExpandAllExecutor.cpp:50) — the frontier stays bounded by |V| per
+    * origin instead of path count. Set false for GO's edge-multiplicity
+    * output (one row per traversed edge).
+    *
+    * `stepLimit` caps edges-per-source-vertex each hop (0 = off).
     */
   def go(seeds: DataFrame, edges: DataFrame, m: Int, n: Int,
-         dir: Direction = Out): DataFrame = {
+         dir: Direction = Out, dedupPerStep: Boolean = true,
+         stepLimit: Int = 0): DataFrame = {
     require(m >= 1 && n >= m, s"bad step range $m..$n")
-    val e = orient(edges, dir).select("src", "dst")
-    var frontier = seeds.select(col("vid").as("origin"), col("vid"))
+    val e0 = orient(edges, dir).select("src", "dst")
+    val e = if (stepLimit > 0) capPerSrc(e0, stepLimit) else e0
+    var (frontier, cnt) = materialize(
+      seeds.select(col("vid").as("origin"), col("vid")))
     var acc: DataFrame = null
     var step = 1
-    while (step <= n) {
-      frontier = frontier.join(e, frontier("vid") === e("src"))
+    while (step <= n && cnt > 0) {
+      val hop = maybeBroadcast(frontier, cnt)
+        .join(e, frontier("vid") === e("src"))
         .select(col("origin"), e("dst").as("vid"))
-        .distinct()
-      if (step >= m) {
+      val next = if (dedupPerStep) hop.distinct() else hop
+      val (mat, c) = materialize(next)
+      frontier = mat; cnt = c
+      if (step >= m && cnt > 0) {
         val stamped = frontier.withColumn("step", lit(step))
         acc = if (acc == null) stamped else acc.unionByName(stamped)
       }
       step += 1
     }
-    acc
+    if (acc == null)
+      seeds.sparkSession.emptyDataFrame
+        .withColumn("origin", lit("")).withColumn("vid", lit(""))
+        .withColumn("step", lit(0)).limit(0)
+    else acc
   }
 
   /** Traverse with path tracking: (v)-[:e*m..n]->(w) keeping the full
-    * vertex path, openCypher vertex-uniqueness via array_contains (the
-    * reference checks edge uniqueness in TraverseExecutor; on a simple
-    * traversal over distinct-rank edges vertex-uniqueness is the
-    * stricter, cycle-safe choice — divergences only on revisiting walks).
+    * vertex path as ArrayType, cycle check via array_contains. Output
+    * (origin, path, vid, step).
+    *
+    * The reference checks edge-uniqueness (TraverseExecutor.cpp); with
+    * `noLoop=true` we enforce the stricter vertex-uniqueness (no vertex
+    * revisited on a path) — divergence only on revisiting walks, which
+    * the oracle queries avoid. `stepLimit` caps per-source fan-out.
     */
   def paths(seeds: DataFrame, edges: DataFrame, m: Int, n: Int,
-            dir: Direction = Out, noLoop: Boolean = true): DataFrame = {
-    val e = orient(edges, dir).select("src", "dst")
-    var frontier = seeds.select(col("vid").as("origin"),
-      array(col("vid")).as("path"), col("vid"))
+            dir: Direction = Out, noLoop: Boolean = true,
+            stepLimit: Int = 0): DataFrame = {
+    require(m >= 1 && n >= m, s"bad step range $m..$n")
+    val e0 = orient(edges, dir).select("src", "dst")
+    val e = if (stepLimit > 0) capPerSrc(e0, stepLimit) else e0
+    var (frontier, cnt) = materialize(seeds.select(col("vid").as("origin"),
+      array(col("vid")).as("path"), col("vid")))
     var acc: DataFrame = null
     var step = 1
-    while (step <= n) {
-      var next = frontier.join(e, frontier("vid") === e("src"))
+    while (step <= n && cnt > 0) {
+      var next = maybeBroadcast(frontier, cnt)
+        .join(e, frontier("vid") === e("src"))
       if (noLoop) next = next.filter(!array_contains(col("path"), e("dst")))
-      frontier = next.select(col("origin"),
+      val (mat, c) = materialize(next.select(col("origin"),
         concat(col("path"), array(e("dst"))).as("path"),
-        e("dst").as("vid"))
-      if (step >= m) {
+        e("dst").as("vid")))
+      frontier = mat; cnt = c
+      if (step >= m && cnt > 0) {
         val stamped = frontier.withColumn("step", lit(step))
         acc = if (acc == null) stamped else acc.unionByName(stamped)
       }
       step += 1
     }
-    acc
+    if (acc == null)
+      seeds.select(col("vid").as("origin"), array(col("vid")).as("path"),
+        col("vid"), lit(0).as("step")).limit(0)
+    else acc
   }
 
   /** AppendVertices (AppendVerticesExecutor.cpp:18): attach end-vertex
-    * props to a traversal result via a left join on the terminal vid. */
+    * props to a traversal result via a left join on the terminal vid.
+    * Prop columns are prefixed to avoid collisions with traversal
+    * columns or with props appended at an earlier hop. */
   def appendVertices(result: DataFrame, vertexTable: DataFrame,
-                     vidCol: String = "vid"): DataFrame = {
+                     vidCol: String = "vid",
+                     prefix: String = ""): DataFrame = {
     val props = vertexTable.columns.filter(_ != "vid")
-      .foldLeft(vertexTable)((df, c) => df.withColumnRenamed(c, c))
+      .foldLeft(vertexTable)((df, c) => df.withColumnRenamed(c, prefix + c))
     result.join(props.withColumnRenamed("vid", "__dst_vid"),
       result(vidCol) === col("__dst_vid"), "left").drop("__dst_vid")
   }
 
-  /** Level-synchronous multi-origin BFS: min #hops from each seed to every
-    * reachable vertex within maxSteps. Output (origin, vid, dist).
-    * Visited-set pruning keeps state O(reached), the Spark analogue of the
-    * reference's bidirectional frontier sets. */
-  def shortestPaths(seeds: DataFrame, edges: DataFrame, maxSteps: Int,
-                    dir: Direction = Out): DataFrame = {
+  /** Level-synchronous multi-origin BFS: min #hops from each seed to
+    * every reachable vertex within maxSteps. Output (origin, vid, dist).
+    * Visited-set pruning keeps state O(reached); early exit on an empty
+    * frontier. */
+  def shortestDistances(seeds: DataFrame, edges: DataFrame, maxSteps: Int,
+                        dir: Direction = Out): DataFrame = {
     val e = orient(edges, dir).select("src", "dst")
-    var visited = seeds.select(col("vid").as("origin"), col("vid"),
-      lit(0).as("dist"))
+    var (visited, _) = materialize(
+      seeds.select(col("vid").as("origin"), col("vid"), lit(0).as("dist")))
     var frontier = visited
+    var cnt = 1L
     var step = 1
-    while (step <= maxSteps) {
-      val next = frontier.join(e, frontier("vid") === e("src"))
+    while (step <= maxSteps && cnt > 0) {
+      val next = maybeBroadcast(frontier, cnt)
+        .join(e, frontier("vid") === e("src"))
         .select(col("origin"), e("dst").as("vid"), lit(step).as("dist"))
         .distinct()
-      frontier = next.join(visited.select(col("origin").as("vo"),
-          col("vid").as("vv")),
+      val unvisited = next.join(
+        visited.select(col("origin").as("vo"), col("vid").as("vv")),
         next("origin") === col("vo") && next("vid") === col("vv"),
         "left_anti")
-      visited = visited.unionByName(frontier)
+      val (mat, c) = materialize(unvisited)
+      frontier = mat; cnt = c
+      if (cnt > 0) {
+        val (v2, _) = materialize(visited.unionByName(frontier))
+        visited = v2
+      }
       step += 1
     }
     visited
   }
 
-  /** GET SUBGRAPH N STEPS: vertices (with min depth) reachable from the
-    * seeds in ≤ n steps, traversing both directions like the reference's
-    * SubgraphExecutor GetNeighbors loop. */
-  def subgraphVertices(seeds: DataFrame, edges: DataFrame, n: Int,
-                       dir: Direction = Both): DataFrame =
-    shortestPaths(seeds.select("vid").distinct(), edges, n, dir)
+  /** GET SUBGRAPH N STEPS (SubgraphExecutor.cpp:15-52 + DataCollect
+    * kSubgraph): returns BOTH the reached vertex set (with min depth)
+    * and the induced edge set (edges whose endpoints are both reached,
+    * with the reference's boundary rule: edges leaving the last ring
+    * are excluded because their far endpoint is not in the set). */
+  case class SubgraphResult(vertices: DataFrame, edges: DataFrame)
+
+  def subgraph(seeds: DataFrame, edges: DataFrame, n: Int,
+               dir: Direction = Both): SubgraphResult = {
+    val verts = shortestDistances(seeds.select("vid").distinct(), edges, n, dir)
       .groupBy("vid").agg(min("dist").as("depth"))
+      .localCheckpoint()
+    val vset = broadcast(verts.select(col("vid")))
+    val induced = edges
+      .join(vset.withColumnRenamed("vid", "__sv"), col("src") === col("__sv"))
+      .drop("__sv")
+      .join(vset.withColumnRenamed("vid", "__dv"), col("dst") === col("__dv"))
+      .drop("__dv")
+    SubgraphResult(verts, induced)
+  }
 }
