@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.queries.{ExprQueries, GraphQueries, PipelineQueries, RelationalQueries}
+import graft.queries.{ExprQueries, GraphQueries, PipelineQueries, RelationalQueries, SurfaceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,11 +25,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ ExprQueries.queries ++
-      GraphQueries.queries ++ PipelineQueries.queries
+      GraphQueries.queries ++ PipelineQueries.queries ++
+      SurfaceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ ExprQueries.oracleSql ++
-      GraphQueries.oracleSql ++ PipelineQueries.oracleSql
+      GraphQueries.oracleSql ++ PipelineQueries.oracleSql ++
+      SurfaceQueries.oracleSql
 }

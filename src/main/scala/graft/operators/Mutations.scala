@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mutation sinks (SURVEY.md §2.1 sinks; reference
+  * executor/mutate/InsertExecutor.cpp:15, UpdateExecutor.cpp:40,
+  * DeleteExecutor.cpp:17): INSERT / INSERT-IF-NOT-EXISTS / UPSERT /
+  * UPDATE / DELETE over key-addressed tables.
+  *
+  * Storage model: parquet table directories keyed by a column set
+  * (vid for tags; src,dst,rank for edges) — the plain-Spark stand-in
+  * for a Delta/Iceberg table (whose MERGE INTO subsumes all of this;
+  * the semantics below are what MERGE would compile to). Writes
+  * rewrite via a staging dir so a failed job never truncates the
+  * table (parquet has no transaction log — documented trade-off vs
+  * the reference's Raft-replicated KV).
+  *
+  * Scale notes: merge = one shuffle-free read + anti/semi join on the
+  * key (broadcast when the delta is small — the common case) + a
+  * partitioned rewrite. On a real deployment this is exactly Delta
+  * MERGE's copy-on-write plan, and should be swapped for it.
+  */
+object Mutations {
+
+  /** A key-addressed mutable table backed by a parquet dir. */
+  final case class KeyedTable(spark: SparkSession, path: String, keys: Seq[String]) {
+    def read: DataFrame = spark.read.parquet(path)
+    def exists: Boolean = new java.io.File(path).exists()
+
+    private def write(df: DataFrame): Unit = {
+      val stage = path + ".stage"
+      df.write.mode(SaveMode.Overwrite).parquet(stage)
+      val target = new java.io.File(path)
+      if (target.exists()) {
+        val old = new java.io.File(path + ".old")
+        deleteRec(old)
+        target.renameTo(old)
+        new java.io.File(stage).renameTo(target)
+        deleteRec(old)
+      } else new java.io.File(stage).renameTo(target)
+    }
+
+    private def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      if (f.exists()) f.delete()
+    }
+
+    /** INSERT (reference default: overwrite existing keys —
+      * InsertExecutor "insert or overwrite" semantics). */
+    def insert(rows: DataFrame): Unit =
+      if (!exists) write(rows)
+      else write(read.join(broadcast(rows.select(keys.map(col): _*)), keys,
+        "left_anti").unionByName(rows))
+
+    /** INSERT ... IF NOT EXISTS: keep existing rows on key conflict. */
+    def insertIfNotExists(rows: DataFrame): Unit =
+      if (!exists) write(rows)
+      else {
+        val existing = read
+        val fresh = rows.join(broadcast(existing.select(keys.map(col): _*)),
+          keys, "left_anti")
+        write(existing.unionByName(fresh))
+      }
+
+    /** UPSERT = update matched keys with new values, insert the rest —
+      * the reference's UpsertExecutor, and Delta MERGE's canonical
+      * WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT. */
+    def upsert(rows: DataFrame): Unit = insert(rows)
+
+    /** UPDATE: apply column assignments to rows matching a predicate. */
+    def update(cond: org.apache.spark.sql.Column,
+               assignments: (String, org.apache.spark.sql.Column)*): Unit = {
+      val cur = read
+      val updated = assignments.foldLeft(cur) { case (df, (c, v)) =>
+        df.withColumn(c, when(cond, v).otherwise(col(c)))
+      }
+      write(updated)
+    }
+
+    /** DELETE rows by key set (DeleteExecutor semantics). */
+    def delete(keyRows: DataFrame): Unit =
+      write(read.join(broadcast(keyRows.select(keys.map(col): _*)), keys,
+        "left_anti"))
+
+    /** DELETE rows matching a predicate. */
+    def deleteWhere(cond: org.apache.spark.sql.Column): Unit =
+      write(read.filter(!coalesce(cond, lit(false))))
+  }
+
+  def vertexTable(spark: SparkSession, path: String): KeyedTable =
+    KeyedTable(spark, path, Seq("vid"))
+
+  /** Edge identity includes rank (NebulaKeyUtils.h:61). */
+  def edgeTable(spark: SparkSession, path: String): KeyedTable =
+    KeyedTable(spark, path, Seq("src", "dst", "rank"))
+
+  /** TTL read-filter (SURVEY §1.3; storage/CommonUtils.cpp:17-29):
+    * rows expire when ttlCol + ttlSeconds < now. Injected at read
+    * time, like the reference's compaction-filter approach. */
+  def withTtl(df: DataFrame, ttlCol: String, ttlSeconds: Long): DataFrame =
+    df.filter(col(ttlCol) + expr(s"INTERVAL $ttlSeconds SECONDS") >=
+      current_timestamp())
+}

@@ -33,16 +33,19 @@ object Dedup {
       .groupBy("dedup_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** MinHash signature as `numHashes` independent permutation-mins:
-    * perm k's value = min over shingles of md5(k || ':' || shingle).
-    * Pure per-row map work (array expressions, no UDF, no shuffle). */
-  def minhashSignature(text: Column, numHashes: Int, shingleN: Int = 3): Column = {
-    val sh = array_distinct(shingles(text, shingleN))
-    val mins = (0 until numHashes).map { k =>
-      array_min(transform(sh, s => md5(concat(lit(k + ":"), s))))
-    }
-    array(mins: _*)
-  }
+  /** MinHash signature from an ALREADY-MATERIALIZED shingle-array
+    * column: perm k's value = min over shingles of md5(k||':'||shingle).
+    * Pure per-row map work (array expressions, no UDF, no shuffle).
+    *
+    * Callers must materialize the shingle array first (see lshBands):
+    * if the shingle expression is still inline, Catalyst's
+    * CollapseProject re-inlines it into every one of the `numHashes`
+    * min-computations and the tokenize/shingle work runs numHashes×
+    * per row (measured 100s → 8s at sf0.1 for 16 hashes). */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { k =>
+      array_min(transform(shingleArr, s => md5(concat(lit(k + ":"), s))))
+    }: _*)
 
   /** LSH banding: signature rows → (id, band, band_hash) rows, one per
     * band; band_hash = md5 of the band's slice of the signature. Docs
@@ -51,8 +54,13 @@ object Dedup {
                numHashes: Int, bands: Int, shingleN: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignature(col(textCol), numHashes, shingleN)
-    docs.select(col(idCol).as("id"), sig.as("sig"))
+    // materialize (id, shingles) so the 16 hash-mins read a stored
+    // array instead of re-deriving it (plan barrier vs CollapseProject)
+    val shingled = docs.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+      .localCheckpoint()
+    shingled.select(col("id"),
+        minhashSignature(col("sh"), numHashes).as("sig"))
       .select(col("id"), explode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
@@ -67,7 +75,11 @@ object Dedup {
   def lshCandidatePairs(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", numHashes: Int = 16,
                         bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    // materialize the band table ONCE — the signature (16 md5s per
+    // shingle) is the expensive map stage, and the self-join would
+    // otherwise recompute it for both sides
     val b = lshBands(docs, idCol, textCol, numHashes, bands, shingleN)
+      .localCheckpoint()
     val l = b.select(col("band"), col("band_hash"), col("id").as("a"))
     val r = b.select(col("band"), col("band_hash"), col("id").as("b"))
     l.join(r, Seq("band", "band_hash"))
@@ -80,8 +92,10 @@ object Dedup {
   def jaccardVerify(pairs: DataFrame, docs: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
                     shingleN: Int = 3): DataFrame = {
+    // shingle lists are joined twice (a-side and b-side) — compute once
     val sh = docs.select(col(idCol).as("__id"),
       array_distinct(shingles(col(textCol), shingleN)).as("__sh"))
+      .localCheckpoint()
     pairs
       .join(sh.withColumnRenamed("__id", "a").withColumnRenamed("__sh", "sha"), Seq("a"))
       .join(sh.withColumnRenamed("__id", "b").withColumnRenamed("__sh", "shb"), Seq("b"))
@@ -108,14 +122,19 @@ object Dedup {
   def simhash16(text: Column): Column = {
     val toks = TextAnalysis.tokens(text)
     val hashes = transform(toks, t => md5(t))
-    val bits = (0 until 16).map { j =>
-      val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(
-          // hex digit j ≥ '8' ⇔ high bit set (digits are 0-9a-f)
-          substring(h, j + 1, 1) >= "8", 1).otherwise(-1))
-      when(votes > 0, lit(1L << (15 - j))).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    val idx = sequence(lit(0), lit(15))
+    // one pass over the token hashes building all 16 vote counters at
+    // once (referencing `hashes` once keeps the tokenize+md5 work from
+    // being re-inlined per bit by CollapseProject)
+    val votes = aggregate(hashes, transform(idx, _ => lit(0)),
+      (acc, h) => zip_with(acc, idx, (a, j) =>
+        // hex digit j ≥ '8' ⇔ high bit set (digits are 0-9a-f)
+        a + when(h.substr(j + lit(1), lit(1)) >= "8", 1).otherwise(-1)))
+    aggregate(
+      zip_with(votes, idx, (v, j) =>
+        when(v > 0, pow(lit(2.0), (lit(15) - j).cast("double")).cast("long"))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Hamming distance between two long-encoded sketches (for simhash

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.Tables
+import graft.functions.Fn.roundPortable
+import graft.functions.Udfs
+import graft.operators.Mutations
+import graft.sources.CsvFixtures
+import graft.streaming.EventStream
+
+/** SparkEntry registrations for the remaining user surfaces: mutation
+  * sinks, the CSV fixture loader, the UDF catalog, Structured
+  * Streaming, and the raw SQL entry point. Each query is
+  * self-contained (temp dirs / literal fixtures built inside the
+  * function) so the driver can run it at any scale factor. */
+object SurfaceQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // INSERT/UPSERT/UPDATE/DELETE flow (executor/mutate/*) against a
+    // keyed parquet table; the returned frame is the final table state
+    "q_mutation_flow" -> ((s, dir) => {
+      import s.implicits._
+      val path = java.nio.file.Files.createTempDirectory("graft-mut").toString
+      val t = Mutations.vertexTable(s, path + "/tag")
+      val base = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") <= 50)
+        .select(col("c_custkey").cast("long").as("vid"),
+          col("c_acctbal").as("acctbal"))
+      t.insert(base)
+      t.upsert(
+        s.range(1, 11).select(col("id").as("vid"), lit(999.0).as("acctbal"))
+          .unionByName(s.range(9001, 9006)
+            .select(col("id").as("vid"), lit(1.0).as("acctbal"))))
+      t.update(col("vid") <= 5, "acctbal" -> (col("acctbal") + 100))
+      t.delete(s.range(11, 16).select(col("id").as("vid")))
+      t.read
+    }),
+
+    // CSV fixture loader honoring the reference importer convention
+    // (FIXTURES.md): vertex header + empty-string-as-null
+    "q_csv_fixture" -> ((s, _) => {
+      val f = java.nio.file.Files.createTempFile("graft-fix", ".csv")
+      java.nio.file.Files.writeString(f,
+        ":VID(string),player.name:string,player.age:int\n" +
+          "p1,Alice,30\np2,,0\np3,Carol,25\n")
+      CsvFixtures.load(s, f.toString)
+    }),
+
+    // UDF surface: scalar + typed-Aggregator registered in the SQL
+    // catalog (GraphFunction.h plugin equivalent)
+    "q_udf" -> ((s, dir) => {
+      Udfs.register(s)
+      Tables.load(s, dir, "customer").createOrReplaceTempView("q_udf_customer")
+      s.sql(
+        """SELECT title_case(c_mktsegment) AS seg,
+          |       stddev_pop_udf(c_acctbal) AS sd
+          |FROM q_udf_customer GROUP BY c_mktsegment""".stripMargin)
+        .select(col("seg"), roundPortable(col("sd"), 3).as("sd"))
+    }),
+
+    // Structured Streaming: incremental file source → watermarked
+    // tumbling-window agg → memory sink, drained with AvailableNow.
+    // Same transform runs in batch (EventStream.windowedTypeStats is
+    // mode-agnostic) — this entry proves the streaming path.
+    "q_stream_window" -> ((s, dir) => {
+      // the streaming file source wants a DIRECTORY; stage the single
+      // events.parquet file into one via symlink
+      val stage = java.nio.file.Files.createTempDirectory("graft-stream")
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val src = EventStream.readEvents(s, stage.toString,
+        schemaFrom = s"$dir/events.parquet")
+      val agg = EventStream.windowedTypeStats(src, "1 hour")
+        .select(col("win_start"), col("win_end"), col("event_type"),
+          col("cnt"), roundPortable(col("sum_value"), 2).as("sum_value"))
+      val q = agg.writeStream
+        .format("memory").queryName("q_stream_window_sink")
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q_stream_window_sink")
+    }),
+
+    // raw SQL entry point over the registered catalog (the reference's
+    // query-language front door, minus the parser: Spark SQL IS the
+    // declarative surface here)
+    "q_sql_e2e" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      // 100.0D: in SQL text a bare decimal literal is DECIMAL, which
+      // would promote the whole expression; D forces DOUBLE like the
+      // DataFrame API's lit(100.0)
+      s.sql(
+        """SELECT n_name,
+          |       count(*) AS order_cnt,
+          |       floor(sum(o_totalprice) * 100.0D + 0.5D) / 100.0D AS revenue
+          |FROM orders
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE o_orderstatus = 'F'
+          |GROUP BY n_name""".stripMargin)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_mutation_flow" ->
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS vid, c_acctbal AS acctbal
+        |              FROM customer WHERE c_custkey <= 50),
+        |up AS (SELECT vid, CASE WHEN vid BETWEEN 1 AND 10 THEN 999.0 ELSE acctbal END AS acctbal FROM base
+        |       UNION ALL SELECT unnest(range(9001, 9006)) AS vid, 1.0 AS acctbal),
+        |upd AS (SELECT vid, CASE WHEN vid <= 5 THEN acctbal + 100 ELSE acctbal END AS acctbal FROM up)
+        |SELECT vid, acctbal FROM upd WHERE vid NOT BETWEEN 11 AND 15""".stripMargin,
+    "q_csv_fixture" ->
+      """SELECT * FROM (VALUES ('p1', 'Alice', CAST(30 AS BIGINT)),
+        |                      ('p2', NULL, CAST(0 AS BIGINT)),
+        |                      ('p3', 'Carol', CAST(25 AS BIGINT))) AS t(vid, name, age)""".stripMargin,
+    "q_udf" ->
+      """SELECT upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2)) AS seg,
+        |       floor(stddev_pop(c_acctbal) * 1000.0 + 0.5) / 1000.0 AS sd
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS win_start,
+        |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+        |       event_type, count(*) AS cnt,
+        |       floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_sql_e2e" ->
+      """SELECT n_name, count(*) AS order_cnt,
+        |       floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY n_name""".stripMargin
+  )
+}

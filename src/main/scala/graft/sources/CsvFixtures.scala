@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loader for the reference's CSV fixture convention (FIXTURES.md;
+  * reference importer headers, tests/data/nba/player.csv:1 and
+  * serve.csv:1):
+  *
+  *  - vertex file: `:VID(string)` (or `:VID(int)`) then
+  *    `tag.prop:type` columns;
+  *  - edge file: `:SRC_VID(string),:DST_VID(string)[,:RANK]` then
+  *    `edge.prop:type` columns (missing `:RANK` → rank 0);
+  *  - empty string = null property.
+  *
+  * Output schemas match GraphModel's shape: vertices `(vid, prop...)`,
+  * edges `(src, dst, rank, prop...)` — so a fixture dataset drops
+  * straight into the traversal/relational operators.
+  *
+  * Scale: a header-driven projection over Spark's native CSV reader —
+  * schema applied at scan (no inference pass), so fixture loading is a
+  * single distributed read like any other source.
+  */
+object CsvFixtures {
+
+  private def sparkType(t: String): DataType = t.trim.toLowerCase match {
+    case "int" | "int64" | "int32" | "int16" | "int8" => LongType
+    case "double" | "float" => DoubleType
+    case "bool" | "boolean" => BooleanType
+    case "timestamp" => TimestampType
+    case "date" => DateType
+    case _ => StringType
+  }
+
+  private case class Col(raw: String, name: String, dt: DataType)
+
+  private def parseHeader(header: String): Seq[Col] =
+    header.split(",").toSeq.map(_.trim).map {
+      case v if v.startsWith(":VID") =>
+        Col(v, "vid", if (v.contains("(int)")) LongType else StringType)
+      case v if v.startsWith(":SRC_VID") =>
+        Col(v, "src", if (v.contains("(int)")) LongType else StringType)
+      case v if v.startsWith(":DST_VID") =>
+        Col(v, "dst", if (v.contains("(int)")) LongType else StringType)
+      case v if v.startsWith(":RANK") => Col(v, "rank", LongType)
+      case v =>
+        // `tag.prop:type` or `edge.prop:type` → prop
+        val (qualified, t) = v.lastIndexOf(':') match {
+          case -1 => (v, "string")
+          case i => (v.substring(0, i), v.substring(i + 1))
+        }
+        val prop = qualified.split("\\.").last
+        Col(v, prop, sparkType(t))
+    }
+
+  /** Load one fixture CSV. `spark.read.csv` with an explicit schema —
+    * header parsed driver-side from the first line of the file. */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val header = java.nio.file.Files.lines(java.nio.file.Paths.get(
+      path.stripPrefix("file:"))).findFirst().orElseThrow()
+    val cols = parseHeader(header)
+    val schema = StructType(cols.map(c => StructField(c.name, StringType, true)))
+    val raw = spark.read
+      .option("header", true)
+      .option("quote", "\"")
+      .schema(schema)
+      .csv(path)
+    // empty string → null, then cast to the declared type
+    val casted = cols.map { c =>
+      val base = when(col(c.name) === "", lit(null)).otherwise(col(c.name))
+      base.cast(c.dt).as(c.name)
+    }
+    val df = raw.select(casted: _*)
+    // edge file without :RANK → implicit rank 0 (FIXTURES.md)
+    if (cols.exists(_.name == "src") && !cols.exists(_.name == "rank"))
+      df.withColumn("rank", lit(0L))
+        .select((Seq("src", "dst", "rank") ++
+          cols.map(_.name).filterNot(Seq("src", "dst").contains)).distinct
+          .map(col): _*)
+    else df
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog near the old river bank today"),
+    (2L, "The quick brown fox jumps over the lazy dog near the old river bank now"),
+    (3L, "Completely different content about spark query engines and distributed joins here"),
+    (4L, "the quick BROWN fox... jumps over the lazy dog near the old river bank today!")
+  ).toDF("doc_id", "text")
+
+  test("normalize: case/punct/whitespace canonicalization") {
+    val r = Seq("  Hello,   WORLD!! 42 ").toDF("text")
+      .select(TA.normalize(col("text"))).as[String].head()
+    assert(r == "hello world 42")
+  }
+
+  test("exactDedup: doc 4 collapses onto doc 1 after normalization") {
+    val r = Dedup.exactDedup(docs).as[(String, Long, Long)].collect()
+    val groups = r.map(t => t._2 -> t._3).toMap
+    assert(groups(1L) == 2L) // docs 1+4 same normalized text
+    assert(r.length == 3)
+  }
+
+  test("shingles: n-gram count and short-text fallback") {
+    val n = Seq("a b c d e").toDF("text")
+      .select(size(TA.shingles(col("text"), 3))).as[Int].head()
+    assert(n == 3) // abc bcd cde
+    val short = Seq("a b").toDF("text")
+      .select(TA.shingles(col("text"), 5)).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("nearDupPairs: catches the near-identical pair, not the distinct doc") {
+    val pairs = Dedup.nearDupPairs(docs, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash16: deterministic, near-dups closer than distinct docs") {
+    val sk = docs.select(col("doc_id"), Dedup.simhash16(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sk.values.forall(v => v >= 0 && v < (1L << 16)))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sk(1L), sk(2L)) <= ham(sk(1L), sk(3L)))
+    assert(ham(sk(1L), sk(4L)) == 0) // identical tokens after normalize
+  }
+
+  test("languageId: stopword argmax with und fallback") {
+    val r = Seq(
+      (1L, "the cat and the dog of it was for that"),
+      (2L, "el perro y la casa de los que por con un"),
+      (3L, "zzz qqq xxx")
+    ).toDF("doc_id", "text")
+    val out = TA.languageId(r).select("doc_id", "lang_pred")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en" && out(2L) == "es" && out(3L) == "und")
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val r = Seq("Hello, world! x2").toDF("text").select(
+      TA.tokenCount(col("text")).as("ws"),
+      TA.bpeishCount(col("text")).as("bp")).as[(Int, Int)].head()
+    // normalized "hello world x2" -> 3 ws tokens
+    // bpeish: Hello , world ! x 2 -> 6 pieces
+    assert(r == ((3, 6)))
+  }
+
+  test("cosine: identical vectors 1.0, orthogonal 0.0") {
+    val df = Seq((Seq(1f, 0f), Seq(1f, 0f), Seq(0f, 1f))).toDF("a", "b", "c")
+    val (ab, ac) = df.select(
+      Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("c"))).as[(Double, Double)].head()
+    assert(math.abs(ab - 1.0) < 1e-12 && math.abs(ac) < 1e-12)
+  }
+
+  test("bruteForceTopK: self is rank 1, k bounds output") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(0.9f, 0.1f, 0f)),
+      (2L, Seq(0f, 1f, 0f)), (3L, Seq(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val r = Similarity.bruteForceTopK(vecs, q, 2)
+      .orderBy("rnk").select("vec_id").as[Long].collect()
+    assert(r.sameElements(Array(0L, 1L)))
+  }
+
+  test("lshBucket: deterministic and stable across evaluations") {
+    val vecs = Seq((0L, Seq.fill(8)(0.5f)), (1L, Seq.fill(8)(-0.5f)))
+      .toDF("vec_id", "embedding")
+    val b1 = vecs.select(Similarity.lshBucket(col("embedding"), 4, 8))
+      .as[Long].collect()
+    val b2 = vecs.select(Similarity.lshBucket(col("embedding"), 4, 8))
+      .as[Long].collect()
+    assert(b1.sameElements(b2))
+    assert(b1.forall(b => b >= 0 && b < 16))
+  }
+
+  test("multimodal: asset schema, metadata fast path, stub decode shape") {
+    val assets = Multimodal.assetsFromText(docs, "doc_id", "text", "image")
+    assert(assets.schema.fieldNames.toSeq ==
+      Multimodal.assetSchema.fieldNames.toSeq)
+    val insp = Multimodal.inspect(assets)
+    val row = insp.filter(col("asset_id") === 1).head()
+    assert(row.getAs[Long]("byte_len") == docs.filter(col("doc_id") === 1)
+      .select(length(col("text"))).as[Int].head().toLong)
+    val feats = Multimodal.decodeStub(assets, featureDim = 4)
+    assert(feats.schema == Multimodal.featureSchema.copy())
+    val f = feats.filter(col("asset_id") === 1).head()
+    assert(f.getAs[Int]("width") >= 16 && f.getAs[Int]("width") < 80)
+    assert(f.getSeq[Float](f.fieldIndex("feature")).length == 4)
+    // deterministic: same payload -> same fake features
+    val again = Multimodal.decodeStub(assets, featureDim = 4)
+      .filter(col("asset_id") === 1).head()
+    assert(again.getAs[Int]("width") == f.getAs[Int]("width"))
+  }
+
+  test("frameSample: every k-th frame index from metadata only") {
+    val feats = Seq((1L, "video", 10, 10, 7, Seq(0f))).toDF(
+      "asset_id", "media_type", "width", "height", "n_frames", "feature")
+    val r = Multimodal.frameSample(feats, 3).select("frame_idx")
+      .as[Int].collect().sorted
+    assert(r.sameElements(Array(0, 3, 6)))
+  }
+}
