@@ -104,13 +104,38 @@ object Dedup {
           size(array_union(col("sha"), col("shb"))).cast("double")).as("jaccard"))
   }
 
-  /** Near-dup pairs above a Jaccard threshold: LSH blocking + verify. */
+  /** Near-dup pairs above a Jaccard threshold: LSH blocking + verify.
+    * The shingle arrays are computed ONCE and shared by the signature
+    * stage and the verification joins. */
   def nearDupPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
                    numHashes: Int = 16, bands: Int = 4,
                    shingleN: Int = 3): DataFrame = {
-    val cands = lshCandidatePairs(docs, idCol, textCol, numHashes, bands, shingleN)
-    jaccardVerify(cands, docs, idCol, textCol, shingleN)
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val shingled = docs.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+      .localCheckpoint()
+    val b = shingled
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("id"), explode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          bd => struct(bd.as("band"),
+            md5(array_join(slice(col("sig"), bd * rowsPerBand + 1, lit(rowsPerBand)), "|"))
+              .as("band_hash")))).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+      .localCheckpoint()
+    val cands = b.select(col("band"), col("band_hash"), col("id").as("a"))
+      .join(b.select(col("band"), col("band_hash"), col("id").as("b")),
+        Seq("band", "band_hash"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cands
+      .join(shingled.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), Seq("a"))
+      .join(shingled.withColumnRenamed("id", "b").withColumnRenamed("sh", "shb"), Seq("b"))
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -72,6 +72,15 @@ object GraphQueries {
       Traverse.go(custSeeds(g, 5), g.edges, 1, 2)
     }),
 
+    // GO ... YIELD edge rows (reference GO output shape: deduped
+    // frontier between steps, one row per traversed edge at step n)
+    "q_go_yield" -> ((s, dir) => {
+      val g = gm(s, dir)
+      Traverse.goYield(custSeeds(g, 5),
+        g.edges.select("src", "dst", "etype", "rank"), 2, 2)
+        .select("origin", "src", "dst", "etype", "rank", "step")
+    }),
+
     // GO ... REVERSELY (GoPlanner REVERSELY wiring)
     "q_go_rev" -> ((s, dir) => {
       val g = gm(s, dir)
@@ -170,6 +179,13 @@ object GraphQueries {
     "q_go_rev" ->
       """SELECT DISTINCT 's:' || l_suppkey AS origin, 'o:' || l_orderkey AS vid, 1 AS step
         |FROM lineitem WHERE l_suppkey <= 5""".stripMargin,
+    "q_go_yield" ->
+      s"""WITH $edgesCte,
+        |seeds AS (SELECT 'c:' || c_custkey AS vid FROM customer WHERE c_custkey <= 5),
+        |f1 AS (SELECT DISTINCT s.vid AS origin, e.dst AS vid
+        |       FROM seeds s JOIN E e ON e.src = s.vid)
+        |SELECT f1.origin AS origin, e.src, e.dst, e.etype, e.rank, 2 AS step
+        |FROM f1 JOIN E e ON e.src = f1.vid""".stripMargin,
     "q_paths_1to2" ->
       s"""WITH RECURSIVE $edgesCte,
         |seeds AS (SELECT 'c:' || c_custkey AS vid FROM customer WHERE c_custkey <= 3),

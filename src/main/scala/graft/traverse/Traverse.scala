@@ -130,6 +130,40 @@ object Traverse {
     else acc
   }
 
+  /** GO ... YIELD edge rows: the reference's exact GO output shape —
+    * the frontier is DEDUPED between steps (ExpandAllExecutor
+    * frontier semantics) but the yielded rows are one per traversed
+    * edge at each step in [m, n], keeping the edge's property columns
+    * (like._dst / $$-style yields join on these). TCK golden: GO 3
+    * STEPS FROM "Tim Duncan" OVER like | YIELD COUNT(*) == 5
+    * (tests/tck/features/aggregate/Agg.feature). */
+  def goYield(seeds: DataFrame, edges: DataFrame, m: Int, n: Int,
+              dir: Direction = Out): DataFrame = {
+    require(m >= 1 && n >= m, s"bad step range $m..$n")
+    val e = orient(edges, dir)
+    var (frontier, cnt) = materialize(
+      seeds.select(col("vid").as("origin"), col("vid")))
+    var acc: DataFrame = null
+    var step = 1
+    while (step <= n && cnt > 0) {
+      val hop = maybeBroadcast(frontier, cnt)
+        .join(e, frontier("vid") === e("src"))
+        .drop(frontier("vid"))
+      if (step >= m) {
+        val stamped = hop.withColumn("step", lit(step))
+        acc = if (acc == null) stamped else acc.unionByName(stamped)
+      }
+      val (mat, c) = materialize(
+        hop.select(col("origin"), e("dst").as("vid")).distinct())
+      frontier = mat; cnt = c
+      step += 1
+    }
+    if (acc == null)
+      seeds.sparkSession.emptyDataFrame.select(lit("").as("origin"),
+        lit("").as("src"), lit("").as("dst"), lit(0).as("step")).limit(0)
+    else acc
+  }
+
   /** Traverse with path tracking: (v)-[:e*m..n]->(w) keeping the full
     * vertex path as ArrayType, cycle check via array_contains. Output
     * (origin, path, vid, step).

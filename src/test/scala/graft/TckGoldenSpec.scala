@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Relational => R}
+import graft.sources.CsvFixtures
+import graft.traverse.Traverse
+import graft.traverse.Traverse.Both
+
+/** Golden results ported from the reference TCK corpus
+  * (tests/tck/features/aggregate/Agg.feature — "Basic Aggregate"), run
+  * against the real nba CSV fixtures via CsvFixtures. These pin the
+  * engine to the reference's OBSERVED outputs, not our reading of the
+  * docs. */
+class TckGoldenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nba = "/root/reference/tests/data/nba"
+  private def have = new java.io.File(s"$nba/like.csv").exists()
+
+  private def like = CsvFixtures.load(spark, s"$nba/like.csv")
+  private def serve = CsvFixtures.load(spark, s"$nba/serve.csv")
+  private def player = CsvFixtures.load(spark, s"$nba/player.csv")
+    .unionByName(CsvFixtures.load(spark, s"$nba/null.csv"), allowMissingColumns = true)
+
+  private def seed(v: String) = Seq(v).toDF("vid")
+
+  test("""YIELD COUNT(*), 1+1 over a literal row""") {
+    val r = R.value(spark, "c" -> lit(1L), "s" -> (lit(1) + lit(1)))
+    assert(r.as[(Long, Int)].head() == ((1L, 2)))
+  }
+
+  test("agg over all-null input: count 0, sum 0, avg/std/min/max/bit_* NULL") {
+    // Agg.feature:29-43 golden row
+    val nulls = Seq[Option[Long]](None, None).toDF("v")
+    val r = R.aggregate(nulls, Seq.empty, Seq(
+      count(col("v")).as("v1"),
+      avg(col("v")).as("v2"),
+      coalesce(sum(col("v")), lit(0L)).as("v3"), // reference: SUM(null)=0
+      stddev_pop(col("v")).as("v4"),
+      min(col("v")).as("v5"),
+      max(col("v")).as("v6"),
+      bit_and(col("v")).as("v9"),
+      bit_or(col("v")).as("v10"),
+      bit_xor(col("v")).as("v11")))
+    val row = r.head()
+    assert(row.getLong(0) == 0L)
+    assert(row.isNullAt(1)); assert(row.getLong(2) == 0L)
+    assert(row.isNullAt(3)); assert(row.isNullAt(4)); assert(row.isNullAt(5))
+    assert(row.isNullAt(6)); assert(row.isNullAt(7)); assert(row.isNullAt(8))
+  }
+
+  test("""GO FROM "Tim Duncan" OVER like | YIELD COUNT(*) == 2""") {
+    assume(have)
+    assert(Traverse.goYield(seed("Tim Duncan"), like, 1, 1).count() == 2L)
+  }
+
+  test("""GO 3 STEPS FROM "Tim Duncan" OVER like | YIELD COUNT(*) == 5""") {
+    assume(have)
+    assert(Traverse.goYield(seed("Tim Duncan"), like, 3, 3).count() == 5L)
+  }
+
+  test("""GO 1 TO 3 STEPS FROM "Tony Parker" OVER serve BIDIRECT YIELD DISTINCT id($$) == 41""") {
+    assume(have)
+    val r = Traverse.go(seed("Tony Parker"), serve, 1, 3, dir = Both)
+      .select("vid").distinct().count()
+    assert(r == 41L)
+  }
+
+  test("MATCH (v:player) RETURN COUNT(*) == 56") {
+    assume(have)
+    assert(player.count() == 56L)
+  }
+
+  test("UNWIND [1,2,NULL]: null element survives explode_outer per TCK") {
+    // Agg.feature UNWIND golden: 3 rows including the NULL
+    val r = spark.range(1)
+      .select(explode_outer(array(lit(1), lit(2), lit(null.asInstanceOf[Integer]))).as("a"))
+    assert(r.count() == 3L)
+    assert(r.filter(col("a").isNull).count() == 1L)
+  }
+}
