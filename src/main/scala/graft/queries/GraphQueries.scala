@@ -118,6 +118,14 @@ object GraphQueries {
         g.edges, 4)
     }),
 
+    // MATCH shortestPath(): one deterministic representative per pair
+    // (SingleShortestPath.cpp strategy)
+    "q_shortest_single" -> ((s, dir) => {
+      val g = gm(s, dir)
+      PathFinder.shortestPaths(custSeeds(g, 3), g.regions.select("vid"),
+        g.edges, 4, singlePath = true)
+    }),
+
     // FIND ALL PATH ... UPTO 4 STEPS, NOLOOP (AllPathsExecutor.cpp:19)
     "q_all_paths" -> ((s, dir) => {
       val g = gm(s, dir)
@@ -229,6 +237,30 @@ object GraphQueries {
         |)
         |SELECT p.origin AS src, p.vid AS dst, array_to_string(p.path, '->') AS path, p.step AS hops
         |FROM p WHERE p.vid LIKE 'r:%' AND p.step >= 1""".stripMargin,
+    "q_shortest_single" ->
+      s"""WITH RECURSIVE $edgesCte,
+        |seeds AS (SELECT 'c:' || c_custkey AS vid FROM customer WHERE c_custkey <= 3),
+        |d(origin, vid, dist) AS (
+        |  SELECT vid, vid, 0 FROM seeds
+        |  UNION
+        |  SELECT d.origin, e.dst, d.dist + 1 FROM d JOIN E e ON e.src = d.vid WHERE d.dist < 4
+        |),
+        |md AS (SELECT origin, vid, MIN(dist) AS dist FROM d GROUP BY origin, vid),
+        |p(origin, path, vid, step) AS (
+        |  SELECT vid, [vid], vid, 0 FROM seeds
+        |  UNION ALL
+        |  SELECT p.origin, list_append(p.path, e.dst), e.dst, p.step + 1
+        |  FROM p JOIN E e ON e.src = p.vid
+        |  JOIN md ON md.origin = p.origin AND md.vid = e.dst AND md.dist = p.step + 1
+        |  WHERE p.step < 4
+        |),
+        |hits AS (SELECT p.origin AS src, p.vid AS dst,
+        |           array_to_string(p.path, '->') AS path, p.step AS hops
+        |         FROM p WHERE p.vid LIKE 'r:%' AND p.step >= 1)
+        |SELECT src, dst, path, hops FROM (
+        |  SELECT src, dst, path, hops,
+        |    row_number() OVER (PARTITION BY src, dst ORDER BY path) AS rn
+        |  FROM hits) WHERE rn = 1""".stripMargin,
     "q_all_paths" ->
       s"""WITH RECURSIVE $edgesCte,
         |seeds AS (SELECT 'c:' || c_custkey AS vid FROM customer WHERE c_custkey <= 2),
