@@ -164,4 +164,56 @@ object Fn {
   def rankF(df: org.apache.spark.sql.DataFrame): Column = df("rank")
   /** json_extract → get_json_object (FunctionManager.cpp `json_extract`). */
   def jsonExtract(c: Column, path: String): Column = get_json_object(c, path)
+
+  // ---- path functions over our array-of-vids path representation
+  // (nodes relationships startNode endNode hasSameVertexInPath ...,
+  // FunctionManager.cpp graph-specific registry) ----
+  /** nodes(path): the vid sequence IS the path column. */
+  def nodes(path: Column): Column = path
+  /** startNode/endNode(path). */
+  def startNode(path: Column): Column = element_at(path, 1)
+  def endNode(path: Column): Column = element_at(path, -1)
+  /** relationships(path): consecutive (src,dst) pairs. */
+  def relationships(path: Column): Column =
+    zip_with(slice(path, lit(1), greatest(size(path) - 1, lit(0))),
+      slice(path, lit(2), greatest(size(path) - 1, lit(0))),
+      (s, d) => struct(s.as("src"), d.as("dst")))
+  /** length(path) in steps. */
+  def pathLength(path: Column): Column = greatest(size(path) - 1, lit(0))
+  /** hasSameVertexInPath: any vid repeated. */
+  def hasSameVertexInPath(path: Column): Column =
+    size(array_distinct(path)) < size(path)
+  /** reversePath. */
+  def reversePath(path: Column): Column = reverse(path)
+
+  // ---- set-ish collection mutations (setadd / erase) ----
+  def setAdd(c: Column, v: Column): Column =
+    array_distinct(concat(c, array(v)))
+  def erase(c: Column, v: Column): Column = array_remove(c, v)
+
+  // ---- geo: point subset of the st_* family (FunctionManager.cpp geo
+  // registry; reference is S2-backed — we cover POINT construction,
+  // WKT text, and spherical distance, which agree with S2 point
+  // semantics; polygon/linestring ops stay out of v1 per SURVEY §7.4)
+  /** st_point(lon, lat) → struct(lon, lat) in degrees. */
+  def stPoint(lon: Column, lat: Column): Column =
+    struct(lon.cast("double").as("lon"), lat.cast("double").as("lat"))
+  /** st_astext for points: 'POINT(lon lat)'. */
+  def stAsText(p: Column): Column =
+    concat(lit("POINT("), p.getField("lon").cast("string"), lit(" "),
+      p.getField("lat").cast("string"), lit(")"))
+  /** Mean Earth radius used by S2 (S2Earth.h), meters. */
+  val EarthRadiusMeters = 6371010.0
+  /** st_distance for points: great-circle (haversine) meters — pure
+    * IEEE trig so the oracle can replay it exactly. */
+  def stDistance(a: Column, b: Column): Column = {
+    val lat1 = radians(a.getField("lat")); val lat2 = radians(b.getField("lat"))
+    val dLat = lat2 - lat1
+    val dLon = radians(b.getField("lon")) - radians(a.getField("lon"))
+    val h = pow(sin(dLat / 2), 2) + cos(lat1) * cos(lat2) * pow(sin(dLon / 2), 2)
+    lit(2.0 * EarthRadiusMeters) * asin(sqrt(h))
+  }
+  /** st_dwithin for points. */
+  def stDWithin(a: Column, b: Column, meters: Double): Column =
+    stDistance(a, b) <= meters
 }

@@ -106,6 +106,44 @@ object ExprQueries {
         Fn.isNull_(nullif(col("o_orderstatus"), lit("O"))).as("iso"),
         Fn.isNotNull_(col("o_orderstatus")).as("nn"))),
 
+    // geo point subset of st_* (S2-backed in the reference; POINT
+    // construction, WKT, spherical distance)
+    "q_expr_geo" -> ((s, dir) =>
+      t(s, dir, "customer").filter(col("c_custkey") <= 300).select(
+        col("c_custkey"),
+        Fn.stAsText(Fn.stPoint((col("c_custkey") % 300) - 150,
+          (col("c_custkey") % 120) / lit(2.0) - 30)).as("wkt"),
+        roundPortable(Fn.stDistance(
+          Fn.stPoint((col("c_custkey") % 300) - 150,
+            (col("c_custkey") % 120) / lit(2.0) - 30),
+          Fn.stPoint(lit(2.35), lit(48.85))), 3).as("dist_m"),
+        Fn.stDWithin(
+          Fn.stPoint((col("c_custkey") % 300) - 150,
+            (col("c_custkey") % 120) / lit(2.0) - 30),
+          Fn.stPoint(lit(2.35), lit(48.85)), 5000000.0).as("near"))),
+
+    // window functions over events (a free upgrade vs the reference,
+    // SURVEY §2.2 — no OVER clause exists there)
+    "q_window_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        row_number().over(w).as("rn"),
+        lag(col("value"), 1).over(w).as("lagv"),
+        lead(col("value"), 1).over(w).as("leadv"),
+        first(col("value")).over(w).as("firstv"))
+    }),
+
+    // ROLLUP subtotals (free upgrade; no CUBE/ROLLUP in the reference
+    // grammar per SURVEY §2.2)
+    "q_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))),
+
     // typecasts (kTypeCasting) with the trunc-toward-zero shim
     "q_expr_cast" -> ((s, dir) =>
       t(s, dir, "orders").filter(col("o_orderkey") <= 500).select(
@@ -167,6 +205,34 @@ object ExprQueries {
         |  nullif(o_orderstatus, 'O') IS NULL AS iso,
         |  o_orderstatus IS NOT NULL AS nn
         |FROM orders WHERE o_orderkey <= 500""".stripMargin,
+    "q_expr_geo" ->
+      """WITH pts AS (SELECT c_custkey,
+        |    CAST((c_custkey % 300) - 150 AS DOUBLE) AS lon,
+        |    (c_custkey % 120) / 2.0 - 30 AS lat
+        |  FROM customer WHERE c_custkey <= 300),
+        |d AS (SELECT c_custkey, lon, lat,
+        |    2.0 * 6371010.0 * asin(sqrt(
+        |      pow(sin((radians(48.85) - radians(lat)) / 2), 2) +
+        |      cos(radians(lat)) * cos(radians(48.85)) *
+        |      pow(sin((radians(2.35) - radians(lon)) / 2), 2))) AS dist
+        |  FROM pts)
+        |SELECT c_custkey,
+        |  'POINT(' || CAST(lon AS VARCHAR) || ' ' || CAST(lat AS VARCHAR) || ')' AS wkt,
+        |  floor(dist * 1000.0 + 0.5) / 1000.0 AS dist_m,
+        |  dist <= 5000000.0 AS near
+        |FROM d""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT event_id, user_id,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
+        |  lag(value, 1) OVER w AS lagv,
+        |  lead(value, 1) OVER w AS leadv,
+        |  first_value(value) OVER w AS firstv
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q_expr_cast" ->
       """SELECT o_orderkey, CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pri,
         |  CAST(trunc(o_totalprice) AS BIGINT) AS ip,

@@ -97,6 +97,21 @@ object GraphQueries {
           col("vid"), col("step"))
     }),
 
+    // path functions (nodes/startNode/endNode/length/relationships/
+    // hasSameVertexInPath) over the traversal path column
+    "q_expr_path" -> ((s, dir) => {
+      import graft.functions.Fn
+      val g = gm(s, dir)
+      Traverse.paths(custSeeds(g, 3), g.edges, 1, 2)
+        .select(col("origin"),
+          array_join(Fn.nodes(col("path")), "->").as("path"),
+          Fn.startNode(col("path")).as("start_v"),
+          Fn.endNode(col("path")).as("end_v"),
+          Fn.pathLength(col("path")).as("plen"),
+          Fn.hasSameVertexInPath(col("path")).as("cyc"),
+          size(Fn.relationships(col("path"))).as("nrels"))
+    }),
+
     // AppendVertices (AppendVerticesExecutor.cpp:18) with prop prefixing
     "q_append_vertices" -> ((s, dir) => {
       val g = gm(s, dir)
@@ -205,6 +220,22 @@ object GraphQueries {
         |  WHERE p.step < 2 AND NOT list_contains(p.path, e.dst)
         |)
         |SELECT origin, array_to_string(path, '->') AS path, vid, step FROM p WHERE step >= 1""".stripMargin,
+    "q_expr_path" ->
+      s"""WITH RECURSIVE $edgesCte,
+        |seeds AS (SELECT 'c:' || c_custkey AS vid FROM customer WHERE c_custkey <= 3),
+        |p(origin, path, vid, step) AS (
+        |  SELECT vid, [vid], vid, 0 FROM seeds
+        |  UNION ALL
+        |  SELECT p.origin, list_append(p.path, e.dst), e.dst, p.step + 1
+        |  FROM p JOIN E e ON e.src = p.vid
+        |  WHERE p.step < 2 AND NOT list_contains(p.path, e.dst)
+        |)
+        |SELECT origin, array_to_string(path, '->') AS path,
+        |  path[1] AS start_v, path[-1] AS end_v,
+        |  CAST(len(path) - 1 AS INTEGER) AS plen,
+        |  len(list_distinct(path)) < len(path) AS cyc,
+        |  CAST(len(path) - 1 AS INTEGER) AS nrels
+        |FROM p WHERE step >= 1""".stripMargin,
     "q_append_vertices" ->
       """SELECT DISTINCT 'c:' || o_custkey AS origin, 'o:' || o_orderkey AS vid, 1 AS step,
         |  o_orderstatus AS o_status, o_totalprice AS o_totalprice, o_orderpriority AS o_priority

@@ -71,6 +71,35 @@ class TckGoldenSpec extends SparkSpec {
     assert(player.count() == 56L)
   }
 
+  test("""GO FROM "Tim Duncan" OVER serve YIELD serve._dst == ["Spurs"]""") {
+    // GO.feature "one step"
+    assume(have)
+    val r = Traverse.goYield(seed("Tim Duncan"), serve, 1, 1)
+      .select("dst").as[String].collect()
+    assert(r.sameElements(Array("Spurs")))
+  }
+
+  test("""GO FROM 'Thunders' OVER serve REVERSELY == 6 players""") {
+    // GO.feature:136 golden
+    assume(have)
+    val r = Traverse.goYield(seed("Thunders"), serve, 1, 1,
+        dir = Traverse.In)
+      .select("dst").as[String].collect().toSet
+    assert(r == Set("Russell Westbrook", "Kevin Durant", "James Harden",
+      "Carmelo Anthony", "Paul George", "Ray Allen"))
+  }
+
+  test("piped GO chain keeps bag semantics (Boris Diaw like->like->serve)") {
+    // GO.feature "one step" pipe golden: 7 rows, 5x Spurs
+    assume(have)
+    val g1 = Traverse.goYield(seed("Boris Diaw"), like, 1, 1)
+      .select(col("dst").as("vid"))
+    val g2 = Traverse.goYield(g1, like, 1, 1).select(col("dst").as("vid"))
+    val g3 = Traverse.goYield(g2, serve, 1, 1).select(col("dst").as("d"))
+    val counts = g3.groupBy("d").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("Spurs" -> 5L, "Hornets" -> 1L, "Trail Blazers" -> 1L))
+  }
+
   test("UNWIND [1,2,NULL]: null element survives explode_outer per TCK") {
     // Agg.feature UNWIND golden: 3 rows including the NULL
     val r = spark.range(1)
