@@ -1,0 +1,235 @@
+package graft.nql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.graph.GraphModel
+import graft.algo.PathFinder
+import graft.traverse.Traverse
+import graft.traverse.Traverse.{Both, Direction, In, Out}
+
+/** nGQL sentence front door (SURVEY.md §3 entry points 2/3 + FETCH /
+  * FIND PATH / GET SUBGRAPH; reference grammar src/parser/parser.yy:
+  * GO :1424, LOOKUP :2201, FETCH :2312, FIND PATH :2317, GET SUBGRAPH
+  * :2426). A hand-rolled recursive-descent parser over a small token
+  * stream — no parser-generator dependency — compiling straight onto
+  * the Traverse/PathFinder/GraphModel operators, so every sentence
+  * inherits their scale posture (materialized frontiers, pushdown,
+  * broadcast seeds).
+  *
+  * Supported subset:
+  *   GO [m [TO n] STEPS] FROM <vid,...> OVER <etype|*>
+  *      [REVERSELY|BIDIRECT] [YIELD col [AS a], ...]
+  *   LOOKUP ON <tag> [WHERE <prop> <op> <lit>] [YIELD col, ...]
+  *   FETCH PROP ON <tag> <vid,...>
+  *   FIND {SHORTEST|ALL} PATH FROM <vid,...> TO <vid,...> [UPTO n STEPS]
+  *   GET SUBGRAPH [n STEPS] FROM <vid,...>
+  */
+object Gql {
+
+  // ---------- tokenizer ----------
+  sealed trait Tok
+  case class Word(s: String) extends Tok       // keyword / identifier
+  case class Str(s: String) extends Tok        // "quoted"
+  case class Num(v: Double, raw: String) extends Tok
+  case class Sym(s: String) extends Tok        // punctuation / operators
+
+  def tokenize(q: String): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Tok]
+    var i = 0
+    while (i < q.length) {
+      val c = q(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '"' || c == '\'') {
+        val end = q.indexOf(c, i + 1)
+        require(end > 0, s"unterminated string at $i")
+        out += Str(q.substring(i + 1, end)); i = end + 1
+      } else if (c.isDigit) {
+        val j = q.indexWhere(ch => !(ch.isDigit || ch == '.'), i)
+        val end = if (j < 0) q.length else j
+        val raw = q.substring(i, end)
+        out += Num(raw.toDouble, raw); i = end
+      } else if (c.isLetter || c == '_') {
+        val j = q.indexWhere(ch => !(ch.isLetterOrDigit || ch == '_'), i)
+        val end = if (j < 0) q.length else j
+        out += Word(q.substring(i, end)); i = end
+      } else if ("<>=!".contains(c) && i + 1 < q.length && q(i + 1) == '=') {
+        out += Sym(q.substring(i, i + 2)); i += 2
+      } else { out += Sym(c.toString); i += 1 }
+    }
+    out.toList
+  }
+
+  // ---------- AST ----------
+  sealed trait Stmt
+  case class Go(m: Int, n: Int, seeds: Seq[String], etype: String,
+                dir: Direction, yields: Seq[(String, String)]) extends Stmt
+  case class Lookup(tag: String, where: Option[(String, String, Any)],
+                    yields: Seq[(String, String)]) extends Stmt
+  case class Fetch(tag: String, vids: Seq[String]) extends Stmt
+  case class FindPath(shortest: Boolean, srcs: Seq[String], dsts: Seq[String],
+                      upto: Int) extends Stmt
+  case class Subgraph(steps: Int, seeds: Seq[String]) extends Stmt
+
+  // ---------- parser ----------
+  private class P(var ts: List[Tok]) {
+    def peek: Option[Tok] = ts.headOption
+    def next(): Tok = { val h = ts.head; ts = ts.tail; h }
+    def kw(s: String): Boolean = ts.headOption match {
+      case Some(Word(w)) if w.equalsIgnoreCase(s) => ts = ts.tail; true
+      case _ => false
+    }
+    def expectKw(s: String): Unit =
+      require(kw(s), s"expected $s at ${ts.take(3)}")
+    def word(): String = next() match {
+      case Word(w) => w
+      case t => throw new IllegalArgumentException(s"expected word, got $t")
+    }
+    def stringList(): Seq[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var go = true
+      while (go) {
+        next() match {
+          case Str(s) => out += s
+          case t => throw new IllegalArgumentException(s"expected vid, got $t")
+        }
+        if (peek.contains(Sym(","))) next() else go = false
+      }
+      out.toSeq
+    }
+    def intLit(): Int = next() match {
+      case Num(v, _) => v.toInt
+      case t => throw new IllegalArgumentException(s"expected int, got $t")
+    }
+    /** col [AS alias] list */
+    def yields(): Seq[(String, String)] = {
+      val out = scala.collection.mutable.ListBuffer.empty[(String, String)]
+      var go = true
+      while (go) {
+        val c = word()
+        val a = if (kw("AS")) word() else c
+        out += c -> a
+        if (peek.contains(Sym(","))) next() else go = false
+      }
+      out.toSeq
+    }
+  }
+
+  def parse(q: String): Stmt = {
+    val p = new P(tokenize(q))
+    if (p.kw("GO")) {
+      val (m, n) = p.peek match {
+        case Some(Num(v, _)) =>
+          p.next()
+          val hi = if (p.kw("TO")) p.intLit() else v.toInt
+          p.expectKw("STEPS"); (v.toInt, hi)
+        case _ => (1, 1)
+      }
+      p.expectKw("FROM")
+      val seeds = p.stringList()
+      p.expectKw("OVER")
+      val etype = p.next() match {
+        case Word(w) => w
+        case Sym("*") => "*"
+        case t => throw new IllegalArgumentException(s"bad edge type $t")
+      }
+      val dir = if (p.kw("REVERSELY")) In
+        else if (p.kw("BIDIRECT")) Both else Out
+      val ys = if (p.kw("YIELD")) p.yields()
+        else Seq("origin" -> "origin", "vid" -> "vid", "step" -> "step")
+      Go(m, n, seeds, etype, dir, ys)
+    } else if (p.kw("LOOKUP")) {
+      p.expectKw("ON")
+      val tag = p.word()
+      val where = if (p.kw("WHERE")) {
+        val prop = p.word()
+        val op = p.next() match {
+          case Sym(s) if Set(">", "<", ">=", "<=", "==", "=", "!=")(s) => s
+          case t => throw new IllegalArgumentException(s"bad operator $t")
+        }
+        val lit: Any = p.next() match {
+          case Num(v, raw) => if (raw.contains('.')) v else v.toLong
+          case Str(s) => s
+          case t => throw new IllegalArgumentException(s"bad literal $t")
+        }
+        Some((prop, op, lit))
+      } else None
+      val ys = if (p.kw("YIELD")) p.yields() else Seq.empty
+      Lookup(tag, where, ys)
+    } else if (p.kw("FETCH")) {
+      p.expectKw("PROP"); p.expectKw("ON")
+      val tag = p.word()
+      Fetch(tag, p.stringList())
+    } else if (p.kw("FIND")) {
+      val shortest = p.kw("SHORTEST")
+      if (!shortest) p.expectKw("ALL")
+      p.expectKw("PATH"); p.expectKw("FROM")
+      val srcs = p.stringList()
+      p.expectKw("TO")
+      val dsts = p.stringList()
+      // OVER * accepted and ignored (we traverse the full edge view)
+      if (p.kw("OVER")) p.next()
+      val upto = if (p.kw("UPTO")) { val k = p.intLit(); p.expectKw("STEPS"); k }
+        else 5
+      FindPath(shortest, srcs, dsts, upto)
+    } else if (p.kw("GET")) {
+      p.expectKw("SUBGRAPH")
+      val steps = p.peek match {
+        case Some(Num(v, _)) => p.next(); p.expectKw("STEPS"); v.toInt
+        case _ => 1
+      }
+      p.expectKw("FROM")
+      Subgraph(steps, p.stringList())
+    } else throw new IllegalArgumentException(s"unknown sentence: $q")
+  }
+
+  // ---------- executor: AST → DataFrame plan ----------
+  def run(g: GraphModel, query: String): DataFrame = exec(g, parse(query))
+
+  def exec(g: GraphModel, stmt: Stmt): DataFrame = {
+    import g.spark.implicits._
+    def seedsDf(vids: Seq[String]) = vids.toDF("vid")
+    stmt match {
+      case Go(m, n, seeds, etype, dir, ys) =>
+        val edges = if (etype == "*") g.edges else g.edgesByType(etype)
+        val out = Traverse.go(seedsDf(seeds), edges, m, n, dir)
+        out.select(ys.map { case (c, a) => col(c).as(a) }: _*)
+      case Lookup(tag, where, ys) =>
+        val tbl = vertexTable(g, tag)
+        val filtered = where match {
+          case Some((prop, op, lit)) => tbl.filter(cmp(col(prop), op, lit))
+          case None => tbl
+        }
+        if (ys.isEmpty) filtered
+        else filtered.select(ys.map { case (c, a) => col(c).as(a) }: _*)
+      case Fetch(tag, vids) =>
+        vertexTable(g, tag).filter(col("vid").isin(vids: _*))
+      case FindPath(shortest, srcs, dsts, upto) =>
+        if (shortest)
+          PathFinder.shortestPaths(seedsDf(srcs), seedsDf(dsts), g.edges, upto)
+        else
+          PathFinder.allPaths(seedsDf(srcs), seedsDf(dsts), g.edges, upto)
+      case Subgraph(steps, seeds) =>
+        Traverse.subgraph(seedsDf(seeds), g.edges, steps, Both).vertices
+    }
+  }
+
+  private def cmp(c: Column, op: String, lit: Any): Column = op match {
+    case ">" => c > lit
+    case "<" => c < lit
+    case ">=" => c >= lit
+    case "<=" => c <= lit
+    case "==" | "=" => c === lit
+    case "!=" => c =!= lit
+    case other => throw new IllegalArgumentException(s"bad operator $other")
+  }
+
+  private def vertexTable(g: GraphModel, tag: String): DataFrame = tag match {
+    case "customer" => g.customers
+    case "supplier" => g.suppliers
+    case "part" => g.parts
+    case "nation" => g.nations
+    case "region" => g.regions
+    case "order" => g.orders
+    case other => throw new IllegalArgumentException(s"unknown tag $other")
+  }
+}

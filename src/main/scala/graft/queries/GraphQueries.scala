@@ -148,6 +148,24 @@ object GraphQueries {
         g.edges, 4)
     }),
 
+    // nGQL sentence front door (graft.nql.Gql): parsed text → the same
+    // operator plans, proving the parser+planner path end-to-end
+    "q_nql_go" -> ((s, dir) =>
+      graft.nql.Gql.run(gm(s, dir),
+        """GO 1 TO 2 STEPS FROM "c:1", "c:2" OVER * YIELD origin, vid, step""")),
+    "q_nql_lookup" -> ((s, dir) =>
+      graft.nql.Gql.run(gm(s, dir),
+        """LOOKUP ON customer WHERE acctbal > 9900 YIELD vid, name, acctbal""")),
+    "q_nql_fetch" -> ((s, dir) =>
+      graft.nql.Gql.run(gm(s, dir),
+        """FETCH PROP ON part "p:1", "p:2", "p:3"""")),
+    "q_nql_path" -> ((s, dir) =>
+      graft.nql.Gql.run(gm(s, dir),
+        """FIND SHORTEST PATH FROM "c:1" TO "r:0", "r:1" UPTO 4 STEPS""")),
+    "q_nql_subgraph" -> ((s, dir) =>
+      graft.nql.Gql.run(gm(s, dir),
+        """GET SUBGRAPH 1 STEPS FROM "c:1"""")),
+
     // GET SUBGRAPH 2 STEPS (SubgraphExecutor.cpp:15-52): vertex set...
     "q_subgraph_vertices" -> ((s, dir) => {
       val g = gm(s, dir)
@@ -304,6 +322,50 @@ object GraphQueries {
         |)
         |SELECT p.origin AS src, p.vid AS dst, array_to_string(p.path, '->') AS path, p.step AS hops
         |FROM p WHERE p.vid LIKE 'r:%' AND p.step >= 1""".stripMargin,
+    "q_nql_go" ->
+      s"""WITH RECURSIVE $edgesCte,
+        |seeds AS (SELECT 'c:' || c_custkey AS vid FROM customer WHERE c_custkey IN (1, 2)),
+        |r(origin, vid, step) AS (
+        |  SELECT vid, vid, 0 FROM seeds
+        |  UNION
+        |  SELECT r.origin, e.dst, r.step + 1 FROM r JOIN E e ON e.src = r.vid WHERE r.step < 2
+        |)
+        |SELECT origin, vid, step FROM r WHERE step >= 1""".stripMargin,
+    "q_nql_lookup" ->
+      """SELECT 'c:' || c_custkey AS vid, c_name AS name, c_acctbal AS acctbal
+        |FROM customer WHERE c_acctbal > 9900""".stripMargin,
+    "q_nql_fetch" ->
+      """SELECT 'p:' || p_partkey AS vid, p_name AS name, p_brand AS brand,
+        |  p_type AS ptype, p_size AS psize
+        |FROM part WHERE p_partkey IN (1, 2, 3)""".stripMargin,
+    "q_nql_path" ->
+      s"""WITH RECURSIVE $edgesCte,
+        |seeds AS (SELECT 'c:1' AS vid),
+        |d(origin, vid, dist) AS (
+        |  SELECT vid, vid, 0 FROM seeds
+        |  UNION
+        |  SELECT d.origin, e.dst, d.dist + 1 FROM d JOIN E e ON e.src = d.vid WHERE d.dist < 4
+        |),
+        |md AS (SELECT origin, vid, MIN(dist) AS dist FROM d GROUP BY origin, vid),
+        |p(origin, path, vid, step) AS (
+        |  SELECT vid, [vid], vid, 0 FROM seeds
+        |  UNION ALL
+        |  SELECT p.origin, list_append(p.path, e.dst), e.dst, p.step + 1
+        |  FROM p JOIN E e ON e.src = p.vid
+        |  JOIN md ON md.origin = p.origin AND md.vid = e.dst AND md.dist = p.step + 1
+        |  WHERE p.step < 4
+        |)
+        |SELECT p.origin AS src, p.vid AS dst, array_to_string(p.path, '->') AS path, p.step AS hops
+        |FROM p WHERE p.vid IN ('r:0', 'r:1') AND p.step >= 1""".stripMargin,
+    "q_nql_subgraph" ->
+      s"""WITH RECURSIVE $edgesCte,
+        |UE AS (SELECT src, dst FROM E UNION ALL SELECT dst, src FROM E),
+        |r(vid, dist) AS (
+        |  SELECT 'c:1', 0
+        |  UNION
+        |  SELECT ue.dst, r.dist + 1 FROM r JOIN UE ue ON ue.src = r.vid WHERE r.dist < 1
+        |)
+        |SELECT vid, MIN(dist) AS depth FROM r GROUP BY vid""".stripMargin,
     "q_subgraph_vertices" ->
       s"""WITH RECURSIVE $edgesCte,
         |UE AS (SELECT src, dst FROM E UNION ALL SELECT dst, src FROM E),

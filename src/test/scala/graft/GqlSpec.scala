@@ -1,0 +1,73 @@
+package graft
+
+import graft.nql.Gql
+import graft.nql.Gql._
+import graft.traverse.Traverse.{Both, In, Out}
+
+/** Parser unit tests for the nGQL sentence subset. Execution against
+  * data is covered by the q_nql_* oracle queries. */
+class GqlSpec extends SparkSpec {
+
+  test("GO defaults: 1 step, Out, implicit yields") {
+    val Go(m, n, seeds, et, dir, ys) =
+      Gql.parse("""GO FROM "a" OVER like"""): @unchecked
+    assert(m == 1 && n == 1 && seeds == Seq("a") && et == "like" && dir == Out)
+    assert(ys.map(_._1) == Seq("origin", "vid", "step"))
+  }
+
+  test("GO m TO n STEPS with direction and aliased yields") {
+    val Go(m, n, seeds, et, dir, ys) =
+      Gql.parse("""GO 2 TO 3 STEPS FROM "a", "b" OVER * REVERSELY YIELD vid AS v, step"""): @unchecked
+    assert(m == 2 && n == 3 && seeds == Seq("a", "b") && et == "*" && dir == In)
+    assert(ys == Seq("vid" -> "v", "step" -> "step"))
+  }
+
+  test("GO N STEPS (no TO) fixes both ends of the range") {
+    val Go(m, n, _, _, dir, _) =
+      Gql.parse("""GO 3 STEPS FROM "x" OVER e BIDIRECT"""): @unchecked
+    assert(m == 3 && n == 3 && dir == Both)
+  }
+
+  test("LOOKUP with WHERE ops and literals") {
+    val Lookup(tag, where, ys) =
+      Gql.parse("""LOOKUP ON customer WHERE acctbal >= 9900 YIELD vid, name AS n"""): @unchecked
+    assert(tag == "customer" && where.contains(("acctbal", ">=", 9900L)))
+    assert(ys == Seq("vid" -> "vid", "name" -> "n"))
+    val Lookup(_, w2, _) =
+      Gql.parse("""LOOKUP ON part WHERE brand == "Brand#11""""): @unchecked
+    assert(w2.contains(("brand", "==", "Brand#11")))
+  }
+
+  test("FETCH PROP ON tag vids") {
+    val Fetch(tag, vids) =
+      Gql.parse("""FETCH PROP ON part "p:1", "p:2""""): @unchecked
+    assert(tag == "part" && vids == Seq("p:1", "p:2"))
+  }
+
+  test("FIND SHORTEST/ALL PATH with UPTO") {
+    val FindPath(s1, srcs, dsts, k) =
+      Gql.parse("""FIND SHORTEST PATH FROM "a" TO "b", "c" UPTO 4 STEPS"""): @unchecked
+    assert(s1 && srcs == Seq("a") && dsts == Seq("b", "c") && k == 4)
+    val FindPath(s2, _, _, k2) =
+      Gql.parse("""FIND ALL PATH FROM "a" TO "b""""): @unchecked
+    assert(!s2 && k2 == 5)
+  }
+
+  test("GET SUBGRAPH N STEPS") {
+    val Subgraph(steps, seeds) =
+      Gql.parse("""GET SUBGRAPH 2 STEPS FROM "c:1""""): @unchecked
+    assert(steps == 2 && seeds == Seq("c:1"))
+  }
+
+  test("errors: unterminated string, unknown sentence, bad operator") {
+    intercept[IllegalArgumentException](Gql.parse("""GO FROM "a OVER x"""))
+    intercept[IllegalArgumentException](Gql.parse("""DROP TABLE x"""))
+    intercept[IllegalArgumentException](
+      Gql.parse("""LOOKUP ON t WHERE a ~ 3"""))
+  }
+
+  test("keywords are case-insensitive") {
+    val Go(_, _, _, _, _, _) =
+      Gql.parse("""go from "a" over like yield vid"""): @unchecked
+  }
+}
