@@ -61,6 +61,16 @@ object Gql {
 
   // ---------- AST ----------
   sealed trait Stmt
+  /** Pipe stages applied to the head sentence's output (`|`). */
+  sealed trait Pipe
+  /** YIELD [DISTINCT] items; any aggregate item triggers the
+    * reference's IMPLICIT GROUPING: every non-aggregate item becomes a
+    * group key (AggregateExecutor.cpp:12-99). */
+  case class PYield(items: Seq[YieldItem], distinct: Boolean) extends Pipe
+  case class POrderBy(col: String, desc: Boolean) extends Pipe
+  case class PLimit(n: Int) extends Pipe
+  case class YieldItem(agg: Option[String], col: String, alias: String)
+  case class Piped(head: Stmt, pipes: Seq[Pipe]) extends Stmt
   case class Go(m: Int, n: Int, seeds: Seq[String], etype: String,
                 dir: Direction, yields: Seq[(String, String)]) extends Stmt
   case class Lookup(tag: String, where: Option[(String, String, Any)],
@@ -114,8 +124,53 @@ object Gql {
     }
   }
 
+  private val aggNames = Set("count", "sum", "avg", "min", "max",
+    "std", "collect", "collect_set")
+
   def parse(q: String): Stmt = {
     val p = new P(tokenize(q))
+    val head = parseSentence(p)
+    val pipes = scala.collection.mutable.ListBuffer.empty[Pipe]
+    while (p.peek.contains(Sym("|"))) {
+      p.next()
+      if (p.kw("YIELD")) {
+        val distinct = p.kw("DISTINCT")
+        val items = scala.collection.mutable.ListBuffer.empty[YieldItem]
+        var go = true
+        while (go) {
+          val w = p.word()
+          val item = if (p.peek.contains(Sym("(")) && aggNames(w.toLowerCase)) {
+            p.next() // (
+            val c = p.next() match {
+              case Word(cn) => cn
+              case Sym("*") => "*"
+              case t => throw new IllegalArgumentException(s"bad agg arg $t")
+            }
+            require(p.next() == Sym(")"), "expected )")
+            val a = if (p.kw("AS")) p.word() else s"${w.toLowerCase}($c)"
+            YieldItem(Some(w.toLowerCase), c, a)
+          } else {
+            val a = if (p.kw("AS")) p.word() else w
+            YieldItem(None, w, a)
+          }
+          items += item
+          if (p.peek.contains(Sym(","))) p.next() else go = false
+        }
+        pipes += PYield(items.toSeq, distinct)
+      } else if (p.kw("ORDER")) {
+        p.expectKw("BY")
+        val c = p.word()
+        val desc = if (p.kw("DESC")) true else { p.kw("ASC"); false }
+        pipes += POrderBy(c, desc)
+      } else if (p.kw("LIMIT")) {
+        pipes += PLimit(p.intLit())
+      } else throw new IllegalArgumentException(s"bad pipe at ${p.ts.take(3)}")
+    }
+    require(p.ts.isEmpty, s"trailing tokens: ${p.ts.take(3)}")
+    if (pipes.isEmpty) head else Piped(head, pipes.toSeq)
+  }
+
+  private def parseSentence(p: P): Stmt = {
     if (p.kw("GO")) {
       val (m, n) = p.peek match {
         case Some(Num(v, _)) =>
@@ -179,7 +234,8 @@ object Gql {
       }
       p.expectKw("FROM")
       Subgraph(steps, p.stringList())
-    } else throw new IllegalArgumentException(s"unknown sentence: $q")
+    } else throw new IllegalArgumentException(
+      s"unknown sentence at ${p.ts.take(4)}")
   }
 
   // ---------- executor: AST → DataFrame plan ----------
@@ -189,6 +245,8 @@ object Gql {
     import g.spark.implicits._
     def seedsDf(vids: Seq[String]) = vids.toDF("vid")
     stmt match {
+      case Piped(head, pipes) =>
+        pipes.foldLeft(exec(g, head))(applyPipe)
       case Go(m, n, seeds, etype, dir, ys) =>
         val edges = if (etype == "*") g.edges else g.edgesByType(etype)
         val out = Traverse.go(seedsDf(seeds), edges, m, n, dir)
@@ -211,6 +269,39 @@ object Gql {
       case Subgraph(steps, seeds) =>
         Traverse.subgraph(seedsDf(seeds), g.edges, steps, Both).vertices
     }
+  }
+
+  /** Pipe application over the previous stage's DataFrame ($- input). */
+  private def applyPipe(df: DataFrame, pipe: Pipe): DataFrame = pipe match {
+    case PLimit(n) => df.limit(n)
+    case POrderBy(c, desc) => df.orderBy(if (desc) col(c).desc else col(c))
+    case PYield(items, distinct) =>
+      val hasAgg = items.exists(_.agg.isDefined)
+      val out =
+        if (!hasAgg) df.select(items.map(i => col(i.col).as(i.alias)): _*)
+        else {
+          // implicit grouping: non-agg items are the keys
+          val keys = items.filter(_.agg.isEmpty).map(i => col(i.col))
+          val aggs = items.collect { case YieldItem(Some(fn), c, a) =>
+            (fn match {
+              case "count" => if (c == "*") count(lit(1)) else count(col(c))
+              case "sum" => sum(col(c))
+              case "avg" => avg(col(c))
+              case "min" => min(col(c))
+              case "max" => max(col(c))
+              case "std" => stddev_pop(col(c))
+              case "collect" => collect_list(col(c))
+              case "collect_set" => collect_set(col(c))
+            }).as(a)
+          }
+          val grouped =
+            if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+            else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+          // re-apply aliases for key columns
+          grouped.select(items.map(i =>
+            if (i.agg.isEmpty) col(i.col).as(i.alias) else col(i.alias)): _*)
+        }
+      if (distinct) out.distinct() else out
   }
 
   private def cmp(c: Column, op: String, lit: Any): Column = op match {

@@ -165,6 +165,13 @@ object GraphQueries {
     "q_nql_subgraph" -> ((s, dir) =>
       graft.nql.Gql.run(gm(s, dir),
         """GET SUBGRAPH 1 STEPS FROM "c:1"""")),
+    // pipes + implicit-grouping YIELD aggregation (PipeValidator +
+    // AggregateExecutor semantics) through the parser
+    "q_nql_pipe" -> ((s, dir) =>
+      graft.nql.Gql.run(gm(s, dir),
+        """GO 2 STEPS FROM "c:1", "c:2", "c:3" OVER * YIELD origin, vid
+          || YIELD origin, count(vid) AS n
+          || ORDER BY origin | LIMIT 10""".stripMargin)),
 
     // GET SUBGRAPH 2 STEPS (SubgraphExecutor.cpp:15-52): vertex set...
     "q_subgraph_vertices" -> ((s, dir) => {
@@ -366,6 +373,16 @@ object GraphQueries {
         |  SELECT ue.dst, r.dist + 1 FROM r JOIN UE ue ON ue.src = r.vid WHERE r.dist < 1
         |)
         |SELECT vid, MIN(dist) AS depth FROM r GROUP BY vid""".stripMargin,
+    "q_nql_pipe" ->
+      s"""WITH RECURSIVE $edgesCte,
+        |seeds AS (SELECT 'c:' || c_custkey AS vid FROM customer WHERE c_custkey IN (1, 2, 3)),
+        |r(origin, vid, step) AS (
+        |  SELECT vid, vid, 0 FROM seeds
+        |  UNION
+        |  SELECT r.origin, e.dst, r.step + 1 FROM r JOIN E e ON e.src = r.vid WHERE r.step < 2
+        |)
+        |SELECT origin, count(*) AS n FROM r WHERE step = 2 GROUP BY origin
+        |ORDER BY origin LIMIT 10""".stripMargin,
     "q_subgraph_vertices" ->
       s"""WITH RECURSIVE $edgesCte,
         |UE AS (SELECT src, dst FROM E UNION ALL SELECT dst, src FROM E),

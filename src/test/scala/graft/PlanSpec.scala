@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan-shape assertions (the Spark analogue of the reference's
+  * optimizer plan_differ tests, SURVEY §5): filters reach the parquet
+  * scan, small join sides broadcast, traversal steps have truncated
+  * lineage, TopN compiles to TakeOrderedAndProject. Runs on sf0.001. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def have = new java.io.File(s"$dir/lineitem.parquet").exists()
+
+  private def executed(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+
+  test("LOOKUP: predicate is pushed to the parquet scan") {
+    assume(have)
+    val plan = executed("q_lookup").toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,9900.0)"),
+      s"no pushed filter in:\n$plan")
+  }
+
+  test("column pruning: project reads only needed columns") {
+    assume(have)
+    val plan = executed("q_limit_offset").toString
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint>"),
+      s"scan not pruned to o_orderkey:\n$plan")
+  }
+
+  test("inner join plans as broadcast hash join under AQE") {
+    assume(have)
+    val df = SparkEntry.queries("q_inner_join")(spark, dir)
+    df.collect() // let AQE finalize
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"), s"no BHJ in:\n$finalPlan")
+  }
+
+  test("TopN compiles to TakeOrderedAndProject (bounded heap, no global sort)") {
+    assume(have)
+    val plan = executed("q_topn").toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no TOAP in:\n$plan")
+  }
+
+  test("aggregation is partial (map-side combine before the exchange)") {
+    assume(have)
+    val plan = executed("q_aggregate").toString
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"no partial aggregation in:\n$plan")
+  }
+
+  test("traversal frontier lineage is truncated (constant plan depth)") {
+    assume(have)
+    // a 2-step go's plan must hang off a checkpointed RDD scan, not a
+    // 2-join-deep tree (the round-1 scale bug)
+    val plan = SparkEntry.queries("q_go_1to2")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+      s"frontier not materialized:\n$plan")
+    assert(!plan.contains("Join"), s"lineage not truncated:\n$plan")
+  }
+
+  test("metadata-only multimodal inspect does not read the payload column") {
+    assume(have)
+    val df = graft.pipeline.Multimodal.assetsFromText(
+        Tables.load(spark, dir, "documents"), "doc_id", "text", "image")
+      .select("asset_id", "media_type")
+    val scan = df.queryExecution.executedPlan.toString
+    // only doc_id needed from parquet once payload columns are pruned
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint"),
+      s"payload not pruned:\n$scan")
+  }
+}

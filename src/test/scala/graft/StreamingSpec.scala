@@ -1,0 +1,55 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+import java.sql.Timestamp
+
+/** EventStream transform semantics, exercised in batch mode — the
+  * transforms are mode-agnostic by construction, and the streaming
+  * path itself (file source → watermark → windowed agg → AvailableNow
+  * drain) is verified end-to-end by the oracle-checked
+  * `q_stream_window` registration, which runs a real StreamingQuery.
+  * (In-test MemoryStream state-store runs are avoided: the HDFS state
+  * store shells out for file permissions, which is unreliable in this
+  * container.) */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(3600L * 1000 + minute * 60000L)
+
+  test("windowedTypeStats: tumbling windows + per-type rollup (batch)") {
+    val df = Seq(
+      (1L, ts(0), 1L, "click", 1.0),
+      (2L, ts(10), 1L, "click", 2.0),
+      (3L, ts(40), 2L, "view", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventStream.windowedTypeStats(df, "30 minutes")
+      .select("event_type", "cnt", "sum_value")
+      .as[(String, Long, Double)].collect().toSet
+    // clicks land in window 1, the view in window 2
+    assert(r == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    val wins = EventStream.windowedTypeStats(df, "30 minutes")
+      .select("win_start").distinct().count()
+    assert(wins == 2L)
+  }
+
+  test("sessionize state function: per-user fold over groups (batch)") {
+    val ev = Seq(
+      Event(1, ts(0), 7L, "click", 2.0),
+      Event(2, ts(1), 7L, "click", 3.0),
+      Event(3, ts(2), 9L, "view", 5.0)).toDS()
+    val out = EventStream.sessionize(ev).collect()
+      .map(s => s.user_id -> ((s.n_events, s.total_value))).toMap
+    assert(out(7L) == ((2L, 5.0)) && out(9L) == ((1L, 5.0)))
+  }
+
+  test("readEvents: ns-timestamp parquet streams with µs truncation") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val src = EventStream.readEvents(spark, s"$dir/events.parquet",
+      schemaFrom = s"$dir/events.parquet")
+    assert(src.isStreaming)
+    assert(src.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+}
