@@ -34,7 +34,8 @@ object PathFinder {
   def shortestPaths(srcs: DataFrame, dsts: DataFrame, edges: DataFrame,
                     maxSteps: Int, dir: Direction = Out,
                     singlePath: Boolean = false): DataFrame = {
-    val e = Traverse.orient(edges, dir).select("src", "dst")
+    val e = Traverse.persistEdges(
+      Traverse.orient(edges, dir).select("src", "dst"), maxSteps)
     val dstSet = broadcast(dsts.select(col("vid").as("__target")).distinct())
       .localCheckpoint()
 
@@ -67,6 +68,7 @@ object PathFinder {
       cnt = frontier.count()
       step += 1
     }
+    Traverse.releaseEdges(e, maxSteps) // hits live in checkpointed blocks
     val out =
       if (found == null)
         srcs.sparkSession.emptyDataFrame
@@ -89,7 +91,8 @@ object PathFinder {
                maxSteps: Int, dir: Direction = Out,
                stepLimit: Int = 0): DataFrame = {
     val e0 = Traverse.orient(edges, dir).select("src", "dst")
-    val e = if (stepLimit > 0) Traverse.capPerSrc(e0, stepLimit) else e0
+    val e = Traverse.persistEdges(
+      if (stepLimit > 0) Traverse.capPerSrc(e0, stepLimit) else e0, maxSteps)
     val dstSet = broadcast(dsts.select(col("vid").as("__target")).distinct())
       .localCheckpoint()
 
@@ -114,6 +117,7 @@ object PathFinder {
       cnt = frontier.count()
       step += 1
     }
+    Traverse.releaseEdges(e, maxSteps) // hits live in checkpointed blocks
     if (found == null)
       srcs.sparkSession.emptyDataFrame
         .select(lit("").as("src"), lit("").as("dst"),

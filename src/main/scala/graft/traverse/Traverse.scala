@@ -74,6 +74,24 @@ object Traverse {
     (mat, mat.count())
   }
 
+  /** Persist the oriented edge frame for a multi-step loop: every hop
+    * joins against it, and without caching each step re-derives the
+    * union-of-projections from the parquet scan. At cluster scale this
+    * is where bucketing-by-src would go; persist is the local-mode
+    * equivalent that also survives plan truncation. */
+  def persistEdges(e: DataFrame, steps: Int): DataFrame =
+    if (steps > 1) e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else e
+
+  def releaseEdges(e: DataFrame, steps: Int): Unit =
+    if (steps > 1)
+      try { e.unpersist(blocking = false); () } catch { case _: Throwable => () }
+
+  private def persistIfMultiStep(e: DataFrame, steps: Int): DataFrame =
+    persistEdges(e, steps)
+
+  private def unpersistQuiet(e: DataFrame): Unit = releaseEdges(e, 2)
+
   /** Hint the hop join's build side when the frontier is small. */
   private def maybeBroadcast(frontier: DataFrame, rows: Long): DataFrame =
     if (rows > 0 && rows <= BroadcastFrontierRows) broadcast(frontier)
@@ -105,7 +123,8 @@ object Traverse {
          stepLimit: Int = 0): DataFrame = {
     require(m >= 1 && n >= m, s"bad step range $m..$n")
     val e0 = orient(edges, dir).select("src", "dst")
-    val e = if (stepLimit > 0) capPerSrc(e0, stepLimit) else e0
+    val e = persistIfMultiStep(
+      if (stepLimit > 0) capPerSrc(e0, stepLimit) else e0, n)
     var (frontier, cnt) = materialize(
       seeds.select(col("vid").as("origin"), col("vid")))
     var acc: DataFrame = null
@@ -123,6 +142,7 @@ object Traverse {
       }
       step += 1
     }
+    if (n > 1) unpersistQuiet(e) // acc rows live in checkpointed blocks
     if (acc == null)
       seeds.sparkSession.emptyDataFrame
         .withColumn("origin", lit("")).withColumn("vid", lit(""))
@@ -140,7 +160,9 @@ object Traverse {
   def goYield(seeds: DataFrame, edges: DataFrame, m: Int, n: Int,
               dir: Direction = Out): DataFrame = {
     require(m >= 1 && n >= m, s"bad step range $m..$n")
-    val e = orient(edges, dir)
+    // persisted but NOT unpersisted here: the yielded rows reference e
+    // lazily until the caller materializes them (LRU eviction reclaims)
+    val e = persistIfMultiStep(orient(edges, dir), n)
     var (frontier, cnt) = materialize(
       seeds.select(col("vid").as("origin"), col("vid")))
     var acc: DataFrame = null
@@ -178,7 +200,8 @@ object Traverse {
             stepLimit: Int = 0): DataFrame = {
     require(m >= 1 && n >= m, s"bad step range $m..$n")
     val e0 = orient(edges, dir).select("src", "dst")
-    val e = if (stepLimit > 0) capPerSrc(e0, stepLimit) else e0
+    val e = persistIfMultiStep(
+      if (stepLimit > 0) capPerSrc(e0, stepLimit) else e0, n)
     var (frontier, cnt) = materialize(seeds.select(col("vid").as("origin"),
       array(col("vid")).as("path"), col("vid")))
     var acc: DataFrame = null
@@ -197,6 +220,7 @@ object Traverse {
       }
       step += 1
     }
+    if (n > 1) unpersistQuiet(e) // acc rows live in checkpointed blocks
     if (acc == null)
       seeds.select(col("vid").as("origin"), array(col("vid")).as("path"),
         col("vid"), lit(0).as("step")).limit(0)
@@ -222,7 +246,7 @@ object Traverse {
     * frontier. */
   def shortestDistances(seeds: DataFrame, edges: DataFrame, maxSteps: Int,
                         dir: Direction = Out): DataFrame = {
-    val e = orient(edges, dir).select("src", "dst")
+    val e = persistIfMultiStep(orient(edges, dir).select("src", "dst"), maxSteps)
     var (visited, _) = materialize(
       seeds.select(col("vid").as("origin"), col("vid"), lit(0).as("dist")))
     var frontier = visited
@@ -245,6 +269,7 @@ object Traverse {
       }
       step += 1
     }
+    if (maxSteps > 1) unpersistQuiet(e) // visited is fully checkpointed
     visited
   }
 
