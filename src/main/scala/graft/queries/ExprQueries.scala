@@ -106,6 +106,23 @@ object ExprQueries {
         Fn.isNull_(nullif(col("o_orderstatus"), lit("O"))).as("iso"),
         Fn.isNotNull_(col("o_orderstatus")).as("nn"))),
 
+    // json_extract (FunctionManager.cpp) over the events props column
+    "q_expr_json" -> ((s, dir) =>
+      t(s, dir, "events").filter(col("event_id") <= 500).select(
+        col("event_id"),
+        Fn.jsonExtract(col("props"), "$.k").cast("long").as("k"))),
+
+    // temporal constructors + arithmetic (date/datetime/duration family)
+    "q_expr_temporal2" -> ((s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") <= 500).select(
+        col("o_orderkey"),
+        make_date(lit(2020), month(col("o_orderdate")),
+          dayofmonth(col("o_orderdate"))).as("md"),
+        date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+        datediff(to_date(col("o_orderdate")),
+          make_date(lit(1995), lit(1), lit(1))).as("dd"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))),
+
     // geo point subset of st_* (S2-backed in the reference; POINT
     // construction, WKT, spherical distance)
     "q_expr_geo" -> ((s, dir) =>
@@ -204,6 +221,16 @@ object ExprQueries {
       """SELECT o_orderkey, coalesce(nullif(o_orderstatus, 'O'), 'open') AS st,
         |  nullif(o_orderstatus, 'O') IS NULL AS iso,
         |  o_orderstatus IS NOT NULL AS nn
+        |FROM orders WHERE o_orderkey <= 500""".stripMargin,
+    "q_expr_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE event_id <= 500""".stripMargin,
+    "q_expr_temporal2" ->
+      """SELECT o_orderkey,
+        |  make_date(2020, CAST(month(o_orderdate) AS BIGINT), CAST(day(o_orderdate) AS BIGINT)) AS md,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS dd,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
         |FROM orders WHERE o_orderkey <= 500""".stripMargin,
     "q_expr_geo" ->
       """WITH pts AS (SELECT c_custkey,

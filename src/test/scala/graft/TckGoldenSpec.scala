@@ -100,6 +100,20 @@ class TckGoldenSpec extends SparkSpec {
     assert(counts == Map("Spurs" -> 5L, "Hornets" -> 1L, "Trail Blazers" -> 1L))
   }
 
+  test("multi-tag vertex: Tim Duncan is player AND bachelor (outer join on vid)") {
+    // SURVEY §7.4 hard part 4: MATCH (v) without label sees all tags
+    assume(have)
+    val bachelor = CsvFixtures.load(spark, s"$nba/bachelor.csv")
+    val joined = player.join(
+      bachelor.withColumnRenamed("name", "b_name"), Seq("vid"), "full_outer")
+    assert(joined.count() == 56L) // bachelor adds no new vid
+    val tim = joined.filter(col("vid") === "Tim Duncan").head()
+    assert(tim.getAs[String]("name") == "Tim Duncan")
+    assert(tim.getAs[String]("speciality") == "psychology")
+    // every other vertex has null bachelor props
+    assert(joined.filter(col("speciality").isNotNull).count() == 1L)
+  }
+
   test("UNWIND [1,2,NULL]: null element survives explode_outer per TCK") {
     // Agg.feature UNWIND golden: 3 rows including the NULL
     val r = spark.range(1)
