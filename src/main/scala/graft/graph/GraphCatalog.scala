@@ -1,0 +1,38 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+
+/** Catalog abstraction the query surfaces (nql.Gql, plans.MatchBuilder)
+  * plan against: per-tag vertex tables `(vid, props...)`, per-type edge
+  * tables `(src, dst, rank, props...)`, and the union views. The
+  * reference's equivalent is the meta-service schema catalog
+  * (src/graph/service metad client); here a catalog is just a binding
+  * of names to DataFrames, so ANY dataset (the TPC-H graph, the nba CSV
+  * fixtures, a Delta lakehouse) can serve the same query language. */
+trait GraphCatalog {
+  def vertexTable(tag: String): DataFrame
+  def edgesByType(etype: String): DataFrame
+  /** Union view (src, dst, etype, rank) — `OVER *`. */
+  def allEdges: DataFrame
+  /** Union view (vid, label) — MATCH (v) without a label. */
+  def allVertices: DataFrame
+}
+
+/** A GraphCatalog assembled from explicit name→DataFrame maps (e.g.
+  * loaded CSV fixtures). */
+final case class MapCatalog(tags: Map[String, DataFrame],
+                            edges: Map[String, DataFrame]) extends GraphCatalog {
+  import org.apache.spark.sql.functions._
+  def vertexTable(tag: String): DataFrame =
+    tags.getOrElse(tag, throw new IllegalArgumentException(s"unknown tag $tag"))
+  def edgesByType(etype: String): DataFrame =
+    edges.getOrElse(etype, throw new IllegalArgumentException(s"unknown edge $etype"))
+  def allEdges: DataFrame =
+    edges.map { case (name, df) =>
+      df.select(col("src"), col("dst"), lit(name).as("etype"), col("rank"))
+    }.reduce(_ unionByName _)
+  def allVertices: DataFrame =
+    tags.map { case (name, df) =>
+      df.select(col("vid"), lit(name).as("label"))
+    }.reduce(_ unionByName _)
+}

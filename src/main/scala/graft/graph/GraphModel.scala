@@ -24,7 +24,7 @@ import graft.Tables
   * hash(vid), NebulaKeyUtils.h:58-111); in local mode we rely on
   * shuffle-on-key + AQE which is plan-equivalent.
   */
-class GraphModel(val spark: SparkSession, sfDir: String) {
+class GraphModel(val spark: SparkSession, sfDir: String) extends GraphCatalog {
   import GraphModel._
   import spark.implicits._
 
@@ -96,6 +96,19 @@ class GraphModel(val spark: SparkSession, sfDir: String) {
     inNation.select($"src", $"dst", lit("in_nation").as("etype"), $"rank"),
     inRegion.select($"src", $"dst", lit("in_region").as("etype"), $"rank")
   ).reduce(_ unionByName _)
+
+  // ---- GraphCatalog conformance ----
+  def allEdges: DataFrame = edges
+  def allVertices: DataFrame = vertices
+  def vertexTable(tag: String): DataFrame = tag match {
+    case "customer" => customers
+    case "supplier" => suppliers
+    case "part" => parts
+    case "nation" => nations
+    case "region" => regions
+    case "order" => orders
+    case other => throw new IllegalArgumentException(s"unknown tag $other")
+  }
 
   def edgesByType(etype: String): DataFrame = etype match {
     case "placed"    => placed

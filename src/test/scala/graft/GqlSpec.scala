@@ -9,21 +9,22 @@ import graft.traverse.Traverse.{Both, In, Out}
 class GqlSpec extends SparkSpec {
 
   test("GO defaults: 1 step, Out, implicit yields") {
-    val Go(m, n, seeds, et, dir, ys) =
+    val Go(m, n, seeds, et, dir, ys, dist, where) =
       Gql.parse("""GO FROM "a" OVER like"""): @unchecked
     assert(m == 1 && n == 1 && seeds == Seq("a") && et == "like" && dir == Out)
-    assert(ys.map(_._1) == Seq("origin", "vid", "step"))
+    assert(ys.map(_.prop) == Seq("origin", "vid", "step"))
+    assert(!dist && where.isEmpty)
   }
 
   test("GO m TO n STEPS with direction and aliased yields") {
-    val Go(m, n, seeds, et, dir, ys) =
+    val Go(m, n, seeds, et, dir, ys, _, _) =
       Gql.parse("""GO 2 TO 3 STEPS FROM "a", "b" OVER * REVERSELY YIELD vid AS v, step"""): @unchecked
     assert(m == 2 && n == 3 && seeds == Seq("a", "b") && et == "*" && dir == In)
-    assert(ys == Seq("vid" -> "v", "step" -> "step"))
+    assert(ys.map(y => y.prop -> y.alias) == Seq("vid" -> "v", "step" -> "step"))
   }
 
   test("GO N STEPS (no TO) fixes both ends of the range") {
-    val Go(m, n, _, _, dir, _) =
+    val Go(m, n, _, _, dir, _, _, _) =
       Gql.parse("""GO 3 STEPS FROM "x" OVER e BIDIRECT"""): @unchecked
     assert(m == 3 && n == 3 && dir == Both)
   }
@@ -66,8 +67,17 @@ class GqlSpec extends SparkSpec {
       Gql.parse("""LOOKUP ON t WHERE a ~ 3"""))
   }
 
+  test("GO property-reference yields and WHERE") {
+    val Go(_, _, _, _, _, ys, dist, where) = Gql.parse(
+      """GO FROM "a" OVER serve WHERE serve.start_year > 2000 YIELD DISTINCT serve._dst, serve.start_year AS y, $$.team.name, id($^)"""): @unchecked
+    assert(dist)
+    assert(where.contains(Gql.GoWhere(Some("serve" -> "start_year"), None, ">", 2000L)))
+    assert(ys.map(_.kind) == Seq("edst", "eprop", "dstprop", "idsrc"))
+    assert(ys.map(_.alias) == Seq("serve._dst", "y", "$$.team.name", "id($^)"))
+  }
+
   test("keywords are case-insensitive") {
-    val Go(_, _, _, _, _, _) =
+    val Go(_, _, _, _, _, _, _, _) =
       Gql.parse("""go from "a" over like yield vid"""): @unchecked
   }
 }
