@@ -85,7 +85,8 @@ object Gql {
                 where: Option[GoWhere]) extends Stmt
   case class Lookup(tag: String, where: Option[(String, String, Any)],
                     yields: Seq[(String, String)]) extends Stmt
-  case class Fetch(tag: String, vids: Seq[String]) extends Stmt
+  case class Fetch(tag: String, vids: Seq[String], yields: Seq[YExpr],
+                   distinct: Boolean) extends Stmt
   case class FindPath(shortest: Boolean, srcs: Seq[String], dsts: Seq[String],
                       upto: Int) extends Stmt
   case class Subgraph(steps: Int, seeds: Seq[String]) extends Stmt
@@ -305,7 +306,12 @@ object Gql {
     } else if (p.kw("FETCH")) {
       p.expectKw("PROP"); p.expectKw("ON")
       val tag = p.word()
-      Fetch(tag, p.stringList())
+      val vids = p.stringList()
+      val (ys, dist) = if (p.kw("YIELD")) {
+        val d = p.kw("DISTINCT")
+        (goYields(p), d)
+      } else (Seq.empty[YExpr], false)
+      Fetch(tag, vids, ys, dist)
     } else if (p.kw("FIND")) {
       val shortest = p.kw("SHORTEST")
       if (!shortest) p.expectKw("ALL")
@@ -407,8 +413,21 @@ object Gql {
         }
         if (ys.isEmpty) filtered
         else filtered.select(ys.map { case (c, a) => col(c).as(a) }: _*)
-      case Fetch(tag, vids) =>
-        g.vertexTable(tag).filter(col("vid").isin(vids: _*))
+      case Fetch(tag, vids, ys, dist) =>
+        // vid list keeps multiplicity (dup vids yield dup rows unless
+        // DISTINCT — FetchVertices TCK); bag semantics via join
+        val bag = vids.zipWithIndex.toDF("vid", "__i")
+        val rows = bag.join(g.vertexTable(tag), Seq("vid")).drop("__i")
+        val out =
+          if (ys.isEmpty) rows
+          else rows.select(ys.map {
+            case YExpr("eprop", t, _, prop, a) =>
+              require(t == tag, s"unknown tag $t in FETCH YIELD")
+              col(prop).as(a)
+            case YExpr("col", _, _, c, a) => col(c).as(a)
+            case y => throw new IllegalArgumentException(s"bad fetch yield $y")
+          }: _*)
+        if (dist) out.distinct() else out
       case FindPath(shortest, srcs, dsts, upto) =>
         if (shortest)
           PathFinder.shortestPaths(seedsDf(srcs), seedsDf(dsts), g.allEdges, upto)

@@ -40,9 +40,13 @@ class GqlSpec extends SparkSpec {
   }
 
   test("FETCH PROP ON tag vids") {
-    val Fetch(tag, vids) =
+    val Fetch(tag, vids, ys, dist) =
       Gql.parse("""FETCH PROP ON part "p:1", "p:2""""): @unchecked
     assert(tag == "part" && vids == Seq("p:1", "p:2"))
+    assert(ys.isEmpty && !dist)
+    val Fetch(_, _, ys2, dist2) = Gql.parse(
+      """FETCH PROP ON player 'Boris Diaw' YIELD DISTINCT player.name, player.age"""): @unchecked
+    assert(dist2 && ys2.map(_.prop) == Seq("name", "age"))
   }
 
   test("FIND SHORTEST/ALL PATH with UPTO") {

@@ -11,8 +11,10 @@ import graft.tck.TckRunner
 class TckRunnerSpec extends SparkSpec {
 
   private val nba = "/root/reference/tests/data/nba"
-  private val feature = "/root/reference/tests/tck/features/go/GO.feature"
-  private def have = new java.io.File(feature).exists()
+  private val features = Seq(
+    "/root/reference/tests/tck/features/go/GO.feature",
+    "/root/reference/tests/tck/features/fetch/FetchVertices.strVid.feature")
+  private def have = features.forall(f => new java.io.File(f).exists())
 
   private def catalog = MapCatalog(
     tags = Map(
@@ -26,23 +28,30 @@ class TckRunnerSpec extends SparkSpec {
       "serve" -> CsvFixtures.load(spark, s"$nba/serve.csv"),
       "teammate" -> CsvFixtures.load(spark, s"$nba/teammate.csv")))
 
-  test("GO.feature: every executable scenario matches its golden table") {
+  test("reference TCK features: every executable scenario matches its golden") {
     assume(have)
-    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(feature))
-    val report = TckRunner.run(catalog, text)
-    info(s"executed=${report.executed} passed=${report.passed} " +
-      s"skipped=${report.skipped}")
-    report.failures.take(5).foreach { case (q, why) =>
-      info(s"FAIL: $q -> $why")
+    val cat = catalog
+    var executed = 0; var passed = 0; var skipped = 0
+    features.foreach { f =>
+      val text = java.nio.file.Files.readString(java.nio.file.Paths.get(f))
+      val report = TckRunner.run(cat, text)
+      info(s"${f.split('/').last}: executed=${report.executed} " +
+        s"passed=${report.passed} skipped=${report.skipped}")
+      report.failures.take(5).foreach { case (q, why) =>
+        info(s"FAIL: $q -> $why")
+      }
+      assert(report.ok, s"$f: ${report.failures.size} golden mismatches")
+      executed += report.executed; passed += report.passed
+      skipped += report.skipped
     }
-    assert(report.ok, s"${report.failures.size} golden mismatches")
-    assert(report.executed >= 5, "too few scenarios executed to be meaningful")
-    assert(report.passed == report.executed)
+    assert(executed >= 30, "too few scenarios executed to be meaningful")
+    assert(passed == executed)
   }
 
   test("feature parsing finds a substantial scenario corpus") {
     assume(have)
-    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(feature))
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(features.head))
     val cases = TckRunner.parseFeature(text)
     assert(cases.size >= 50, s"only ${cases.size} cases parsed from GO.feature")
   }
