@@ -83,8 +83,10 @@ object Gql {
   case class Go(m: Int, n: Int, seeds: Seq[String], etype: String,
                 dir: Direction, yields: Seq[YExpr], distinct: Boolean,
                 where: Option[GoWhere]) extends Stmt
-  case class Lookup(tag: String, where: Option[(String, String, Any)],
-                    yields: Seq[(String, String)]) extends Stmt
+  /** LOOKUP WHERE: optionally tag-qualified prop comparison. */
+  case class LkWhere(tag: Option[String], prop: String, op: String, lit: Any)
+  case class Lookup(tag: String, where: Option[LkWhere],
+                    yields: Seq[YExpr], distinct: Boolean) extends Stmt
   case class Fetch(tag: String, vids: Seq[String], yields: Seq[YExpr],
                    distinct: Boolean) extends Stmt
   case class FindPath(shortest: Boolean, srcs: Seq[String], dsts: Seq[String],
@@ -289,7 +291,10 @@ object Gql {
       p.expectKw("ON")
       val tag = p.word()
       val where = if (p.kw("WHERE")) {
-        val prop = p.word()
+        val w0 = p.word()
+        val (qual, prop) =
+          if (p.peek.contains(Sym("."))) { p.next(); (Some(w0), p.word()) }
+          else (None, w0)
         val op = p.next() match {
           case Sym(s) if Set(">", "<", ">=", "<=", "==", "=", "!=")(s) => s
           case t => throw new IllegalArgumentException(s"bad operator $t")
@@ -297,12 +302,17 @@ object Gql {
         val lit: Any = p.next() match {
           case Num(v, raw) => if (raw.contains('.')) v else v.toLong
           case Str(s) => s
+          case Word(b) if b.equalsIgnoreCase("true") => true
+          case Word(b) if b.equalsIgnoreCase("false") => false
           case t => throw new IllegalArgumentException(s"bad literal $t")
         }
-        Some((prop, op, lit))
+        Some(LkWhere(qual, prop, op, lit))
       } else None
-      val ys = if (p.kw("YIELD")) p.yields() else Seq.empty
-      Lookup(tag, where, ys)
+      val (ys, dist) = if (p.kw("YIELD")) {
+        val d = p.kw("DISTINCT")
+        (goYields(p), d)
+      } else (Seq.empty[YExpr], false)
+      Lookup(tag, where, ys, dist)
     } else if (p.kw("FETCH")) {
       p.expectKw("PROP"); p.expectKw("ON")
       val tag = p.word()
@@ -405,14 +415,27 @@ object Gql {
         val selected = base.select(cols: _*)
         val out = if (dist) selected.distinct() else selected
         if (constFalse) out.limit(0) else out
-      case Lookup(tag, where, ys) =>
-        val tbl = g.vertexTable(tag)
+      case Lookup(tag, where, ys, dist) =>
+        // LOOKUP targets a tag OR an edge type (LookupEdge TCK)
+        val tbl =
+          try g.vertexTable(tag)
+          catch { case _: IllegalArgumentException => g.edgesByType(tag) }
         val filtered = where match {
-          case Some((prop, op, lit)) => tbl.filter(cmp(col(prop), op, lit))
+          case Some(LkWhere(qual, prop, op, lit)) =>
+            require(qual.forall(_ == tag), s"WHERE ref ${qual.get} != ON $tag")
+            tbl.filter(cmp(col(prop), op, lit))
           case None => tbl
         }
-        if (ys.isEmpty) filtered
-        else filtered.select(ys.map { case (c, a) => col(c).as(a) }: _*)
+        val out =
+          if (ys.isEmpty) filtered
+          else filtered.select(ys.map {
+            case YExpr("col", _, _, c, a) => col(c).as(a)
+            case YExpr("eprop", t, _, prop, a) =>
+              require(t == tag, s"YIELD ref $t != ON $tag")
+              col(prop).as(a)
+            case y => throw new IllegalArgumentException(s"bad lookup yield $y")
+          }: _*)
+        if (dist) out.distinct() else out
       case Fetch(tag, vids, ys, dist) =>
         // vid list keeps multiplicity (dup vids yield dup rows unless
         // DISTINCT — FetchVertices TCK); bag semantics via join

@@ -71,7 +71,9 @@ object TckRunner {
 
   private def normGolden(cell: String): String = {
     val c = cell.trim
-    if (c.startsWith("\"") && c.endsWith("\"") && c.length >= 2)
+    if (c.length >= 2 &&
+        ((c.startsWith("\"") && c.endsWith("\"")) ||
+         (c.startsWith("'") && c.endsWith("'"))))
       c.substring(1, c.length - 1)
     else if (c == "EMPTY") "NULL" // relax comparison folds EMPTY/NULL
     else c

@@ -30,13 +30,19 @@ class GqlSpec extends SparkSpec {
   }
 
   test("LOOKUP with WHERE ops and literals") {
-    val Lookup(tag, where, ys) =
+    val Lookup(tag, where, ys, _) =
       Gql.parse("""LOOKUP ON customer WHERE acctbal >= 9900 YIELD vid, name AS n"""): @unchecked
-    assert(tag == "customer" && where.contains(("acctbal", ">=", 9900L)))
-    assert(ys == Seq("vid" -> "vid", "name" -> "n"))
-    val Lookup(_, w2, _) =
+    assert(tag == "customer" &&
+      where.contains(Gql.LkWhere(None, "acctbal", ">=", 9900L)))
+    assert(ys.map(y => y.prop -> y.alias) == Seq("vid" -> "vid", "name" -> "n"))
+    val Lookup(_, w2, _, _) =
       Gql.parse("""LOOKUP ON part WHERE brand == "Brand#11""""): @unchecked
-    assert(w2.contains(("brand", "==", "Brand#11")))
+    assert(w2.contains(Gql.LkWhere(None, "brand", "==", "Brand#11")))
+    val Lookup(t3, w3, y3, _) = Gql.parse(
+      """LOOKUP ON player WHERE player.age == 40 YIELD player.name"""): @unchecked
+    assert(t3 == "player" &&
+      w3.contains(Gql.LkWhere(Some("player"), "age", "==", 40L)))
+    assert(y3.map(_.kind) == Seq("eprop"))
   }
 
   test("FETCH PROP ON tag vids") {

@@ -13,7 +13,8 @@ class TckRunnerSpec extends SparkSpec {
   private val nba = "/root/reference/tests/data/nba"
   private val features = Seq(
     "/root/reference/tests/tck/features/go/GO.feature",
-    "/root/reference/tests/tck/features/fetch/FetchVertices.strVid.feature")
+    "/root/reference/tests/tck/features/fetch/FetchVertices.strVid.feature",
+    "/root/reference/tests/tck/features/lookup/WithYield.feature")
   private def have = features.forall(f => new java.io.File(f).exists())
 
   private def catalog = MapCatalog(
