@@ -82,7 +82,10 @@ object Gql {
                      op: String, rhs: Any)
   case class Go(m: Int, n: Int, seeds: Seq[String], etype: String,
                 dir: Direction, yields: Seq[YExpr], distinct: Boolean,
-                where: Option[GoWhere]) extends Stmt
+                where: Option[GoWhere],
+                seedsCol: Option[String] = None) extends Stmt
+  /** A chained GO consuming the previous stage ($-.col seeds). */
+  case class PGo(go: Go) extends Pipe
   /** LOOKUP WHERE: optionally tag-qualified prop comparison. */
   case class LkWhere(tag: Option[String], prop: String, op: String, lit: Any)
   case class Lookup(tag: String, where: Option[LkWhere],
@@ -146,18 +149,39 @@ object Gql {
     val pipes = scala.collection.mutable.ListBuffer.empty[Pipe]
     while (p.peek.contains(Sym("|"))) {
       p.next()
-      if (p.kw("YIELD")) {
+      if (p.peek.exists { case Word(w) => w.equalsIgnoreCase("GO"); case _ => false }) {
+        parseSentence(p) match {
+          case g2: Go =>
+            require(g2.seedsCol.isDefined, "piped GO must seed FROM $-.col")
+            pipes += PGo(g2)
+          case other =>
+            throw new IllegalArgumentException(s"bad piped sentence $other")
+        }
+      } else if (p.kw("YIELD")) {
         val distinct = p.kw("DISTINCT")
         val items = scala.collection.mutable.ListBuffer.empty[YieldItem]
+        def pipeCol(): String = {
+          // optional $-. prefix: the pipe input's column namespace
+          if (p.peek.contains(Sym("$"))) {
+            p.next()
+            require(p.next() == Sym("-"), "expected $-")
+            require(p.next() == Sym("."), "expected . after $-")
+          }
+          p.word()
+        }
         var go = true
         while (go) {
-          val w = p.word()
+          val w = pipeCol()
           val item = if (p.peek.contains(Sym("(")) && aggNames(w.toLowerCase)) {
             p.next() // (
-            val c = p.next() match {
-              case Word(cn) => cn
-              case Sym("*") => "*"
-              case t => throw new IllegalArgumentException(s"bad agg arg $t")
+            val c = p.peek match {
+              case Some(Sym("*")) => p.next(); "*"
+              case Some(Sym("$")) =>
+                p.next()
+                require(p.next() == Sym("-"), "expected $-")
+                require(p.next() == Sym("."), "expected . after $-")
+                p.word()
+              case _ => p.word()
             }
             require(p.next() == Sym(")"), "expected )")
             val a = if (p.kw("AS")) p.word() else s"${w.toLowerCase}($c)"
@@ -172,6 +196,11 @@ object Gql {
         pipes += PYield(items.toSeq, distinct)
       } else if (p.kw("ORDER")) {
         p.expectKw("BY")
+        if (p.peek.contains(Sym("$"))) {
+          p.next()
+          require(p.next() == Sym("-"), "expected $-")
+          require(p.next() == Sym("."), "expected . after $-")
+        }
         val c = p.word()
         val desc = if (p.kw("DESC")) true else { p.kw("ASC"); false }
         pipes += POrderBy(c, desc)
@@ -270,7 +299,14 @@ object Gql {
         case _ => (1, 1)
       }
       p.expectKw("FROM")
-      val seeds = p.stringList()
+      val (seeds, seedsCol) = p.peek match {
+        case Some(Sym("$")) =>
+          p.next()
+          require(p.next() == Sym("-"), "expected $- seed ref")
+          require(p.next() == Sym("."), "expected . after $-")
+          (Seq.empty[String], Some(p.word()))
+        case _ => (p.stringList(), None)
+      }
       p.expectKw("OVER")
       val etype = p.next() match {
         case Word(w) => w
@@ -286,7 +322,7 @@ object Gql {
       } else (Seq(YExpr("col", "", "", "origin", "origin"),
         YExpr("col", "", "", "vid", "vid"),
         YExpr("col", "", "", "step", "step")), false)
-      Go(m, n, seeds, etype, dir, ys, dist, where)
+      Go(m, n, seeds, etype, dir, ys, dist, where, seedsCol)
     } else if (p.kw("LOOKUP")) {
       p.expectKw("ON")
       val tag = p.word()
@@ -355,66 +391,12 @@ object Gql {
     def seedsDf(vids: Seq[String]) = vids.toDF("vid")
     stmt match {
       case Piped(head, pipes) =>
-        pipes.foldLeft(exec(g, head))(applyPipe)
-      case Go(m, n, seeds, etype, dir, ys, dist, where) =>
-        val edges = if (etype == "*") g.allEdges else g.edgesByType(etype)
+        pipes.foldLeft(exec(g, head))((df, pp) => applyPipe(g, df, pp))
+      case go: Go =>
+        require(go.seedsCol.isEmpty, "top-level GO needs literal seeds")
         // the reference treats the FROM vid list as a set (dup seeds
-        // yield once — GO.feature golden)
-        val seedSet = seeds.distinct
-        // constant WHERE folds driver-side (FoldConstantExprVisitor)
-        val constFalse = where.exists(w =>
-          w.eprop.isEmpty && !constTruthy(w.lhs.get, w.op, w.rhs))
-        val plainCols = Set("origin", "vid", "step")
-        val simple = ys.forall(y => y.kind == "col" && plainCols(y.prop)) &&
-          where.forall(_.eprop.isEmpty)
-        val base =
-          if (simple)
-            // ExpandAll frontier semantics: deduped (origin,vid) rows
-            Traverse.go(seedsDf(seedSet), edges, m, n, dir)
-          else {
-            // per-edge yield rows; edge-prop WHERE filters yielded rows
-            var out = Traverse.goYield(seedsDf(seedSet), edges, m, n, dir)
-            where.flatMap(_.eprop).foreach { case (et, prop) =>
-              require(et == etype, s"WHERE edge ref $et needs OVER $et")
-              out = out.filter(cmp(col(prop), where.get.op, where.get.rhs))
-            }
-            // vertex-prop refs join the tag tables on dst/src
-            val dstTags = ys.collect { case YExpr("dstprop", _, tag, _, _) => tag }.distinct
-            val srcTags = ys.collect { case YExpr("srcprop", _, tag, _, _) => tag }.distinct
-            dstTags.foreach { tag =>
-              out = Traverse.appendVertices(out, g.vertexTable(tag),
-                vidCol = "dst", prefix = s"__dst_${tag}_")
-            }
-            srcTags.foreach { tag =>
-              out = Traverse.appendVertices(out, g.vertexTable(tag),
-                vidCol = "src", prefix = s"__src_${tag}_")
-            }
-            out
-          }
-        val cols = ys.map {
-          case YExpr("col", _, _, c, a) => col(c).as(a)
-          // OVER * with edge-typed refs needs the reference's per-type
-          // NULL padding; out of subset -> reject (TCK runner skips)
-          case YExpr("edst", et, _, _, a) =>
-            require(et == etype, s"edge ref $et needs OVER $et")
-            col("dst").as(a)
-          case YExpr("esrc", et, _, _, a) =>
-            require(et == etype, s"edge ref $et needs OVER $et")
-            col("src").as(a)
-          case YExpr("eprop", et, _, prop, a) =>
-            require(et == etype, s"edge ref $et needs OVER $et")
-            col(prop).as(a)
-          case YExpr("iddst", _, _, _, a) => col("dst").as(a)
-          case YExpr("idsrc", _, _, _, a) => col("src").as(a)
-          case YExpr("dstprop", _, tag, prop, a) =>
-            col(s"__dst_${tag}_$prop").as(a)
-          case YExpr("srcprop", _, tag, prop, a) =>
-            col(s"__src_${tag}_$prop").as(a)
-          case y => throw new IllegalArgumentException(s"bad yield $y")
-        }
-        val selected = base.select(cols: _*)
-        val out = if (dist) selected.distinct() else selected
-        if (constFalse) out.limit(0) else out
+        // yield once — GO.feature golden); piped GO keeps multiplicity
+        execGo(g, go, seedsDf(go.seeds.distinct))
       case Lookup(tag, where, ys, dist) =>
         // LOOKUP targets a tag OR an edge type (LookupEdge TCK)
         val tbl =
@@ -461,6 +443,68 @@ object Gql {
     }
   }
 
+  /** GO execution against a prepared seed frame (literal set for a
+    * top-level sentence; the previous pipe stage's column, with bag
+    * multiplicity, for a chained `| GO FROM $-.col`). */
+  private def execGo(g: GraphCatalog, goAst: Go, seedsDF: DataFrame): DataFrame = {
+    val Go(m, n, _, etype, dir, ys, dist, where, _) = goAst
+    val edges = if (etype == "*") g.allEdges else g.edgesByType(etype)
+    // constant WHERE folds driver-side (FoldConstantExprVisitor)
+    val constFalse = where.exists(w =>
+      w.eprop.isEmpty && !constTruthy(w.lhs.get, w.op, w.rhs))
+    val plainCols = Set("origin", "vid", "step")
+    val simple = ys.forall(y => y.kind == "col" && plainCols(y.prop)) &&
+          where.forall(_.eprop.isEmpty)
+        val base =
+          if (simple)
+            // ExpandAll frontier semantics: deduped (origin,vid) rows
+            Traverse.go(seedsDF, edges, m, n, dir)
+          else {
+            // per-edge yield rows; edge-prop WHERE filters yielded rows
+            var out = Traverse.goYield(seedsDF, edges, m, n, dir)
+            where.flatMap(_.eprop).foreach { case (et, prop) =>
+              require(et == etype, s"WHERE edge ref $et needs OVER $et")
+              out = out.filter(cmp(col(prop), where.get.op, where.get.rhs))
+            }
+            // vertex-prop refs join the tag tables on dst/src
+            val dstTags = ys.collect { case YExpr("dstprop", _, tag, _, _) => tag }.distinct
+            val srcTags = ys.collect { case YExpr("srcprop", _, tag, _, _) => tag }.distinct
+            dstTags.foreach { tag =>
+              out = Traverse.appendVertices(out, g.vertexTable(tag),
+                vidCol = "dst", prefix = s"__dst_${tag}_")
+            }
+            srcTags.foreach { tag =>
+              out = Traverse.appendVertices(out, g.vertexTable(tag),
+                vidCol = "src", prefix = s"__src_${tag}_")
+            }
+            out
+          }
+        val cols = ys.map {
+          case YExpr("col", _, _, c, a) => col(c).as(a)
+          // OVER * with edge-typed refs needs the reference's per-type
+          // NULL padding; out of subset -> reject (TCK runner skips)
+          case YExpr("edst", et, _, _, a) =>
+            require(et == etype, s"edge ref $et needs OVER $et")
+            col("dst").as(a)
+          case YExpr("esrc", et, _, _, a) =>
+            require(et == etype, s"edge ref $et needs OVER $et")
+            col("src").as(a)
+          case YExpr("eprop", et, _, prop, a) =>
+            require(et == etype, s"edge ref $et needs OVER $et")
+            col(prop).as(a)
+          case YExpr("iddst", _, _, _, a) => col("dst").as(a)
+          case YExpr("idsrc", _, _, _, a) => col("src").as(a)
+          case YExpr("dstprop", _, tag, prop, a) =>
+            col(s"__dst_${tag}_$prop").as(a)
+          case YExpr("srcprop", _, tag, prop, a) =>
+            col(s"__src_${tag}_$prop").as(a)
+          case y => throw new IllegalArgumentException(s"bad yield $y")
+        }
+        val selected = base.select(cols: _*)
+        val out = if (dist) selected.distinct() else selected
+        if (constFalse) out.limit(0) else out
+  }
+
   /** Driver-side evaluation of a constant WHERE comparison. */
   private def constTruthy(l: Any, op: String, r: Any): Boolean = (l, r) match {
     case (a: Long, b: Long) => op match {
@@ -480,7 +524,12 @@ object Gql {
   }
 
   /** Pipe application over the previous stage's DataFrame ($- input). */
-  private def applyPipe(df: DataFrame, pipe: Pipe): DataFrame = pipe match {
+  private def applyPipe(g: GraphCatalog, df: DataFrame, pipe: Pipe): DataFrame = pipe match {
+    case PGo(goAst) =>
+      // chained GO: previous stage's column seeds the expansion WITH
+      // multiplicity (GO.feature pipe goldens keep duplicate rows)
+      val seeds = df.select(col(goAst.seedsCol.get).as("vid"))
+      execGo(g, goAst, seeds)
     case PLimit(n) => df.limit(n)
     case POrderBy(c, desc) => df.orderBy(if (desc) col(c).desc else col(c))
     case PYield(items, distinct) =>

@@ -9,7 +9,7 @@ import graft.traverse.Traverse.{Both, In, Out}
 class GqlSpec extends SparkSpec {
 
   test("GO defaults: 1 step, Out, implicit yields") {
-    val Go(m, n, seeds, et, dir, ys, dist, where) =
+    val Go(m, n, seeds, et, dir, ys, dist, where, _) =
       Gql.parse("""GO FROM "a" OVER like"""): @unchecked
     assert(m == 1 && n == 1 && seeds == Seq("a") && et == "like" && dir == Out)
     assert(ys.map(_.prop) == Seq("origin", "vid", "step"))
@@ -17,14 +17,14 @@ class GqlSpec extends SparkSpec {
   }
 
   test("GO m TO n STEPS with direction and aliased yields") {
-    val Go(m, n, seeds, et, dir, ys, _, _) =
+    val Go(m, n, seeds, et, dir, ys, _, _, _) =
       Gql.parse("""GO 2 TO 3 STEPS FROM "a", "b" OVER * REVERSELY YIELD vid AS v, step"""): @unchecked
     assert(m == 2 && n == 3 && seeds == Seq("a", "b") && et == "*" && dir == In)
     assert(ys.map(y => y.prop -> y.alias) == Seq("vid" -> "v", "step" -> "step"))
   }
 
   test("GO N STEPS (no TO) fixes both ends of the range") {
-    val Go(m, n, _, _, dir, _, _, _) =
+    val Go(m, n, _, _, dir, _, _, _, _) =
       Gql.parse("""GO 3 STEPS FROM "x" OVER e BIDIRECT"""): @unchecked
     assert(m == 3 && n == 3 && dir == Both)
   }
@@ -78,7 +78,7 @@ class GqlSpec extends SparkSpec {
   }
 
   test("GO property-reference yields and WHERE") {
-    val Go(_, _, _, _, _, ys, dist, where) = Gql.parse(
+    val Go(_, _, _, _, _, ys, dist, where, _) = Gql.parse(
       """GO FROM "a" OVER serve WHERE serve.start_year > 2000 YIELD DISTINCT serve._dst, serve.start_year AS y, $$.team.name, id($^)"""): @unchecked
     assert(dist)
     assert(where.contains(Gql.GoWhere(Some("serve" -> "start_year"), None, ">", 2000L)))
@@ -86,8 +86,15 @@ class GqlSpec extends SparkSpec {
     assert(ys.map(_.alias) == Seq("serve._dst", "y", "$$.team.name", "id($^)"))
   }
 
+  test("pipe-chained GO seeds FROM $-.col") {
+    val Piped(_, pipes) = Gql.parse(
+      """GO FROM "a" OVER like YIELD like._dst as id | GO FROM $-.id OVER serve YIELD serve._dst"""): @unchecked
+    val Seq(PGo(g2)) = pipes: @unchecked
+    assert(g2.seedsCol.contains("id") && g2.etype == "serve")
+  }
+
   test("keywords are case-insensitive") {
-    val Go(_, _, _, _, _, _, _, _) =
+    val Go(_, _, _, _, _, _, _, _, _) =
       Gql.parse("""go from "a" over like yield vid"""): @unchecked
   }
 }
