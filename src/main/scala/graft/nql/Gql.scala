@@ -232,15 +232,32 @@ object Gql {
         YExpr(if (dstSide) "dstprop" else "srcprop", "", tag, prop, raw)
       case Some(Word("id")) if p.ts.drop(1).headOption.contains(Sym("(")) =>
         p.next(); p.next()
-        require(p.next() == Sym("$"), "expected $ in id()")
-        val dstSide = p.next() match {
-          case Sym("$") => true
-          case Sym("^") => false
-          case t => throw new IllegalArgumentException(s"bad id ref $t")
+        p.peek match {
+          case Some(Word(w)) if w.equalsIgnoreCase("vertex") =>
+            // id(vertex) — LOOKUP/FETCH vid ref
+            p.next()
+            require(p.next() == Sym(")"), "expected )")
+            YExpr("col", "", "", "vid", "id(vertex)")
+          case _ =>
+            require(p.next() == Sym("$"), "expected $ in id()")
+            val dstSide = p.next() match {
+              case Sym("$") => true
+              case Sym("^") => false
+              case t => throw new IllegalArgumentException(s"bad id ref $t")
+            }
+            require(p.next() == Sym(")"), "expected )")
+            YExpr(if (dstSide) "iddst" else "idsrc", "", "", "",
+              if (dstSide) "id($$)" else "id($^)")
         }
+      case Some(Word(fn)) if Set("src", "dst", "rank")(fn.toLowerCase) &&
+          p.ts.drop(1).headOption.contains(Sym("(")) =>
+        // src(edge)/dst(edge)/rank(edge) — edge LOOKUP refs
+        val f = fn.toLowerCase
+        p.next(); p.next()
+        val inner = p.word()
+        require(inner.equalsIgnoreCase("edge"), s"expected edge in $f()")
         require(p.next() == Sym(")"), "expected )")
-        YExpr(if (dstSide) "iddst" else "idsrc", "", "", "",
-          if (dstSide) "id($$)" else "id($^)")
+        YExpr("col", "", "", f, s"$f(edge)")
       case _ =>
         val w = p.word()
         if (p.peek.contains(Sym("."))) {

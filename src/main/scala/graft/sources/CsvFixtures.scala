@@ -67,9 +67,13 @@ object CsvFixtures {
       .option("quote", "\"")
       .schema(schema)
       .csv(path)
-    // empty string → null, then cast to the declared type
+    // empty string or a NULL marker → null (the reference importer
+    // nulls any cell spelled "null"/"__null__" case-insensitively,
+    // tests/common/csv_import.py:113), then cast to the declared type
     val casted = cols.map { c =>
-      val base = when(col(c.name) === "", lit(null)).otherwise(col(c.name))
+      val base = when(col(c.name) === "" ||
+          lower(col(c.name)).isin("null", "__null__"), lit(null))
+        .otherwise(col(c.name))
       base.cast(c.dt).as(c.name)
     }
     val df = raw.select(casted: _*)

@@ -31,7 +31,8 @@ object TckRunner {
     val out = scala.collection.mutable.ListBuffer.empty[Case]
     var i = 0
     while (i < lines.length) {
-      if (lines(i).trim == "When executing query:") {
+      if (lines(i).trim == "When executing query:" ||
+          lines(i).trim == "When profiling query:") {
         // query block delimited by triple quotes
         val start = lines.indexWhere(_.trim == "\"\"\"", i)
         val end = lines.indexWhere(_.trim == "\"\"\"", start + 1)
@@ -79,6 +80,30 @@ object TckRunner {
     else c
   }
 
+  /** A golden cell either equals the value or, when written /regex/,
+    * regex-matches it (conftest relax comparison). */
+  private def cellMatch(got: String, want: String): Boolean =
+    if (want.length >= 2 && want.startsWith("/") && want.endsWith("/"))
+      got.matches(want.substring(1, want.length - 1))
+    else got == want
+
+  /** Unordered row matching with backtracking (regex cells make plain
+    * sorting unreliable); golden tables are small. */
+  private def multisetMatch(got: Seq[Seq[String]], want: Seq[Seq[String]]): Boolean = {
+    if (got.size != want.size) return false
+    def solve(ws: List[Seq[String]], remaining: Vector[Seq[String]]): Boolean =
+      ws match {
+        case Nil => remaining.isEmpty
+        case w :: rest =>
+          remaining.indices.exists { i =>
+            val r = remaining(i)
+            r.size == w.size && r.zip(w).forall((cellMatch _).tupled) &&
+              solve(rest, remaining.patch(i, Nil, 1))
+          }
+      }
+    solve(want.toList, got.toVector)
+  }
+
   /** Execute every parsable case against the catalog; unordered
     * multiset compare. */
   def run(g: GraphCatalog, featureText: String): Report = {
@@ -94,11 +119,9 @@ object TckRunner {
           try {
             val df = Gql.exec(g, stmt)
             executed += 1
-            val got = df.collect().toSeq
-              .map(r => r.toSeq.map(norm)).sortBy(_.mkString(""))
+            val got = df.collect().toSeq.map(r => r.toSeq.map(norm))
             val want = c.golden.map(_.map(normGolden))
-              .sortBy(_.mkString(""))
-            if (got == want) passed += 1
+            if (multisetMatch(got, want)) passed += 1
             else failures += c.query ->
               s"got=${got.take(5)} want=${want.take(5)} (${got.size}/${want.size} rows)"
           } catch {
