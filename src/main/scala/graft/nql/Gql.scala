@@ -126,18 +126,6 @@ object Gql {
       case Num(v, _) => v.toInt
       case t => throw new IllegalArgumentException(s"expected int, got $t")
     }
-    /** col [AS alias] list */
-    def yields(): Seq[(String, String)] = {
-      val out = scala.collection.mutable.ListBuffer.empty[(String, String)]
-      var go = true
-      while (go) {
-        val c = word()
-        val a = if (kw("AS")) word() else c
-        out += c -> a
-        if (peek.contains(Sym(","))) next() else go = false
-      }
-      out.toSeq
-    }
   }
 
   private val aggNames = Set("count", "sum", "avg", "min", "max",
