@@ -68,6 +68,29 @@ class RelationalSpec extends SparkSpec {
       .as[Int].collect().sorted.sameElements(Array(1, 3)))
   }
 
+  test("saltedJoin: identical results to a plain inner join on a hot key") {
+    import graft.operators.Skew
+    // one hot key (0) with 500 rows, plus a cold tail
+    val left = ((1 to 500).map(i => (0, i)) ++ (1 to 50).map(i => (i, i)))
+      .toDF("k", "v")
+    val right = (0 to 50).map(i => (i, s"r$i")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).collect().toSet
+    val salted = Skew.saltedJoin(left, right, "k", salt = 8).collect().toSet
+    assert(salted == plain && salted.size == 550)
+  }
+
+  test("saltedSum: equals plain sum per key") {
+    import graft.operators.Skew
+    val df = ((1 to 300).map(i => (0, i.toDouble)) ++
+      (1 to 30).map(i => (i, i.toDouble))).toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum(col("v")).as("sum"))
+      .as[(Int, Double)].collect().toMap
+    val salted = Skew.saltedSum(df, "k", "v", salt = 4)
+      .as[(Int, Double)].collect().toMap
+    assert(salted.keySet == plain.keySet)
+    assert(plain.forall { case (k, s) => math.abs(salted(k) - s) < 1e-9 })
+  }
+
   test("value: literal single-row source") {
     val r = R.value(spark, "a" -> lit(1), "b" -> lit("x"))
     assert(r.collect().map(_.toSeq).toSeq == Seq(Seq(1, "x")))
