@@ -17,11 +17,17 @@ import graft.traverse.Traverse.{Direction, Out}
   *    STEPS, NOLOOP): every simple path up to n steps between the sets.
   *
   * Scale: the expansion loop materializes + truncates lineage per step
-  * (see Traverse.materialize) and prunes per-origin visited sets, so
-  * frontier state is O(|reached|), not O(#paths); `stepLimit` bounds the
-  * worst-case fan-out the same way the reference's step-limit pushdown
-  * does (PushStepLimitDownGetNeighborsRule.cpp). The dst set is
-  * broadcast — it is a lookup table, never shuffled.
+  * (localCheckpoint) and prunes per-origin visited sets, but the
+  * frontier carries one row PER PATH (the path array column) — on dense
+  * graphs equal-length-path multiplicity makes it far larger than
+  * |reached|, so the hop join's broadcast hint is gated through
+  * Traverse.maybeBroadcast (BroadcastFrontierRows cap); above the cap
+  * the join shuffles, which is the correct plan for a huge frontier.
+  * `stepLimit` bounds the worst-case fan-out the same way the
+  * reference's step-limit pushdown does
+  * (PushStepLimitDownGetNeighborsRule.cpp). The dst set is broadcast
+  * unconditionally — it is a user-supplied endpoint list, not a
+  * growing frontier.
   */
 object PathFinder {
 
@@ -47,7 +53,7 @@ object PathFinder {
     var cnt = frontier.count()
     var step = 1
     while (step <= maxSteps && cnt > 0) {
-      val nextRaw = broadcast(frontier)
+      val nextRaw = Traverse.maybeBroadcast(frontier, cnt)
         .join(e, frontier("vid") === e("src"))
         .select(col("origin"),
           concat(col("path"), array(e("dst"))).as("path"),
@@ -102,7 +108,7 @@ object PathFinder {
     var cnt = frontier.count()
     var step = 1
     while (step <= maxSteps && cnt > 0) {
-      val next = broadcast(frontier)
+      val next = Traverse.maybeBroadcast(frontier, cnt)
         .join(e, frontier("vid") === e("src"))
         .filter(!array_contains(col("path"), e("dst")))
         .select(col("origin"),

@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   *  - near-dup = MinHash signatures (per-row map work) → LSH banding →
   *    groupBy(band, bandHash) → pairs generated ONLY within buckets.
   *    All-pairs crossJoin never appears; worst-case cost is bounded by
-  *    bucket sizes (salt/cap oversized buckets in production).
+  *    `maxBucket`: buckets above it (a degenerate band — e.g. empty
+  *    docs all sharing one signature) are dropped before the self-join
+  *    rather than pinning one reducer with quadratic pairs. Degenerate
+  *    identical docs are exactDedup's job anyway.
   *  - verification joins docs back by id to compute true Jaccard on the
   *    candidate pairs only.
   *
@@ -74,11 +77,14 @@ object Dedup {
     * co-partitioned equi-join — never an all-pairs product. */
   def lshCandidatePairs(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", numHashes: Int = 16,
-                        bands: Int = 4, shingleN: Int = 3): DataFrame = {
+                        bands: Int = 4, shingleN: Int = 3,
+                        maxBucket: Int = Similarity.MaxBucketRows): DataFrame = {
     // materialize the band table ONCE — the signature (16 md5s per
     // shingle) is the expensive map stage, and the self-join would
     // otherwise recompute it for both sides
-    val b = lshBands(docs, idCol, textCol, numHashes, bands, shingleN)
+    val b = Similarity.capBuckets(
+        lshBands(docs, idCol, textCol, numHashes, bands, shingleN),
+        Seq("band", "band_hash"), maxBucket)
       .localCheckpoint()
     val l = b.select(col("band"), col("band_hash"), col("id").as("a"))
     val r = b.select(col("band"), col("band_hash"), col("id").as("b"))
@@ -110,20 +116,22 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
                    numHashes: Int = 16, bands: Int = 4,
-                   shingleN: Int = 3): DataFrame = {
+                   shingleN: Int = 3,
+                   maxBucket: Int = Similarity.MaxBucketRows): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     val shingled = docs.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleN)).as("sh"))
       .localCheckpoint()
-    val b = shingled
+    val b = Similarity.capBuckets(shingled
       .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
       .select(col("id"), explode(
         transform(sequence(lit(0), lit(bands - 1)),
           bd => struct(bd.as("band"),
             md5(array_join(slice(col("sig"), bd * rowsPerBand + 1, lit(rowsPerBand)), "|"))
               .as("band_hash")))).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+      .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash")),
+      Seq("band", "band_hash"), maxBucket)
       .localCheckpoint()
     val cands = b.select(col("band"), col("band_hash"), col("id").as("a"))
       .join(b.select(col("band"), col("band_hash"), col("id").as("b")),

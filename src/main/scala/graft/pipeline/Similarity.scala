@@ -60,18 +60,30 @@ object Similarity {
     if ((dig(0) & 0x80) != 0) 1.0 else -1.0
   }
 
+  /** The ±1 hyperplane matrix (planes × dims) as plain data. */
+  def planeMatrix(planes: Int, dims: Int): Seq[Seq[Double]] =
+    (0 until planes).map(p => (0 until dims).map(d => planeSign(p, d)))
+
   /** Sign-sketch bucket id: `planes` bits, bit p = [v · h_p >= 0] where
-    * hyperplane h_p has ±1 components from `planeSign`. Computed as a
-    * codegen fold; the same rule is replayable in SQL for the oracle. */
+    * hyperplane h_p has ±1 components from `planeSign`.
+    *
+    * The plane matrix is a SINGLE array-of-arrays Literal (data, not
+    * expression tree), and each bit is a zip_with/aggregate fold — so
+    * the plan stays a constant handful of nodes whether dims is 64 or
+    * 4096 (the unrolled per-term form was planes×dims nodes: 50k-260k
+    * at production shapes, which blows Catalyst planning and falls out
+    * of codegen past the 64KB method limit). Same rule is replayable in
+    * SQL for the oracle; bucket values are bit-identical to the
+    * unrolled form. */
   def lshBucket(vec: Column, planes: Int, dims: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val signs = (0 until dims).map(d => planeSign(p, d))
-      val proj = (0 until dims).map { d =>
-        element_at(vec, d + 1).cast("double") * lit(signs(d))
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    val mat = typedLit(planeMatrix(planes, dims))
+    val pIdx = sequence(lit(0), lit(planes - 1))
+    aggregate(
+      zip_with(mat, pIdx, (plane, p) =>
+        when(aggregate(zip_with(vec, plane, (x, h) => x.cast("double") * h),
+               lit(0.0), (acc, v) => acc + v) >= 0,
+          pow(lit(2.0), p.cast("double")).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc + b)
   }
 
   /** Approximate top-k: candidates restricted to the query's bucket.
@@ -92,12 +104,36 @@ object Similarity {
     joined.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Default per-bucket row cap for the bucket-local self-joins: a
+    * bucket above this is pathological (e.g. all-zero embeddings all
+    * hashing to one sketch) and would make one reducer quadratic —
+    * 10k rows is ~5·10^7 pairs, the most a single task should chew. */
+  val MaxBucketRows = 10000
+
+  /** Drop rows belonging to oversized buckets (count over the bucket
+    * key exceeds `cap`). One extra shuffle-free window pass when the
+    * data is already partitioned by the key; degenerate buckets are
+    * better served by exact dedup than by a quadratic pair join. */
+  private[graft] def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (cap <= 0) df
+    else df.withColumn("__bcnt",
+        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .filter(col("__bcnt") <= cap).drop("__bcnt")
+  }
+
   /** All-pairs similarity above a threshold WITHOUT crossJoin: bucket
     * by LSH sketch, pair within buckets only (near-dup detection for
-    * embeddings — the embedding-cosine near-dup path). */
+    * embeddings — the embedding-cosine near-dup path). Buckets larger
+    * than `maxBucket` rows are dropped (logged pathology guard — an
+    * oversized sign-sketch bucket means degenerate vectors, and the
+    * quadratic join inside it would pin one reducer). */
   def nearDupByEmbedding(corpus: DataFrame, threshold: Double, planes: Int, dims: Int,
-                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val b = corpus.withColumn("__bucket", lshBucket(col(vecCol), planes, dims))
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         maxBucket: Int = MaxBucketRows): DataFrame = {
+    val b = capBuckets(
+      corpus.withColumn("__bucket", lshBucket(col(vecCol), planes, dims)),
+      Seq("__bucket"), maxBucket)
     val l = b.select(col("__bucket"), col(idCol).as("a"), col(vecCol).as("va"))
     val r = b.select(col("__bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
     l.join(r, Seq("__bucket")).filter(col("a") < col("b"))

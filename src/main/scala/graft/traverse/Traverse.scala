@@ -92,8 +92,12 @@ object Traverse {
 
   private def unpersistQuiet(e: DataFrame): Unit = releaseEdges(e, 2)
 
-  /** Hint the hop join's build side when the frontier is small. */
-  private def maybeBroadcast(frontier: DataFrame, rows: Long): DataFrame =
+  /** Hint the hop join's build side when the frontier is small. Public:
+    * PathFinder's BFS loops and subgraph's induced-edge semi-joins route
+    * through the same gate so no loop ever broadcasts an unbounded
+    * frontier (the reference bounds this with its memory tracker;
+    * we bound it with BroadcastFrontierRows). */
+  def maybeBroadcast(frontier: DataFrame, rows: Long): DataFrame =
     if (rows > 0 && rows <= BroadcastFrontierRows) broadcast(frontier)
     else frontier
 
@@ -285,7 +289,10 @@ object Traverse {
     val verts = shortestDistances(seeds.select("vid").distinct(), edges, n, dir)
       .groupBy("vid").agg(min("dist").as("depth"))
       .localCheckpoint()
-    val vset = broadcast(verts.select(col("vid")))
+    // Gate the reach-set broadcast: a multi-million-vertex reach set at
+    // 100× scale must shuffle-join, not broadcast (same rule as the hop
+    // joins). verts is checkpointed, so the count is cheap.
+    val vset = maybeBroadcast(verts.select(col("vid")), verts.count())
     val induced = edges
       .join(vset.withColumnRenamed("vid", "__sv"), col("src") === col("__sv"))
       .drop("__sv")

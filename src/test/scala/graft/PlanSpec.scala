@@ -61,6 +61,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"lineage not truncated:\n$plan")
   }
 
+  test("broadcast hint is gated by frontier size (BroadcastFrontierRows cap)") {
+    import graft.traverse.Traverse
+    val small = spark.range(10).selectExpr("cast(id as string) as vid")
+    val hinted = Traverse.maybeBroadcast(small, 10L)
+      .queryExecution.analyzed.toString
+    assert(hinted.contains("ResolvedHint"), s"small frontier not hinted:\n$hinted")
+    val big = Traverse.maybeBroadcast(small, Traverse.BroadcastFrontierRows + 1)
+      .queryExecution.analyzed.toString
+    assert(!big.contains("ResolvedHint"), s"oversized frontier hinted:\n$big")
+  }
+
   test("metadata-only multimodal inspect does not read the payload column") {
     assume(have)
     val df = graft.pipeline.Multimodal.assetsFromText(
