@@ -16,6 +16,21 @@ trait GraphCatalog {
   def allEdges: DataFrame
   /** Union view (vid, label) — MATCH (v) without a label. */
   def allVertices: DataFrame
+  /** Schema enumeration (the reference's meta-service listTags /
+    * listEdges) — drives `OVER *` default yields and untyped MATCH
+    * edges that need property columns. */
+  def tagNames: Seq[String]
+  def edgeTypeNames: Seq[String]
+  /** Union of typed edge tables keeping property columns, with an
+    * `__etype` discriminator; per-type props are NULL on other types'
+    * rows (the reference's per-type NULL padding in GetNeighbors
+    * responses). One projection per type over columnar scans — no
+    * shuffle. */
+  def edgesWithProps(etypes: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    etypes.map(t => edgesByType(t).withColumn("__etype", lit(t)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 }
 
 /** A GraphCatalog assembled from explicit name→DataFrame maps (e.g.
@@ -35,4 +50,6 @@ final case class MapCatalog(tags: Map[String, DataFrame],
     tags.map { case (name, df) =>
       df.select(col("vid"), lit(name).as("label"))
     }.reduce(_ unionByName _)
+  def tagNames: Seq[String] = tags.keys.toSeq.sorted
+  def edgeTypeNames: Seq[String] = edges.keys.toSeq.sorted
 }

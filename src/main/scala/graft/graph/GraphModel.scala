@@ -110,6 +110,11 @@ class GraphModel(val spark: SparkSession, sfDir: String) extends GraphCatalog {
     case other => throw new IllegalArgumentException(s"unknown tag $other")
   }
 
+  def tagNames: Seq[String] =
+    Seq("customer", "supplier", "part", "nation", "region", "order")
+  def edgeTypeNames: Seq[String] =
+    Seq("placed", "has_part", "has_supp", "in_nation", "in_region")
+
   def edgesByType(etype: String): DataFrame = etype match {
     case "placed"    => placed
     case "has_part"  => hasPart

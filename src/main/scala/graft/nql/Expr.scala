@@ -1,0 +1,442 @@
+package graft.nql
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Expression layer for the nGQL / openCypher text surface (reference:
+  * src/common/expression/Expression.h:66-176 kind list, parser.yy
+  * expression productions). A Pratt parser over Gql's token stream
+  * producing a small AST, plus a compiler from AST to a Spark `Column`
+  * with a pluggable domain resolver — the same tree compiles against a
+  * GO hop frame, a LOOKUP tag table, or a MATCH binding table by
+  * swapping the resolver. Everything lands on built-in Spark
+  * expressions (codegen'd, no UDFs).
+  *
+  * Precedence (low→high), mirroring parser.yy's %left chain:
+  *   OR/XOR < AND < NOT < comparison/IN/IS < +,- < *,/,% < unary-.
+  */
+object Expr {
+  import Gql.{P, Num, Str, Sym, Word}
+
+  // ---------- AST ----------
+  sealed trait E
+  final case class Lit(v: Any) extends E
+  /** Dotted name: a | a.b | a.b.c (bare column, edge.prop, var.tag.prop). */
+  final case class Ref(parts: List[String]) extends E
+  /** $-family reference. kind ∈ input ($-.col) | var ($name.col) |
+    * src ($^.tag.prop) | dst ($$.tag.prop); src/dst with empty parts are
+    * the bare $^ / $$ inside id()/properties(). */
+  final case class Param(kind: String, name: String, parts: List[String]) extends E
+  final case class FnCall(name: String, args: List[E], distinct: Boolean = false) extends E
+  final case class Bin(op: String, l: E, r: E) extends E
+  /** op ∈ not | neg | isnull | isnotnull. */
+  final case class Un(op: String, e: E) extends E
+  final case class CaseW(subject: Option[E], branches: List[(E, E)], els: Option[E]) extends E
+  final case class ListLit(items: List[E]) extends E
+  /** `*` (count(*), RETURN *). */
+  case object Star extends E
+
+  /** Words that cannot start a bare reference (clause heads and literal
+    * keywords) — the parser stops cleanly at clause boundaries. */
+  private val reserved = Set("and", "or", "xor", "not", "in", "is", "null",
+    "true", "false", "case", "when", "then", "else", "end", "starts", "ends",
+    "contains", "as", "where", "yield", "over", "from", "to", "steps", "upto",
+    "reversely", "bidirect", "distinct", "order", "by", "limit", "skip",
+    "return", "match", "optional", "unwind", "with", "union", "intersect",
+    "minus", "asc", "desc", "sample", "offset")
+
+  val aggNames: Set[String] = Set("count", "sum", "avg", "min", "max", "std",
+    "collect", "collect_set")
+
+  /** True if the tree contains an aggregate call — drives the
+    * reference's implicit-grouping rule (AggregateExecutor.cpp:12-99):
+    * any aggregate in a YIELD/RETURN item makes every aggregate-free
+    * item a group key. */
+  def hasAgg(e: E): Boolean = e match {
+    case FnCall(n, args, _) => aggNames(n) || args.exists(hasAgg)
+    case Bin(_, a, b) => hasAgg(a) || hasAgg(b)
+    case Un(_, x) => hasAgg(x)
+    case CaseW(s, brs, els) =>
+      s.exists(hasAgg) || brs.exists(b => hasAgg(b._1) || hasAgg(b._2)) ||
+        els.exists(hasAgg)
+    case ListLit(items) => items.exists(hasAgg)
+    case _ => false
+  }
+
+  /** Collect every node matching a predicate (resolver planning: which
+    * $$-tags need a join, which vars are referenced, ...). */
+  def collect(e: E)(pf: PartialFunction[E, Unit]): Unit = {
+    pf.lift(e)
+    e match {
+      case FnCall(_, args, _) => args.foreach(collect(_)(pf))
+      case Bin(_, a, b) => collect(a)(pf); collect(b)(pf)
+      case Un(_, x) => collect(x)(pf)
+      case CaseW(s, brs, els) =>
+        s.foreach(collect(_)(pf))
+        brs.foreach { case (c, v) => collect(c)(pf); collect(v)(pf) }
+        els.foreach(collect(_)(pf))
+      case ListLit(items) => items.foreach(collect(_)(pf))
+      case _ => ()
+    }
+  }
+
+  /** Render the tree back to (approximate) source text — default column
+    * aliases, error messages. */
+  def text(e: E): String = e match {
+    case Lit(null) => "NULL"
+    case Lit(s: String) => "\"" + s + "\""
+    case Lit(v) => v.toString
+    case Ref(parts) => parts.mkString(".")
+    case Param("input", _, parts) => "$-." + parts.mkString(".")
+    case Param("var", n, parts) => "$" + (n +: parts).mkString(".")
+    case Param("src", _, parts) => ("$^" +: parts).mkString(".")
+    case Param("dst", _, parts) => ("$$" +: parts).mkString(".")
+    case Param(k, n, parts) => s"$$$k:$n." + parts.mkString(".")
+    case FnCall(n, args, d) =>
+      s"$n(${if (d) "distinct " else ""}${args.map(text).mkString(",")})"
+    case Bin(op, l, r) => s"(${text(l)} $op ${text(r)})"
+    case Un("neg", x) => s"-${text(x)}"
+    case Un("not", x) => s"!(${text(x)})"
+    case Un(op, x) => s"$op(${text(x)})"
+    case CaseW(_, _, _) => "CASE"
+    case ListLit(items) => items.map(text).mkString("[", ",", "]")
+    case Star => "*"
+  }
+
+  // ---------- parser ----------
+  def parse(p: P): E = orE(p)
+
+  /** Parse a standalone expression string (tests, library callers). */
+  def parseText(s: String): E = {
+    val p = new P(Gql.tokenize(s))
+    val e = orE(p)
+    require(p.ts.isEmpty, s"trailing tokens: ${p.ts.take(3)}")
+    e
+  }
+
+  private def orE(p: P): E = {
+    var l = andE(p)
+    var go = true
+    while (go) {
+      if (p.kw("OR") || p.sym("||")) l = Bin("or", l, andE(p))
+      else if (p.kw("XOR")) l = Bin("xor", l, andE(p))
+      else go = false
+    }
+    l
+  }
+
+  private def andE(p: P): E = {
+    var l = notE(p)
+    while (p.kw("AND") || p.sym("&&")) l = Bin("and", l, notE(p))
+    l
+  }
+
+  private def notE(p: P): E =
+    if (p.kw("NOT") || p.sym("!")) Un("not", notE(p)) else cmpE(p)
+
+  private val cmpOps = Set("==", "=", "!=", "<>", "<", "<=", ">", ">=")
+
+  private def cmpE(p: P): E = {
+    var l = addE(p)
+    var go = true
+    while (go) {
+      p.peek match {
+        case Some(Sym(op)) if cmpOps(op) =>
+          p.next(); l = Bin(if (op == "=") "==" else if (op == "<>") "!=" else op, l, addE(p))
+        case Some(Word(w)) if w.equalsIgnoreCase("STARTS") =>
+          p.next(); p.expectKw("WITH"); l = Bin("starts", l, addE(p))
+        case Some(Word(w)) if w.equalsIgnoreCase("ENDS") =>
+          p.next(); p.expectKw("WITH"); l = Bin("ends", l, addE(p))
+        case Some(Word(w)) if w.equalsIgnoreCase("CONTAINS") =>
+          p.next(); l = Bin("contains", l, addE(p))
+        case Some(Word(w)) if w.equalsIgnoreCase("IN") =>
+          p.next(); l = Bin("in", l, addE(p))
+        case Some(Word(w)) if w.equalsIgnoreCase("NOT") &&
+            p.peek2.exists { case Word(w2) => w2.equalsIgnoreCase("IN"); case _ => false } =>
+          p.next(); p.next(); l = Un("not", Bin("in", l, addE(p)))
+        case Some(Word(w)) if w.equalsIgnoreCase("IS") =>
+          p.next()
+          val not = p.kw("NOT")
+          // EMPTY folds to NULL in our value model (conftest relax
+          // comparison folds EMPTY/NULL the same way)
+          if (!p.kw("NULL")) p.expectKw("EMPTY")
+          l = Un(if (not) "isnotnull" else "isnull", l)
+        case _ => go = false
+      }
+    }
+    l
+  }
+
+  private def addE(p: P): E = {
+    var l = mulE(p)
+    var go = true
+    while (go) {
+      p.peek match {
+        case Some(Sym("+")) => p.next(); l = Bin("+", l, mulE(p))
+        case Some(Sym("-")) => p.next(); l = Bin("-", l, mulE(p))
+        case _ => go = false
+      }
+    }
+    l
+  }
+
+  private def mulE(p: P): E = {
+    var l = unE(p)
+    var go = true
+    while (go) {
+      p.peek match {
+        case Some(Sym("*")) => p.next(); l = Bin("*", l, unE(p))
+        case Some(Sym("/")) => p.next(); l = Bin("/", l, unE(p))
+        case Some(Sym("%")) => p.next(); l = Bin("%", l, unE(p))
+        case _ => go = false
+      }
+    }
+    l
+  }
+
+  private def unE(p: P): E = p.peek match {
+    case Some(Sym("-")) => p.next(); Un("neg", unE(p))
+    case Some(Sym("+")) => p.next(); unE(p)
+    case _ => atom(p)
+  }
+
+  private def atom(p: P): E = p.peek match {
+    case Some(Num(v, raw)) =>
+      p.next(); Lit(if (raw.contains('.')) v else v.toLong)
+    case Some(Str(s)) => p.next(); Lit(s)
+    case Some(Sym("(")) =>
+      p.next(); val e = parse(p); p.expectSym(")"); e
+    case Some(Sym("[")) =>
+      p.next()
+      val items = scala.collection.mutable.ListBuffer.empty[E]
+      if (!p.sym("]")) {
+        items += parse(p)
+        while (p.sym(",")) items += parse(p)
+        p.expectSym("]")
+      }
+      ListLit(items.toList)
+    case Some(Sym("*")) => p.next(); Star
+    case Some(Sym("$")) => p.next(); param(p)
+    case Some(Word(w)) if w.equalsIgnoreCase("true") => p.next(); Lit(true)
+    case Some(Word(w)) if w.equalsIgnoreCase("false") => p.next(); Lit(false)
+    case Some(Word(w)) if w.equalsIgnoreCase("null") ||
+        w.equalsIgnoreCase("empty") => p.next(); Lit(null)
+    case Some(Word(w)) if w.equalsIgnoreCase("case") => p.next(); caseE(p)
+    case Some(Word(w)) if p.peek2.contains(Sym("(")) =>
+      p.next(); p.next() // name (
+      val distinct = p.kw("DISTINCT")
+      val args = scala.collection.mutable.ListBuffer.empty[E]
+      if (!p.sym(")")) {
+        args += parse(p)
+        while (p.sym(",")) args += parse(p)
+        p.expectSym(")")
+      }
+      FnCall(w.toLowerCase, args.toList, distinct)
+    case Some(Word(w)) if !reserved(w.toLowerCase) =>
+      p.next()
+      val parts = scala.collection.mutable.ListBuffer(w)
+      while (p.peek.contains(Sym(".")) && parts.size < 3 &&
+          p.peek2.exists(_.isInstanceOf[Word])) {
+        p.next(); parts += p.word()
+      }
+      Ref(parts.toList)
+    case t => throw new IllegalArgumentException(s"bad expression at $t")
+  }
+
+  /** After a consumed `$`: $$ (dst), $^ (src), $- (pipe input), $var. */
+  private def param(p: P): E = p.peek match {
+    case Some(Sym("$")) =>
+      p.next()
+      Param("dst", "", dottedTail(p))
+    case Some(Sym("^")) =>
+      p.next()
+      Param("src", "", dottedTail(p))
+    case Some(Sym("-")) =>
+      p.next(); p.expectSym(".")
+      Param("input", "", List(p.word()))
+    case Some(Word(name)) =>
+      p.next()
+      Param("var", name, dottedTail(p))
+    case t => throw new IllegalArgumentException(s"bad $$-ref at $t")
+  }
+
+  private def dottedTail(p: P): List[String] = {
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+    while (p.peek.contains(Sym(".")) && parts.size < 2 &&
+        p.peek2.exists(_.isInstanceOf[Word])) {
+      p.next(); parts += p.word()
+    }
+    parts.toList
+  }
+
+  private def caseE(p: P): E = {
+    val subject =
+      if (p.peek.exists { case Word(w) => w.equalsIgnoreCase("WHEN"); case _ => false }) None
+      else Some(parse(p))
+    val branches = scala.collection.mutable.ListBuffer.empty[(E, E)]
+    while (p.kw("WHEN")) {
+      val c = parse(p); p.expectKw("THEN"); branches += (c -> parse(p))
+    }
+    require(branches.nonEmpty, "CASE needs at least one WHEN")
+    val els = if (p.kw("ELSE")) Some(parse(p)) else None
+    p.expectKw("END")
+    CaseW(subject, branches.toList, els)
+  }
+
+  // ---------- compiler ----------
+  /** Domain resolver: tried first on every node; return None to fall
+    * through to the generic compilation. */
+  type Resolver = E => Option[Column]
+  val noResolver: Resolver = _ => None
+
+  def compile(e: E, r: Resolver): Column = {
+    def c(e: E): Column = r(e).getOrElse(e match {
+      case Lit(null) => lit(null)
+      case Lit(v) => lit(v)
+      case Ref(one :: Nil) => col(one)
+      case Bin("and", a, b) => c(a) && c(b)
+      case Bin("or", a, b) => c(a) || c(b)
+      case Bin("xor", a, b) => c(a) =!= c(b)
+      case Bin("==", a, b) => c(a) === c(b)
+      case Bin("!=", a, b) => c(a) =!= c(b)
+      case Bin("<", a, b) => c(a) < c(b)
+      case Bin("<=", a, b) => c(a) <= c(b)
+      case Bin(">", a, b) => c(a) > c(b)
+      case Bin(">=", a, b) => c(a) >= c(b)
+      // `+` on a string literal operand is concatenation (the
+      // reference's Arithmetic + on strings, ArithmeticExpression.cpp)
+      case Bin("+", a, b) if isStr(a) || isStr(b) => concat(c(a), c(b))
+      case Bin("+", a, b) => c(a) + c(b)
+      case Bin("-", a, b) => c(a) - c(b)
+      case Bin("*", a, b) => c(a) * c(b)
+      case Bin("/", a, b) => c(a) / c(b)
+      case Bin("%", a, b) => c(a) % c(b)
+      case Bin("starts", a, b) => c(a).startsWith(c(b))
+      case Bin("ends", a, b) => c(a).endsWith(c(b))
+      case Bin("contains", a, b) => c(a).contains(c(b))
+      case Bin("in", a, ListLit(items)) if items.forall(_.isInstanceOf[Lit]) =>
+        c(a).isin(items.collect { case Lit(v) => v }: _*)
+      case Bin("in", a, b) => array_contains(c(b), c(a))
+      case Un("not", x) => !c(x)
+      case Un("neg", x) => negate(c(x))
+      case Un("isnull", x) => c(x).isNull
+      case Un("isnotnull", x) => c(x).isNotNull
+      case CaseW(None, branches, els) =>
+        val base = branches.tail.foldLeft(when(c(branches.head._1), c(branches.head._2))) {
+          case (acc, (cond, v)) => acc.when(c(cond), c(v))
+        }
+        els.map(e2 => base.otherwise(c(e2))).getOrElse(base)
+      case CaseW(Some(subj), branches, els) =>
+        val s = c(subj)
+        val base = branches.tail.foldLeft(when(s === c(branches.head._1), c(branches.head._2))) {
+          case (acc, (cond, v)) => acc.when(s === c(cond), c(v))
+        }
+        els.map(e2 => base.otherwise(c(e2))).getOrElse(base)
+      case ListLit(items) => array(items.map(c): _*)
+      case FnCall(name, args, distinct) => fnCol(name, args, distinct, c)
+      case other =>
+        throw new IllegalArgumentException(s"unresolvable expression ${text(other)}")
+    })
+    c(e)
+  }
+
+  private def isStr(e: E): Boolean = e match {
+    case Lit(_: String) => true
+    case Bin("+", a, b) => isStr(a) || isStr(b)
+    case _ => false
+  }
+
+  /** Generic function → Spark Column. Domain functions (id, type,
+    * properties, src/dst/rank over graph values) are expected to be
+    * intercepted by the resolver; what remains is the portable scalar /
+    * aggregate library (reference src/common/function/FunctionManager
+    * .cpp builtins). */
+  private def fnCol(name: String, args: List[E], distinct: Boolean,
+                    c: E => Column): Column = {
+    def a(i: Int): Column = c(args(i))
+    lazy val cs = args.map(c)
+    name match {
+      // aggregates (pipe YIELD / RETURN implicit grouping)
+      case "count" if args.isEmpty || args == List(Star) =>
+        if (distinct) throw new IllegalArgumentException("count(distinct *)")
+        else count(lit(1))
+      case "count" => if (distinct) count_distinct(a(0)) else count(a(0))
+      case "sum" => if (distinct) sum_distinct(a(0)) else sum(a(0))
+      case "avg" => avg(a(0))
+      case "min" => min(a(0))
+      case "max" => max(a(0))
+      case "std" => stddev_pop(a(0))
+      case "collect" => collect_list(a(0))
+      case "collect_set" => collect_set(a(0))
+      // math
+      case "abs" => abs(a(0))
+      case "floor" => floor(a(0))
+      case "ceil" | "ceiling" => ceil(a(0))
+      case "round" if args.size == 2 => round(a(0), args(1) match {
+        case Lit(n: Long) => n.toInt
+        case other => throw new IllegalArgumentException(s"round scale ${text(other)}")
+      })
+      case "round" => round(a(0))
+      case "sqrt" => sqrt(a(0))
+      case "cbrt" => cbrt(a(0))
+      case "exp" => exp(a(0))
+      case "exp2" => pow(lit(2.0), a(0))
+      case "log" => log(a(0))
+      case "log2" => log2(a(0))
+      case "log10" => log10(a(0))
+      case "pow" => pow(a(0), a(1))
+      case "sign" => signum(a(0))
+      case "sin" => sin(a(0)); case "cos" => cos(a(0)); case "tan" => tan(a(0))
+      case "asin" => asin(a(0)); case "acos" => acos(a(0)); case "atan" => atan(a(0))
+      case "e" => lit(math.E)
+      case "pi" => lit(math.Pi)
+      case "bit_and" => a(0).bitwiseAND(a(1))
+      case "bit_or" => a(0).bitwiseOR(a(1))
+      case "bit_xor" => a(0).bitwiseXOR(a(1))
+      // string
+      case "lower" | "tolower" => lower(a(0))
+      case "upper" | "toupper" => upper(a(0))
+      case "length" => length(a(0))
+      case "trim" => trim(a(0))
+      case "ltrim" => ltrim(a(0))
+      case "rtrim" => rtrim(a(0))
+      case "left" => substring(a(0), 1, intArg(args, 1))
+      case "right" => a(0).substr(length(a(0)) - intArg(args, 1) + 1, lit(intArg(args, 1)))
+      case "replace" => regexp_replace(a(0), java.util.regex.Pattern.quote(strArg(args, 1)), strArg(args, 2))
+      case "reverse" => reverse(a(0))
+      case "split" => split(a(0), java.util.regex.Pattern.quote(strArg(args, 1)))
+      case "substr" | "substring" =>
+        // reference substr is 0-based start (FunctionManager.cpp substr)
+        if (args.size == 3) a(0).substr(a(1) + lit(1), a(2))
+        else a(0).substr(a(1) + lit(1), length(a(0)))
+      case "concat" => concat(cs: _*)
+      case "concat_ws" => concat_ws(strArg(args, 0), cs.tail: _*)
+      case "md5" => md5(a(0).cast("string"))
+      case "sha1" => sha1(a(0).cast("string"))
+      // casts (openCypher to*)
+      case "toboolean" => a(0).cast("boolean")
+      case "tofloat" => a(0).cast("double")
+      case "tointeger" => a(0).cast("long")
+      case "tostring" => a(0).cast("string")
+      // collections
+      case "size" => size(a(0))
+      case "head" => element_at(a(0), 1)
+      case "last" => element_at(a(0), -1)
+      case "range" =>
+        if (args.size == 3) sequence(a(0), a(1), a(2)) else sequence(a(0), a(1))
+      case "coalesce" => coalesce(cs: _*)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported function $other")
+    }
+  }
+
+  private def intArg(args: List[E], i: Int): Int = args(i) match {
+    case Lit(n: Long) => n.toInt
+    case other => throw new IllegalArgumentException(s"expected int arg, got ${text(other)}")
+  }
+
+  private def strArg(args: List[E], i: Int): String = args(i) match {
+    case Lit(s: String) => s
+    case other => throw new IllegalArgumentException(s"expected string arg, got ${text(other)}")
+  }
+}

@@ -1,28 +1,40 @@
 package graft.nql
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.graph.GraphCatalog
 import graft.algo.PathFinder
 import graft.traverse.Traverse
 import graft.traverse.Traverse.{Both, Direction, In, Out}
 
-/** nGQL sentence front door (SURVEY.md §3 entry points 2/3 + FETCH /
-  * FIND PATH / GET SUBGRAPH; reference grammar src/parser/parser.yy:
-  * GO :1424, LOOKUP :2201, FETCH :2312, FIND PATH :2317, GET SUBGRAPH
-  * :2426). A hand-rolled recursive-descent parser over a small token
-  * stream — no parser-generator dependency — compiling straight onto
-  * the Traverse/PathFinder/GraphModel operators, so every sentence
-  * inherits their scale posture (materialized frontiers, pushdown,
-  * broadcast seeds).
+/** nGQL sentence front door (SURVEY.md §3 entry points 2/3; reference
+  * grammar src/parser/parser.yy: GO :1424, LOOKUP :2201, FETCH :2312,
+  * FIND PATH :2317, GET SUBGRAPH :2426, set sentences :3031-3045,
+  * assignment :3040). A hand-rolled recursive-descent parser over a
+  * small token stream — no parser-generator dependency — compiling
+  * straight onto the Traverse/PathFinder/GraphModel operators, so every
+  * sentence inherits their scale posture (materialized frontiers,
+  * pushdown, gated broadcasts).
   *
-  * Supported subset:
-  *   GO [m [TO n] STEPS] FROM <vid,...> OVER <etype|*>
-  *      [REVERSELY|BIDIRECT] [YIELD col [AS a], ...]
-  *   LOOKUP ON <tag> [WHERE <prop> <op> <lit>] [YIELD col, ...]
-  *   FETCH PROP ON <tag> <vid,...>
-  *   FIND {SHORTEST|ALL} PATH FROM <vid,...> TO <vid,...> [UPTO n STEPS]
-  *   GET SUBGRAPH [n STEPS] FROM <vid,...>
+  * Supported surface:
+  *   GO [m [TO n] STEPS] FROM <vids|$-.col|$var.col> OVER <e1[,e2..]|*>
+  *      [REVERSELY|BIDIRECT] [WHERE <bool-expr>] [YIELD [DISTINCT] items]
+  *   LOOKUP ON <tag|etype> [WHERE <bool-expr>] [YIELD [DISTINCT] items]
+  *   FETCH PROP ON <tag> <vids> [YIELD items]
+  *   FETCH PROP ON <etype> "s" -> "d" [@rank], ... [YIELD items]
+  *   FIND {SHORTEST|ALL|NOLOOP} PATH FROM <vids> TO <vids>
+  *      [OVER <e1[,e2..]|*>] [REVERSELY|BIDIRECT] [UPTO n STEPS]
+  *   GET SUBGRAPH [WITH PROP] [n STEPS] FROM <vids> [IN|OUT|BOTH e1,..]
+  *      [YIELD VERTICES AS v [, EDGES AS e]]
+  *   UNWIND <list-expr> AS <name>
+  *   YIELD [DISTINCT] items [WHERE <bool-expr>]
+  *   <sentence> | <pipe>...    (pipes: GO FROM $-.col, YIELD, ORDER BY,
+  *                              LIMIT [off,]n, GROUP BY..YIELD)
+  *   <piped> UNION [ALL] | INTERSECT | MINUS <piped>
+  *   $var = <sentence>; <sentence using $var>    (script form)
+  *
+  * WHERE/YIELD item expressions are full boolean/arithmetic trees with
+  * functions — see [[Expr]].
   */
 object Gql {
 
@@ -40,104 +52,189 @@ object Gql {
       val c = q(i)
       if (c.isWhitespace) i += 1
       else if (c == '"' || c == '\'') {
-        val end = q.indexOf(c, i + 1)
-        require(end > 0, s"unterminated string at $i")
-        out += Str(q.substring(i + 1, end)); i = end + 1
+        val sb = new StringBuilder
+        var j = i + 1
+        var closed = false
+        while (j < q.length && !closed) {
+          val ch = q(j)
+          if (ch == '\\' && j + 1 < q.length) {
+            sb.append(q(j + 1) match {
+              case 'n' => '\n'; case 't' => '\t'; case other => other
+            }); j += 2
+          } else if (ch == c) { closed = true; j += 1 }
+          else { sb.append(ch); j += 1 }
+        }
+        require(closed, s"unterminated string at $i")
+        out += Str(sb.toString); i = j
       } else if (c.isDigit) {
         val j = q.indexWhere(ch => !(ch.isDigit || ch == '.'), i)
         val end = if (j < 0) q.length else j
         val raw = q.substring(i, end)
-        out += Num(raw.toDouble, raw); i = end
+        // `1..3` range syntax: the digits bind, the dots stay symbols
+        if (raw.contains("..")) {
+          val digits = raw.takeWhile(_.isDigit)
+          out += Num(digits.toDouble, digits); i += digits.length
+        } else { out += Num(raw.toDouble, raw); i = end }
       } else if (c.isLetter || c == '_') {
         val j = q.indexWhere(ch => !(ch.isLetterOrDigit || ch == '_'), i)
         val end = if (j < 0) q.length else j
         out += Word(q.substring(i, end)); i = end
+      } else if ((c == '&' || c == '|') && i + 1 < q.length && q(i + 1) == c) {
+        out += Sym(s"$c$c"); i += 2
       } else if ("<>=!".contains(c) && i + 1 < q.length && q(i + 1) == '=') {
         out += Sym(q.substring(i, i + 2)); i += 2
+      } else if (c == '<' && i + 1 < q.length && q(i + 1) == '>') {
+        out += Sym("<>"); i += 2
       } else { out += Sym(c.toString); i += 1 }
     }
     out.toList
   }
 
-  // ---------- AST ----------
-  sealed trait Stmt
-  /** Pipe stages applied to the head sentence's output (`|`). */
-  sealed trait Pipe
-  /** YIELD [DISTINCT] items; any aggregate item triggers the
-    * reference's IMPLICIT GROUPING: every non-aggregate item becomes a
-    * group key (AggregateExecutor.cpp:12-99). */
-  case class PYield(items: Seq[YieldItem], distinct: Boolean) extends Pipe
-  case class POrderBy(col: String, desc: Boolean) extends Pipe
-  case class PLimit(n: Int) extends Pipe
-  case class YieldItem(agg: Option[String], col: String, alias: String)
-  case class Piped(head: Stmt, pipes: Seq[Pipe]) extends Stmt
-  /** One GO yield item. kind ∈ col | eprop | edst | esrc | dstprop |
-    * srcprop | iddst | idsrc (the $$/$^/id()/edge-prop reference forms,
-    * Expression.h:66-76). */
-  case class YExpr(kind: String, etype: String, tag: String, prop: String,
-                   alias: String)
-  /** GO WHERE: single comparison; lhs either an edge prop or a literal
-    * (constant conditions like `1 > 0` fold driver-side). */
-  case class GoWhere(eprop: Option[(String, String)], lhs: Option[Any],
-                     op: String, rhs: Any)
-  case class Go(m: Int, n: Int, seeds: Seq[String], etype: String,
-                dir: Direction, yields: Seq[YExpr], distinct: Boolean,
-                where: Option[GoWhere],
-                seedsCol: Option[String] = None) extends Stmt
-  /** A chained GO consuming the previous stage ($-.col seeds). */
-  case class PGo(go: Go) extends Pipe
-  /** LOOKUP WHERE: optionally tag-qualified prop comparison. */
-  case class LkWhere(tag: Option[String], prop: String, op: String, lit: Any)
-  case class Lookup(tag: String, where: Option[LkWhere],
-                    yields: Seq[YExpr], distinct: Boolean) extends Stmt
-  case class Fetch(tag: String, vids: Seq[String], yields: Seq[YExpr],
-                   distinct: Boolean) extends Stmt
-  case class FindPath(shortest: Boolean, srcs: Seq[String], dsts: Seq[String],
-                      upto: Int) extends Stmt
-  case class Subgraph(steps: Int, seeds: Seq[String]) extends Stmt
-
-  // ---------- parser ----------
-  private class P(var ts: List[Tok]) {
+  // ---------- token cursor ----------
+  private[nql] class P(var ts: List[Tok]) {
     def peek: Option[Tok] = ts.headOption
+    def peek2: Option[Tok] = ts.drop(1).headOption
     def next(): Tok = { val h = ts.head; ts = ts.tail; h }
     def kw(s: String): Boolean = ts.headOption match {
       case Some(Word(w)) if w.equalsIgnoreCase(s) => ts = ts.tail; true
       case _ => false
     }
+    def kwPeek(s: String): Boolean = ts.headOption match {
+      case Some(Word(w)) => w.equalsIgnoreCase(s)
+      case _ => false
+    }
     def expectKw(s: String): Unit =
       require(kw(s), s"expected $s at ${ts.take(3)}")
+    def sym(s: String): Boolean = ts.headOption match {
+      case Some(Sym(x)) if x == s => ts = ts.tail; true
+      case _ => false
+    }
+    def expectSym(s: String): Unit =
+      require(sym(s), s"expected $s at ${ts.take(3)}")
     def word(): String = next() match {
       case Word(w) => w
       case t => throw new IllegalArgumentException(s"expected word, got $t")
     }
-    def stringList(): Seq[String] = {
-      val out = scala.collection.mutable.ListBuffer.empty[String]
+    def intLit(): Int = next() match {
+      case Num(v, _) => v.toInt
+      case t => throw new IllegalArgumentException(s"expected int, got $t")
+    }
+    /** Comma list of vids — string or int (int-vid spaces). */
+    def vidList(): Seq[Any] = {
+      val out = scala.collection.mutable.ListBuffer.empty[Any]
       var go = true
       while (go) {
         next() match {
           case Str(s) => out += s
+          case Num(v, _) => out += v.toLong
+          case Sym("-") => out += -intLit().toLong
           case t => throw new IllegalArgumentException(s"expected vid, got $t")
         }
         if (peek.contains(Sym(","))) next() else go = false
       }
       out.toSeq
     }
-    def intLit(): Int = next() match {
-      case Num(v, _) => v.toInt
-      case t => throw new IllegalArgumentException(s"expected int, got $t")
-    }
   }
 
-  private val aggNames = Set("count", "sum", "avg", "min", "max",
-    "std", "collect", "collect_set")
+  // ---------- AST ----------
+  sealed trait Stmt
+  case class Item(e: Expr.E, alias: String)
+  sealed trait Pipe
+  case class PYield(items: Seq[Item], distinct: Boolean,
+                    where: Option[Expr.E]) extends Pipe
+  /** Explicit `GROUP BY keys YIELD items`: one output row per key
+    * group even when no item aggregates (GroupByValidator.cpp). */
+  case class PGroup(keys: Seq[Expr.E], items: Seq[Item],
+                    distinct: Boolean) extends Pipe
+  case class POrderBy(keys: Seq[(Expr.E, Boolean)]) extends Pipe
+  case class PLimit(offset: Int, n: Int) extends Pipe
+  case class PGo(go: Go) extends Pipe
+  /** Piped FETCH seeded from $-.col (Output.feature). */
+  case class PFetch(f: Stmt) extends Pipe
+  case class Piped(head: Stmt, pipes: Seq[Pipe]) extends Stmt
+  /** UNION [ALL] / INTERSECT / MINUS over piped sentences
+    * (parser.yy:3031-3045). */
+  case class SetOp(op: String, all: Boolean, l: Stmt, r: Stmt) extends Stmt
 
+  case class Go(m: Int, n: Int, seeds: Seq[Any], seedsCol: Option[String],
+                seedsVar: Option[(String, String)], etypes: Seq[String],
+                dir: Direction, where: Option[Expr.E],
+                yields: Option[Seq[Item]], distinct: Boolean) extends Stmt
+  case class Lookup(tag: String, where: Option[Expr.E], yields: Seq[Item],
+                    distinct: Boolean) extends Stmt
+  /** Input ref for FETCH seeds: $-.col (pipe) or $var.col. */
+  case class InRef(varName: Option[String], colName: String)
+  case class Fetch(tag: String, vids: Seq[Any], vidsRef: Option[InRef],
+                   yields: Seq[Item], distinct: Boolean) extends Stmt
+  /** FETCH PROP ON <etype> "src" -> "dst" [@rank] (parser.yy:2312),
+    * or ref form `$-.src->$-.dst`. */
+  case class FetchEdge(etype: String, keys: Seq[(Any, Any, Option[Long])],
+                       keysRef: Option[(InRef, InRef)],
+                       yields: Seq[Item], distinct: Boolean) extends Stmt
+  /** mode ∈ shortest | all | noloop. */
+  case class FindPath(mode: String, srcs: Seq[Any], dsts: Seq[Any],
+                      etypes: Seq[String], dir: Direction, upto: Int) extends Stmt
+  case class Subgraph(steps: Int, seeds: Seq[Any], etypes: Seq[String],
+                      dir: Direction, yieldEdges: Boolean) extends Stmt
+  case class YieldStmt(items: Seq[Item], distinct: Boolean,
+                       where: Option[Expr.E]) extends Stmt
+  case class Unwind(e: Expr.E, alias: String) extends Stmt
+
+  // ---------- parser ----------
+  /** Parse a single statement (no trailing tokens allowed). */
   def parse(q: String): Stmt = {
     val p = new P(tokenize(q))
+    val s = parseSet(p)
+    require(p.ts.isEmpty, s"trailing tokens: ${p.ts.take(3)}")
+    s
+  }
+
+  /** Parse a `;`-separated script with optional `$var =` assignments;
+    * returns (varName?, stmt) in order. */
+  def parseScript(q: String): Seq[(Option[String], Stmt)] = {
+    val p = new P(tokenize(q))
+    val out = scala.collection.mutable.ListBuffer.empty[(Option[String], Stmt)]
+    var go = true
+    while (go) {
+      val varName =
+        if (p.peek.contains(Sym("$")) &&
+            p.peek2.exists(_.isInstanceOf[Word])) {
+          // lookahead for `$name =` (not $var.col used as a sentence)
+          p.ts.drop(2).headOption match {
+            case Some(Sym("=")) =>
+              p.next(); val n = p.word(); p.next(); Some(n)
+            case _ => None
+          }
+        } else None
+      out += (varName -> parseSet(p))
+      if (p.sym(";")) { if (p.ts.isEmpty) go = false } else {
+        require(p.ts.isEmpty, s"trailing tokens: ${p.ts.take(3)}")
+        go = false
+      }
+    }
+    out.toSeq
+  }
+
+  private def parseSet(p: P): Stmt = {
+    var l = parsePiped(p)
+    var go = true
+    while (go) {
+      if (p.kw("UNION")) {
+        val all = p.kw("ALL") || { p.kw("DISTINCT"); false }
+        l = SetOp("union", all, l, parsePiped(p))
+      } else if (p.kw("INTERSECT")) l = SetOp("intersect", false, l, parsePiped(p))
+      else if (p.kw("MINUS")) l = SetOp("minus", false, l, parsePiped(p))
+      else go = false
+    }
+    l
+  }
+
+  private def parsePiped(p: P): Stmt = {
     val head = parseSentence(p)
     val pipes = scala.collection.mutable.ListBuffer.empty[Pipe]
     while (p.peek.contains(Sym("|"))) {
       p.next()
-      if (p.peek.exists { case Word(w) => w.equalsIgnoreCase("GO"); case _ => false }) {
+      if (p.kwPeek("GO")) {
         parseSentence(p) match {
           case g2: Go =>
             require(g2.seedsCol.isDefined, "piped GO must seed FROM $-.col")
@@ -145,152 +242,67 @@ object Gql {
           case other =>
             throw new IllegalArgumentException(s"bad piped sentence $other")
         }
+      } else if (p.kwPeek("FETCH")) {
+        parseSentence(p) match {
+          case f: Fetch if f.vidsRef.exists(_.varName.isEmpty) =>
+            pipes += PFetch(f)
+          case fe: FetchEdge if fe.keysRef.exists(_._1.varName.isEmpty) =>
+            pipes += PFetch(fe)
+          case _ =>
+            throw new IllegalArgumentException("piped FETCH must seed from $-.")
+        }
       } else if (p.kw("YIELD")) {
         val distinct = p.kw("DISTINCT")
-        val items = scala.collection.mutable.ListBuffer.empty[YieldItem]
-        def pipeCol(): String = {
-          // optional $-. prefix: the pipe input's column namespace
-          if (p.peek.contains(Sym("$"))) {
-            p.next()
-            require(p.next() == Sym("-"), "expected $-")
-            require(p.next() == Sym("."), "expected . after $-")
-          }
-          p.word()
-        }
-        var go = true
-        while (go) {
-          val w = pipeCol()
-          val item = if (p.peek.contains(Sym("(")) && aggNames(w.toLowerCase)) {
-            p.next() // (
-            val c = p.peek match {
-              case Some(Sym("*")) => p.next(); "*"
-              case Some(Sym("$")) =>
-                p.next()
-                require(p.next() == Sym("-"), "expected $-")
-                require(p.next() == Sym("."), "expected . after $-")
-                p.word()
-              case _ => p.word()
-            }
-            require(p.next() == Sym(")"), "expected )")
-            val a = if (p.kw("AS")) p.word() else s"${w.toLowerCase}($c)"
-            YieldItem(Some(w.toLowerCase), c, a)
-          } else {
-            val a = if (p.kw("AS")) p.word() else w
-            YieldItem(None, w, a)
-          }
-          items += item
-          if (p.peek.contains(Sym(","))) p.next() else go = false
-        }
-        pipes += PYield(items.toSeq, distinct)
+        val items = parseItems(p)
+        val where = if (p.kw("WHERE")) Some(Expr.parse(p)) else None
+        pipes += PYield(items, distinct, where)
+      } else if (p.kw("GROUP")) {
+        p.expectKw("BY")
+        val keys = scala.collection.mutable.ListBuffer(Expr.parse(p))
+        while (p.sym(",")) keys += Expr.parse(p)
+        p.expectKw("YIELD")
+        val distinct = p.kw("DISTINCT")
+        pipes += PGroup(keys.toSeq, parseItems(p), distinct)
       } else if (p.kw("ORDER")) {
         p.expectKw("BY")
-        if (p.peek.contains(Sym("$"))) {
-          p.next()
-          require(p.next() == Sym("-"), "expected $-")
-          require(p.next() == Sym("."), "expected . after $-")
+        val keys = scala.collection.mutable.ListBuffer.empty[(Expr.E, Boolean)]
+        var go2 = true
+        while (go2) {
+          val e = Expr.parse(p)
+          val desc = if (p.kw("DESC")) true else { p.kw("ASC"); false }
+          keys += (e -> desc)
+          if (p.sym(",")) () else go2 = false
         }
-        val c = p.word()
-        val desc = if (p.kw("DESC")) true else { p.kw("ASC"); false }
-        pipes += POrderBy(c, desc)
+        pipes += POrderBy(keys.toSeq)
       } else if (p.kw("LIMIT")) {
-        pipes += PLimit(p.intLit())
+        val a = p.intLit()
+        if (p.sym(",")) pipes += PLimit(a, p.intLit())
+        else pipes += PLimit(0, a)
+      } else if (p.kw("OFFSET")) {
+        pipes += PLimit(p.intLit(), Int.MaxValue)
       } else throw new IllegalArgumentException(s"bad pipe at ${p.ts.take(3)}")
     }
-    require(p.ts.isEmpty, s"trailing tokens: ${p.ts.take(3)}")
     if (pipes.isEmpty) head else Piped(head, pipes.toSeq)
   }
 
-
-  /** Parse one GO yield operand: plain col, edge.prop / edge._dst /
-    * edge._src, $$.tag.prop, $^.tag.prop, id($$) / id($^). */
-  private def goYieldExpr(p: P): YExpr = {
-    p.peek match {
-      case Some(Sym("$")) =>
-        p.next()
-        val dstSide = p.next() match {
-          case Sym("$") => true
-          case Sym("^") => false
-          case t => throw new IllegalArgumentException(s"bad ref $t")
-        }
-        require(p.next() == Sym("."), "expected . after $$/$^")
-        val tag = p.word()
-        require(p.next() == Sym("."), "expected . after tag")
-        val prop = p.word()
-        val raw = (if (dstSide) "$$." else "$^.") + tag + "." + prop
-        YExpr(if (dstSide) "dstprop" else "srcprop", "", tag, prop, raw)
-      case Some(Word("id")) if p.ts.drop(1).headOption.contains(Sym("(")) =>
-        p.next(); p.next()
-        p.peek match {
-          case Some(Word(w)) if w.equalsIgnoreCase("vertex") =>
-            // id(vertex) — LOOKUP/FETCH vid ref
-            p.next()
-            require(p.next() == Sym(")"), "expected )")
-            YExpr("col", "", "", "vid", "id(vertex)")
-          case _ =>
-            require(p.next() == Sym("$"), "expected $ in id()")
-            val dstSide = p.next() match {
-              case Sym("$") => true
-              case Sym("^") => false
-              case t => throw new IllegalArgumentException(s"bad id ref $t")
-            }
-            require(p.next() == Sym(")"), "expected )")
-            YExpr(if (dstSide) "iddst" else "idsrc", "", "", "",
-              if (dstSide) "id($$)" else "id($^)")
-        }
-      case Some(Word(fn)) if Set("src", "dst", "rank")(fn.toLowerCase) &&
-          p.ts.drop(1).headOption.contains(Sym("(")) =>
-        // src(edge)/dst(edge)/rank(edge) — edge LOOKUP refs
-        val f = fn.toLowerCase
-        p.next(); p.next()
-        val inner = p.word()
-        require(inner.equalsIgnoreCase("edge"), s"expected edge in $f()")
-        require(p.next() == Sym(")"), "expected )")
-        YExpr("col", "", "", f, s"$f(edge)")
-      case _ =>
-        val w = p.word()
-        if (p.peek.contains(Sym("."))) {
-          p.next()
-          val prop = p.word()
-          val raw = w + "." + prop
-          prop match {
-            case "_dst" => YExpr("edst", w, "", "", raw)
-            case "_src" => YExpr("esrc", w, "", "", raw)
-            case pr => YExpr("eprop", w, "", pr, raw)
-          }
-        } else YExpr("col", "", "", w, w)
-    }
-  }
-
-  private def goYields(p: P): Seq[YExpr] = {
-    val out = scala.collection.mutable.ListBuffer.empty[YExpr]
+  private def parseItems(p: P): Seq[Item] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Item]
     var go = true
     while (go) {
-      val e = goYieldExpr(p)
-      out += (if (p.kw("AS")) e.copy(alias = p.word()) else e)
-      if (p.peek.contains(Sym(","))) { p.next() } else go = false
+      val e = Expr.parse(p)
+      val alias = if (p.kw("AS")) p.word() else Expr.text(e)
+      out += Item(e, alias)
+      if (p.sym(",")) () else go = false
     }
     out.toSeq
   }
 
-  private def goWhere(p: P): GoWhere = {
-    def operand(): Either[(String, String), Any] = p.next() match {
-      case Num(v, raw) => Right(if (raw.contains('.')) v else v.toLong)
-      case Str(sv) => Right(sv)
-      case Word(w) =>
-        require(p.next() == Sym("."), "expected . in where prop")
-        Left(w -> p.word())
-      case t => throw new IllegalArgumentException(s"bad where operand $t")
-    }
-    val l = operand()
-    val op = p.next() match {
-      case Sym(sy) if Set(">", "<", ">=", "<=", "==", "=", "!=")(sy) => sy
-      case t => throw new IllegalArgumentException(s"bad operator $t")
-    }
-    val r = operand()
-    (l, r) match {
-      case (Left(ep), Right(lit)) => GoWhere(Some(ep), None, op, lit)
-      case (Right(a), Right(b)) => GoWhere(None, Some(a), op, b)
-      case _ => throw new IllegalArgumentException("unsupported WHERE shape")
+  private def parseEtypes(p: P): Seq[String] = {
+    if (p.sym("*")) Seq("*")
+    else {
+      val out = scala.collection.mutable.ListBuffer(p.word())
+      while (p.sym(",")) out += p.word()
+      out.toSeq
     }
   }
 
@@ -304,147 +316,425 @@ object Gql {
         case _ => (1, 1)
       }
       p.expectKw("FROM")
-      val (seeds, seedsCol) = p.peek match {
+      val (seeds, seedsCol, seedsVar) = p.peek match {
         case Some(Sym("$")) =>
           p.next()
-          require(p.next() == Sym("-"), "expected $- seed ref")
-          require(p.next() == Sym("."), "expected . after $-")
-          (Seq.empty[String], Some(p.word()))
-        case _ => (p.stringList(), None)
+          p.peek match {
+            case Some(Sym("-")) =>
+              p.next(); p.expectSym(".")
+              (Seq.empty[Any], Some(p.word()), None)
+            case Some(Word(v)) =>
+              p.next(); p.expectSym(".")
+              (Seq.empty[Any], None, Some(v -> p.word()))
+            case t => throw new IllegalArgumentException(s"bad seed ref $t")
+          }
+        case _ => (p.vidList(), None, None)
       }
       p.expectKw("OVER")
-      val etype = p.next() match {
-        case Word(w) => w
-        case Sym("*") => "*"
-        case t => throw new IllegalArgumentException(s"bad edge type $t")
-      }
+      val etypes = parseEtypes(p)
       val dir = if (p.kw("REVERSELY")) In
         else if (p.kw("BIDIRECT")) Both else Out
-      val where = if (p.kw("WHERE")) Some(goWhere(p)) else None
+      val where = if (p.kw("WHERE")) Some(Expr.parse(p)) else None
       val (ys, dist) = if (p.kw("YIELD")) {
         val d = p.kw("DISTINCT")
-        (goYields(p), d)
-      } else (Seq(YExpr("col", "", "", "origin", "origin"),
-        YExpr("col", "", "", "vid", "vid"),
-        YExpr("col", "", "", "step", "step")), false)
-      Go(m, n, seeds, etype, dir, ys, dist, where, seedsCol)
+        (Some(parseItems(p)), d)
+      } else (None, false)
+      Go(m, n, seeds, seedsCol, seedsVar, etypes, dir, where, ys, dist)
     } else if (p.kw("LOOKUP")) {
       p.expectKw("ON")
       val tag = p.word()
-      val where = if (p.kw("WHERE")) {
-        val w0 = p.word()
-        val (qual, prop) =
-          if (p.peek.contains(Sym("."))) { p.next(); (Some(w0), p.word()) }
-          else (None, w0)
-        val op = p.next() match {
-          case Sym(s) if Set(">", "<", ">=", "<=", "==", "=", "!=")(s) => s
-          case t => throw new IllegalArgumentException(s"bad operator $t")
-        }
-        val lit: Any = p.next() match {
-          case Num(v, raw) => if (raw.contains('.')) v else v.toLong
-          case Str(s) => s
-          case Word(b) if b.equalsIgnoreCase("true") => true
-          case Word(b) if b.equalsIgnoreCase("false") => false
-          case t => throw new IllegalArgumentException(s"bad literal $t")
-        }
-        Some(LkWhere(qual, prop, op, lit))
-      } else None
+      val where = if (p.kw("WHERE")) Some(Expr.parse(p)) else None
       val (ys, dist) = if (p.kw("YIELD")) {
         val d = p.kw("DISTINCT")
-        (goYields(p), d)
-      } else (Seq.empty[YExpr], false)
+        (parseItems(p), d)
+      } else (Seq.empty[Item], false)
       Lookup(tag, where, ys, dist)
     } else if (p.kw("FETCH")) {
       p.expectKw("PROP"); p.expectKw("ON")
       val tag = p.word()
-      val vids = p.stringList()
-      val (ys, dist) = if (p.kw("YIELD")) {
-        val d = p.kw("DISTINCT")
-        (goYields(p), d)
-      } else (Seq.empty[YExpr], false)
-      Fetch(tag, vids, ys, dist)
+      // ref-seeded forms: $-.col / $var.col (Output.feature pipes)
+      if (p.peek.contains(Sym("$"))) {
+        def inRef(): InRef = {
+          p.expectSym("$")
+          p.peek match {
+            case Some(Sym("-")) =>
+              p.next(); p.expectSym(".")
+              InRef(None, p.word())
+            case Some(Word(v)) =>
+              p.next(); p.expectSym(".")
+              InRef(Some(v), p.word())
+            case t => throw new IllegalArgumentException(s"bad fetch ref $t")
+          }
+        }
+        val first = inRef()
+        val edgeForm = p.peek.contains(Sym("-")) && p.peek2.contains(Sym(">"))
+        val keysRef = if (edgeForm) {
+          p.expectSym("-"); p.expectSym(">")
+          Some(first -> inRef())
+        } else None
+        val (ys, dist) = if (p.kw("YIELD")) {
+          val d = p.kw("DISTINCT")
+          (parseItems(p), d)
+        } else (Seq.empty[Item], false)
+        keysRef match {
+          case Some(kr) => FetchEdge(tag, Seq.empty, Some(kr), ys, dist)
+          case None => Fetch(tag, Seq.empty, Some(first), ys, dist)
+        }
+      } else {
+        // literal vid forms: edge `"s" -> "d" [@rank], ...` or vid list
+        val firstVid = p.next() match {
+          case Str(s) => s
+          case Num(v, _) => v.toLong
+          case t => throw new IllegalArgumentException(s"expected vid, got $t")
+        }
+        if (p.peek.contains(Sym("-")) && p.peek2.contains(Sym(">"))) {
+          val keys = scala.collection.mutable.ListBuffer.empty[(Any, Any, Option[Long])]
+          var src: Any = firstVid
+          var go = true
+          while (go) {
+            p.expectSym("-"); p.expectSym(">")
+            val dst = p.next() match {
+              case Str(s) => s
+              case Num(v, _) => v.toLong
+              case t => throw new IllegalArgumentException(s"expected dst, got $t")
+            }
+            val rank = if (p.sym("@")) Some(p.intLit().toLong) else None
+            keys += ((src, dst, rank))
+            if (p.sym(",")) {
+              src = p.next() match {
+                case Str(s) => s
+                case Num(v, _) => v.toLong
+                case t => throw new IllegalArgumentException(s"expected src, got $t")
+              }
+            } else go = false
+          }
+          val (ys, dist) = if (p.kw("YIELD")) {
+            val d = p.kw("DISTINCT")
+            (parseItems(p), d)
+          } else (Seq.empty[Item], false)
+          FetchEdge(tag, keys.toSeq, None, ys, dist)
+        } else {
+          val vids = scala.collection.mutable.ListBuffer[Any](firstVid)
+          while (p.sym(",")) {
+            vids += (p.next() match {
+              case Str(s) => s
+              case Num(v, _) => v.toLong
+              case t => throw new IllegalArgumentException(s"expected vid, got $t")
+            })
+          }
+          val (ys, dist) = if (p.kw("YIELD")) {
+            val d = p.kw("DISTINCT")
+            (parseItems(p), d)
+          } else (Seq.empty[Item], false)
+          Fetch(tag, vids.toSeq, None, ys, dist)
+        }
+      }
     } else if (p.kw("FIND")) {
-      val shortest = p.kw("SHORTEST")
-      if (!shortest) p.expectKw("ALL")
-      p.expectKw("PATH"); p.expectKw("FROM")
-      val srcs = p.stringList()
+      val mode =
+        if (p.kw("SHORTEST")) "shortest"
+        else if (p.kw("NOLOOP")) "noloop"
+        else { p.expectKw("ALL"); "all" }
+      p.expectKw("PATH")
+      if (p.kw("WITH")) p.expectKw("PROP") // props render in DataCollect; accepted
+      p.expectKw("FROM")
+      val srcs = p.vidList()
       p.expectKw("TO")
-      val dsts = p.stringList()
-      // OVER * accepted and ignored (we traverse the full edge view)
-      if (p.kw("OVER")) p.next()
+      val dsts = p.vidList()
+      val etypes = if (p.kw("OVER")) parseEtypes(p) else Seq("*")
+      val dir = if (p.kw("REVERSELY")) In
+        else if (p.kw("BIDIRECT")) Both else Out
       val upto = if (p.kw("UPTO")) { val k = p.intLit(); p.expectKw("STEPS"); k }
         else 5
-      FindPath(shortest, srcs, dsts, upto)
+      FindPath(mode, srcs, dsts, etypes, dir, upto)
     } else if (p.kw("GET")) {
       p.expectKw("SUBGRAPH")
+      if (p.kw("WITH")) p.expectKw("PROP")
       val steps = p.peek match {
         case Some(Num(v, _)) => p.next(); p.expectKw("STEPS"); v.toInt
         case _ => 1
       }
       p.expectKw("FROM")
-      Subgraph(steps, p.stringList())
+      val seeds = p.vidList()
+      val (etypes, dir) =
+        if (p.kw("IN")) (parseEtypes(p), In)
+        else if (p.kw("OUT")) (parseEtypes(p), Out)
+        else if (p.kw("BOTH")) (parseEtypes(p), Both)
+        else (Seq("*"), Both)
+      var yieldEdges = false
+      if (p.kw("YIELD")) {
+        var go = true
+        while (go) {
+          if (p.kw("VERTICES")) { if (p.kw("AS")) p.word() }
+          else if (p.kw("EDGES")) { yieldEdges = true; if (p.kw("AS")) p.word() }
+          else throw new IllegalArgumentException(
+            s"bad subgraph yield at ${p.ts.take(3)}")
+          if (p.sym(",")) () else go = false
+        }
+      }
+      Subgraph(steps, seeds, etypes, dir, yieldEdges)
+    } else if (p.kw("UNWIND")) {
+      val e = Expr.parse(p)
+      p.expectKw("AS")
+      Unwind(e, p.word())
+    } else if (p.kw("YIELD")) {
+      val distinct = p.kw("DISTINCT")
+      val items = parseItems(p)
+      val where = if (p.kw("WHERE")) Some(Expr.parse(p)) else None
+      YieldStmt(items, distinct, where)
     } else throw new IllegalArgumentException(
       s"unknown sentence at ${p.ts.take(4)}")
   }
 
   // ---------- executor: AST → DataFrame plan ----------
-  def run(g: GraphCatalog, query: String): DataFrame = exec(g, parse(query))
+  def run(g: GraphCatalog, query: String): DataFrame = runScript(g, query)
 
-  def exec(g: GraphCatalog, stmt: Stmt): DataFrame = {
+  /** Execute a (possibly multi-statement) script; the last statement's
+    * frame is the result. `$var = stmt` binds the frame in the script
+    * environment (AssignmentValidator / UnionAllVersionVar). */
+  def runScript(g: GraphCatalog, query: String): DataFrame = {
+    val env = scala.collection.mutable.Map.empty[String, DataFrame]
+    var last: DataFrame = null
+    parseScript(query).foreach { case (varName, stmt) =>
+      val df = exec(g, stmt, env.toMap)
+      varName.foreach(env(_) = df)
+      last = df
+    }
+    require(last != null, "empty script")
+    last
+  }
+
+  def exec(g: GraphCatalog, stmt: Stmt): DataFrame = exec(g, stmt, Map.empty)
+
+  def exec(g: GraphCatalog, stmt: Stmt, env: Map[String, DataFrame]): DataFrame = {
     val spark = g.allVertices.sparkSession
-    import spark.implicits._
-    def seedsDf(vids: Seq[String]) = vids.toDF("vid")
     stmt match {
       case Piped(head, pipes) =>
-        pipes.foldLeft(exec(g, head))((df, pp) => applyPipe(g, df, pp))
+        pipes.foldLeft(exec(g, head, env))((df, pp) => applyPipe(g, df, pp))
+      case SetOp(op, all, l, r) =>
+        val (a, b) = (exec(g, l, env), exec(g, r, env))
+        // set sentences align columns positionally (the reference
+        // requires equal column lists, SetValidator.cpp)
+        val bAligned = b.toDF(a.columns: _*)
+        op match {
+          case "union" => if (all) a.unionByName(bAligned)
+                          else a.unionByName(bAligned).distinct()
+          case "intersect" => a.intersect(bAligned)
+          case "minus" => a.except(bAligned)
+        }
       case go: Go =>
-        require(go.seedsCol.isEmpty, "top-level GO needs literal seeds")
-        // the reference treats the FROM vid list as a set (dup seeds
-        // yield once — GO.feature golden); piped GO keeps multiplicity
-        execGo(g, go, seedsDf(go.seeds.distinct))
+        val seeds = go match {
+          case Go(_, _, _, _, Some((v, c)), _, _, _, _, _) =>
+            val src = env.getOrElse(v,
+              throw new IllegalArgumentException(s"undefined $$$v"))
+            src.select(col(c).as("vid"))
+          case Go(_, _, s, None, None, _, _, _, _, _) =>
+            // the reference treats the FROM vid list as a set (dup
+            // seeds yield once — GO.feature); piped GO keeps bag rows
+            seedsDf(spark, s.distinct)
+          case _ =>
+            throw new IllegalArgumentException("top-level GO needs literal seeds")
+        }
+        execGo(g, go, seeds)
       case Lookup(tag, where, ys, dist) =>
         // LOOKUP targets a tag OR an edge type (LookupEdge TCK)
-        val tbl =
-          try g.vertexTable(tag)
-          catch { case _: IllegalArgumentException => g.edgesByType(tag) }
+        val (tbl, isEdge) =
+          try (g.vertexTable(tag), false)
+          catch { case _: IllegalArgumentException => (g.edgesByType(tag), true) }
+        val resolver: Expr.Resolver = {
+          case Expr.Ref(List(c)) => Some(col(c))
+          case Expr.Ref(List(t, prop)) if t == tag => Some(col(prop))
+          case Expr.FnCall("id", List(Expr.Ref(List("vertex"))), _) if !isEdge =>
+            Some(col("vid"))
+          case Expr.FnCall("src", List(Expr.Ref(List("edge"))), _) if isEdge =>
+            Some(col("src"))
+          case Expr.FnCall("dst", List(Expr.Ref(List("edge"))), _) if isEdge =>
+            Some(col("dst"))
+          case Expr.FnCall("rank", List(Expr.Ref(List("edge"))), _) if isEdge =>
+            Some(col("rank"))
+          case _ => None
+        }
         val filtered = where match {
-          case Some(LkWhere(qual, prop, op, lit)) =>
-            require(qual.forall(_ == tag), s"WHERE ref ${qual.get} != ON $tag")
-            tbl.filter(cmp(col(prop), op, lit))
+          case Some(w) => tbl.filter(Expr.compile(w, resolver))
           case None => tbl
         }
         val out =
           if (ys.isEmpty) filtered
-          else filtered.select(ys.map {
-            case YExpr("col", _, _, c, a) => col(c).as(a)
-            case YExpr("eprop", t, _, prop, a) =>
-              require(t == tag, s"YIELD ref $t != ON $tag")
-              col(prop).as(a)
-            case y => throw new IllegalArgumentException(s"bad lookup yield $y")
-          }: _*)
+          else selectItems(filtered, ys, resolver)
         if (dist) out.distinct() else out
-      case Fetch(tag, vids, ys, dist) =>
+      case f @ Fetch(_, vids, vidsRef, _, _) =>
         // vid list keeps multiplicity (dup vids yield dup rows unless
         // DISTINCT — FetchVertices TCK); bag semantics via join
-        val bag = vids.zipWithIndex.toDF("vid", "__i")
-        val rows = bag.join(g.vertexTable(tag), Seq("vid")).drop("__i")
-        val out =
-          if (ys.isEmpty) rows
-          else rows.select(ys.map {
-            case YExpr("eprop", t, _, prop, a) =>
-              require(t == tag, s"unknown tag $t in FETCH YIELD")
-              col(prop).as(a)
-            case YExpr("col", _, _, c, a) => col(c).as(a)
-            case y => throw new IllegalArgumentException(s"bad fetch yield $y")
-          }: _*)
-        if (dist) out.distinct() else out
-      case FindPath(shortest, srcs, dsts, upto) =>
-        if (shortest)
-          PathFinder.shortestPaths(seedsDf(srcs), seedsDf(dsts), g.allEdges, upto)
-        else
-          PathFinder.allPaths(seedsDf(srcs), seedsDf(dsts), g.allEdges, upto)
-      case Subgraph(steps, seeds) =>
-        Traverse.subgraph(seedsDf(seeds), g.allEdges, steps, Both).vertices
+        val bag = vidsRef match {
+          case Some(InRef(Some(v), c)) =>
+            env.getOrElse(v, throw new IllegalArgumentException(s"undefined $$$v"))
+              .select(col(c).as("vid"))
+          case Some(InRef(None, _)) =>
+            throw new IllegalArgumentException("FETCH $-. needs a pipe")
+          case None => seedsDf(spark, vids)
+        }
+        execFetch(g, f, bag)
+      case fe @ FetchEdge(_, keys, keysRef, _, _) =>
+        val pairs = keysRef match {
+          case Some((InRef(Some(v), sc), InRef(_, dc))) =>
+            env.getOrElse(v, throw new IllegalArgumentException(s"undefined $$$v"))
+              .select(col(sc).as("__s"), col(dc).as("__d"), lit(0L).as("__r"))
+          case Some((InRef(None, _), _)) =>
+            throw new IllegalArgumentException("FETCH $-. needs a pipe")
+          case None => edgeKeysDf(spark, keys)
+        }
+        execFetchEdge(g, fe, pairs)
+      case FindPath(mode, srcs, dsts, etypes, dir, upto) =>
+        val e = Traverse.orient(simpleEdges(g, etypes), dir)
+        if (mode == "shortest")
+          PathFinder.shortestPaths(seedsDf(spark, srcs), seedsDf(spark, dsts), e, upto)
+        else // all/noloop both traverse vertex-unique paths (module doc)
+          PathFinder.allPaths(seedsDf(spark, srcs), seedsDf(spark, dsts), e, upto)
+      case Subgraph(steps, seeds, etypes, dir, yieldEdges) =>
+        val res = Traverse.subgraph(seedsDf(spark, seeds),
+          simpleEdges(g, etypes), steps, dir)
+        if (yieldEdges) res.edges else res.vertices
+      case Unwind(e, alias) =>
+        spark.range(1).select(
+          explode(Expr.compile(e, Expr.noResolver)).as(alias))
+      case YieldStmt(items, distinct, where) =>
+        // standalone YIELD: constants, or projections over one $var
+        var vars = Set.empty[String]
+        (items.map(_.e) ++ where.toList).foreach(Expr.collect(_) {
+          case Expr.Param("var", n, _) => vars += n
+        })
+        require(vars.size <= 1, "YIELD supports at most one $var source")
+        val base = vars.headOption match {
+          case Some(v) => env.getOrElse(v,
+            throw new IllegalArgumentException(s"undefined $$$v"))
+          case None => spark.range(1).drop("id")
+        }
+        val resolver: Expr.Resolver = {
+          case Expr.Param("var", _, List(c)) => Some(col(c))
+          case _ => None
+        }
+        val filtered = where match {
+          case Some(w) => base.filter(Expr.compile(w, resolver))
+          case None => base
+        }
+        val out = selectItems(filtered, items, resolver)
+        if (distinct) out.distinct() else out
+    }
+  }
+
+  private def edgeKeysDf(spark: SparkSession,
+                         keys: Seq[(Any, Any, Option[Long])]): DataFrame = {
+    import spark.implicits._
+    if (keys.forall(_._1.isInstanceOf[Long]))
+      keys.map(k => (k._1.asInstanceOf[Long], k._2.asInstanceOf[Long],
+        k._3.getOrElse(0L))).toDF("__s", "__d", "__r")
+    else
+      keys.map(k => (k._1.toString, k._2.toString, k._3.getOrElse(0L)))
+        .toDF("__s", "__d", "__r")
+  }
+
+  private def execFetch(g: GraphCatalog, f: Fetch, bag: DataFrame): DataFrame = {
+    val Fetch(tag, _, _, ys, dist) = f
+    val rows = bag.join(g.vertexTable(tag), Seq("vid"))
+    val strVid = rows.schema("vid").dataType ==
+      org.apache.spark.sql.types.StringType
+    val resolver: Expr.Resolver = {
+      case Expr.FnCall("id", List(Expr.Ref(List("vertex"))), _) =>
+        Some(col("vid"))
+      case Expr.Ref(List("vertex")) => Some(renderNode(col("vid"), strVid))
+      case Expr.Ref(List(c)) => Some(col(c))
+      case Expr.Ref(List(t, prop)) if t == tag => Some(col(prop))
+      case _ => None
+    }
+    val out =
+      if (ys.isEmpty) rows
+      else selectItems(rows, ys, resolver)
+    if (dist) out.distinct() else out
+  }
+
+  private def execFetchEdge(g: GraphCatalog, fe: FetchEdge,
+                            pairs: DataFrame): DataFrame = {
+    val FetchEdge(etype, _, _, ys, dist) = fe
+    val e = g.edgesByType(etype)
+    // rank is part of edge identity (NebulaKeyUtils.h:61); an
+    // unranked fetch matches rank 0, the insert default
+    val rows = pairs.join(e,
+      pairs("__s") === e("src") && pairs("__d") === e("dst") &&
+        pairs("__r") === e("rank"))
+      .drop("__s", "__d", "__r")
+    val strVid = rows.schema("src").dataType ==
+      org.apache.spark.sql.types.StringType
+    val resolver: Expr.Resolver = {
+      case Expr.FnCall("src", List(Expr.Ref(List("edge"))), _) => Some(col("src"))
+      case Expr.FnCall("dst", List(Expr.Ref(List("edge"))), _) => Some(col("dst"))
+      case Expr.FnCall("rank", List(Expr.Ref(List("edge"))), _) => Some(col("rank"))
+      case Expr.Ref(List("edge")) =>
+        Some(renderEdge(lit(etype), col("src"), col("dst"), col("rank"), strVid))
+      case Expr.Ref(List(t, "_src")) if t == etype => Some(col("src"))
+      case Expr.Ref(List(t, "_dst")) if t == etype => Some(col("dst"))
+      case Expr.Ref(List(t, "_rank")) if t == etype => Some(col("rank"))
+      case Expr.Ref(List(t, prop)) if t == etype => Some(col(prop))
+      case Expr.Ref(List(c)) => Some(col(c))
+      case _ => None
+    }
+    val out = if (ys.isEmpty) rows else selectItems(rows, ys, resolver)
+    if (dist) out.distinct() else out
+  }
+
+  /** Typed-or-star edge view WITHOUT property columns (hop joins,
+    * path finding, subgraphs): `OVER *` is the pre-unioned allEdges
+    * scan; a type list is a pushed-down filter over it. */
+  private def simpleEdges(g: GraphCatalog, etypes: Seq[String]): DataFrame =
+    if (etypes == Seq("*")) g.allEdges
+    else if (etypes.size == 1) g.edgesByType(etypes.head)
+    else g.allEdges.filter(col("etype").isin(etypes: _*))
+
+  private def seedsDf(spark: SparkSession, vids: Seq[Any]): DataFrame = {
+    import spark.implicits._
+    if (vids.nonEmpty && vids.forall(_.isInstanceOf[Long]))
+      vids.map(_.asInstanceOf[Long]).toDF("vid")
+    else vids.map(_.toString).toDF("vid")
+  }
+
+  /** col() by EXACT name — default aliases like `count(vid)` or
+    * `like._dst` contain dots/parens that col() would misparse as
+    * nested-field paths. */
+  private[nql] def colByName(n: String): Column =
+    if (n.matches("[A-Za-z0-9_]+")) col(n) else col(s"`$n`")
+
+  /** Render a whole-vertex value in the reference's serialized node
+    * form `("vid")` / `(100)` (src/common/datatypes/Vertex.cpp
+    * toString, minus tags — relax comparison matches on vid). */
+  private[nql] def renderNode(vid: Column, strVid: Boolean): Column =
+    if (strVid) concat(lit("(\""), vid, lit("\")"))
+    else concat(lit("("), vid.cast("string"), lit(")"))
+
+  /** Render a whole-edge value `[:type "src"->"dst" @rank]`
+    * (Edge.cpp toString, minus props). */
+  private[nql] def renderEdge(etype: Column, src: Column, dst: Column,
+                              rank: Column, strVid: Boolean): Column = {
+    def v(c: Column) =
+      if (strVid) concat(lit("\""), c, lit("\"")) else c.cast("string")
+    concat(lit("[:"), etype, lit(" "), v(src), lit("->"), v(dst),
+      lit(" @"), rank.cast("string"), lit("]"))
+  }
+
+  /** Compile+select items; aggregate-bearing items trigger the
+    * reference's implicit grouping (AggregateExecutor.cpp:12-99):
+    * aggregate-free items become the group keys. */
+  private def selectItems(df: DataFrame, items: Seq[Item],
+                          resolver: Expr.Resolver): DataFrame = {
+    val hasAgg = items.exists(i => Expr.hasAgg(i.e))
+    if (!hasAgg)
+      df.select(items.map(i => Expr.compile(i.e, resolver).as(i.alias)): _*)
+    else {
+      val keys = items.filter(i => !Expr.hasAgg(i.e))
+      val aggs = items.filter(i => Expr.hasAgg(i.e))
+        .map(i => Expr.compile(i.e, resolver).as(i.alias))
+      val grouped =
+        if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+        else df.groupBy(keys.map(i => Expr.compile(i.e, resolver).as(i.alias)): _*)
+          .agg(aggs.head, aggs.tail: _*)
+      grouped.select(items.map(i => colByName(i.alias)): _*)
     }
   }
 
@@ -452,80 +742,107 @@ object Gql {
     * top-level sentence; the previous pipe stage's column, with bag
     * multiplicity, for a chained `| GO FROM $-.col`). */
   private def execGo(g: GraphCatalog, goAst: Go, seedsDF: DataFrame): DataFrame = {
-    val Go(m, n, _, etype, dir, ys, dist, where, _) = goAst
-    val edges = if (etype == "*") g.allEdges else g.edgesByType(etype)
-    // constant WHERE folds driver-side (FoldConstantExprVisitor)
-    val constFalse = where.exists(w =>
-      w.eprop.isEmpty && !constTruthy(w.lhs.get, w.op, w.rhs))
-    val plainCols = Set("origin", "vid", "step")
-    val simple = ys.forall(y => y.kind == "col" && plainCols(y.prop)) &&
-          where.forall(_.eprop.isEmpty)
-        val base =
-          if (simple)
-            // ExpandAll frontier semantics: deduped (origin,vid) rows
-            Traverse.go(seedsDF, edges, m, n, dir)
-          else {
-            // per-edge yield rows; edge-prop WHERE filters yielded rows
-            var out = Traverse.goYield(seedsDF, edges, m, n, dir)
-            where.flatMap(_.eprop).foreach { case (et, prop) =>
-              require(et == etype, s"WHERE edge ref $et needs OVER $et")
-              out = out.filter(cmp(col(prop), where.get.op, where.get.rhs))
-            }
-            // vertex-prop refs join the tag tables on dst/src
-            val dstTags = ys.collect { case YExpr("dstprop", _, tag, _, _) => tag }.distinct
-            val srcTags = ys.collect { case YExpr("srcprop", _, tag, _, _) => tag }.distinct
-            dstTags.foreach { tag =>
-              out = Traverse.appendVertices(out, g.vertexTable(tag),
-                vidCol = "dst", prefix = s"__dst_${tag}_")
-            }
-            srcTags.foreach { tag =>
-              out = Traverse.appendVertices(out, g.vertexTable(tag),
-                vidCol = "src", prefix = s"__src_${tag}_")
-            }
-            out
-          }
-        val cols = ys.map {
-          case YExpr("col", _, _, c, a) => col(c).as(a)
-          // OVER * with edge-typed refs needs the reference's per-type
-          // NULL padding; out of subset -> reject (TCK runner skips)
-          case YExpr("edst", et, _, _, a) =>
-            require(et == etype, s"edge ref $et needs OVER $et")
-            col("dst").as(a)
-          case YExpr("esrc", et, _, _, a) =>
-            require(et == etype, s"edge ref $et needs OVER $et")
-            col("src").as(a)
-          case YExpr("eprop", et, _, prop, a) =>
-            require(et == etype, s"edge ref $et needs OVER $et")
-            col(prop).as(a)
-          case YExpr("iddst", _, _, _, a) => col("dst").as(a)
-          case YExpr("idsrc", _, _, _, a) => col("src").as(a)
-          case YExpr("dstprop", _, tag, prop, a) =>
-            col(s"__dst_${tag}_$prop").as(a)
-          case YExpr("srcprop", _, tag, prop, a) =>
-            col(s"__src_${tag}_$prop").as(a)
-          case y => throw new IllegalArgumentException(s"bad yield $y")
-        }
-        val selected = base.select(cols: _*)
-        val out = if (dist) selected.distinct() else selected
-        if (constFalse) out.limit(0) else out
-  }
+    val Go(m, n, _, _, _, rawEtypes, dir, where, yieldsOpt, dist) = goAst
+    val etypes =
+      if (rawEtypes == Seq("*")) g.edgeTypeNames else rawEtypes
+    val single = etypes.size == 1
+    // default yields: the reference's `<etype>._dst` per OVER type
+    // (GoValidator default yield columns)
+    val items: Seq[Item] = yieldsOpt.getOrElse(
+      etypes.map(et => Item(Expr.Ref(List(et, "_dst")), s"${et}._dst")))
+    val exprs = items.map(_.e) ++ where.toList
 
-  /** Driver-side evaluation of a constant WHERE comparison. */
-  private def constTruthy(l: Any, op: String, r: Any): Boolean = (l, r) match {
-    case (a: Long, b: Long) => op match {
-      case ">" => a > b; case "<" => a < b; case ">=" => a >= b
-      case "<=" => a <= b; case "==" | "=" => a == b; case "!=" => a != b
+    // classify references to pick the plan shape
+    var needsEdge = false
+    var dstTags = Set.empty[String]
+    var srcTags = Set.empty[String]
+    var frontierOnly = true
+    val frontierCols = Set("origin", "vid", "step")
+    exprs.foreach(Expr.collect(_) {
+      case Expr.Ref(List(c)) => if (!frontierCols(c)) frontierOnly = false
+      case Expr.Ref(List(et, _)) =>
+        needsEdge = true
+        if (!etypes.contains(et))
+          throw new IllegalArgumentException(s"edge ref $et needs OVER $et")
+      case Expr.Ref(parts) if parts.size > 2 => frontierOnly = false
+      case Expr.Param("dst", _, List(tag, _)) => dstTags += tag
+      case Expr.Param("src", _, List(tag, _)) => srcTags += tag
+      case Expr.Param("dst" | "src", _, Nil) => needsEdge = true
+      case Expr.Param("input" | "var", _, _) =>
+        throw new IllegalArgumentException("$-/$var refs not supported in GO items")
+    })
+    val simple = !needsEdge && dstTags.isEmpty && srcTags.isEmpty && frontierOnly
+
+    if (simple) {
+      // ExpandAll frontier semantics: deduped (origin,vid) rows
+      val base = Traverse.go(seedsDF, simpleEdges(g, rawEtypes), m, n, dir)
+      val resolver: Expr.Resolver = {
+        case Expr.Ref(List(c)) if frontierCols(c) => Some(col(c))
+        case _ => None
+      }
+      val filtered = where match {
+        case Some(w) => base.filter(Expr.compile(w, resolver))
+        case None => base
+      }
+      val out = selectItems(filtered, items, resolver)
+      if (dist) out.distinct() else out
+    } else {
+      // per-edge yield rows with property columns
+      val eframe = g.edgesWithProps(etypes)
+      val strVid = eframe.schema("src").dataType ==
+        org.apache.spark.sql.types.StringType
+      var out = Traverse.goYield(seedsDF, eframe, m, n, dir)
+      // vertex-prop refs join the tag tables on dst/src
+      dstTags.foreach { tag =>
+        out = Traverse.appendVertices(out, g.vertexTable(tag),
+          vidCol = "dst", prefix = s"__dst_${tag}_")
+      }
+      srcTags.foreach { tag =>
+        out = Traverse.appendVertices(out, g.vertexTable(tag),
+          vidCol = "src", prefix = s"__src_${tag}_")
+      }
+      def guarded(et: String, c: Column): Column =
+        if (single) c else when(col("__etype") === et, c)
+      // deterministic integer edge-type id (the reference's meta-
+      // assigned EdgeType; any stable int — goldens regex-match it)
+      def typeId(et: String): Int = g.edgeTypeNames.indexOf(et) + 2
+      val resolver: Expr.Resolver = {
+        case Expr.Ref(List("origin")) => Some(col("origin"))
+        // GO context: `vid` is the hop destination (GO default output)
+        case Expr.Ref(List("vid")) => Some(col("dst"))
+        case Expr.Ref(List("step")) => Some(col("step"))
+        case Expr.Ref(List(et, p)) if etypes.contains(et) =>
+          Some(p match {
+            case "_dst" => guarded(et, col("dst"))
+            case "_src" => guarded(et, col("src"))
+            case "_rank" => guarded(et, col("rank"))
+            case "_type" => guarded(et, lit(typeId(et)))
+            case prop => guarded(et, col(prop))
+          })
+        case Expr.Param("dst", _, List(tag, prop)) =>
+          Some(col(s"__dst_${tag}_$prop"))
+        case Expr.Param("src", _, List(tag, prop)) =>
+          Some(col(s"__src_${tag}_$prop"))
+        case Expr.FnCall("id", List(Expr.Param("dst", _, Nil)), _) =>
+          Some(col("dst"))
+        case Expr.FnCall("id", List(Expr.Param("src", _, Nil)), _) =>
+          Some(col("src"))
+        // whole-value yields, reference serialization forms
+        case Expr.Ref(List("edge")) =>
+          Some(renderEdge(
+            if (single) lit(etypes.head) else col("__etype"),
+            col("src"), col("dst"), col("rank"), strVid))
+        case Expr.Param("dst", _, Nil) => Some(renderNode(col("dst"), strVid))
+        case Expr.Param("src", _, Nil) => Some(renderNode(col("src"), strVid))
+        case _ => None
+      }
+      val filtered = where match {
+        case Some(w) => out.filter(Expr.compile(w, resolver))
+        case None => out
+      }
+      val sel = selectItems(filtered, items, resolver)
+      if (dist) sel.distinct() else sel
     }
-    case (a: Double, b: Double) => op match {
-      case ">" => a > b; case "<" => a < b; case ">=" => a >= b
-      case "<=" => a <= b; case "==" | "=" => a == b; case "!=" => a != b
-    }
-    case (a: String, b: String) => op match {
-      case ">" => a > b; case "<" => a < b; case ">=" => a >= b
-      case "<=" => a <= b; case "==" | "=" => a == b; case "!=" => a != b
-    }
-    // mixed-type comparison: BAD_TYPE null → not truthy → drop rows
-    case _ => false
   }
 
   /** Pipe application over the previous stage's DataFrame ($- input). */
@@ -535,45 +852,51 @@ object Gql {
       // multiplicity (GO.feature pipe goldens keep duplicate rows)
       val seeds = df.select(col(goAst.seedsCol.get).as("vid"))
       execGo(g, goAst, seeds)
-    case PLimit(n) => df.limit(n)
-    case POrderBy(c, desc) => df.orderBy(if (desc) col(c).desc else col(c))
-    case PYield(items, distinct) =>
-      val hasAgg = items.exists(_.agg.isDefined)
-      val out =
-        if (!hasAgg) df.select(items.map(i => col(i.col).as(i.alias)): _*)
-        else {
-          // implicit grouping: non-agg items are the keys
-          val keys = items.filter(_.agg.isEmpty).map(i => col(i.col))
-          val aggs = items.collect { case YieldItem(Some(fn), c, a) =>
-            (fn match {
-              case "count" => if (c == "*") count(lit(1)) else count(col(c))
-              case "sum" => sum(col(c))
-              case "avg" => avg(col(c))
-              case "min" => min(col(c))
-              case "max" => max(col(c))
-              case "std" => stddev_pop(col(c))
-              case "collect" => collect_list(col(c))
-              case "collect_set" => collect_set(col(c))
-            }).as(a)
-          }
-          val grouped =
-            if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
-            else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
-          // re-apply aliases for key columns
-          grouped.select(items.map(i =>
-            if (i.agg.isEmpty) col(i.col).as(i.alias) else col(i.alias)): _*)
-        }
+    case PFetch(f: Fetch) =>
+      execFetch(g, f, df.select(colByName(f.vidsRef.get.colName).as("vid")))
+    case PFetch(fe: FetchEdge) =>
+      val (s, d) = fe.keysRef.get
+      execFetchEdge(g, fe, df.select(colByName(s.colName).as("__s"),
+        colByName(d.colName).as("__d"), lit(0L).as("__r")))
+    case PFetch(other) =>
+      throw new IllegalArgumentException(s"bad piped FETCH $other")
+    case PLimit(off, nn) =>
+      if (off == 0) df.limit(nn)
+      else df.offset(off).limit(nn)
+    case POrderBy(keys) =>
+      val resolver = pipeResolver
+      df.orderBy(keys.map { case (e, desc) =>
+        val c = Expr.compile(e, resolver)
+        if (desc) c.desc else c.asc
+      }: _*)
+    case PYield(items, distinct, where) =>
+      val filtered = where match {
+        case Some(w) => df.filter(Expr.compile(w, pipeResolver))
+        case None => df
+      }
+      val out = selectItems(filtered, items, pipeResolver)
+      if (distinct) out.distinct() else out
+    case PGroup(keys, items, distinct) =>
+      // aggregate-free items evaluate once per group (`first`): the
+      // reference emits one row per key group regardless
+      val keyCols = keys.map(k => Expr.compile(k, pipeResolver))
+      val aggs = items.map { i =>
+        val c = Expr.compile(i.e, pipeResolver)
+        (if (Expr.hasAgg(i.e)) c else first(c)).as(i.alias)
+      }
+      val out = df.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+        .select(items.map(i => colByName(i.alias)): _*)
       if (distinct) out.distinct() else out
   }
 
-  private def cmp(c: Column, op: String, lit: Any): Column = op match {
-    case ">" => c > lit
-    case "<" => c < lit
-    case ">=" => c >= lit
-    case "<=" => c <= lit
-    case "==" | "=" => c === lit
-    case "!=" => c =!= lit
-    case other => throw new IllegalArgumentException(s"bad operator $other")
+  /** In pipes, `$-.col` and bare `col` both address the input frame;
+    * dotted forms ($-.like._dst) address columns whose NAME contains
+    * the dot (the default aliases of the previous stage). */
+  private val pipeResolver: Expr.Resolver = {
+    case Expr.Param("input", _, parts) if parts.nonEmpty =>
+      Some(colByName(parts.mkString(".")))
+    case Expr.Ref(parts) if parts.nonEmpty =>
+      Some(colByName(parts.mkString(".")))
+    case _ => None
   }
-
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.nql.Gql
+import graft.nql.{Expr, Gql}
 import graft.nql.Gql._
 import graft.traverse.Traverse.{Both, In, Out}
 
@@ -8,93 +8,130 @@ import graft.traverse.Traverse.{Both, In, Out}
   * data is covered by the q_nql_* oracle queries. */
 class GqlSpec extends SparkSpec {
 
-  test("GO defaults: 1 step, Out, implicit yields") {
-    val Go(m, n, seeds, et, dir, ys, dist, where, _) =
+  test("GO defaults: 1 step, Out, default (etype._dst) yields") {
+    val Go(m, n, seeds, _, _, ets, dir, where, ys, dist) =
       Gql.parse("""GO FROM "a" OVER like"""): @unchecked
-    assert(m == 1 && n == 1 && seeds == Seq("a") && et == "like" && dir == Out)
-    assert(ys.map(_.prop) == Seq("origin", "vid", "step"))
-    assert(!dist && where.isEmpty)
+    assert(m == 1 && n == 1 && seeds == Seq("a") && ets == Seq("like") && dir == Out)
+    assert(ys.isEmpty && !dist && where.isEmpty)
   }
 
   test("GO m TO n STEPS with direction and aliased yields") {
-    val Go(m, n, seeds, et, dir, ys, _, _, _) =
+    val Go(m, n, seeds, _, _, ets, dir, _, Some(ys), _) =
       Gql.parse("""GO 2 TO 3 STEPS FROM "a", "b" OVER * REVERSELY YIELD vid AS v, step"""): @unchecked
-    assert(m == 2 && n == 3 && seeds == Seq("a", "b") && et == "*" && dir == In)
-    assert(ys.map(y => y.prop -> y.alias) == Seq("vid" -> "v", "step" -> "step"))
+    assert(m == 2 && n == 3 && seeds == Seq("a", "b") && ets == Seq("*") && dir == In)
+    assert(ys.map(_.alias) == Seq("v", "step"))
+  }
+
+  test("GO over multi-edge list with boolean WHERE tree") {
+    val Go(_, _, _, _, _, ets, _, Some(w), _, _) = Gql.parse(
+      """GO FROM "a" OVER like, serve WHERE like.likeness > 80 AND serve.start_year < 2000 OR NOT (step == 1) YIELD vid"""): @unchecked
+    assert(ets == Seq("like", "serve"))
+    val Expr.Bin("or", _, _) = w: @unchecked
   }
 
   test("GO N STEPS (no TO) fixes both ends of the range") {
-    val Go(m, n, _, _, dir, _, _, _, _) =
+    val Go(m, n, _, _, _, _, dir, _, _, _) =
       Gql.parse("""GO 3 STEPS FROM "x" OVER e BIDIRECT"""): @unchecked
     assert(m == 3 && n == 3 && dir == Both)
   }
 
-  test("LOOKUP with WHERE ops and literals") {
-    val Lookup(tag, where, ys, _) =
-      Gql.parse("""LOOKUP ON customer WHERE acctbal >= 9900 YIELD vid, name AS n"""): @unchecked
-    assert(tag == "customer" &&
-      where.contains(Gql.LkWhere(None, "acctbal", ">=", 9900L)))
-    assert(ys.map(y => y.prop -> y.alias) == Seq("vid" -> "vid", "name" -> "n"))
-    val Lookup(_, w2, _, _) =
-      Gql.parse("""LOOKUP ON part WHERE brand == "Brand#11""""): @unchecked
-    assert(w2.contains(Gql.LkWhere(None, "brand", "==", "Brand#11")))
-    val Lookup(t3, w3, y3, _) = Gql.parse(
-      """LOOKUP ON player WHERE player.age == 40 YIELD player.name"""): @unchecked
-    assert(t3 == "player" &&
-      w3.contains(Gql.LkWhere(Some("player"), "age", "==", 40L)))
-    assert(y3.map(_.kind) == Seq("eprop"))
+  test("GO seeds from $var.col and from $-.col") {
+    val Go(_, _, _, _, sv, _, _, _, _, _) =
+      Gql.parse("""GO FROM $a.dst OVER like"""): @unchecked
+    assert(sv.contains("a" -> "dst"))
+    val Piped(_, pipes) = Gql.parse(
+      """GO FROM "a" OVER like YIELD like._dst as id | GO FROM $-.id OVER serve YIELD serve._dst"""): @unchecked
+    val Seq(PGo(g2)) = pipes: @unchecked
+    assert(g2.seedsCol.contains("id") && g2.etypes == Seq("serve"))
   }
 
-  test("FETCH PROP ON tag vids") {
-    val Fetch(tag, vids, ys, dist) =
+  test("LOOKUP with WHERE expression trees and function yields") {
+    val Lookup(tag, where, ys, _) =
+      Gql.parse("""LOOKUP ON customer WHERE acctbal >= 9900 YIELD vid, name AS n"""): @unchecked
+    assert(tag == "customer" && where.isDefined)
+    assert(ys.map(_.alias) == Seq("vid", "n"))
+    val Lookup(_, w2, y2, _) = Gql.parse(
+      """LOOKUP ON player WHERE player.age > 40 AND player.name STARTS WITH "T" YIELD player.name, upper(player.name) AS u"""): @unchecked
+    val Expr.Bin("and", _, _) = w2.get: @unchecked
+    assert(y2.map(_.alias) == Seq("player.name", "u"))
+  }
+
+  test("FETCH PROP ON tag vids and edge src->dst@rank") {
+    val Fetch(tag, vids, _, ys, dist) =
       Gql.parse("""FETCH PROP ON part "p:1", "p:2""""): @unchecked
     assert(tag == "part" && vids == Seq("p:1", "p:2"))
     assert(ys.isEmpty && !dist)
-    val Fetch(_, _, ys2, dist2) = Gql.parse(
-      """FETCH PROP ON player 'Boris Diaw' YIELD DISTINCT player.name, player.age"""): @unchecked
-    assert(dist2 && ys2.map(_.prop) == Seq("name", "age"))
+    val FetchEdge(et, keys, _, _, _) = Gql.parse(
+      """FETCH PROP ON serve "a" -> "b" @0, "c" -> "d" YIELD serve.start_year"""): @unchecked
+    assert(et == "serve" &&
+      keys == Seq(("a", "b", Some(0L)), ("c", "d", None)))
+    val Piped(_, Seq(PFetch(pf: Fetch))) = Gql.parse(
+      """LOOKUP ON player WHERE player.age == 40 YIELD id(vertex) AS id | FETCH PROP ON player $-.id YIELD player.name"""): @unchecked
+    assert(pf.vidsRef.contains(InRef(None, "id")))
   }
 
-  test("FIND SHORTEST/ALL PATH with UPTO") {
-    val FindPath(s1, srcs, dsts, k) =
-      Gql.parse("""FIND SHORTEST PATH FROM "a" TO "b", "c" UPTO 4 STEPS"""): @unchecked
-    assert(s1 && srcs == Seq("a") && dsts == Seq("b", "c") && k == 4)
-    val FindPath(s2, _, _, k2) =
-      Gql.parse("""FIND ALL PATH FROM "a" TO "b""""): @unchecked
-    assert(!s2 && k2 == 5)
+  test("FIND PATH honors OVER list, direction, NOLOOP, UPTO") {
+    val FindPath(m1, srcs, dsts, ets, dir, k) =
+      Gql.parse("""FIND SHORTEST PATH FROM "a" TO "b", "c" OVER like REVERSELY UPTO 4 STEPS"""): @unchecked
+    assert(m1 == "shortest" && srcs == Seq("a") && dsts == Seq("b", "c"))
+    assert(ets == Seq("like") && dir == In && k == 4)
+    val FindPath(m2, _, _, ets2, _, k2) =
+      Gql.parse("""FIND NOLOOP PATH FROM "a" TO "b""""): @unchecked
+    assert(m2 == "noloop" && ets2 == Seq("*") && k2 == 5)
   }
 
-  test("GET SUBGRAPH N STEPS") {
-    val Subgraph(steps, seeds) =
-      Gql.parse("""GET SUBGRAPH 2 STEPS FROM "c:1""""): @unchecked
-    assert(steps == 2 && seeds == Seq("c:1"))
+  test("GET SUBGRAPH with edge filter and YIELD EDGES") {
+    val Subgraph(steps, seeds, ets, dir, ye) =
+      Gql.parse("""GET SUBGRAPH 2 STEPS FROM "c:1" OUT placed YIELD VERTICES AS v, EDGES AS e"""): @unchecked
+    assert(steps == 2 && seeds == Seq("c:1") && ets == Seq("placed"))
+    assert(dir == Out && ye)
   }
 
-  test("errors: unterminated string, unknown sentence, bad operator") {
+  test("set sentences: UNION / UNION ALL / INTERSECT / MINUS (left-assoc)") {
+    val SetOp("minus", _, SetOp("union", false, _, _), _) = Gql.parse(
+      """GO FROM "a" OVER like YIELD vid UNION GO FROM "b" OVER like YIELD vid MINUS GO FROM "c" OVER like YIELD vid"""): @unchecked
+    val SetOp("union", true, _, _) = Gql.parse(
+      """GO FROM "a" OVER like YIELD vid UNION ALL GO FROM "b" OVER like YIELD vid"""): @unchecked
+  }
+
+  test("scripts: $var assignment feeding a later sentence") {
+    val script = Gql.parseScript(
+      """$a = GO FROM "x" OVER like YIELD like._dst AS dst; GO FROM $a.dst OVER serve YIELD serve._dst""")
+    assert(script.size == 2)
+    assert(script.head._1.contains("a"))
+    assert(script(1)._1.isEmpty)
+  }
+
+  test("UNWIND and standalone YIELD sentences") {
+    val Unwind(_, alias) = Gql.parse("""UNWIND [1, 2, 3] AS x"""): @unchecked
+    assert(alias == "x")
+    val YieldStmt(items, _, _) =
+      Gql.parse("""YIELD 1 + 2 AS s, "a" AS t"""): @unchecked
+    assert(items.map(_.alias) == Seq("s", "t"))
+  }
+
+  test("expression parser: precedence, CASE, IN, IS NULL, functions") {
+    def e(s: String) = Expr.parseText(s)
+    val Expr.Bin("or", Expr.Bin("and", _, _), _) = e("a > 1 AND b < 2 OR c == 3"): @unchecked
+    val Expr.Bin("+", _, Expr.Bin("*", _, _)) = e("1 + 2 * 3"): @unchecked
+    val Expr.CaseW(None, brs, Some(_)) =
+      e("CASE WHEN a > 1 THEN 2 ELSE 3 END"): @unchecked
+    assert(brs.size == 1)
+    val Expr.Bin("in", _, Expr.ListLit(xs)) = e("a IN [1, 2, 3]"): @unchecked
+    assert(xs.size == 3)
+    val Expr.Un("isnotnull", _) = e("a.b.c IS NOT NULL"): @unchecked
+    val Expr.FnCall("count", List(Expr.Star), false) = e("COUNT(*)"): @unchecked
+    val Expr.FnCall("count", _, true) = e("COUNT(DISTINCT x)"): @unchecked
+  }
+
+  test("errors: unterminated string, unknown sentence, trailing junk") {
     intercept[IllegalArgumentException](Gql.parse("""GO FROM "a OVER x"""))
     intercept[IllegalArgumentException](Gql.parse("""DROP TABLE x"""))
     intercept[IllegalArgumentException](
       Gql.parse("""LOOKUP ON t WHERE a ~ 3"""))
   }
 
-  test("GO property-reference yields and WHERE") {
-    val Go(_, _, _, _, _, ys, dist, where, _) = Gql.parse(
-      """GO FROM "a" OVER serve WHERE serve.start_year > 2000 YIELD DISTINCT serve._dst, serve.start_year AS y, $$.team.name, id($^)"""): @unchecked
-    assert(dist)
-    assert(where.contains(Gql.GoWhere(Some("serve" -> "start_year"), None, ">", 2000L)))
-    assert(ys.map(_.kind) == Seq("edst", "eprop", "dstprop", "idsrc"))
-    assert(ys.map(_.alias) == Seq("serve._dst", "y", "$$.team.name", "id($^)"))
-  }
-
-  test("pipe-chained GO seeds FROM $-.col") {
-    val Piped(_, pipes) = Gql.parse(
-      """GO FROM "a" OVER like YIELD like._dst as id | GO FROM $-.id OVER serve YIELD serve._dst"""): @unchecked
-    val Seq(PGo(g2)) = pipes: @unchecked
-    assert(g2.seedsCol.contains("id") && g2.etype == "serve")
-  }
-
   test("keywords are case-insensitive") {
-    val Go(_, _, _, _, _, _, _, _, _) =
-      Gql.parse("""go from "a" over like yield vid"""): @unchecked
+    Gql.parse("""go from "a" over like yield vid""")
   }
 }

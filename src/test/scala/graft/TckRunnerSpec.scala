@@ -46,11 +46,16 @@ class TckRunnerSpec extends SparkSpec {
       val text = java.nio.file.Files.readString(java.nio.file.Paths.get(f))
       val report = TckRunner.run(cat, text)
       info(s"${f.split('/').last}: executed=${report.executed} " +
-        s"passed=${report.passed} skipped=${report.skipped}")
+        s"passed=${report.passed} skipped=${report.skipped} " +
+        s"errored=${report.errored}")
       report.failures.take(5).foreach { case (q, why) =>
         info(s"FAIL: $q -> $why")
       }
-      assert(report.ok, s"$f: ${report.failures.size} golden mismatches")
+      report.errors.take(5).foreach { case (q, why) =>
+        info(s"ERROR: $q -> $why")
+      }
+      assert(report.ok, s"$f: ${report.failures.size} golden mismatches, " +
+        s"${report.errored} execution errors")
       executed += report.executed; passed += report.passed
       skipped += report.skipped
     }
