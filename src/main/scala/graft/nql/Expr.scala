@@ -362,7 +362,8 @@ object Expr {
         else count(lit(1))
       case "count" => if (distinct) count_distinct(a(0)) else count(a(0))
       case "sum" => if (distinct) sum_distinct(a(0)) else sum(a(0))
-      case "avg" => avg(a(0))
+      case "avg" =>
+        if (distinct) sum_distinct(a(0)) / count_distinct(a(0)) else avg(a(0))
       case "min" => min(a(0))
       case "max" => max(a(0))
       case "std" => stddev_pop(a(0))

@@ -137,7 +137,8 @@ object Gql {
   }
 
   // ---------- AST ----------
-  sealed trait Stmt
+  /** Not sealed: MatchSeg.MStmt extends it from its own file. */
+  trait Stmt
   case class Item(e: Expr.E, alias: String)
   sealed trait Pipe
   case class PYield(items: Seq[Item], distinct: Boolean,
@@ -285,7 +286,7 @@ object Gql {
     if (pipes.isEmpty) head else Piped(head, pipes.toSeq)
   }
 
-  private def parseItems(p: P): Seq[Item] = {
+  private[nql] def parseItems(p: P): Seq[Item] = {
     val out = scala.collection.mutable.ListBuffer.empty[Item]
     var go = true
     while (go) {
@@ -307,7 +308,8 @@ object Gql {
   }
 
   private def parseSentence(p: P): Stmt = {
-    if (p.kw("GO")) {
+    if (p.kw("MATCH")) MatchSeg.parse(p)
+    else if (p.kw("GO")) {
       val (m, n) = p.peek match {
         case Some(Num(v, _)) =>
           p.next()
@@ -508,6 +510,7 @@ object Gql {
   def exec(g: GraphCatalog, stmt: Stmt, env: Map[String, DataFrame]): DataFrame = {
     val spark = g.allVertices.sparkSession
     stmt match {
+      case m: MatchSeg.MStmt => MatchSeg.exec(g, m)
       case Piped(head, pipes) =>
         pipes.foldLeft(exec(g, head, env))((df, pp) => applyPipe(g, df, pp))
       case SetOp(op, all, l, r) =>
@@ -688,7 +691,7 @@ object Gql {
     else if (etypes.size == 1) g.edgesByType(etypes.head)
     else g.allEdges.filter(col("etype").isin(etypes: _*))
 
-  private def seedsDf(spark: SparkSession, vids: Seq[Any]): DataFrame = {
+  private[nql] def seedsDf(spark: SparkSession, vids: Seq[Any]): DataFrame = {
     import spark.implicits._
     if (vids.nonEmpty && vids.forall(_.isInstanceOf[Long]))
       vids.map(_.asInstanceOf[Long]).toDF("vid")
@@ -721,7 +724,7 @@ object Gql {
   /** Compile+select items; aggregate-bearing items trigger the
     * reference's implicit grouping (AggregateExecutor.cpp:12-99):
     * aggregate-free items become the group keys. */
-  private def selectItems(df: DataFrame, items: Seq[Item],
+  private[nql] def selectItems(df: DataFrame, items: Seq[Item],
                           resolver: Expr.Resolver): DataFrame = {
     val hasAgg = items.exists(i => Expr.hasAgg(i.e))
     if (!hasAgg)
@@ -865,9 +868,10 @@ object Gql {
       else df.offset(off).limit(nn)
     case POrderBy(keys) =>
       val resolver = pipeResolver
+      // NULL sorts as the largest value (OrderByExecutor comparator)
       df.orderBy(keys.map { case (e, desc) =>
         val c = Expr.compile(e, resolver)
-        if (desc) c.desc else c.asc
+        if (desc) c.desc_nulls_first else c.asc_nulls_last
       }: _*)
     case PYield(items, distinct, where) =>
       val filtered = where match {

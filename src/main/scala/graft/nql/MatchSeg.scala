@@ -1,0 +1,579 @@
+package graft.nql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.graph.GraphCatalog
+import graft.traverse.Traverse
+import graft.traverse.Traverse.{Both, Direction, In, Out}
+
+/** MATCH text entry point (reference: parser.yy:1841 match_sentence,
+  * MatchPlanner.cpp:26, MatchClausePlanner.cpp:18, seek priority
+  * PlannersRegister.cpp:94-118). Compiles a Cypher-style pattern onto
+  * a single binding DataFrame — one column per bound variable:
+  *
+  *   vertex var `v`  → `v` (vid) plus `v_<tag>_<prop>` property cols
+  *   edge var `e`    → `e_src`, `e_dst`, `e_rank`, `e_etype`, `e_<prop>`
+  *
+  * Seeks are filters over tag tables (Catalyst pushes them into the
+  * scan — the reference's IndexSeek/ScanSeek priority list collapses
+  * into predicate pushdown); hops are equi-joins; OPTIONAL MATCH is a
+  * left join on the shared variables (SegmentsConnector.cpp:39);
+  * var-length hops run an edge-unique path loop (openCypher
+  * relationship-isomorphism, TraverseExecutor.cpp edge dedup) with
+  * per-step localCheckpoint, same scale posture as Traverse.
+  *
+  * Property refs against tags a variable is not bound to resolve to
+  * NULL (the reference's BAD_TYPE-tolerant prop access in relax mode:
+  * `v.unknown.name IS NULL` is answerable, not an error).
+  */
+object MatchSeg {
+  import Gql.{P, Sym, Word, Item}
+
+  // ---------- AST ----------
+  case class Node(v: Option[String], tags: List[String],
+                  props: List[(String, Any)])
+  /** range: None = single hop; Some((m, n)) = var-length *m..n. */
+  case class Rel(v: Option[String], etypes: List[String], dir: Direction,
+                 range: Option[(Int, Int)], props: List[(String, Any)])
+  case class Part(nodes: List[Node], rels: List[Rel])
+  case class Clause(optional: Boolean, parts: List[Part],
+                    where: Option[Expr.E])
+  case class MStmt(clauses: List[Clause], distinct: Boolean,
+                   star: Boolean, items: Seq[Item],
+                   orderBy: Seq[(Expr.E, Boolean)],
+                   skip: Int, limit: Int) extends Gql.Stmt
+
+  // ---------- parser (MATCH keyword already consumed) ----------
+  def parse(p: P): MStmt = {
+    val clauses = scala.collection.mutable.ListBuffer.empty[Clause]
+    clauses += parseClause(p, optional = false)
+    var go = true
+    while (go) {
+      if (p.kw("OPTIONAL")) {
+        p.expectKw("MATCH"); clauses += parseClause(p, optional = true)
+      } else if (p.kw("MATCH")) {
+        clauses += parseClause(p, optional = false)
+      } else go = false
+    }
+    p.expectKw("RETURN")
+    val distinct = p.kw("DISTINCT")
+    var star = false
+    var items = Seq.empty[Item]
+    if (p.sym("*")) {
+      star = true
+      if (p.sym(",")) items = Gql.parseItems(p)
+    } else items = Gql.parseItems(p)
+    val orderBy = if (p.kw("ORDER")) {
+      p.expectKw("BY")
+      val keys = scala.collection.mutable.ListBuffer.empty[(Expr.E, Boolean)]
+      var go2 = true
+      while (go2) {
+        val e = Expr.parse(p)
+        val desc = if (p.kw("DESC")) true else { p.kw("ASC"); false }
+        keys += (e -> desc)
+        if (p.sym(",")) () else go2 = false
+      }
+      keys.toSeq
+    } else Seq.empty
+    val skip = if (p.kw("SKIP")) p.intLit() else 0
+    val limit = if (p.kw("LIMIT")) p.intLit() else -1
+    MStmt(clauses.toList, distinct, star, items, orderBy, skip, limit)
+  }
+
+  private def parseClause(p: P, optional: Boolean): Clause = {
+    val parts = scala.collection.mutable.ListBuffer(parsePart(p))
+    while (p.sym(",")) parts += parsePart(p)
+    val where = if (p.kw("WHERE")) Some(Expr.parse(p)) else None
+    Clause(optional, parts.toList, where)
+  }
+
+  private def parsePart(p: P): Part = {
+    val nodes = scala.collection.mutable.ListBuffer(parseNode(p))
+    val rels = scala.collection.mutable.ListBuffer.empty[Rel]
+    var go = true
+    while (go) {
+      p.peek match {
+        case Some(Sym("-")) | Some(Sym("<")) =>
+          rels += parseRel(p)
+          nodes += parseNode(p)
+        case _ => go = false
+      }
+    }
+    Part(nodes.toList, rels.toList)
+  }
+
+  private def litValue(p: P): Any = Expr.parse(p) match {
+    case Expr.Lit(v) => v
+    case Expr.Un("neg", Expr.Lit(n: Long)) => -n
+    case Expr.Un("neg", Expr.Lit(d: Double)) => -d
+    case other =>
+      throw new IllegalArgumentException(s"expected literal, got ${Expr.text(other)}")
+  }
+
+  private def parseProps(p: P): List[(String, Any)] =
+    if (!p.sym("{")) Nil
+    else {
+      val out = scala.collection.mutable.ListBuffer.empty[(String, Any)]
+      if (!p.sym("}")) {
+        var go = true
+        while (go) {
+          val k = p.word()
+          p.expectSym(":")
+          out += (k -> litValue(p))
+          if (p.sym(",")) () else go = false
+        }
+        p.expectSym("}")
+      }
+      out.toList
+    }
+
+  private def parseNode(p: P): Node = {
+    p.expectSym("(")
+    val v = p.peek match {
+      case Some(Word(w)) => p.next(); Some(w)
+      case _ => None
+    }
+    val tags = scala.collection.mutable.ListBuffer.empty[String]
+    while (p.sym(":")) tags += p.word()
+    val props = parseProps(p)
+    p.expectSym(")")
+    Node(v, tags.toList, props)
+  }
+
+  private def parseRel(p: P): Rel = {
+    val leftArrow = p.sym("<")
+    p.expectSym("-")
+    var v: Option[String] = None
+    var etypes = List.empty[String]
+    var range: Option[(Int, Int)] = None
+    var props = List.empty[(String, Any)]
+    if (p.sym("[")) {
+      p.peek match {
+        case Some(Word(w)) => p.next(); v = Some(w)
+        case _ => ()
+      }
+      if (p.sym(":")) {
+        val ts = scala.collection.mutable.ListBuffer(p.word())
+        while (p.sym("|")) {
+          p.sym(":") // `:like|:serve` and `:like|serve` both appear
+          ts += p.word()
+        }
+        etypes = ts.toList
+      }
+      if (p.sym("*")) {
+        // *m..n | *m | *..n — bare `*` (unbounded) is out of subset
+        val m = p.peek match {
+          case Some(Gql.Num(x, _)) => p.next(); Some(x.toInt)
+          case _ => None
+        }
+        val dots = p.sym(".") && { p.expectSym("."); true }
+        val n = p.peek match {
+          case Some(Gql.Num(x, _)) => p.next(); Some(x.toInt)
+          case _ => None
+        }
+        range = (m, n, dots) match {
+          case (Some(a), Some(b), true) => Some((a, b))
+          case (Some(a), None, false) => Some((a, a))
+          case (Some(a), None, true) =>
+            throw new IllegalArgumentException("unbounded *m.. hop")
+          case (None, Some(b), true) => Some((1, b))
+          case _ => throw new IllegalArgumentException("unbounded * hop")
+        }
+      }
+      props = parseProps(p)
+      p.expectSym("]")
+      p.expectSym("-")
+    } else {
+      // abbreviated -- / --> / <--
+      p.expectSym("-")
+    }
+    val rightArrow = p.sym(">")
+    val dir =
+      if (leftArrow && !rightArrow) In
+      else if (!leftArrow && rightArrow) Out
+      else Both
+    Rel(v, etypes, dir, range, props)
+  }
+
+  // ---------- executor ----------
+  private class BState(g: GraphCatalog) {
+    val vertexVars = scala.collection.mutable.LinkedHashSet.empty[String]
+    val edgeVars = scala.collection.mutable.LinkedHashSet.empty[String]
+    /** Pattern-declaration order across BOTH kinds — `RETURN *` emits
+      * columns in this order (v, e, v2 for a one-hop pattern). */
+    val declOrder = scala.collection.mutable.ListBuffer.empty[String]
+    /** (var, tag) pairs whose prop columns are bound in the frame. */
+    val boundTags = scala.collection.mutable.Set.empty[(String, String)]
+    var anon = 0
+    def freshVar(): String = { anon += 1; s"__n$anon" }
+    def knownTag(t: String): Boolean = g.tagNames.contains(t)
+    def tags: Seq[String] = g.tagNames
+    /** Vars whose per-tag membership flags are joined (labels()). */
+    val labelsBound = scala.collection.mutable.Set.empty[String]
+    def addVertex(v: String): Unit = {
+      if (!vertexVars.contains(v) && !edgeVars.contains(v)) declOrder += v
+      vertexVars += v
+    }
+    def addEdge(ev: String): Unit = {
+      if (!vertexVars.contains(ev) && !edgeVars.contains(ev)) declOrder += ev
+      edgeVars += ev
+    }
+  }
+
+  /** Rename a tag table into a variable's namespace:
+    * vid → var, prop → `var_tag_prop`. */
+  private def tagFrame(g: GraphCatalog, tag: String, v: String): DataFrame = {
+    val tbl = g.vertexTable(tag)
+    tbl.columns.foldLeft(tbl)((df, c) =>
+      df.withColumnRenamed(c, if (c == "vid") v else s"${v}_${tag}_$c"))
+  }
+
+  /** Type-strict inline-prop equality (the reference compares values
+    * WITH types: `{likeness:"99"}` never matches an int prop — no
+    * string→int coercion like Spark's default). */
+  private def typedEq(df: DataFrame, c: String, v: Any): Column = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(c).dataType
+    val compatible = (dt, v) match {
+      case (StringType, _: String) => true
+      case (LongType | IntegerType | ShortType | DoubleType | FloatType,
+            _: Long | _: Int | _: Double) => true
+      case (BooleanType, _: Boolean) => true
+      case _ => false
+    }
+    if (compatible) col(c) === lit(v) else lit(false)
+  }
+
+  private def nodePropFilter(df: DataFrame, v: String, tags: List[String],
+                             props: List[(String, Any)]): DataFrame =
+    props.foldLeft(df) { case (d, (k, value)) =>
+      // an inline prop constrains whichever bound tag defines it
+      val candidates = tags.map(t => s"${v}_${t}_$k").filter(d.columns.contains)
+      require(candidates.nonEmpty, s"unknown prop $k on $v")
+      d.filter(candidates.map(c => typedEq(d, c, value)).reduce(_ || _))
+    }
+
+  /** Build the frame for one node var: tagged → tag table(s) joined on
+    * vid (a multi-tag pattern is an intersection); untagged → the
+    * all-vertices vid scan. */
+  private def nodeFrame(g: GraphCatalog, st: BState, n: Node, v: String): DataFrame = {
+    st.addVertex(v)
+    if (n.tags.isEmpty) {
+      require(n.props.isEmpty, "props on an untagged node")
+      g.allVertices.select(col("vid").as(v)).distinct()
+    } else {
+      var df = tagFrame(g, n.tags.head, v)
+      st.boundTags += (v -> n.tags.head)
+      n.tags.tail.foreach { t =>
+        df = df.join(tagFrame(g, t, v), Seq(v))
+        st.boundTags += (v -> t)
+      }
+      nodePropFilter(df, v, n.tags, n.props)
+    }
+  }
+
+  /** One pattern part → frame. Left-to-right fold of hop joins. The
+    * hidden `__trail` column carries the edge-ids a row's partial match
+    * already used — openCypher relationship-uniqueness (trail
+    * semantics) holds across the WHOLE clause, so every later hop
+    * filters against it (the reference's TraverseExecutor edge dedup). */
+  private def buildPart(g: GraphCatalog, st: BState, part: Part): DataFrame = {
+    val n0 = part.nodes.head
+    val v0 = n0.v.getOrElse(st.freshVar())
+    var binding =
+      if (n0.v.exists(st.vertexVars.contains) && n0.tags.isEmpty)
+        // var already bound earlier: minimal re-seek; the cross-frame
+        // join on the shared var prunes it
+        g.allVertices.select(col("vid").as(v0)).distinct()
+      else nodeFrame(g, st, n0, v0)
+    binding = binding.withColumn("__trail", array().cast("array<string>"))
+    var fromVar = v0
+    part.rels.zip(part.nodes.tail).foreach { case (rel, node) =>
+      val w = node.v.getOrElse(st.freshVar())
+      binding = hop(g, st, binding, fromVar, rel, node, w)
+      fromVar = w
+    }
+    binding
+  }
+
+  /** Stored-orientation edge identity: etype|rank|src|dst of the edge
+    * AS INSERTED — stable under direction flips, distinct for mutual
+    * A→B / B→A edges. */
+  private def eidCol: Column =
+    concat_ws("|", col("__etype"), col("rank").cast("string"),
+      col("__osrc").cast("string"), col("__odst").cast("string"))
+
+  private def edgeBase(g: GraphCatalog, rel: Rel): DataFrame = {
+    val types = if (rel.etypes.nonEmpty) rel.etypes else g.edgeTypeNames
+    g.edgesWithProps(types)
+  }
+
+  /** Single- or var-length hop from `fromVar` through `rel` to `node`,
+    * extending the binding frame; binds the destination to `w`. */
+  private def hop(g: GraphCatalog, st: BState, binding: DataFrame,
+                  fromVar: String, rel: Rel, node: Node, w: String): DataFrame = {
+    val toExisting = node.v.filter(st.vertexVars.contains)
+
+    val joined = rel.range match {
+      case None =>
+        val base0 = edgeBase(g, rel)
+        val base = rel.props.foldLeft(base0) { case (d, (k, value)) =>
+          d.filter(typedEq(d, k, value))
+        }
+        // keep the STORED orientation for edge-var rendering (goldens
+        // print edges as inserted, whatever direction matched them)
+        val tagged = base.withColumn("__osrc", col("src"))
+          .withColumn("__odst", col("dst"))
+        val oriented = Traverse.orient(tagged, rel.dir)
+        val propCols = base0.columns
+          .filterNot(Seq("src", "dst", "rank", "__etype").contains)
+        val kept: Seq[Column] =
+          Seq(col("src").as("__from"), col("dst").as("__to"),
+            eidCol.as("__heid")) ++
+            (rel.v match {
+              case Some(ev) =>
+                st.addEdge(ev)
+                Seq(col("__osrc").as(s"${ev}_src"), col("__odst").as(s"${ev}_dst"),
+                  col("rank").as(s"${ev}_rank"),
+                  col("__etype").as(s"${ev}_etype")) ++
+                  propCols.map(p2 => col(p2).as(s"${ev}_$p2"))
+              case None => Nil
+            })
+        val hopF = oriented.select(kept: _*)
+        binding.join(hopF, col(fromVar) === col("__from"))
+          .filter(!array_contains(col("__trail"), col("__heid")))
+          .withColumn("__trail", concat(col("__trail"), array(col("__heid"))))
+          .drop("__from", "__heid")
+      case Some((m, n)) =>
+        require(rel.v.isEmpty && rel.props.isEmpty,
+          "edge var / props on a var-length hop")
+        val pairs = varLengthPairs(g, binding, fromVar, rel, m, n)
+        binding.join(pairs, Seq(fromVar))
+          .filter(!arrays_overlap(col("__trail"), col("__vl_ep")))
+          .withColumn("__trail", concat(col("__trail"), col("__vl_ep")))
+          .drop("__vl_ep")
+          .withColumnRenamed("__vl_to", "__to")
+    }
+
+    toExisting match {
+      case Some(_) =>
+        joined.filter(col("__to") === col(w)).drop("__to")
+      case None =>
+        var out = joined.withColumnRenamed("__to", w)
+        st.addVertex(w)
+        node.tags.foreach { t =>
+          // label constraint: inner join the tag table
+          out = out.join(tagFrame(g, t, w), Seq(w))
+          st.boundTags += (w -> t)
+        }
+        nodePropFilter(out, w, node.tags, node.props)
+    }
+  }
+
+  /** Edge-unique path enumeration for `*m..n` (openCypher relationship
+    * isomorphism): one output row PER PATH — (origin, destination,
+    * edge-id path). m=0 contributes the identity row with an empty
+    * path. Edge ids use the stored orientation (mutual A→B / B→A
+    * edges stay distinct; a Both-direction flip of the same edge does
+    * not). */
+  private def varLengthPairs(g: GraphCatalog, binding: DataFrame,
+                             fromVar: String, rel: Rel,
+                             m: Int, n: Int): DataFrame = {
+    val types = if (rel.etypes.nonEmpty) rel.etypes else g.edgeTypeNames
+    val base = g.edgesWithProps(types)
+      .withColumn("__osrc", col("src")).withColumn("__odst", col("dst"))
+      .select(col("src"), col("dst"), eidCol.as("__eid"))
+    val e = Traverse.orient(base, rel.dir).localCheckpoint()
+
+    val seeds = binding.select(col(fromVar).as("__o")).distinct()
+    val empty = array().cast("array<string>")
+    var frontier = seeds
+      .select(col("__o"), col("__o").as("__v"), empty.as("__ep"))
+      .localCheckpoint()
+    var cnt = frontier.count()
+    var acc: DataFrame =
+      if (m == 0) seeds.select(col("__o"), col("__o").as("__v"), empty.as("__ep"))
+      else null
+    var step = 1
+    while (step <= n && cnt > 0) {
+      val next = Traverse.maybeBroadcast(frontier, cnt)
+        .join(e, col("__v") === e("src"))
+        .filter(!array_contains(col("__ep"), e("__eid")))
+        .select(col("__o"), e("dst").as("__v2"),
+          concat(col("__ep"), array(e("__eid"))).as("__ep"))
+        .withColumnRenamed("__v2", "__v")
+      val mat = next.localCheckpoint()
+      cnt = mat.count()
+      frontier = mat
+      if (step >= math.max(m, 1) && cnt > 0) {
+        val rows = frontier.select(col("__o"), col("__v"), col("__ep"))
+        acc = if (acc == null) rows else acc.unionByName(rows)
+      }
+      step += 1
+    }
+    val out =
+      if (acc == null)
+        seeds.select(col("__o"), col("__o").as("__v"), empty.as("__ep")).limit(0)
+      else acc
+    out.select(col("__o").as(fromVar), col("__v").as("__vl_to"),
+      col("__ep").as("__vl_ep"))
+  }
+
+  /** Ensure every `v.tag.prop` referenced by `exprs` has its tag table
+    * joined (LEFT — an unmatched tag yields NULL, not row loss). */
+  private def ensureTags(g: GraphCatalog, st: BState, binding0: DataFrame,
+                         exprs: Seq[Expr.E]): DataFrame = {
+    var binding = binding0
+    exprs.foreach(Expr.collect(_) {
+      case Expr.Ref(List(v, tag, _))
+          if st.vertexVars.contains(v) && st.knownTag(tag) &&
+            !st.boundTags.contains((v, tag)) =>
+        binding = binding.join(tagFrame(g, tag, v), Seq(v), "left_outer")
+        st.boundTags += (v -> tag)
+      case Expr.FnCall("labels", List(Expr.Ref(List(v))), _)
+          if st.vertexVars.contains(v) && !st.labelsBound.contains(v) =>
+        // per-tag membership flags feed the labels() array
+        g.tagNames.foreach { t =>
+          binding = binding.join(
+            g.vertexTable(t).select(col("vid").as(v),
+              lit(true).as(s"__lbl_${v}_$t")),
+            Seq(v), "left_outer")
+        }
+        st.labelsBound += v
+    })
+    binding
+  }
+
+  /** Domain resolver over the binding frame. */
+  private def resolver(st: BState, binding: DataFrame): Expr.Resolver = {
+    val cols = binding.columns.toSet
+    def e(name: String): Option[Column] =
+      if (cols(name)) Some(col(name)) else Some(lit(null))
+    val f: Expr.Resolver = {
+      case Expr.Ref(List(v, tag, prop)) if st.vertexVars.contains(v) =>
+        e(s"${v}_${tag}_$prop")
+      case Expr.Ref(List(v)) if st.vertexVars.contains(v) => Some(col(v))
+      case Expr.Ref(List(ev, prop)) if st.edgeVars.contains(ev) =>
+        e(s"${ev}_$prop")
+      case Expr.FnCall("id", List(Expr.Ref(List(v))), _)
+          if st.vertexVars.contains(v) => Some(col(v))
+      case Expr.FnCall("type", List(Expr.Ref(List(ev))), _)
+          if st.edgeVars.contains(ev) => Some(col(s"${ev}_etype"))
+      case Expr.FnCall("rank", List(Expr.Ref(List(ev))), _)
+          if st.edgeVars.contains(ev) => Some(col(s"${ev}_rank"))
+      case Expr.FnCall("src", List(Expr.Ref(List(ev))), _)
+          if st.edgeVars.contains(ev) => Some(col(s"${ev}_src"))
+      case Expr.FnCall("dst", List(Expr.Ref(List(ev))), _)
+          if st.edgeVars.contains(ev) => Some(col(s"${ev}_dst"))
+      case Expr.FnCall("labels", List(Expr.Ref(List(v))), _)
+          if st.vertexVars.contains(v) =>
+        Some(array_compact(array(st.tags.sorted.map(t =>
+          when(col(s"__lbl_${v}_$t"), lit(t))): _*)))
+      case _ => None
+    }
+    f
+  }
+
+  def exec(g: GraphCatalog, m: MStmt): DataFrame = {
+    val st = new BState(g)
+    var binding: DataFrame = null
+
+    m.clauses.foreach { cl =>
+      // frame for this clause: its parts joined on shared vars
+      var frame: DataFrame = null
+      cl.parts.foreach { part =>
+        val pf = buildPart(g, st, part)
+        frame =
+          if (frame == null) pf
+          else joinShared(st, frame, pf, joinType = "inner")
+      }
+      // clause-local WHERE applies before an OPTIONAL left join when
+      // its refs stay inside the clause (cypher optional semantics)
+      cl.where.foreach { w =>
+        frame = ensureTags(g, st, frame, Seq(w))
+        frame = frame.filter(Expr.compile(w, resolver(st, frame)))
+      }
+      binding =
+        if (binding == null) frame
+        else joinShared(st, binding, frame,
+          joinType = if (cl.optional) "left_outer" else "inner")
+    }
+
+    // lazy tag joins for RETURN / ORDER BY refs
+    val retExprs = m.items.map(_.e) ++ m.orderBy.map(_._1)
+    binding = ensureTags(g, st, binding, retExprs)
+    val res = resolver(st, binding)
+
+    val strVid = st.vertexVars.headOption.exists(v =>
+      binding.schema(v).dataType == org.apache.spark.sql.types.StringType)
+    // whole-var RETURN items render in the reference serialization
+    def compiled(it: Item): Column = it.e match {
+      case Expr.Ref(List(v)) if st.vertexVars.contains(v) && !v.startsWith("__") =>
+        Gql.renderNode(col(v), strVid).as(it.alias)
+      case Expr.Ref(List(ev)) if st.edgeVars.contains(ev) =>
+        Gql.renderEdge(col(s"${ev}_etype"), col(s"${ev}_src"),
+          col(s"${ev}_dst"), col(s"${ev}_rank"), strVid).as(it.alias)
+      case e2 => Expr.compile(e2, res).as(it.alias)
+    }
+
+    val starItems: Seq[Item] =
+      if (m.star)
+        st.declOrder.toSeq.filterNot(_.startsWith("__"))
+          .map(v => Item(Expr.Ref(List(v)), v))
+      else Seq.empty
+    val items = starItems ++ m.items
+    require(items.nonEmpty, "RETURN needs items")
+
+    val hasAgg = items.exists(i => Expr.hasAgg(i.e))
+    var out =
+      if (!hasAgg) binding.select(items.map(compiled): _*)
+      else {
+        val keys = items.filter(i => !Expr.hasAgg(i.e))
+        val aggs = items.filter(i => Expr.hasAgg(i.e))
+          .map(i => Expr.compile(i.e, res).as(i.alias))
+        val grouped =
+          if (keys.isEmpty) binding.agg(aggs.head, aggs.tail: _*)
+          else binding.groupBy(keys.map(compiled): _*).agg(aggs.head, aggs.tail: _*)
+        grouped.select(items.map(i => Gql.colByName(i.alias)): _*)
+      }
+    if (m.distinct) out = out.distinct()
+    if (m.orderBy.nonEmpty) {
+      val keys = m.orderBy.map { case (e2, desc) =>
+        val c = Gql.colByName(e2 match {
+          case Expr.Ref(List(one)) => one
+          case other => Expr.text(other)
+        })
+        // NULL is the largest value (OrderByExecutor comparator):
+        // last in ASC, first in DESC
+        if (desc) c.desc_nulls_first else c.asc_nulls_last
+      }
+      out = out.orderBy(keys: _*)
+    }
+    if (m.skip > 0) out = out.offset(m.skip)
+    if (m.limit >= 0) out = out.limit(m.limit)
+    out
+  }
+
+  /** Join two frames on their shared VERTEX-VARIABLE columns;
+    * cartesian when disjoint (SegmentsConnector cartesianProduct).
+    * Other columns both sides carry (duplicate tag-prop bindings,
+    * edge-var columns) are dropped from the right pre-join.
+    *
+    * Edge uniqueness does NOT span the joined frames: the reference
+    * scopes it to one pattern PART/path (MultiQueryParts.feature
+    * goldens reuse an edge across comma parts), so the right side's
+    * trail is simply dropped. */
+  private def joinShared(st: BState, l: DataFrame, r: DataFrame,
+                         joinType: String): DataFrame = {
+    val r1 = r.drop("__trail")
+    val shared = r1.columns.filter(c =>
+      l.columns.contains(c) && st.vertexVars.contains(c)).toSeq
+    val dups = r1.columns.filter(c =>
+      l.columns.contains(c) && !shared.contains(c))
+    val rr = dups.foldLeft(r1)((d, c) => d.drop(c))
+    if (shared.isEmpty) {
+      require(joinType == "inner", "OPTIONAL MATCH needs shared variables")
+      l.crossJoin(rr)
+    } else l.join(rr, shared, joinType)
+  }
+}

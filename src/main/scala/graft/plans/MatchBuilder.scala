@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.graph.GraphModel
+import graft.graph.GraphCatalog
 import graft.operators.Apply
 import graft.traverse.Traverse
 import graft.traverse.Traverse.{Direction, Out}
@@ -27,7 +27,7 @@ import graft.traverse.Traverse.{Direction, Out}
   * column per bound variable; each step renames its output into the
   * variable's name space (`v`, `e_src`, ...).
   */
-final case class MatchBuilder(g: GraphModel, binding: DataFrame) {
+final case class MatchBuilder(g: GraphCatalog, binding: DataFrame) {
 
   /** (v:label WHERE pred) — start a pattern from a labeled vertex
     * seek (LabelIndexSeek/ScanSeek equivalent). Binds `as` to vid and
@@ -80,17 +80,11 @@ final case class MatchBuilder(g: GraphModel, binding: DataFrame) {
   /** RETURN clause. */
   def ret(cols: Column*): DataFrame = binding.select(cols: _*)
 
-  private def vertexTable(label: String): DataFrame = label match {
-    case "customer" => g.customers
-    case "supplier" => g.suppliers
-    case "part" => g.parts
-    case "nation" => g.nations
-    case "region" => g.regions
-    case "order" => g.orders
-    case other => throw new IllegalArgumentException(s"unknown label $other")
-  }
+  /** Any GraphCatalog serves the label lookup — the TPC-H graph, the
+    * nba fixtures, a lakehouse binding (no hardcoded schema). */
+  private def vertexTable(label: String): DataFrame = g.vertexTable(label)
 }
 
 object MatchBuilder {
-  def apply(g: GraphModel): MatchBuilder = MatchBuilder(g, null)
+  def apply(g: GraphCatalog): MatchBuilder = MatchBuilder(g, null)
 }

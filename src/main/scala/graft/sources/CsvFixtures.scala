@@ -78,11 +78,18 @@ object CsvFixtures {
     }
     val df = raw.select(casted: _*)
     // edge file without :RANK → implicit rank 0 (FIXTURES.md)
-    if (cols.exists(_.name == "src") && !cols.exists(_.name == "rank"))
-      df.withColumn("rank", lit(0L))
-        .select((Seq("src", "dst", "rank") ++
-          cols.map(_.name).filterNot(Seq("src", "dst").contains)).distinct
-          .map(col): _*)
-    else df
+    val shaped =
+      if (cols.exists(_.name == "src") && !cols.exists(_.name == "rank"))
+        df.withColumn("rank", lit(0L))
+          .select((Seq("src", "dst", "rank") ++
+            cols.map(_.name).filterNot(Seq("src", "dst").contains)).distinct
+            .map(col): _*)
+      else df
+    // the reference's storage overwrites on identical key — a fixture
+    // row repeated with the same (vid) / (src,dst,rank) is ONE record
+    // (nba like.csv carries a literal duplicate edge line)
+    if (shaped.columns.contains("src"))
+      shaped.dropDuplicates("src", "dst", "rank")
+    else shaped.dropDuplicates("vid")
   }
 }

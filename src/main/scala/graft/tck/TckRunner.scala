@@ -29,14 +29,39 @@ object TckRunner {
     def ok: Boolean = failures.isEmpty && errors.isEmpty
   }
 
+  /** DDL/DML statements mutate the scenario-local space; after one,
+    * the fixture catalog no longer reflects the scenario's state. */
+  private val mutating = Seq("create ", "alter ", "insert ", "drop ",
+    "upsert ", "update ", "delete ", "use ", "rebuild ")
+
   /** Extract (query, golden-table) pairs from feature-file text. Only
     * `Then the result should be...` blocks count; error-assertion
-    * scenarios are ignored. */
-  def parseFeature(text: String): Seq[Case] = {
+    * scenarios are ignored. A scenario that sets up its own space
+    * (`Given an empty graph`, `Given having executed`) or runs a
+    * DDL/DML query is POISONED from that point: the fixture catalog
+    * cannot answer it, so its queries are not extracted (they'd
+    * compare nba data against another space's goldens). */
+  def parseFeature(text: String): Seq[Case] =
+    parseFeature(text, space = "nba")
+
+  /** `space` — only scenarios running against this space are
+    * extracted (the Background's `Given a graph with space named`). */
+  def parseFeature(text: String, space: String): Seq[Case] = {
     val lines = text.linesIterator.toVector
     val out = scala.collection.mutable.ListBuffer.empty[Case]
+    var poisoned = false
+    var backgroundSpace = space // features without a Given default in
     var i = 0
     while (i < lines.length) {
+      val t = lines(i).trim
+      if (t.startsWith("Scenario")) poisoned = backgroundSpace != space
+      val spaceGiven = "Given a graph with space named \"([^\"]+)\"".r
+      spaceGiven.findFirstMatchIn(t).foreach { mm =>
+        backgroundSpace = mm.group(1)
+        poisoned = backgroundSpace != space
+      }
+      if (t.startsWith("Given an empty graph") ||
+          t.startsWith("Given having executed")) poisoned = true
       if (lines(i).trim == "When executing query:" ||
           lines(i).trim == "When profiling query:") {
         // query block delimited by triple quotes
@@ -44,6 +69,7 @@ object TckRunner {
         val end = lines.indexWhere(_.trim == "\"\"\"", start + 1)
         if (start > 0 && end > start) {
           val query = lines.slice(start + 1, end).map(_.trim).mkString(" ")
+          if (mutating.exists(query.toLowerCase.startsWith)) poisoned = true
           // find the Then line directly after the block
           var j = end + 1
           while (j < lines.length && lines(j).trim.isEmpty) j += 1
@@ -56,7 +82,8 @@ object TckRunner {
                 .split("\\|").toSeq.map(_.trim)
               k += 1
             }
-            if (rows.nonEmpty) out += Case(query, rows.toSeq.drop(1)) // drop header
+            if (rows.nonEmpty && !poisoned)
+              out += Case(query, rows.toSeq.drop(1)) // drop header
             i = k
           } else i = end + 1
         } else i += 1
@@ -73,6 +100,12 @@ object TckRunner {
     case d: Double => if (d == d.floor && !d.isInfinite) d.toLong.toString
                       else d.toString
     case f: Float => norm(f.toDouble)
+    case seq: scala.collection.Seq[_] =>
+      // golden list cells print strings quoted: ["a", "b"]
+      seq.map {
+        case s: String => "\"" + s + "\""
+        case other => norm(other)
+      }.mkString("[", ", ", "]")
     case other => other.toString
   }
 
@@ -85,6 +118,8 @@ object TckRunner {
     else if (c == "EMPTY" || c.isEmpty) "NULL" // relax folds EMPTY/blank/NULL
     else if (c == "True") "true"   // goldens use Python booleans
     else if (c == "False") "false"
+    else if (c.startsWith("[") && c.endsWith("]") && !c.startsWith("[:"))
+      c.replace('\'', '"') // list cells quote strings either way
     else if (c.startsWith("[:") && c.endsWith("]"))
       // edge literal `[:like "a"->"b" @0 {props}]` → strip props; the
       // engine renders edges the same way (relax comparison matches
@@ -98,12 +133,37 @@ object TckRunner {
     else c
   }
 
-  /** A golden cell either equals the value or, when written /regex/,
-    * regex-matches it (conftest relax comparison). */
+  /** `[:type "src"->"dst" @rank]` (either arrow; endpoints maybe
+    * unquoted int vids; rank optional) → (type, src, dst, rank?). */
+  private val edgeCellRe =
+    """\[:(\S+) "?(.+?)"?(->|<-)"?(.+?)"? ?(?:@(-?\d+))?\]""".r
+
+  private def parseEdgeCell(s: String): Option[(String, String, String, Option[String])] =
+    s match {
+      case edgeCellRe(t, a, "->", b, r) => Some((t, a, b, Option(r)))
+      case edgeCellRe(t, a, "<-", b, r) => Some((t, b, a, Option(r)))
+      case _ => None
+    }
+
+  /** A golden cell either equals the value, regex-matches it when
+    * written /regex/, or — for edge cells — matches structurally
+    * (type/src/dst, rank wildcarded when the golden omits it; goldens
+    * print backward-matched edges with a <- arrow). */
   private def cellMatch(got: String, want: String): Boolean =
     if (want.length >= 2 && want.startsWith("/") && want.endsWith("/"))
       got.matches(want.substring(1, want.length - 1))
-    else got == want
+    else if (got == want) true
+    else (got.toDoubleOption, want.toDoubleOption) match {
+      // numeric cells compare by value: int column vs `38.0` golden
+      case (Some(a), Some(b)) =>
+        math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+      case _ => (parseEdgeCell(got), parseEdgeCell(want)) match {
+        case (Some((t1, s1, d1, r1)), Some((t2, s2, d2, r2))) =>
+          t1 == t2 && s1 == s2 && d1 == d2 &&
+            (r1.isEmpty || r2.isEmpty || r1 == r2)
+        case _ => false
+      }
+    }
 
   /** Unordered row matching with backtracking (regex cells make plain
     * sorting unreliable); golden tables are small. */

@@ -1,0 +1,38 @@
+package graft
+import graft.graph.MapCatalog
+import graft.sources.CsvFixtures
+import graft.tck.TckRunner
+
+object MatchTry {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]").appName("mtry")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val nba = "/root/reference/tests/data/nba"
+    val cat = MapCatalog(
+      tags = Map(
+        "player" -> CsvFixtures.load(spark, s"$nba/player.csv")
+          .unionByName(CsvFixtures.load(spark, s"$nba/null.csv"), allowMissingColumns = true),
+        "team" -> CsvFixtures.load(spark, s"$nba/team.csv"),
+        "bachelor" -> CsvFixtures.load(spark, s"$nba/bachelor.csv")),
+      edges = Map(
+        "like" -> CsvFixtures.load(spark, s"$nba/like.csv"),
+        "serve" -> CsvFixtures.load(spark, s"$nba/serve.csv"),
+        "teammate" -> CsvFixtures.load(spark, s"$nba/teammate.csv")))
+    args.headOption match {
+      case Some(f) if f.endsWith(".feature") =>
+        val text = java.nio.file.Files.readString(java.nio.file.Paths.get(f))
+        val r = TckRunner.run(cat, text)
+        println(s"RESULT executed=${r.executed} passed=${r.passed} skipped=${r.skipped} errored=${r.errored}")
+        r.failures.take(8).foreach { case (q, why) => println(s"FAIL: $q\n  -> $why") }
+        r.errors.take(8).foreach { case (q, why) => println(s"ERR: $q\n  -> $why") }
+      case Some(q) =>
+        graft.nql.Gql.runScript(cat, q).show(20, false)
+      case None => ()
+    }
+    spark.stop()
+  }
+}

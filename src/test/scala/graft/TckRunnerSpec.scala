@@ -23,7 +23,19 @@ class TckRunnerSpec extends SparkSpec {
     "/root/reference/tests/tck/features/lookup/Output.feature",
     // (GroupbyLimit excluded like LookUpTopN: LIMIT after ORDER BY on
     // an all-NULL key makes the surviving rows order-ambiguous)
-    "/root/reference/tests/tck/features/go/Orderby.feature")
+    "/root/reference/tests/tck/features/go/Orderby.feature",
+    // MATCH surface (round 3)
+    "/root/reference/tests/tck/features/match/Base.feature",
+    "/root/reference/tests/tck/features/match/MatchById.feature",
+    "/root/reference/tests/tck/features/match/SeekById.feature",
+    "/root/reference/tests/tck/features/match/SeekByTag.feature",
+    "/root/reference/tests/tck/features/match/StartFromAnyNode.feature",
+    "/root/reference/tests/tck/features/match/MatchGroupBy.feature",
+    "/root/reference/tests/tck/features/match/MultiQueryParts.feature",
+    "/root/reference/tests/tck/features/match/VariableLengthPattern.feature",
+    "/root/reference/tests/tck/features/match/ZeroStep.feature",
+    "/root/reference/tests/tck/features/match/PipeAndVariable.feature",
+    "/root/reference/tests/tck/features/match/MatchByVariable.feature")
   private def have = features.forall(f => new java.io.File(f).exists())
 
   private def catalog = MapCatalog(
