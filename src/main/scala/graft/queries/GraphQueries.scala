@@ -172,6 +172,36 @@ object GraphQueries {
         """GO 2 STEPS FROM "c:1", "c:2", "c:3" OVER * YIELD origin, vid
           || YIELD origin, count(vid) AS n
           || ORDER BY origin | LIMIT 10""".stripMargin)),
+    // set sentence over piped GOs (parser.yy:3031: UNION dedups)
+    "q_nql_union" -> ((s, dir) =>
+      graft.nql.Gql.run(gm(s, dir),
+        """GO FROM "c:1" OVER placed YIELD placed._dst AS vid
+          |UNION GO FROM "c:2" OVER placed YIELD placed._dst AS vid""".stripMargin)),
+    // $var assignment feeding a later sentence (AssignmentValidator)
+    "q_nql_var" -> ((s, dir) =>
+      graft.nql.Gql.run(gm(s, dir),
+        """$a = GO FROM "c:1", "c:2", "c:3" OVER placed YIELD placed._dst AS oid;
+          |GO FROM $a.oid OVER has_supp YIELD DISTINCT has_supp._dst AS sid""".stripMargin)),
+    // UNWIND sentence (UnwindExecutor.cpp:12)
+    "q_nql_unwind" -> ((s, dir) =>
+      graft.nql.Gql.run(gm(s, dir),
+        """UNWIND [1, 2, 3, 4] AS x""")),
+    // FETCH PROP ON <edge> src->dst form (parser.yy:2312); probing all
+    // five possible regions — the join keeps only the real edge
+    "q_nql_fetch_edge" -> ((s, dir) =>
+      graft.nql.Gql.run(gm(s, dir),
+        """FETCH PROP ON in_region "n:0" -> "r:0", "n:0" -> "r:1",
+          |"n:0" -> "r:2", "n:0" -> "r:3", "n:0" -> "r:4"""".stripMargin)),
+    // GET SUBGRAPH edge output through the parser (DataCollect
+    // kSubgraph packs vertices AND edges, Query.h:1423-1432)
+    "q_nql_subgraph_edges" -> ((s, dir) =>
+      graft.nql.Gql.run(gm(s, dir),
+        """GET SUBGRAPH 2 STEPS FROM "c:1" YIELD VERTICES AS v, EDGES AS e""")),
+    // FIND PATH honoring OVER <etypes> (typed traversal, PathPlanner)
+    "q_nql_typed_path" -> ((s, dir) =>
+      graft.nql.Gql.run(gm(s, dir),
+        """FIND ALL PATH FROM "c:1" TO "r:0", "r:1", "r:2", "r:3", "r:4"
+          |OVER in_nation, in_region UPTO 3 STEPS""".stripMargin)),
 
     // GET SUBGRAPH 2 STEPS (SubgraphExecutor.cpp:15-52): vertex set...
     "q_subgraph_vertices" -> ((s, dir) => {
@@ -401,6 +431,35 @@ object GraphQueries {
         |  SELECT ue.dst, r.dist + 1 FROM r JOIN UE ue ON ue.src = r.vid WHERE r.dist < 2
         |)
         |SELECT src, dst, etype, rank FROM E
-        |WHERE src IN (SELECT vid FROM r) AND dst IN (SELECT vid FROM r)""".stripMargin
+        |WHERE src IN (SELECT vid FROM r) AND dst IN (SELECT vid FROM r)""".stripMargin,
+    "q_nql_union" ->
+      """SELECT DISTINCT 'o:' || o_orderkey AS vid FROM orders
+        |WHERE o_custkey IN (1, 2)""".stripMargin,
+    "q_nql_var" ->
+      """SELECT DISTINCT 's:' || l_suppkey AS sid
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey IN (1, 2, 3)""".stripMargin,
+    "q_nql_unwind" ->
+      "SELECT CAST(unnest(range(1, 5)) AS BIGINT) AS x",
+    "q_nql_fetch_edge" ->
+      """SELECT 'n:' || n_nationkey AS src, 'r:' || n_regionkey AS dst,
+        |       CAST(0 AS BIGINT) AS rank
+        |FROM nation WHERE n_nationkey = 0""".stripMargin,
+    "q_nql_subgraph_edges" ->
+      s"""WITH RECURSIVE $edgesCte,
+        |UE AS (SELECT src, dst FROM E UNION ALL SELECT dst, src FROM E),
+        |r(vid, dist) AS (
+        |  SELECT 'c:1', 0
+        |  UNION
+        |  SELECT ue.dst, r.dist + 1 FROM r JOIN UE ue ON ue.src = r.vid WHERE r.dist < 2
+        |)
+        |SELECT src, dst, etype, rank FROM E
+        |WHERE src IN (SELECT vid FROM r) AND dst IN (SELECT vid FROM r)""".stripMargin,
+    "q_nql_typed_path" ->
+      """SELECT 'c:1' AS src, 'r:' || n_regionkey AS dst,
+        |       'c:1->n:' || c_nationkey || '->r:' || n_regionkey AS path,
+        |       2 AS hops
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |WHERE c_custkey = 1""".stripMargin
   )
 }

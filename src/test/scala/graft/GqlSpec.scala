@@ -134,4 +134,23 @@ class GqlSpec extends SparkSpec {
   test("keywords are case-insensitive") {
     Gql.parse("""go from "a" over like yield vid""")
   }
+
+  test("FIND PATH OVER <etype> excludes other edge types (was silently ignored)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val likes = Seq(("a", "b", 0L), ("b", "c", 0L)).toDF("src", "dst", "rank")
+      .withColumn("likeness", lit(1L))
+    val roads = Seq(("a", "c", 0L)).toDF("src", "dst", "rank")
+    val cat = graft.graph.MapCatalog(
+      tags = Map("node" -> Seq("a", "b", "c").toDF("vid")),
+      edges = Map("like" -> likes, "road" -> roads))
+    // over like only: a->b->c (2 hops); the 1-hop road shortcut is
+    // excluded — with OVER ignored the answer would be the road
+    val typed = Gql.run(cat, """FIND SHORTEST PATH FROM "a" TO "c" OVER like UPTO 3 STEPS""")
+      .select("hops").as[Int].collect().toSeq
+    assert(typed == Seq(2), s"typed path took the wrong edges: $typed")
+    val all = Gql.run(cat, """FIND SHORTEST PATH FROM "a" TO "c" OVER * UPTO 3 STEPS""")
+      .select("hops").as[Int].collect().toSeq
+    assert(all == Seq(1), s"untyped path should use the road: $all")
+  }
 }

@@ -35,7 +35,10 @@ class TckRunnerSpec extends SparkSpec {
     "/root/reference/tests/tck/features/match/VariableLengthPattern.feature",
     "/root/reference/tests/tck/features/match/ZeroStep.feature",
     "/root/reference/tests/tck/features/match/PipeAndVariable.feature",
-    "/root/reference/tests/tck/features/match/MatchByVariable.feature")
+    "/root/reference/tests/tck/features/match/MatchByVariable.feature",
+    // FETCH edge form + set sentences (round 3)
+    "/root/reference/tests/tck/features/fetch/FetchEdges.strVid.feature",
+    "/root/reference/tests/tck/features/set/Set.feature")
   private def have = features.forall(f => new java.io.File(f).exists())
 
   private def catalog = MapCatalog(
