@@ -35,25 +35,40 @@ object GraphAlgos {
   }
 
   /** Weakly connected components by synchronous min-label propagation
-    * over the undirected edge view, `iters` rounds. Converged when
-    * iters ≥ graph diameter; labels are exact strings (min vid in
-    * component reached so far), so results are bit-reproducible. */
+    * over the undirected edge view. Labels are exact strings (min vid
+    * in component reached so far), so results are bit-reproducible.
+    *
+    * `untilConverged=false` (oracle mode): exactly `iters` rounds —
+    * an external oracle can replay them step for step. Correct only
+    * when iters ≥ graph diameter.
+    *
+    * `untilConverged=true` (production mode): a changed-label count
+    * (one cheap action per round against the already-checkpointed
+    * state) stops the loop as soon as a round changes nothing, with
+    * `iters` as the safety cap — correct on ANY diameter. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-                          iters: Int): DataFrame = {
+                          iters: Int,
+                          untilConverged: Boolean = false): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = vertices.select(col("vid"), col("vid").as("label"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    var round = 0
+    var changed = 1L
+    while (round < iters && (!untilConverged || changed > 0)) {
       val fromNbrs = und.join(labels, und("src") === labels("vid"))
         .groupBy(und("dst").as("vid"))
         .agg(min(col("label")).as("nbr_label"))
-      labels = labels.join(fromNbrs, Seq("vid"), "left_outer")
-        .select(col("vid"),
+      val upd = labels.join(fromNbrs, Seq("vid"), "left_outer")
+        .select(col("vid"), col("label").as("__old"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
         .localCheckpoint()
+      if (untilConverged)
+        changed = upd.filter(col("label") =!= col("__old")).count()
+      labels = upd.drop("__old")
+      round += 1
     }
     try { und.unpersist(blocking = false) } catch { case _: Throwable => () }
     labels
@@ -63,23 +78,32 @@ object GraphAlgos {
     * pr' = (1-d) + d·Σ_in pr/out_deg  (unnormalized Brin-Page form;
     * dangling vertices contribute nothing, matching the classic
     * iterative formulation). */
+  /** `tol > 0` adds convergence detection: stop when the max absolute
+    * rank change in a round falls below `tol` (`iters` stays the
+    * safety cap); `tol = 0` replays exactly `iters` rounds. */
   def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85, tol: Double = 0.0): DataFrame = {
     val e = edges.select("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
       .localCheckpoint()
     var pr = vertices.select(col("vid"), lit(1.0).as("pr")).localCheckpoint()
-    for (_ <- 1 to iters) {
+    var round = 0
+    var delta = Double.MaxValue
+    while (round < iters && (tol <= 0.0 || delta > tol)) {
       val contrib = e.join(outDeg, Seq("src"))
         .join(pr, e("src") === pr("vid"))
         .select(e("dst").as("vid"), (col("pr") / col("od")).as("c"))
         .groupBy("vid").agg(sum(col("c")).as("inflow"))
-      pr = pr.select(col("vid")).join(contrib, Seq("vid"), "left_outer")
-        .select(col("vid"),
+      val upd = pr.join(contrib, Seq("vid"), "left_outer")
+        .select(col("vid"), col("pr").as("__old"),
           (lit(1.0 - damping) +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("pr"))
         .localCheckpoint()
+      if (tol > 0.0)
+        delta = upd.agg(max(abs(col("pr") - col("__old")))).head.getDouble(0)
+      pr = upd.drop("__old")
+      round += 1
     }
     try { e.unpersist(blocking = false) } catch { case _: Throwable => () }
     pr

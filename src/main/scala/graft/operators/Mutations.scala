@@ -23,27 +23,40 @@ import org.apache.spark.sql.functions._
   */
 object Mutations {
 
-  /** A key-addressed mutable table backed by a parquet dir. */
+  /** A key-addressed mutable table backed by a parquet dir. All
+    * staging-commit filesystem work goes through the Hadoop
+    * FileSystem API with CHECKED renames — the same code path works
+    * on local fs, HDFS, and any store with a Hadoop connector
+    * (java.io.File.renameTo silently no-ops off the local fs, which
+    * would invert the never-truncate guarantee). */
   final case class KeyedTable(spark: SparkSession, path: String, keys: Seq[String]) {
-    def read: DataFrame = spark.read.parquet(path)
-    def exists: Boolean = new java.io.File(path).exists()
+    import org.apache.hadoop.fs.Path
 
-    private def write(df: DataFrame): Unit = {
-      val stage = path + ".stage"
-      df.write.mode(SaveMode.Overwrite).parquet(stage)
-      val target = new java.io.File(path)
-      if (target.exists()) {
-        val old = new java.io.File(path + ".old")
-        deleteRec(old)
-        target.renameTo(old)
-        new java.io.File(stage).renameTo(target)
-        deleteRec(old)
-      } else new java.io.File(stage).renameTo(target)
+    private def fs(p: Path) =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def read: DataFrame = spark.read.parquet(path)
+    def exists: Boolean = { val p = new Path(path); fs(p).exists(p) }
+
+    private def renameChecked(from: Path, to: Path): Unit =
+      require(fs(from).rename(from, to), s"rename $from -> $to failed")
+
+    private def deleteIfExists(p: Path): Unit = {
+      val f = fs(p)
+      if (f.exists(p)) require(f.delete(p, true), s"delete $p failed")
     }
 
-    private def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(deleteRec)
-      if (f.exists()) f.delete()
+    private def write(df: DataFrame): Unit = {
+      val stage = new Path(path + ".stage")
+      df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      val target = new Path(path)
+      if (fs(target).exists(target)) {
+        val old = new Path(path + ".old")
+        deleteIfExists(old)
+        renameChecked(target, old)
+        renameChecked(stage, target)
+        deleteIfExists(old)
+      } else renameChecked(stage, target)
     }
 
     /** INSERT (reference default: overwrite existing keys —

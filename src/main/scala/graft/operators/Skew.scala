@@ -41,7 +41,11 @@ object Skew {
     * input for the hot key. */
   def saltedSum(df: DataFrame, key: String, valueCol: String,
                 salt: Int, as: String = "sum"): DataFrame =
-    df.withColumn("__salt", pmod(hash(col(valueCol)), lit(salt)))
+    // scatter by a hash of the WHOLE row (like saltedJoin): a hot key
+    // with constant/low-cardinality values still spreads across salt
+    // buckets as long as any other column varies (hashing only the
+    // value would leave the canonical hot-key case unsplit)
+    df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(salt)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(col(key))

@@ -80,6 +80,18 @@ class SourcesSinksSpec extends SparkSpec {
     assert(t.read.as[(String, Int)].collect().toMap == Map("b" -> 20))
   }
 
+  test("Mutations: staging commit works over an explicit file:-scheme Hadoop path") {
+    // the Hadoop FileSystem path (not java.io.File) must carry the
+    // whole stage->old->target rename cycle; an unchecked local-only
+    // rename would silently fail here on HDFS/S3-like stores
+    val t = Mutations.vertexTable(spark, "file://" + tmpDir() + "/tag")
+    t.insert(Seq(("a", 1), ("b", 2)).toDF("vid", "x"))
+    t.insert(Seq(("b", 20)).toDF("vid", "x")) // second write = full cycle
+    assert(t.read.as[(String, Int)].collect().toMap == Map("a" -> 1, "b" -> 20))
+    t.deleteWhere(col("x") === 20)
+    assert(t.read.as[(String, Int)].collect().toMap == Map("a" -> 1))
+  }
+
   test("Mutations: edge identity includes rank") {
     val t = Mutations.edgeTable(spark, tmpDir() + "/edge")
     t.insert(Seq(("a", "b", 0L, 1), ("a", "b", 1L, 2)).toDF("src", "dst", "rank", "y"))
