@@ -45,15 +45,19 @@ object Expr {
     "return", "match", "optional", "unwind", "with", "union", "intersect",
     "minus", "asc", "desc", "sample", "offset")
 
+  /** 1-arg bit_and/bit_or/bit_xor are AGGREGATES (AggFunctionManager);
+    * the 2-arg forms are scalar bitwise ops, special-cased in fnCol. */
   val aggNames: Set[String] = Set("count", "sum", "avg", "min", "max", "std",
-    "collect", "collect_set")
+    "collect", "collect_set", "bit_and", "bit_or", "bit_xor")
 
   /** True if the tree contains an aggregate call — drives the
     * reference's implicit-grouping rule (AggregateExecutor.cpp:12-99):
     * any aggregate in a YIELD/RETURN item makes every aggregate-free
     * item a group key. */
   def hasAgg(e: E): Boolean = e match {
-    case FnCall(n, args, _) => aggNames(n) || args.exists(hasAgg)
+    case FnCall(n, args, _) =>
+      (aggNames(n) && !(n.startsWith("bit_") && args.size == 2)) ||
+        args.exists(hasAgg)
     case Bin(_, a, b) => hasAgg(a) || hasAgg(b)
     case Un(_, x) => hasAgg(x)
     case CaseW(s, brs, els) =>
@@ -134,7 +138,7 @@ object Expr {
   private def notE(p: P): E =
     if (p.kw("NOT") || p.sym("!")) Un("not", notE(p)) else cmpE(p)
 
-  private val cmpOps = Set("==", "=", "!=", "<>", "<", "<=", ">", ">=")
+  private val cmpOps = Set("==", "=", "!=", "<>", "<", "<=", ">", ">=", "=~")
 
   private def cmpE(p: P): E = {
     var l = addE(p)
@@ -297,6 +301,21 @@ object Expr {
       case Bin("and", a, b) => c(a) && c(b)
       case Bin("or", a, b) => c(a) || c(b)
       case Bin("xor", a, b) => c(a) =!= c(b)
+      // float comparisons are epsilon-approximate (the reference's
+      // Value comparator, kEpsilon 1e-8: 2.0 == 2.000000009 is true,
+      // and >=/<= hold under approximate equality)
+      case Bin("==", a, b) if isFloatLit(a) || isFloatLit(b) =>
+        approxEq(c(a), c(b))
+      case Bin("!=", a, b) if isFloatLit(a) || isFloatLit(b) =>
+        !approxEq(c(a), c(b))
+      case Bin("<", a, b) if isFloatLit(a) || isFloatLit(b) =>
+        c(a) < c(b) && !approxEq(c(a), c(b))
+      case Bin(">", a, b) if isFloatLit(a) || isFloatLit(b) =>
+        c(a) > c(b) && !approxEq(c(a), c(b))
+      case Bin("<=", a, b) if isFloatLit(a) || isFloatLit(b) =>
+        c(a) < c(b) || approxEq(c(a), c(b))
+      case Bin(">=", a, b) if isFloatLit(a) || isFloatLit(b) =>
+        c(a) > c(b) || approxEq(c(a), c(b))
       case Bin("==", a, b) => c(a) === c(b)
       case Bin("!=", a, b) => c(a) =!= c(b)
       case Bin("<", a, b) => c(a) < c(b)
@@ -311,6 +330,8 @@ object Expr {
       case Bin("*", a, b) => c(a) * c(b)
       case Bin("/", a, b) => c(a) / c(b)
       case Bin("%", a, b) => c(a) % c(b)
+      // =~ is a FULL match (std::regex_match, not search)
+      case Bin("=~", a, Lit(p: String)) => c(a).rlike("^(?:" + p + ")$")
       case Bin("starts", a, b) => c(a).startsWith(c(b))
       case Bin("ends", a, b) => c(a).endsWith(c(b))
       case Bin("contains", a, b) => c(a).contains(c(b))
@@ -346,6 +367,15 @@ object Expr {
     case _ => false
   }
 
+  private def isFloatLit(e: E): Boolean = e match {
+    case Lit(_: Double) => true
+    case Un("neg", x) => isFloatLit(x)
+    case _ => false
+  }
+
+  private def approxEq(x: Column, y: Column): Column =
+    abs(x - y) < lit(1e-8)
+
   /** Generic function → Spark Column. Domain functions (id, type,
     * properties, src/dst/rank over graph values) are expected to be
     * intercepted by the resolver; what remains is the portable scalar /
@@ -361,7 +391,10 @@ object Expr {
         if (distinct) throw new IllegalArgumentException("count(distinct *)")
         else count(lit(1))
       case "count" => if (distinct) count_distinct(a(0)) else count(a(0))
-      case "sum" => if (distinct) sum_distinct(a(0)) else sum(a(0))
+      // sum over an empty/all-null group is 0, not NULL
+      // (AggData initial value, AggregateExpression.cpp)
+      case "sum" =>
+        coalesce(if (distinct) sum_distinct(a(0)) else sum(a(0)), lit(0L))
       case "avg" =>
         if (distinct) sum_distinct(a(0)) / count_distinct(a(0)) else avg(a(0))
       case "min" => min(a(0))
@@ -373,10 +406,27 @@ object Expr {
       case "abs" => abs(a(0))
       case "floor" => floor(a(0))
       case "ceil" | "ceiling" => ceil(a(0))
-      case "round" if args.size == 2 => round(a(0), args(1) match {
-        case Lit(n: Long) => n.toInt
-        case other => throw new IllegalArgumentException(s"round scale ${text(other)}")
-      })
+      case "round" if args.size == 3 =>
+        // round(x, scale, mode) — FunctionManager round modes
+        val scale = intArg(args, 1)
+        val f = pow(lit(10.0), lit(scale))
+        val y = a(0) * f
+        strArg(args, 2).toLowerCase match {
+          case "half_even" => bround(a(0), scale)
+          case mode =>
+            val r = mode match {
+              case "up" => signum(y) * ceil(abs(y))
+              case "down" => signum(y) * floor(abs(y))
+              case "ceiling" => ceil(y)
+              case "floor" => floor(y)
+              case "half_up" => signum(y) * floor(abs(y) + lit(0.5))
+              case "half_down" => signum(y) * ceil(abs(y) - lit(0.5))
+              case other =>
+                throw new IllegalArgumentException(s"round mode $other")
+            }
+            r / f
+        }
+      case "round" if args.size == 2 => round(a(0), intArg(args, 1))
       case "round" => round(a(0))
       case "sqrt" => sqrt(a(0))
       case "cbrt" => cbrt(a(0))
@@ -391,9 +441,10 @@ object Expr {
       case "asin" => asin(a(0)); case "acos" => acos(a(0)); case "atan" => atan(a(0))
       case "e" => lit(math.E)
       case "pi" => lit(math.Pi)
-      case "bit_and" => a(0).bitwiseAND(a(1))
-      case "bit_or" => a(0).bitwiseOR(a(1))
-      case "bit_xor" => a(0).bitwiseXOR(a(1))
+      // 2-arg: scalar bitwise; 1-arg: aggregate over the group
+      case "bit_and" => if (args.size == 2) a(0).bitwiseAND(a(1)) else bit_and(a(0))
+      case "bit_or" => if (args.size == 2) a(0).bitwiseOR(a(1)) else bit_or(a(0))
+      case "bit_xor" => if (args.size == 2) a(0).bitwiseXOR(a(1)) else bit_xor(a(0))
       // string
       case "lower" | "tolower" => lower(a(0))
       case "upper" | "toupper" => upper(a(0))

@@ -58,9 +58,14 @@ object Gql {
         while (j < q.length && !closed) {
           val ch = q(j)
           if (ch == '\\' && j + 1 < q.length) {
-            sb.append(q(j + 1) match {
-              case 'n' => '\n'; case 't' => '\t'; case other => other
-            }); j += 2
+            q(j + 1) match {
+              case 'n' => sb.append('\n'); j += 2
+              case 't' => sb.append('\t'); j += 2
+              case 'u' if j + 5 < q.length =>
+                sb.append(Integer.parseInt(q.substring(j + 2, j + 6), 16).toChar)
+                j += 6
+              case other => sb.append(other); j += 2
+            }
           } else if (ch == c) { closed = true; j += 1 }
           else { sb.append(ch); j += 1 }
         }
@@ -81,6 +86,8 @@ object Gql {
         out += Word(q.substring(i, end)); i = end
       } else if ((c == '&' || c == '|') && i + 1 < q.length && q(i + 1) == c) {
         out += Sym(s"$c$c"); i += 2
+      } else if (c == '=' && i + 1 < q.length && q(i + 1) == '~') {
+        out += Sym("=~"); i += 2
       } else if ("<>=!".contains(c) && i + 1 < q.length && q(i + 1) == '=') {
         out += Sym(q.substring(i, i + 2)); i += 2
       } else if (c == '<' && i + 1 < q.length && q(i + 1) == '>') {
@@ -478,7 +485,9 @@ object Gql {
       val e = Expr.parse(p)
       p.expectKw("AS")
       Unwind(e, p.word())
-    } else if (p.kw("YIELD")) {
+    } else if (p.kw("YIELD") || p.kw("RETURN")) {
+      // standalone RETURN is openCypher's expression-only query form
+      // (Null.feature etc) — same semantics as a YIELD sentence
       val distinct = p.kw("DISTINCT")
       val items = parseItems(p)
       val where = if (p.kw("WHERE")) Some(Expr.parse(p)) else None

@@ -447,9 +447,23 @@ object MatchSeg {
   /** Domain resolver over the binding frame. */
   private def resolver(st: BState, binding: DataFrame): Expr.Resolver = {
     val cols = binding.columns.toSet
+    val strVid = st.vertexVars.headOption.exists(v =>
+      cols(v) && binding.schema(v).dataType ==
+        org.apache.spark.sql.types.StringType)
     def e(name: String): Option[Column] =
       if (cols(name)) Some(col(name)) else Some(lit(null))
     val f: Expr.Resolver = {
+      // collect over a bare node/edge var gathers RENDERED values
+      // (goldens: COLLECT(v2) == [("Tim Duncan"), ...])
+      case Expr.FnCall(fn @ ("collect" | "collect_set"),
+          List(Expr.Ref(List(v))), _) if st.vertexVars.contains(v) =>
+        val r = Gql.renderNode(col(v), strVid)
+        Some(if (fn == "collect") collect_list(r) else collect_set(r))
+      case Expr.FnCall(fn @ ("collect" | "collect_set"),
+          List(Expr.Ref(List(ev))), _) if st.edgeVars.contains(ev) =>
+        val r = Gql.renderEdge(col(s"${ev}_etype"), col(s"${ev}_src"),
+          col(s"${ev}_dst"), col(s"${ev}_rank"), strVid)
+        Some(if (fn == "collect") collect_list(r) else collect_set(r))
       case Expr.Ref(List(v, tag, prop)) if st.vertexVars.contains(v) =>
         e(s"${v}_${tag}_$prop")
       case Expr.Ref(List(v)) if st.vertexVars.contains(v) => Some(col(v))

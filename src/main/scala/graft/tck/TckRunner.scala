@@ -101,8 +101,10 @@ object TckRunner {
                       else d.toString
     case f: Float => norm(f.toDouble)
     case seq: scala.collection.Seq[_] =>
-      // golden list cells print strings quoted: ["a", "b"]
+      // golden list cells print strings quoted: ["a", "b"] — except
+      // rendered node/edge values, which print bare
       seq.map {
+        case s: String if s.startsWith("(") || s.startsWith("[:") => s
         case s: String => "\"" + s + "\""
         case other => norm(other)
       }.mkString("[", ", ", "]")
@@ -149,6 +151,35 @@ object TckRunner {
     * written /regex/, or — for edge cells — matches structurally
     * (type/src/dst, rank wildcarded when the golden omits it; goldens
     * print backward-matched edges with a <- arrow). */
+  /** Split a bracketed list/set cell into top-level elements,
+    * respecting nesting and quotes. */
+  private def splitTop(body: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr: Option[Char] = None
+    body.foreach { ch =>
+      inStr match {
+        case Some(q) =>
+          cur += ch
+          if (ch == q) inStr = None
+        case None => ch match {
+          case '"' | '\'' => cur += ch; inStr = Some(ch)
+          case '[' | '(' | '{' => depth += 1; cur += ch
+          case ']' | ')' | '}' => depth -= 1; cur += ch
+          case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+          case _ => cur += ch
+        }
+      }
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.toSeq
+  }
+
+  private def isListCell(s: String): Boolean =
+    s.length >= 2 && !s.startsWith("[:") &&
+      ((s.head == '[' && s.last == ']') || (s.head == '{' && s.last == '}'))
+
   private def cellMatch(got: String, want: String): Boolean =
     if (want.length >= 2 && want.startsWith("/") && want.endsWith("/"))
       got.matches(want.substring(1, want.length - 1))
@@ -157,12 +188,19 @@ object TckRunner {
       // numeric cells compare by value: int column vs `38.0` golden
       case (Some(a), Some(b)) =>
         math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
-      case _ => (parseEdgeCell(got), parseEdgeCell(want)) match {
-        case (Some((t1, s1, d1, r1)), Some((t2, s2, d2, r2))) =>
-          t1 == t2 && s1 == s2 && d1 == d2 &&
-            (r1.isEmpty || r2.isEmpty || r1 == r2)
-        case _ => false
-      }
+      case _ =>
+        if (isListCell(got) && isListCell(want)) {
+          // collection cells: element-wise multiset compare ({..} set
+          // cells and collect() output order are both unordered)
+          val ge = splitTop(got.substring(1, got.length - 1)).map(normGolden)
+          val we = splitTop(want.substring(1, want.length - 1)).map(normGolden)
+          multisetMatch(ge.map(Seq(_)), we.map(Seq(_)))
+        } else (parseEdgeCell(got), parseEdgeCell(want)) match {
+          case (Some((t1, s1, d1, r1)), Some((t2, s2, d2, r2))) =>
+            t1 == t2 && s1 == s2 && d1 == d2 &&
+              (r1.isEmpty || r2.isEmpty || r1 == r2)
+          case _ => false
+        }
     }
 
   /** Unordered row matching with backtracking (regex cells make plain

@@ -38,7 +38,23 @@ class TckRunnerSpec extends SparkSpec {
     "/root/reference/tests/tck/features/match/MatchByVariable.feature",
     // FETCH edge form + set sentences (round 3)
     "/root/reference/tests/tck/features/fetch/FetchEdges.strVid.feature",
-    "/root/reference/tests/tck/features/set/Set.feature")
+    "/root/reference/tests/tck/features/set/Set.feature",
+    // expression / aggregate / yield / function surface (round 3)
+    "/root/reference/tests/tck/features/expression/Case.feature",
+    "/root/reference/tests/tck/features/expression/EndsWith.feature",
+    "/root/reference/tests/tck/features/expression/StartsWith.feature",
+    "/root/reference/tests/tck/features/expression/In.feature",
+    "/root/reference/tests/tck/features/expression/NotIn.feature",
+    "/root/reference/tests/tck/features/expression/LogicalExpression.feature",
+    "/root/reference/tests/tck/features/expression/RelationalExpr.feature",
+    "/root/reference/tests/tck/features/expression/Null.feature",
+    "/root/reference/tests/tck/features/expression/FunctionCall.feature",
+    "/root/reference/tests/tck/features/expression/Attribute.feature",
+    "/root/reference/tests/tck/features/expression/UnaryExpr.feature",
+    "/root/reference/tests/tck/features/aggregate/Agg.feature",
+    "/root/reference/tests/tck/features/yield/yield.feature",
+    "/root/reference/tests/tck/features/function/coalesce.feature",
+    "/root/reference/tests/tck/features/function/round.feature")
   private def have = features.forall(f => new java.io.File(f).exists())
 
   private def catalog = MapCatalog(
