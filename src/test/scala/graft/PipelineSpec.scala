@@ -101,6 +101,37 @@ class PipelineSpec extends SparkSpec {
     assert(b1.forall(b => b >= 0 && b < 16))
   }
 
+  test("lshBucket at production shape (dims=768, planes=16) keeps a constant-size plan") {
+    // the unrolled per-term form was planes*dims expression nodes
+    // (12k+ here, 260k at dims=4096/planes=64) — Catalyst planning
+    // blew up and codegen fell past the 64KB method limit; the
+    // data-driven form is a constant handful of nodes at any shape
+    val dims = 768
+    val vecs = spark.range(50).select(col("id").as("vec_id"),
+      expr(s"transform(sequence(1, $dims), i -> cast(sin(id * i) as float))")
+        .as("embedding"))
+    // (higher-order fns evaluate interpreted in Spark — no doGenCode —
+    // but so would a 12k-node unrolled sum after the 64KB codegen
+    // limit; what the data-driven form buys is CONSTANT planning cost)
+    val bucketed = vecs.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 16, dims).as("b"))
+    // the 16x768 plane matrix is ONE Literal node (its string render
+    // is long, but Catalyst sees a single value); the whole expression
+    // tree must stay a constant handful of nodes
+    val nodes = bucketed.queryExecution.optimizedPlan.expressions
+      .map(e => { var n2 = 0; e.foreach(_ => n2 += 1); n2 }).sum
+    assert(nodes < 500, s"plan exploded: $nodes expression nodes")
+    val rows = bucketed.as[(Long, Long)].collect()
+    assert(rows.length == 50)
+    assert(rows.forall { case (_, b) => b >= 0 && b < (1L << 16) })
+    // near-dup path at the same shape completes with capped buckets
+    val nd = Similarity.nearDupByEmbedding(
+      vecs.withColumn("embedding",
+        expr(s"transform(embedding, x -> cast(x + 0.0 as float))")),
+      threshold = 0.999, planes = 16, dims = dims)
+    assert(nd.count() >= 0)
+  }
+
   test("multimodal: asset schema, metadata fast path, stub decode shape") {
     val assets = Multimodal.assetsFromText(docs, "doc_id", "text", "image")
     assert(assets.schema.fieldNames.toSeq ==

@@ -22,6 +22,16 @@ class PlanSpec extends SparkSpec {
       s"no pushed filter in:\n$plan")
   }
 
+  test("MATCH text seek: WHERE predicate reaches the parquet scan") {
+    assume(have)
+    val plan = executed("q_nql_match_seek").toString
+    // the mktsegment equality from MATCH ... WHERE must be a scan-
+    // level pushed filter, not a post-scan Filter only
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"MATCH seek predicate not pushed:\n${plan.take(2000)}")
+  }
+
   test("column pruning: project reads only needed columns") {
     assume(have)
     val plan = executed("q_limit_offset").toString
