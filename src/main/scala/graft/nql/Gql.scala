@@ -534,19 +534,19 @@ object Gql {
           case "minus" => a.except(bAligned)
         }
       case go: Go =>
-        val seeds = go match {
+        val (seeds, input) = go match {
           case Go(_, _, _, _, Some((v, c)), _, _, _, _, _) =>
             val src = env.getOrElse(v,
               throw new IllegalArgumentException(s"undefined $$$v"))
-            src.select(col(c).as("vid"))
+            (src.select(col(c).as("vid")), Some((src, c)))
           case Go(_, _, s, None, None, _, _, _, _, _) =>
             // the reference treats the FROM vid list as a set (dup
             // seeds yield once — GO.feature); piped GO keeps bag rows
-            seedsDf(spark, s.distinct)
+            (seedsDf(spark, s.distinct), None)
           case _ =>
             throw new IllegalArgumentException("top-level GO needs literal seeds")
         }
-        execGo(g, go, seeds)
+        execGo(g, go, seeds, input)
       case Lookup(tag, where, ys, dist) =>
         // LOOKUP targets a tag OR an edge type (LookupEdge TCK)
         val (tbl, isEdge) =
@@ -752,9 +752,16 @@ object Gql {
 
   /** GO execution against a prepared seed frame (literal set for a
     * top-level sentence; the previous pipe stage's column, with bag
-    * multiplicity, for a chained `| GO FROM $-.col`). */
-  private def execGo(g: GraphCatalog, goAst: Go, seedsDF: DataFrame): DataFrame = {
-    val Go(m, n, _, _, _, rawEtypes, dir, where, yieldsOpt, dist) = goAst
+    * multiplicity, for a chained `| GO FROM $-.col`). `input` carries
+    * the full source frame when seeds came from a pipe/$var, so items
+    * can reference its columns ($-.col / $var.col yields). */
+  private def execGo(g: GraphCatalog, goAst: Go, seedsDF: DataFrame,
+                     input: Option[(DataFrame, String)]): DataFrame = {
+    val Go(m0, n, _, _, _, rawEtypes, dir, where, yieldsOpt, dist) = goAst
+    // GO 0 STEPS is empty; GO 0 TO n behaves as 1 TO n (GO.feature)
+    val m = math.max(m0, 1)
+    val zeroOnly = n == 0
+    val nEff = math.max(n, 1)
     val etypes =
       if (rawEtypes == Seq("*")) g.edgeTypeNames else rawEtypes
     val single = etypes.size == 1
@@ -768,6 +775,7 @@ object Gql {
     var needsEdge = false
     var dstTags = Set.empty[String]
     var srcTags = Set.empty[String]
+    var inputRefs = false
     var frontierOnly = true
     val frontierCols = Set("origin", "vid", "step")
     exprs.foreach(Expr.collect(_) {
@@ -781,13 +789,17 @@ object Gql {
       case Expr.Param("src", _, List(tag, _)) => srcTags += tag
       case Expr.Param("dst" | "src", _, Nil) => needsEdge = true
       case Expr.Param("input" | "var", _, _) =>
-        throw new IllegalArgumentException("$-/$var refs not supported in GO items")
+        require(input.isDefined, "$-/$var ref needs a pipe or $var source")
+        inputRefs = true
     })
-    val simple = !needsEdge && dstTags.isEmpty && srcTags.isEmpty && frontierOnly
+    val simple = !needsEdge && dstTags.isEmpty && srcTags.isEmpty &&
+      frontierOnly && !inputRefs
+
+    def finish(df: DataFrame): DataFrame = if (zeroOnly) df.limit(0) else df
 
     if (simple) {
       // ExpandAll frontier semantics: deduped (origin,vid) rows
-      val base = Traverse.go(seedsDF, simpleEdges(g, rawEtypes), m, n, dir)
+      val base = Traverse.go(seedsDF, simpleEdges(g, rawEtypes), m, nEff, dir)
       val resolver: Expr.Resolver = {
         case Expr.Ref(List(c)) if frontierCols(c) => Some(col(c))
         case _ => None
@@ -797,13 +809,26 @@ object Gql {
         case None => base
       }
       val out = selectItems(filtered, items, resolver)
-      if (dist) out.distinct() else out
+      finish(if (dist) out.distinct() else out)
     } else {
       // per-edge yield rows with property columns
       val eframe = g.edgesWithProps(etypes)
       val strVid = eframe.schema("src").dataType ==
         org.apache.spark.sql.types.StringType
-      var out = Traverse.goYield(seedsDF, eframe, m, n, dir)
+      var out =
+        if (!inputRefs) Traverse.goYield(seedsDF, eframe, m, nEff, dir)
+        else {
+          // items reference the source frame's columns: expand from the
+          // DISTINCT seed set, then join back on origin — restores the
+          // input's bag multiplicity AND carries its columns (prefixed)
+          val (in, seedCol) = input.get
+          val renamed = in.columns.foldLeft(in)((d, c2) =>
+            d.withColumnRenamed(c2, s"__in_$c2"))
+          val expanded = Traverse.goYield(
+            seedsDF.select(col("vid")).distinct(), eframe, m, nEff, dir)
+          renamed.join(expanded,
+            col(s"__in_$seedCol") === col("origin"))
+        }
       // vertex-prop refs join the tag tables on dst/src
       dstTags.foreach { tag =>
         out = Traverse.appendVertices(out, g.vertexTable(tag),
@@ -846,6 +871,9 @@ object Gql {
             col("src"), col("dst"), col("rank"), strVid))
         case Expr.Param("dst", _, Nil) => Some(renderNode(col("dst"), strVid))
         case Expr.Param("src", _, Nil) => Some(renderNode(col("src"), strVid))
+        // source-frame refs from a pipe/$var seed (join-back columns)
+        case Expr.Param("input" | "var", _, List(c)) if inputRefs =>
+          Some(colByName(s"__in_$c"))
         case _ => None
       }
       val filtered = where match {
@@ -853,7 +881,7 @@ object Gql {
         case None => out
       }
       val sel = selectItems(filtered, items, resolver)
-      if (dist) sel.distinct() else sel
+      finish(if (dist) sel.distinct() else sel)
     }
   }
 
@@ -862,8 +890,8 @@ object Gql {
     case PGo(goAst) =>
       // chained GO: previous stage's column seeds the expansion WITH
       // multiplicity (GO.feature pipe goldens keep duplicate rows)
-      val seeds = df.select(col(goAst.seedsCol.get).as("vid"))
-      execGo(g, goAst, seeds)
+      val seeds = df.select(colByName(goAst.seedsCol.get).as("vid"))
+      execGo(g, goAst, seeds, Some((df, goAst.seedsCol.get)))
     case PFetch(f: Fetch) =>
       execFetch(g, f, df.select(colByName(f.vidsRef.get.colName).as("vid")))
     case PFetch(fe: FetchEdge) =>

@@ -2,6 +2,7 @@ package graft
 import graft.graph.MapCatalog
 import graft.sources.CsvFixtures
 import graft.tck.TckRunner
+import graft.nql.Gql
 
 object MatchTry {
   def main(args: Array[String]): Unit = {
@@ -25,10 +26,29 @@ object MatchTry {
     args.headOption match {
       case Some(f) if f.endsWith(".feature") =>
         val text = java.nio.file.Files.readString(java.nio.file.Paths.get(f))
-        val r = TckRunner.run(cat, text)
-        println(s"RESULT executed=${r.executed} passed=${r.passed} skipped=${r.skipped} errored=${r.errored}")
-        r.failures.take(8).foreach { case (q, why) => println(s"FAIL: $q\n  -> $why") }
-        r.errors.take(8).foreach { case (q, why) => println(s"ERR: $q\n  -> $why") }
+        if (args.length > 1 && args(1) == "skips") {
+          TckRunner.parseFeature(text).foreach { c =>
+            try { graft.nql.Gql.parseScript(c.query); () }
+            catch { case e: Exception =>
+              println(s"SKIP[${e.getMessage.take(60)}]: ${c.query.take(110)}")
+            }
+          }
+        } else if (args.length > 1 && args(1) == "execskips") {
+          TckRunner.parseFeature(text).foreach { c =>
+            val parsed = try { Gql.parseScript(c.query); true }
+              catch { case _: Exception => false }
+            if (parsed)
+              try { Gql.runScript(cat, c.query).limit(1).collect(); () }
+              catch { case e: Exception =>
+                println(s"ESKIP[${Option(e.getMessage).getOrElse("?").take(70)}]: ${c.query.take(110)}")
+              }
+          }
+        } else {
+          val r = TckRunner.run(cat, text)
+          println(s"RESULT executed=${r.executed} passed=${r.passed} skipped=${r.skipped} errored=${r.errored}")
+          r.failures.take(8).foreach { case (q, why) => println(s"FAIL: $q\n  -> $why") }
+          r.errors.take(8).foreach { case (q, why) => println(s"ERR: $q\n  -> $why") }
+        }
       case Some(q) =>
         graft.nql.Gql.runScript(cat, q).show(20, false)
       case None => ()
