@@ -33,6 +33,15 @@ object Expr {
   final case class Un(op: String, e: E) extends E
   final case class CaseW(subject: Option[E], branches: List[(E, E)], els: Option[E]) extends E
   final case class ListLit(items: List[E]) extends E
+  /** all/any/none/single(v IN list WHERE pred). */
+  final case class Quant(kind: String, v: String, list: E, pred: E) extends E
+  /** [v IN list WHERE pred | map]. */
+  final case class Compr(v: String, list: E, pred: Option[E], map: Option[E]) extends E
+  /** reduce(acc = init, v IN list | step). */
+  final case class ReduceE(acc: String, init: E, v: String, list: E, step: E) extends E
+  final case class Subscript(e: E, idx: E) extends E
+  /** list[from..to] — from inclusive, to exclusive, negatives from end. */
+  final case class Slice(e: E, from: Option[E], to: Option[E]) extends E
   /** `*` (count(*), RETURN *). */
   case object Star extends E
 
@@ -64,6 +73,13 @@ object Expr {
       s.exists(hasAgg) || brs.exists(b => hasAgg(b._1) || hasAgg(b._2)) ||
         els.exists(hasAgg)
     case ListLit(items) => items.exists(hasAgg)
+    case Quant(_, _, list, pred) => hasAgg(list) || hasAgg(pred)
+    case Compr(_, list, pred, map) =>
+      hasAgg(list) || pred.exists(hasAgg) || map.exists(hasAgg)
+    case ReduceE(_, init, _, list, step) =>
+      hasAgg(init) || hasAgg(list) || hasAgg(step)
+    case Subscript(x, i) => hasAgg(x) || hasAgg(i)
+    case Slice(x, f2, t2) => hasAgg(x) || f2.exists(hasAgg) || t2.exists(hasAgg)
     case _ => false
   }
 
@@ -80,6 +96,14 @@ object Expr {
         brs.foreach { case (c, v) => collect(c)(pf); collect(v)(pf) }
         els.foreach(collect(_)(pf))
       case ListLit(items) => items.foreach(collect(_)(pf))
+      case Quant(_, _, list, pred) => collect(list)(pf); collect(pred)(pf)
+      case Compr(_, list, pred, map) =>
+        collect(list)(pf); pred.foreach(collect(_)(pf)); map.foreach(collect(_)(pf))
+      case ReduceE(_, init, _, list, step) =>
+        collect(init)(pf); collect(list)(pf); collect(step)(pf)
+      case Subscript(x, i) => collect(x)(pf); collect(i)(pf)
+      case Slice(x, f2, t2) =>
+        collect(x)(pf); f2.foreach(collect(_)(pf)); t2.foreach(collect(_)(pf))
       case _ => ()
     }
   }
@@ -104,6 +128,15 @@ object Expr {
     case Un(op, x) => s"$op(${text(x)})"
     case CaseW(_, _, _) => "CASE"
     case ListLit(items) => items.map(text).mkString("[", ",", "]")
+    case Quant(k, v, l, p2) => s"$k($v IN ${text(l)} WHERE ${text(p2)})"
+    case Compr(v, l, p2, m2) =>
+      s"[$v IN ${text(l)}${p2.map(x => " WHERE " + text(x)).getOrElse("")}" +
+        s"${m2.map(x => " | " + text(x)).getOrElse("")}]"
+    case ReduceE(a, i2, v, l, s2) =>
+      s"reduce($a = ${text(i2)}, $v IN ${text(l)} | ${text(s2)})"
+    case Subscript(x, i2) => s"${text(x)}[${text(i2)}]"
+    case Slice(x, f2, t2) =>
+      s"${text(x)}[${f2.map(text).getOrElse("")}..${t2.map(text).getOrElse("")}]"
     case Star => "*"
   }
 
@@ -201,7 +234,39 @@ object Expr {
   private def unE(p: P): E = p.peek match {
     case Some(Sym("-")) => p.next(); Un("neg", unE(p))
     case Some(Sym("+")) => p.next(); unE(p)
-    case _ => atom(p)
+    case _ => postfix(p, atom(p))
+  }
+
+  /** Postfix subscript `x[i]` and slice `x[a..b]` / `x[..b]` / `x[a..]`. */
+  private def postfix(p: P, base: E): E = {
+    var e = base
+    var go = true
+    while (go) {
+      if (p.sym("[")) {
+        val from =
+          if (p.peek.contains(Sym(".")) || p.peek.contains(Sym("]"))) None
+          else Some(parse(p))
+        if (p.sym(".")) {
+          p.expectSym(".")
+          val to = if (p.peek.contains(Sym("]"))) None else Some(parse(p))
+          p.expectSym("]")
+          e = Slice(e, from, to)
+        } else {
+          p.expectSym("]")
+          e = Subscript(e, from.getOrElse(
+            throw new IllegalArgumentException("empty subscript")))
+        }
+      } else go = false
+    }
+    e
+  }
+
+  private val quantNames = Set("all", "any", "none", "single")
+
+  /** `all(` really heads a quantifier only when followed by `v IN`. */
+  private def quantAhead(p: P): Boolean = p.ts.drop(2) match {
+    case Word(_) :: Word(in) :: _ => in.equalsIgnoreCase("IN")
+    case _ => false
   }
 
   private def atom(p: P): E = p.peek match {
@@ -212,13 +277,27 @@ object Expr {
       p.next(); val e = parse(p); p.expectSym(")"); e
     case Some(Sym("[")) =>
       p.next()
-      val items = scala.collection.mutable.ListBuffer.empty[E]
-      if (!p.sym("]")) {
-        items += parse(p)
-        while (p.sym(",")) items += parse(p)
-        p.expectSym("]")
+      // list comprehension: `[v IN list ...]`
+      val isCompr = (p.peek, p.peek2) match {
+        case (Some(Word(_)), Some(Word(in))) => in.equalsIgnoreCase("IN")
+        case _ => false
       }
-      ListLit(items.toList)
+      if (isCompr) {
+        val v = p.word(); p.expectKw("IN")
+        val list = parse(p)
+        val pred = if (p.kw("WHERE")) Some(parse(p)) else None
+        val map = if (p.sym("|")) Some(parse(p)) else None
+        p.expectSym("]")
+        Compr(v, list, pred, map)
+      } else {
+        val items = scala.collection.mutable.ListBuffer.empty[E]
+        if (!p.sym("]")) {
+          items += parse(p)
+          while (p.sym(",")) items += parse(p)
+          p.expectSym("]")
+        }
+        ListLit(items.toList)
+      }
     case Some(Sym("*")) => p.next(); Star
     case Some(Sym("$")) => p.next(); param(p)
     case Some(Word(w)) if w.equalsIgnoreCase("true") => p.next(); Lit(true)
@@ -226,6 +305,28 @@ object Expr {
     case Some(Word(w)) if w.equalsIgnoreCase("null") ||
         w.equalsIgnoreCase("empty") => p.next(); Lit(null)
     case Some(Word(w)) if w.equalsIgnoreCase("case") => p.next(); caseE(p)
+    case Some(Word(w)) if quantNames(w.toLowerCase) &&
+        p.peek2.contains(Sym("(")) && quantAhead(p) =>
+      // all/any/none/single(v IN list WHERE pred)
+      p.next(); p.next()
+      val v = p.word(); p.expectKw("IN")
+      val list = parse(p)
+      p.expectKw("WHERE")
+      val pred = parse(p)
+      p.expectSym(")")
+      Quant(w.toLowerCase, v, list, pred)
+    case Some(Word(w)) if w.equalsIgnoreCase("reduce") &&
+        p.peek2.contains(Sym("(")) =>
+      p.next(); p.next()
+      val acc = p.word(); p.expectSym("=")
+      val init = parse(p)
+      p.expectSym(",")
+      val v = p.word(); p.expectKw("IN")
+      val list = parse(p)
+      require(p.sym("|"), "reduce needs | step")
+      val step = parse(p)
+      p.expectSym(")")
+      ReduceE(acc, init, v, list, step)
     case Some(Word(w)) if p.peek2.contains(Sym("(")) =>
       p.next(); p.next() // name (
       val distinct = p.kw("DISTINCT")
@@ -354,11 +455,57 @@ object Expr {
         }
         els.map(e2 => base.otherwise(c(e2))).getOrElse(base)
       case ListLit(items) => array(items.map(c): _*)
+      // lambda forms → Spark higher-order functions; the bound var
+      // shadows the outer resolver inside the body
+      case Quant(kind, v, list, pred) =>
+        val lc = c(list)
+        val lam: Column => Column = x => compile(pred, bindVar(v, x, r))
+        kind match {
+          case "all" => forall(lc, lam)
+          case "any" => exists(lc, lam)
+          case "none" => !exists(lc, lam)
+          case "single" =>
+            // 3-valued: >=2 trues → false; else any NULL pred → NULL
+            // (the null could flip the count); else exactly one true
+            val trueCnt = size(filter(lc, x => coalesce(lam(x), lit(false))))
+            val anyNull = exists(lc, x => lam(x).isNull)
+            when(trueCnt >= 2, lit(false))
+              .when(anyNull, lit(null))
+              .otherwise(trueCnt === 1)
+        }
+      case Compr(v, list, pred, map) =>
+        var lc = c(list)
+        pred.foreach(p2 => lc = filter(lc, x => compile(p2, bindVar(v, x, r))))
+        map.foreach(m2 => lc = transform(lc, x => compile(m2, bindVar(v, x, r))))
+        lc
+      case ReduceE(acc, init, v, list, step) =>
+        aggregate(c(list), c(init),
+          (a2, x) => compile(step, bindVar(acc, a2, bindVar(v, x, r))))
+      case Subscript(x, i) =>
+        val ec = c(x)
+        val ic = c(i).cast("int")
+        // non-negative: 0-based; negative: from the end (both match
+        // the reference's List subscript)
+        when(ic >= 0, element_at(ec, ic + lit(1)))
+          .otherwise(element_at(ec, ic))
+      case Slice(x, f2, t2) =>
+        val ec = c(x)
+        val sz = size(ec)
+        val f0 = f2.map(e2 => c(e2).cast("int")).getOrElse(lit(0))
+        val t0 = t2.map(e2 => c(e2).cast("int")).getOrElse(sz)
+        val fN = when(f0 < 0, sz + f0).otherwise(f0)
+        val tN = when(t0 < 0, sz + t0).otherwise(t0)
+        slice(ec, fN + lit(1), greatest(tN - fN, lit(0)))
       case FnCall(name, args, distinct) => fnCol(name, args, distinct, c)
       case other =>
         throw new IllegalArgumentException(s"unresolvable expression ${text(other)}")
     })
     c(e)
+  }
+
+  private def bindVar(name: String, x: Column, r: Resolver): Resolver = {
+    case Ref(List(n)) if n == name => Some(x)
+    case other => r(other)
   }
 
   private def isStr(e: E): Boolean = e match {
@@ -472,6 +619,8 @@ object Expr {
       case "tostring" => a(0).cast("string")
       // collections
       case "size" => size(a(0))
+      case "exists" => a(0).isNotNull
+      case "tail" => slice(a(0), lit(2), greatest(size(a(0)) - 1, lit(0)))
       case "head" => element_at(a(0), 1)
       case "last" => element_at(a(0), -1)
       case "range" =>

@@ -54,7 +54,12 @@ class TckRunnerSpec extends SparkSpec {
     "/root/reference/tests/tck/features/aggregate/Agg.feature",
     "/root/reference/tests/tck/features/yield/yield.feature",
     "/root/reference/tests/tck/features/function/coalesce.feature",
-    "/root/reference/tests/tck/features/function/round.feature")
+    "/root/reference/tests/tck/features/function/round.feature",
+    // lambda expressions: quantifiers, comprehensions, reduce, slices
+    "/root/reference/tests/tck/features/expression/Predicate.feature",
+    "/root/reference/tests/tck/features/expression/ListComprehension.feature",
+    "/root/reference/tests/tck/features/expression/Reduce.feature",
+    "/root/reference/tests/tck/features/expression/ListRangeSubscript.feature")
   private def have = features.forall(f => new java.io.File(f).exists())
 
   private def catalog = MapCatalog(
