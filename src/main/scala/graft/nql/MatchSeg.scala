@@ -38,24 +38,47 @@ object MatchSeg {
   case class Part(nodes: List[Node], rels: List[Rel])
   case class Clause(optional: Boolean, parts: List[Part],
                     where: Option[Expr.E])
-  case class MStmt(clauses: List[Clause], distinct: Boolean,
-                   star: Boolean, items: Seq[Item],
-                   orderBy: Seq[(Expr.E, Boolean)],
-                   skip: Int, limit: Int) extends Gql.Stmt
+  /** One pipeline stage between MATCH and RETURN. */
+  sealed trait Stage
+  case class MatchStage(clauses: List[Clause]) extends Stage
+  /** WITH (and RETURN): projection with implicit grouping, optional
+    * post-projection WHERE / ORDER / SKIP / LIMIT (WithClausePlanner). */
+  case class Proj(distinct: Boolean, star: Boolean, items: Seq[Item],
+                  where: Option[Expr.E], orderBy: Seq[(Expr.E, Boolean)],
+                  skip: Int, limit: Int) extends Stage
+  case class UnwindStage(e: Expr.E, alias: String) extends Stage
+  case class MStmt(stages: List[Stage], ret: Proj) extends Gql.Stmt
 
   // ---------- parser (MATCH keyword already consumed) ----------
   def parse(p: P): MStmt = {
-    val clauses = scala.collection.mutable.ListBuffer.empty[Clause]
-    clauses += parseClause(p, optional = false)
-    var go = true
-    while (go) {
+    val stages = scala.collection.mutable.ListBuffer.empty[Stage]
+    val pending = scala.collection.mutable.ListBuffer.empty[Clause]
+    pending += parseClause(p, optional = false)
+    def flush(): Unit =
+      if (pending.nonEmpty) { stages += MatchStage(pending.toList); pending.clear() }
+    var ret: Option[Proj] = None
+    while (ret.isEmpty) {
       if (p.kw("OPTIONAL")) {
-        p.expectKw("MATCH"); clauses += parseClause(p, optional = true)
+        p.expectKw("MATCH"); pending += parseClause(p, optional = true)
       } else if (p.kw("MATCH")) {
-        clauses += parseClause(p, optional = false)
-      } else go = false
+        pending += parseClause(p, optional = false)
+      } else if (p.kw("WITH")) {
+        flush(); stages += parseProj(p)
+      } else if (p.kw("UNWIND")) {
+        flush()
+        val e = Expr.parse(p)
+        p.expectKw("AS")
+        stages += UnwindStage(e, p.word())
+      } else {
+        p.expectKw("RETURN")
+        flush(); ret = Some(parseProj(p))
+      }
     }
-    p.expectKw("RETURN")
+    MStmt(stages.toList, ret.get)
+  }
+
+  /** Items [WHERE] [ORDER BY] [SKIP] [LIMIT] in any clause order. */
+  private def parseProj(p: P): Proj = {
     val distinct = p.kw("DISTINCT")
     var star = false
     var items = Seq.empty[Item]
@@ -63,21 +86,29 @@ object MatchSeg {
       star = true
       if (p.sym(",")) items = Gql.parseItems(p)
     } else items = Gql.parseItems(p)
-    val orderBy = if (p.kw("ORDER")) {
-      p.expectKw("BY")
-      val keys = scala.collection.mutable.ListBuffer.empty[(Expr.E, Boolean)]
-      var go2 = true
-      while (go2) {
-        val e = Expr.parse(p)
-        val desc = if (p.kw("DESC")) true else { p.kw("ASC"); false }
-        keys += (e -> desc)
-        if (p.sym(",")) () else go2 = false
-      }
-      keys.toSeq
-    } else Seq.empty
-    val skip = if (p.kw("SKIP")) p.intLit() else 0
-    val limit = if (p.kw("LIMIT")) p.intLit() else -1
-    MStmt(clauses.toList, distinct, star, items, orderBy, skip, limit)
+    var where: Option[Expr.E] = None
+    var orderBy = Seq.empty[(Expr.E, Boolean)]
+    var skip = 0
+    var limit = -1
+    var go = true
+    while (go) {
+      if (p.kw("WHERE")) where = Some(Expr.parse(p))
+      else if (p.kw("ORDER")) {
+        p.expectKw("BY")
+        val keys = scala.collection.mutable.ListBuffer.empty[(Expr.E, Boolean)]
+        var go2 = true
+        while (go2) {
+          val e = Expr.parse(p)
+          val desc = if (p.kw("DESC")) true else { p.kw("ASC"); false }
+          keys += (e -> desc)
+          if (p.sym(",")) () else go2 = false
+        }
+        orderBy = keys.toSeq
+      } else if (p.kw("SKIP")) skip = p.intLit()
+      else if (p.kw("LIMIT")) limit = p.intLit()
+      else go = false
+    }
+    Proj(distinct, star, items, where, orderBy, skip, limit)
   }
 
   private def parseClause(p: P, optional: Boolean): Clause = {
@@ -210,13 +241,22 @@ object MatchSeg {
     def tags: Seq[String] = g.tagNames
     /** Vars whose per-tag membership flags are joined (labels()). */
     val labelsBound = scala.collection.mutable.Set.empty[String]
+    /** Plain (scalar) columns introduced by WITH/UNWIND — part of the
+      * variable namespace for `RETURN *` but never rendered. */
+    val plainCols = scala.collection.mutable.LinkedHashSet.empty[String]
+    private def known(n: String) =
+      vertexVars.contains(n) || edgeVars.contains(n) || plainCols.contains(n)
     def addVertex(v: String): Unit = {
-      if (!vertexVars.contains(v) && !edgeVars.contains(v)) declOrder += v
+      if (!known(v)) declOrder += v
       vertexVars += v
     }
     def addEdge(ev: String): Unit = {
-      if (!vertexVars.contains(ev) && !edgeVars.contains(ev)) declOrder += ev
+      if (!known(ev)) declOrder += ev
       edgeVars += ev
+    }
+    def addPlain(n: String): Unit = {
+      if (!known(n)) declOrder += n
+      plainCols += n
     }
   }
 
@@ -489,10 +529,30 @@ object MatchSeg {
   }
 
   def exec(g: GraphCatalog, m: MStmt): DataFrame = {
-    val st = new BState(g)
+    var st = new BState(g)
     var binding: DataFrame = null
+    m.stages.foreach {
+      case MatchStage(clauses) =>
+        binding = execClauses(g, st, clauses, binding)
+      case UnwindStage(e, alias) =>
+        // UNWIND as a clause: one row per list element (empty/null
+        // lists eliminate the row — plain explode)
+        binding = ensureTags(g, st, binding, Seq(e))
+        binding = binding.withColumn(alias,
+          explode(Expr.compile(e, resolver(st, binding))))
+        st.addPlain(alias)
+      case w: Proj =>
+        val (b2, s2) = applyWith(g, st, binding, w)
+        binding = b2; st = s2
+    }
+    applyReturn(g, st, binding, m.ret)
+  }
 
-    m.clauses.foreach { cl =>
+  private def execClauses(g: GraphCatalog, st: BState,
+                          clauses: List[Clause],
+                          binding0: DataFrame): DataFrame = {
+    var binding = binding0
+    clauses.foreach { cl =>
       // frame for this clause: its parts joined on shared vars
       var frame: DataFrame = null
       cl.parts.foreach { part =>
@@ -512,10 +572,89 @@ object MatchSeg {
         else joinShared(st, binding, frame,
           joinType = if (cl.optional) "left_outer" else "inner")
     }
+    binding
+  }
 
+  /** WITH projection: the binding becomes the projected frame; bare
+    * node/edge variable items survive AS variables (re-seekable tags,
+    * renderable at RETURN), everything else becomes a plain column. */
+  private def applyWith(g: GraphCatalog, st: BState, binding0: DataFrame,
+                        w: Proj): (DataFrame, BState) = {
+    var binding = ensureTags(g, st, binding0,
+      w.items.map(_.e) ++ w.where.toList ++ w.orderBy.map(_._1))
+    val res = resolver(st, binding)
+    val st2 = new BState(g)
+    st2.anon = st.anon
+
+    if (w.star) {
+      // WITH * keeps the whole binding; extra items append columns
+      st.declOrder.foreach { n =>
+        if (st.vertexVars.contains(n)) st2.addVertex(n)
+        else if (st.edgeVars.contains(n)) st2.addEdge(n)
+        else st2.addPlain(n)
+      }
+      w.items.foreach { i =>
+        binding = binding.withColumn(i.alias, Expr.compile(i.e, res))
+        st2.addPlain(i.alias)
+      }
+      st2.boundTags ++= st.boundTags
+    } else {
+      // per-item column plan
+      val hasAgg = w.items.exists(i => Expr.hasAgg(i.e))
+      def itemCols(i: Item): Seq[Column] = i.e match {
+        case Expr.Ref(List(v)) if st.vertexVars.contains(v) =>
+          st2.addVertex(i.alias)
+          Seq(col(v).as(i.alias))
+        case Expr.Ref(List(ev)) if st.edgeVars.contains(ev) =>
+          st2.addEdge(i.alias)
+          binding.columns.filter(_.startsWith(s"${ev}_")).toSeq
+            .map(c2 => col(c2).as(i.alias + c2.stripPrefix(ev)))
+        case e2 =>
+          st2.addPlain(i.alias)
+          Seq(Expr.compile(e2, res).as(i.alias))
+      }
+      if (!hasAgg)
+        binding = binding.select(w.items.flatMap(itemCols): _*)
+      else {
+        // itemCols registers key vars in st2; agg aliases register as
+        // plain columns (part of the namespace for later stages / *)
+        val keyCols = w.items.filter(i => !Expr.hasAgg(i.e)).flatMap(itemCols)
+        val aggCols = w.items.filter(i => Expr.hasAgg(i.e)).map { i =>
+          st2.addPlain(i.alias)
+          Expr.compile(i.e, res).as(i.alias)
+        }
+        binding =
+          if (keyCols.isEmpty) binding.agg(aggCols.head, aggCols.tail: _*)
+          else binding.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      }
+    }
+    if (w.distinct) binding = binding.distinct()
+    w.where.foreach { pred =>
+      binding = ensureTags(g, st2, binding, Seq(pred))
+      binding = binding.filter(Expr.compile(pred, resolver(st2, binding)))
+    }
+    if (w.orderBy.nonEmpty) binding = binding.orderBy(orderKeys(w.orderBy): _*)
+    if (w.skip > 0) binding = binding.offset(w.skip)
+    if (w.limit >= 0) binding = binding.limit(w.limit)
+    (binding, st2)
+  }
+
+  private def orderKeys(keys: Seq[(Expr.E, Boolean)]): Seq[Column] =
+    keys.map { case (e2, desc) =>
+      val c = Gql.colByName(e2 match {
+        case Expr.Ref(List(one)) => one
+        case other => Expr.text(other)
+      })
+      // NULL is the largest value (OrderByExecutor comparator):
+      // last in ASC, first in DESC
+      if (desc) c.desc_nulls_first else c.asc_nulls_last
+    }
+
+  private def applyReturn(g: GraphCatalog, st: BState, binding0: DataFrame,
+                          ret: Proj): DataFrame = {
     // lazy tag joins for RETURN / ORDER BY refs
-    val retExprs = m.items.map(_.e) ++ m.orderBy.map(_._1)
-    binding = ensureTags(g, st, binding, retExprs)
+    var binding = ensureTags(g, st, binding0,
+      ret.items.map(_.e) ++ ret.orderBy.map(_._1))
     val res = resolver(st, binding)
 
     val strVid = st.vertexVars.headOption.exists(v =>
@@ -531,11 +670,11 @@ object MatchSeg {
     }
 
     val starItems: Seq[Item] =
-      if (m.star)
+      if (ret.star)
         st.declOrder.toSeq.filterNot(_.startsWith("__"))
           .map(v => Item(Expr.Ref(List(v)), v))
       else Seq.empty
-    val items = starItems ++ m.items
+    val items = starItems ++ ret.items
     require(items.nonEmpty, "RETURN needs items")
 
     val hasAgg = items.exists(i => Expr.hasAgg(i.e))
@@ -550,21 +689,12 @@ object MatchSeg {
           else binding.groupBy(keys.map(compiled): _*).agg(aggs.head, aggs.tail: _*)
         grouped.select(items.map(i => Gql.colByName(i.alias)): _*)
       }
-    if (m.distinct) out = out.distinct()
-    if (m.orderBy.nonEmpty) {
-      val keys = m.orderBy.map { case (e2, desc) =>
-        val c = Gql.colByName(e2 match {
-          case Expr.Ref(List(one)) => one
-          case other => Expr.text(other)
-        })
-        // NULL is the largest value (OrderByExecutor comparator):
-        // last in ASC, first in DESC
-        if (desc) c.desc_nulls_first else c.asc_nulls_last
-      }
-      out = out.orderBy(keys: _*)
-    }
-    if (m.skip > 0) out = out.offset(m.skip)
-    if (m.limit >= 0) out = out.limit(m.limit)
+    if (ret.distinct) out = out.distinct()
+    ret.where.foreach(pred =>
+      out = out.filter(Expr.compile(pred, resolver(st, out))))
+    if (ret.orderBy.nonEmpty) out = out.orderBy(orderKeys(ret.orderBy): _*)
+    if (ret.skip > 0) out = out.offset(ret.skip)
+    if (ret.limit >= 0) out = out.limit(ret.limit)
     out
   }
 

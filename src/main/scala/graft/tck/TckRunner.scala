@@ -50,18 +50,29 @@ object TckRunner {
     val lines = text.linesIterator.toVector
     val out = scala.collection.mutable.ListBuffer.empty[Case]
     var poisoned = false
+    // a poisoning line in the Background poisons EVERY scenario
+    var inBackground = true
+    var backgroundPoisoned = false
     var backgroundSpace = space // features without a Given default in
     var i = 0
     while (i < lines.length) {
       val t = lines(i).trim
-      if (t.startsWith("Scenario")) poisoned = backgroundSpace != space
+      if (t.startsWith("Scenario")) {
+        inBackground = false
+        poisoned = backgroundPoisoned || backgroundSpace != space
+      }
       val spaceGiven = "Given a graph with space named \"([^\"]+)\"".r
       spaceGiven.findFirstMatchIn(t).foreach { mm =>
         backgroundSpace = mm.group(1)
         poisoned = backgroundSpace != space
       }
       if (t.startsWith("Given an empty graph") ||
-          t.startsWith("Given having executed")) poisoned = true
+          t.startsWith("Given having executed") ||
+          t.startsWith("And having executed") ||
+          t.startsWith("And create a space")) {
+        poisoned = true
+        if (inBackground) backgroundPoisoned = true
+      }
       if (lines(i).trim == "When executing query:" ||
           lines(i).trim == "When profiling query:") {
         // query block delimited by triple quotes
@@ -120,8 +131,6 @@ object TckRunner {
     else if (c == "EMPTY" || c.isEmpty) "NULL" // relax folds EMPTY/blank/NULL
     else if (c == "True") "true"   // goldens use Python booleans
     else if (c == "False") "false"
-    else if (c.startsWith("[") && c.endsWith("]") && !c.startsWith("[:"))
-      c.replace('\'', '"') // list cells quote strings either way
     else if (c.startsWith("[:") && c.endsWith("]"))
       // edge literal `[:like "a"->"b" @0 {props}]` → strip props; the
       // engine renders edges the same way (relax comparison matches

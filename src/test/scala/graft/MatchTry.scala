@@ -49,8 +49,11 @@ object MatchTry {
           r.failures.take(8).foreach { case (q, why) => println(s"FAIL: $q\n  -> $why") }
           r.errors.take(8).foreach { case (q, why) => println(s"ERR: $q\n  -> $why") }
         }
+      case Some(qf) if qf.endsWith(".q") =>
+        val q = java.nio.file.Files.readString(java.nio.file.Paths.get(qf))
+        Gql.runScript(cat, q).show(40, false)
       case Some(q) =>
-        graft.nql.Gql.runScript(cat, q).show(20, false)
+        Gql.runScript(cat, q).show(20, false)
       case None => ()
     }
     spark.stop()

@@ -36,6 +36,7 @@ class TckRunnerSpec extends SparkSpec {
     "/root/reference/tests/tck/features/match/ZeroStep.feature",
     "/root/reference/tests/tck/features/match/PipeAndVariable.feature",
     "/root/reference/tests/tck/features/match/MatchByVariable.feature",
+    "/root/reference/tests/tck/features/match/With.feature",
     // FETCH edge form + set sentences (round 3)
     "/root/reference/tests/tck/features/fetch/FetchEdges.strVid.feature",
     "/root/reference/tests/tck/features/set/Set.feature",
