@@ -547,7 +547,7 @@ object Expr {
       case "min" => min(a(0))
       case "max" => max(a(0))
       case "std" => stddev_pop(a(0))
-      case "collect" => collect_list(a(0))
+      case "collect" => if (distinct) collect_set(a(0)) else collect_list(a(0))
       case "collect_set" => collect_set(a(0))
       // math
       case "abs" => abs(a(0))

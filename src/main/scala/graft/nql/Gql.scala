@@ -484,7 +484,15 @@ object Gql {
     } else if (p.kw("UNWIND")) {
       val e = Expr.parse(p)
       p.expectKw("AS")
-      Unwind(e, p.word())
+      val alias = p.word()
+      // `UNWIND ... MATCH/WITH/RETURN ...` is a cypher pipeline head
+      if (p.kwPeek("MATCH") || p.kwPeek("OPTIONAL") || p.kwPeek("WITH") ||
+          p.kwPeek("UNWIND") || p.kwPeek("RETURN"))
+        MatchSeg.parseFromUnwind(p, e, alias)
+      else Unwind(e, alias)
+    } else if (p.kwPeek("WITH")) {
+      p.kw("WITH")
+      MatchSeg.parseFromWith(p)
     } else if (p.kw("YIELD") || p.kw("RETURN")) {
       // standalone RETURN is openCypher's expression-only query form
       // (Null.feature etc) — same semantics as a YIELD sentence

@@ -50,10 +50,27 @@ object MatchSeg {
   case class MStmt(stages: List[Stage], ret: Proj) extends Gql.Stmt
 
   // ---------- parser (MATCH keyword already consumed) ----------
-  def parse(p: P): MStmt = {
-    val stages = scala.collection.mutable.ListBuffer.empty[Stage]
-    val pending = scala.collection.mutable.ListBuffer.empty[Clause]
-    pending += parseClause(p, optional = false)
+  def parse(p: P): MStmt =
+    parseStages(p,
+      scala.collection.mutable.ListBuffer.empty[Stage],
+      scala.collection.mutable.ListBuffer(parseClause(p, optional = false)))
+
+  /** Entry for an UNWIND-headed pipeline (`UNWIND ... AS x MATCH ...`,
+    * keyword + expr + alias already consumed by Gql). */
+  def parseFromUnwind(p: P, e: Expr.E, alias: String): MStmt =
+    parseStages(p,
+      scala.collection.mutable.ListBuffer[Stage](UnwindStage(e, alias)),
+      scala.collection.mutable.ListBuffer.empty[Clause])
+
+  /** Entry for a WITH-headed pipeline (`WITH ... MATCH ... RETURN`). */
+  def parseFromWith(p: P): MStmt =
+    parseStages(p,
+      scala.collection.mutable.ListBuffer[Stage](parseProj(p)),
+      scala.collection.mutable.ListBuffer.empty[Clause])
+
+  private def parseStages(p: P,
+      stages: scala.collection.mutable.ListBuffer[Stage],
+      pending: scala.collection.mutable.ListBuffer[Clause]): MStmt = {
     def flush(): Unit =
       if (pending.nonEmpty) { stages += MatchStage(pending.toList); pending.clear() }
     var ret: Option[Proj] = None
@@ -244,6 +261,9 @@ object MatchSeg {
     /** Plain (scalar) columns introduced by WITH/UNWIND — part of the
       * variable namespace for `RETURN *` but never rendered. */
     val plainCols = scala.collection.mutable.LinkedHashSet.empty[String]
+    /** WITH aliases holding collect()ed node vids — raw internally
+      * (UNWIND-able), rendered element-wise at RETURN. */
+    val nodeListCols = scala.collection.mutable.Set.empty[String]
     private def known(n: String) =
       vertexVars.contains(n) || edgeVars.contains(n) || plainCols.contains(n)
     def addVertex(v: String): Unit = {
@@ -484,8 +504,12 @@ object MatchSeg {
     binding
   }
 
-  /** Domain resolver over the binding frame. */
-  private def resolver(st: BState, binding: DataFrame): Expr.Resolver = {
+  /** Domain resolver over the binding frame. `render=true` (RETURN
+    * position): collect() over bare node/edge vars gathers RENDERED
+    * values for display; `render=false` (WITH / WHERE positions):
+    * raw vids, so the list can feed UNWIND back into patterns. */
+  private def resolver(st: BState, binding: DataFrame,
+                       render: Boolean = false): Expr.Resolver = {
     val cols = binding.columns.toSet
     val strVid = st.vertexVars.headOption.exists(v =>
       cols(v) && binding.schema(v).dataType ==
@@ -496,11 +520,11 @@ object MatchSeg {
       // collect over a bare node/edge var gathers RENDERED values
       // (goldens: COLLECT(v2) == [("Tim Duncan"), ...])
       case Expr.FnCall(fn @ ("collect" | "collect_set"),
-          List(Expr.Ref(List(v))), _) if st.vertexVars.contains(v) =>
+          List(Expr.Ref(List(v))), _) if render && st.vertexVars.contains(v) =>
         val r = Gql.renderNode(col(v), strVid)
         Some(if (fn == "collect") collect_list(r) else collect_set(r))
       case Expr.FnCall(fn @ ("collect" | "collect_set"),
-          List(Expr.Ref(List(ev))), _) if st.edgeVars.contains(ev) =>
+          List(Expr.Ref(List(ev))), _) if render && st.edgeVars.contains(ev) =>
         val r = Gql.renderEdge(col(s"${ev}_etype"), col(s"${ev}_src"),
           col(s"${ev}_dst"), col(s"${ev}_rank"), strVid)
         Some(if (fn == "collect") collect_list(r) else collect_set(r))
@@ -523,6 +547,11 @@ object MatchSeg {
           if st.vertexVars.contains(v) =>
         Some(array_compact(array(st.tags.sorted.map(t =>
           when(col(s"__lbl_${v}_$t"), lit(t))): _*)))
+      // STRICT bare-name resolution: Spark's ResolveMissingReferences
+      // would otherwise silently resolve an unknown name against a
+      // hidden pre-rename attribute of the tag scan (e.g. `vid`)
+      case Expr.Ref(List(n)) if !cols(n) =>
+        throw new IllegalArgumentException(s"unknown variable $n")
       case _ => None
     }
     f
@@ -531,21 +560,25 @@ object MatchSeg {
   def exec(g: GraphCatalog, m: MStmt): DataFrame = {
     var st = new BState(g)
     var binding: DataFrame = null
+    // WITH/UNWIND-headed pipelines start from one empty row
+    def base(): DataFrame =
+      if (binding != null) binding
+      else g.allVertices.sparkSession.range(1).drop("id")
     m.stages.foreach {
       case MatchStage(clauses) =>
         binding = execClauses(g, st, clauses, binding)
       case UnwindStage(e, alias) =>
         // UNWIND as a clause: one row per list element (empty/null
         // lists eliminate the row — plain explode)
-        binding = ensureTags(g, st, binding, Seq(e))
+        binding = ensureTags(g, st, base(), Seq(e))
         binding = binding.withColumn(alias,
           explode(Expr.compile(e, resolver(st, binding))))
         st.addPlain(alias)
       case w: Proj =>
-        val (b2, s2) = applyWith(g, st, binding, w)
+        val (b2, s2) = applyWith(g, st, base(), w)
         binding = b2; st = s2
     }
-    applyReturn(g, st, binding, m.ret)
+    applyReturn(g, st, base(), m.ret)
   }
 
   private def execClauses(g: GraphCatalog, st: BState,
@@ -562,8 +595,11 @@ object MatchSeg {
           else joinShared(st, frame, pf, joinType = "inner")
       }
       // clause-local WHERE applies before an OPTIONAL left join when
-      // its refs stay inside the clause (cypher optional semantics)
-      cl.where.foreach { w =>
+      // its refs stay inside the clause (cypher optional semantics);
+      // refs to EARLIER-stage variables (WITH columns, prior vars)
+      // force a post-join filter
+      val (preW, postW) = cl.where.toSeq.partition(whereResolvable(st, frame, _))
+      preW.foreach { w =>
         frame = ensureTags(g, st, frame, Seq(w))
         frame = frame.filter(Expr.compile(w, resolver(st, frame)))
       }
@@ -571,8 +607,28 @@ object MatchSeg {
         if (binding == null) frame
         else joinShared(st, binding, frame,
           joinType = if (cl.optional) "left_outer" else "inner")
+      postW.foreach { w =>
+        binding = ensureTags(g, st, binding, Seq(w))
+        binding = binding.filter(Expr.compile(w, resolver(st, binding)))
+      }
     }
     binding
+  }
+
+  /** Can `w` be evaluated against `frame` alone? Every leaf reference
+    * must land on one of the frame's columns. */
+  private def whereResolvable(st: BState, frame: DataFrame, w: Expr.E): Boolean = {
+    val cols = frame.columns.toSet
+    var ok = true
+    Expr.collect(w) {
+      case Expr.Ref(List(ev, _)) if st.edgeVars.contains(ev) =>
+        if (!cols(s"${ev}_src")) ok = false
+      case Expr.Ref(List(n)) =>
+        if (!cols(n)) ok = false
+      case Expr.Ref(List(v, _, _)) =>
+        if (!cols(v)) ok = false
+    }
+    ok
   }
 
   /** WITH projection: the binding becomes the projected frame; bare
@@ -621,6 +677,12 @@ object MatchSeg {
         val keyCols = w.items.filter(i => !Expr.hasAgg(i.e)).flatMap(itemCols)
         val aggCols = w.items.filter(i => Expr.hasAgg(i.e)).map { i =>
           st2.addPlain(i.alias)
+          i.e match {
+            case Expr.FnCall("collect" | "collect_set",
+                List(Expr.Ref(List(v))), _) if st.vertexVars.contains(v) =>
+              st2.nodeListCols += i.alias
+            case _ => ()
+          }
           Expr.compile(i.e, res).as(i.alias)
         }
         binding =
@@ -655,7 +717,7 @@ object MatchSeg {
     // lazy tag joins for RETURN / ORDER BY refs
     var binding = ensureTags(g, st, binding0,
       ret.items.map(_.e) ++ ret.orderBy.map(_._1))
-    val res = resolver(st, binding)
+    val res = resolver(st, binding, render = true)
 
     val strVid = st.vertexVars.headOption.exists(v =>
       binding.schema(v).dataType == org.apache.spark.sql.types.StringType)
@@ -666,6 +728,14 @@ object MatchSeg {
       case Expr.Ref(List(ev)) if st.edgeVars.contains(ev) =>
         Gql.renderEdge(col(s"${ev}_etype"), col(s"${ev}_src"),
           col(s"${ev}_dst"), col(s"${ev}_rank"), strVid).as(it.alias)
+      case Expr.Ref(List(n)) if st.nodeListCols.contains(n) =>
+        // a WITH-collected node list renders element-wise for display
+        val elemStr = binding.schema(n).dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, _) => true
+          case _ => false
+        }
+        transform(col(n), x => Gql.renderNode(x, elemStr)).as(it.alias)
       case e2 => Expr.compile(e2, res).as(it.alias)
     }
 

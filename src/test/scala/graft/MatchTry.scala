@@ -51,6 +51,7 @@ object MatchTry {
         }
       case Some(qf) if qf.endsWith(".q") =>
         val q = java.nio.file.Files.readString(java.nio.file.Paths.get(qf))
+        Gql.parseScript(q).foreach { case (v, s) => println(s"AST[$v]: $s") }
         Gql.runScript(cat, q).show(40, false)
       case Some(q) =>
         Gql.runScript(cat, q).show(20, false)

@@ -37,6 +37,7 @@ class TckRunnerSpec extends SparkSpec {
     "/root/reference/tests/tck/features/match/PipeAndVariable.feature",
     "/root/reference/tests/tck/features/match/MatchByVariable.feature",
     "/root/reference/tests/tck/features/match/With.feature",
+    "/root/reference/tests/tck/features/match/Unwind.feature",
     // FETCH edge form + set sentences (round 3)
     "/root/reference/tests/tck/features/fetch/FetchEdges.strVid.feature",
     "/root/reference/tests/tck/features/set/Set.feature",
