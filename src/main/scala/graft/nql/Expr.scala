@@ -33,6 +33,8 @@ object Expr {
   final case class Un(op: String, e: E) extends E
   final case class CaseW(subject: Option[E], branches: List[(E, E)], els: Option[E]) extends E
   final case class ListLit(items: List[E]) extends E
+  /** Map literal {k: v, ...} → struct column with named fields. */
+  final case class MapLit(entries: List[(String, E)]) extends E
   /** all/any/none/single(v IN list WHERE pred). */
   final case class Quant(kind: String, v: String, list: E, pred: E) extends E
   /** [v IN list WHERE pred | map]. */
@@ -73,6 +75,7 @@ object Expr {
       s.exists(hasAgg) || brs.exists(b => hasAgg(b._1) || hasAgg(b._2)) ||
         els.exists(hasAgg)
     case ListLit(items) => items.exists(hasAgg)
+    case MapLit(entries) => entries.exists(e2 => hasAgg(e2._2))
     case Quant(_, _, list, pred) => hasAgg(list) || hasAgg(pred)
     case Compr(_, list, pred, map) =>
       hasAgg(list) || pred.exists(hasAgg) || map.exists(hasAgg)
@@ -96,6 +99,7 @@ object Expr {
         brs.foreach { case (c, v) => collect(c)(pf); collect(v)(pf) }
         els.foreach(collect(_)(pf))
       case ListLit(items) => items.foreach(collect(_)(pf))
+      case MapLit(entries) => entries.foreach(e2 => collect(e2._2)(pf))
       case Quant(_, _, list, pred) => collect(list)(pf); collect(pred)(pf)
       case Compr(_, list, pred, map) =>
         collect(list)(pf); pred.foreach(collect(_)(pf)); map.foreach(collect(_)(pf))
@@ -128,6 +132,8 @@ object Expr {
     case Un(op, x) => s"$op(${text(x)})"
     case CaseW(_, _, _) => "CASE"
     case ListLit(items) => items.map(text).mkString("[", ",", "]")
+    case MapLit(entries) =>
+      entries.map { case (k, v) => s"$k: ${text(v)}" }.mkString("{", ", ", "}")
     case Quant(k, v, l, p2) => s"$k($v IN ${text(l)} WHERE ${text(p2)})"
     case Compr(v, l, p2, m2) =>
       s"[$v IN ${text(l)}${p2.map(x => " WHERE " + text(x)).getOrElse("")}" +
@@ -298,6 +304,19 @@ object Expr {
         }
         ListLit(items.toList)
       }
+    case Some(Sym("{")) =>
+      p.next()
+      val entries = scala.collection.mutable.ListBuffer.empty[(String, E)]
+      if (!p.sym("}")) {
+        var go = true
+        while (go) {
+          val k = p.word(); p.expectSym(":")
+          entries += (k -> parse(p))
+          if (p.sym(",")) () else go = false
+        }
+        p.expectSym("}")
+      }
+      MapLit(entries.toList)
     case Some(Sym("*")) => p.next(); Star
     case Some(Sym("$")) => p.next(); param(p)
     case Some(Word(w)) if w.equalsIgnoreCase("true") => p.next(); Lit(true)
@@ -455,6 +474,8 @@ object Expr {
         }
         els.map(e2 => base.otherwise(c(e2))).getOrElse(base)
       case ListLit(items) => array(items.map(c): _*)
+      case MapLit(entries) =>
+        struct(entries.map { case (k, v2) => c(v2).as(k) }: _*)
       // lambda forms → Spark higher-order functions; the bound var
       // shadows the outer resolver inside the body
       case Quant(kind, v, list, pred) =>

@@ -150,12 +150,45 @@ object MatchSeg {
     Part(nodes.toList, rels.toList)
   }
 
-  private def litValue(p: P): Any = Expr.parse(p) match {
+  private def litValue(p: P): Any = constFold(Expr.parse(p))
+
+  /** Driver-side fold of constant expressions — inline props like
+    * `{age: (4 * 20) + 5}` (FoldConstantExprVisitor). */
+  private def constFold(e: Expr.E): Any = e match {
     case Expr.Lit(v) => v
-    case Expr.Un("neg", Expr.Lit(n: Long)) => -n
-    case Expr.Un("neg", Expr.Lit(d: Double)) => -d
+    case Expr.Un("neg", x) => constFold(x) match {
+      case n: Long => -n
+      case d: Double => -d
+      case other =>
+        throw new IllegalArgumentException(s"cannot negate $other")
+    }
+    case Expr.Bin(op, a, b) =>
+      (constFold(a), constFold(b)) match {
+        case (x: Long, y: Long) => op match {
+          case "+" => x + y; case "-" => x - y; case "*" => x * y
+          case "/" => x / y; case "%" => x % y
+          case other =>
+            throw new IllegalArgumentException(s"non-constant op $other")
+        }
+        case (x: String, y: String) if op == "+" => x + y
+        case (xa, ya) =>
+          val (x, y) = (toD(xa), toD(ya))
+          op match {
+            case "+" => x + y; case "-" => x - y; case "*" => x * y
+            case "/" => x / y
+            case other =>
+              throw new IllegalArgumentException(s"non-constant op $other")
+          }
+      }
     case other =>
       throw new IllegalArgumentException(s"expected literal, got ${Expr.text(other)}")
+  }
+
+  private def toD(v: Any): Double = v match {
+    case n: Long => n.toDouble
+    case d: Double => d
+    case other =>
+      throw new IllegalArgumentException(s"not numeric: $other")
   }
 
   private def parseProps(p: P): List[(String, Any)] =
@@ -181,11 +214,17 @@ object MatchSeg {
       case Some(Word(w)) => p.next(); Some(w)
       case _ => None
     }
+    // tags and prop maps interleave freely: (v:a{x:1}:b)
     val tags = scala.collection.mutable.ListBuffer.empty[String]
-    while (p.sym(":")) tags += p.word()
-    val props = parseProps(p)
+    val props = scala.collection.mutable.ListBuffer.empty[(String, Any)]
+    var go = true
+    while (go) {
+      if (p.sym(":")) tags += p.word()
+      else if (p.peek.contains(Sym("{"))) props ++= parseProps(p)
+      else go = false
+    }
     p.expectSym(")")
-    Node(v, tags.toList, props)
+    Node(v, tags.toList, props.toList)
   }
 
   private def parseRel(p: P): Rel = {
@@ -547,6 +586,11 @@ object MatchSeg {
           if st.vertexVars.contains(v) =>
         Some(array_compact(array(st.tags.sorted.map(t =>
           when(col(s"__lbl_${v}_$t"), lit(t))): _*)))
+      // plain struct column (a WITH-projected map literal): dotted
+      // access is a field lookup
+      case Expr.Ref(List(m, field))
+          if st.plainCols.contains(m) && cols(m) =>
+        Some(col(m).getField(field))
       // STRICT bare-name resolution: Spark's ResolveMissingReferences
       // would otherwise silently resolve an unknown name against a
       // hidden pre-rename attribute of the tag scan (e.g. `vid`)

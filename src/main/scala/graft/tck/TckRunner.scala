@@ -119,6 +119,15 @@ object TckRunner {
         case s: String => "\"" + s + "\""
         case other => norm(other)
       }.mkString("[", ", ", "]")
+    case r: org.apache.spark.sql.Row if r.schema != null =>
+      // struct (map literal) → `{k: v, ...}` like the reference's Map
+      r.schema.fieldNames.zip(r.toSeq).map { case (n, v2) =>
+        val rendered = v2 match {
+          case s: String => "\"" + s + "\""
+          case other => norm(other)
+        }
+        s"$n: $rendered"
+      }.mkString("{", ", ", "}")
     case other => other.toString
   }
 
