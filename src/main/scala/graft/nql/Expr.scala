@@ -479,6 +479,14 @@ object Expr {
       // lambda forms → Spark higher-order functions; the bound var
       // shadows the outer resolver inside the body
       case Quant(kind, v, list, pred) =>
+        // dotted prop access on the lambda var would silently resolve
+        // against an OUTER pattern variable of the same name — out of
+        // subset (node elements are rendered strings, not structs)
+        collect(pred) {
+          case Ref(vv :: _ :: _) if vv == v =>
+            throw new IllegalArgumentException(
+              s"prop access on lambda var $v")
+        }
         val lc = c(list)
         val lam: Column => Column = x => compile(pred, bindVar(v, x, r))
         kind match {
@@ -495,6 +503,11 @@ object Expr {
               .otherwise(trueCnt === 1)
         }
       case Compr(v, list, pred, map) =>
+        (pred.toList ++ map.toList).foreach(collect(_) {
+          case Ref(vv :: _ :: _) if vv == v =>
+            throw new IllegalArgumentException(
+              s"prop access on lambda var $v")
+        })
         var lc = c(list)
         pred.foreach(p2 => lc = filter(lc, x => compile(p2, bindVar(v, x, r))))
         map.foreach(m2 => lc = transform(lc, x => compile(m2, bindVar(v, x, r))))

@@ -35,7 +35,10 @@ object MatchSeg {
   /** range: None = single hop; Some((m, n)) = var-length *m..n. */
   case class Rel(v: Option[String], etypes: List[String], dir: Direction,
                  range: Option[(Int, Int)], props: List[(String, Any)])
-  case class Part(nodes: List[Node], rels: List[Rel])
+  case class Part(pathVar: Option[String], nodes: List[Node], rels: List[Rel])
+  /** Recorded shape of a named path: node/edge var sequence. */
+  case class PathInfo(nodes: List[String], rels: List[String],
+                      varLength: Boolean)
   case class Clause(optional: Boolean, parts: List[Part],
                     where: Option[Expr.E])
   /** One pipeline stage between MATCH and RETURN. */
@@ -136,6 +139,11 @@ object MatchSeg {
   }
 
   private def parsePart(p: P): Part = {
+    // named path: `p = (a)-[e]->(b)` (parser.yy match_path_pattern)
+    val pathVar = (p.peek, p.peek2) match {
+      case (Some(Word(w)), Some(Sym("="))) => p.next(); p.next(); Some(w)
+      case _ => None
+    }
     val nodes = scala.collection.mutable.ListBuffer(parseNode(p))
     val rels = scala.collection.mutable.ListBuffer.empty[Rel]
     var go = true
@@ -147,7 +155,7 @@ object MatchSeg {
         case _ => go = false
       }
     }
-    Part(nodes.toList, rels.toList)
+    Part(pathVar, nodes.toList, rels.toList)
   }
 
   private def litValue(p: P): Any = constFold(Expr.parse(p))
@@ -303,6 +311,11 @@ object MatchSeg {
     /** WITH aliases holding collect()ed node vids — raw internally
       * (UNWIND-able), rendered element-wise at RETURN. */
     val nodeListCols = scala.collection.mutable.Set.empty[String]
+    /** Named paths: var → node/edge sequence (rendered at RETURN). */
+    val pathVars = scala.collection.mutable.Map.empty[String, PathInfo]
+    def addPath(pv: String): Unit = {
+      if (!known(pv) && !pathVars.contains(pv)) declOrder += pv
+    }
     private def known(n: String) =
       vertexVars.contains(n) || edgeVars.contains(n) || plainCols.contains(n)
     def addVertex(v: String): Unit = {
@@ -387,12 +400,53 @@ object MatchSeg {
       else nodeFrame(g, st, n0, v0)
     binding = binding.withColumn("__trail", array().cast("array<string>"))
     var fromVar = v0
-    part.rels.zip(part.nodes.tail).foreach { case (rel, node) =>
+    val nodeVars = scala.collection.mutable.ListBuffer(v0)
+    val relVars = scala.collection.mutable.ListBuffer.empty[String]
+    var hasVarLen = false
+    part.rels.zip(part.nodes.tail).foreach { case (rel0, node) =>
+      // a named path needs every hop's edge columns bound → material-
+      // ize anonymous single-hop edge vars
+      val rel =
+        if (part.pathVar.isDefined && rel0.v.isEmpty && rel0.range.isEmpty)
+          rel0.copy(v = Some(st.freshVar()))
+        else rel0
+      if (rel.range.isDefined) hasVarLen = true
       val w = node.v.getOrElse(st.freshVar())
       binding = hop(g, st, binding, fromVar, rel, node, w)
+      nodeVars += w
+      rel.v.foreach(relVars += _)
       fromVar = w
     }
+    part.pathVar.foreach { pv =>
+      st.addPath(pv)
+      st.pathVars(pv) = PathInfo(nodeVars.toList, relVars.toList, hasVarLen)
+    }
     binding
+  }
+
+  /** Render a named path `<("a")-[:like@0]->("b")...>` — per-hop arrow
+    * direction decided at runtime against the stored edge orientation
+    * (src/common/datatypes/Path.cpp toString). */
+  private def renderPath(info: PathInfo, strVid: Boolean): Column = {
+    require(!info.varLength, "var-length named paths are not renderable")
+    var c: Column = concat(lit("<"),
+      Gql.renderNode(col(info.nodes.head), strVid))
+    info.rels.zipWithIndex.foreach { case (ev, i) =>
+      val left = info.nodes(i)
+      val right = info.nodes(i + 1)
+      // rank prints only when non-zero (Path.cpp toString)
+      val lbl = concat(lit(":"), col(s"${ev}_etype"),
+        when(col(s"${ev}_rank") =!= 0,
+          concat(lit("@"), col(s"${ev}_rank").cast("string")))
+          .otherwise(lit("")))
+      val fwd = concat(lit("-["), lbl, lit("]->"),
+        Gql.renderNode(col(right), strVid))
+      val bwd = concat(lit("<-["), lbl, lit("]-"),
+        Gql.renderNode(col(right), strVid))
+      c = concat(c,
+        when(col(s"${ev}_src") === col(left), fwd).otherwise(bwd))
+    }
+    concat(c, lit(">"))
   }
 
   /** Stored-orientation edge identity: etype|rank|src|dst of the edge
@@ -586,6 +640,21 @@ object MatchSeg {
           if st.vertexVars.contains(v) =>
         Some(array_compact(array(st.tags.sorted.map(t =>
           when(col(s"__lbl_${v}_$t"), lit(t))): _*)))
+      // named-path functions over fixed-length paths
+      case Expr.FnCall("length", List(Expr.Ref(List(pv))), _)
+          if st.pathVars.get(pv).exists(!_.varLength) =>
+        Some(lit(st.pathVars(pv).rels.size.toLong))
+      case Expr.FnCall("nodes", List(Expr.Ref(List(pv))), _)
+          if st.pathVars.get(pv).exists(!_.varLength) =>
+        Some(array(st.pathVars(pv).nodes.map(n =>
+          Gql.renderNode(col(n), strVid)): _*))
+      case Expr.FnCall("relationships", List(Expr.Ref(List(pv))), _)
+          if st.pathVars.get(pv).exists(!_.varLength) =>
+        Some(array(st.pathVars(pv).rels.map(ev =>
+          Gql.renderEdge(col(s"${ev}_etype"), col(s"${ev}_src"),
+            col(s"${ev}_dst"), col(s"${ev}_rank"), strVid)): _*))
+      case Expr.Ref(List(pv)) if st.pathVars.contains(pv) =>
+        Some(renderPath(st.pathVars(pv), strVid))
       // plain struct column (a WITH-projected map literal): dotted
       // access is a field lookup
       case Expr.Ref(List(m, field))

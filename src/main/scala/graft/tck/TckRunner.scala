@@ -150,6 +150,14 @@ object TckRunner {
       // (relax node compare keys on vid; tags/props are advisory)
       c.replaceAll("\\s*:[A-Za-z_][^)]*", "").replaceAll("\\(\\s*", "(")
         .replaceAll("\\s*\\)", ")")
+    else if (c.startsWith("<(") && c.endsWith(">"))
+      // path literal: strip node prop maps and tag lists, keeping the
+      // vid/edge skeleton the engine renders; the default rank prints
+      // inconsistently across the corpus (`@0` vs omitted) → drop it
+      c.replaceAll("\\s*\\{[^}]*\\}", "")
+        .replaceAll("\\s+:[A-Za-z_]\\w*", "")
+        .replaceAll("@0(?=\\])", "")
+        .replaceAll("\\(\\s+", "(").replaceAll("\\s+\\)", ")")
     else c
   }
 
