@@ -165,6 +165,41 @@ object Fn {
   /** json_extract → get_json_object (FunctionManager.cpp `json_extract`). */
   def jsonExtract(c: Column, path: String): Column = get_json_object(c, path)
 
+  /** The reference's 1-arg JSON_EXTRACT renders a flat Map with one
+    * nested level; deeper objects render `{}` and lists are omitted
+    * (FunctionManager.cpp json_extract; json_extract.feature). A
+    * non-object top level is BAD_DATA. Jackson tree walk in a UDF —
+    * the output is a dynamically-typed Map, which Spark can't type. */
+  private lazy val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper
+  private def renderJsonNode(n: com.fasterxml.jackson.databind.JsonNode,
+                             depth: Int): Option[String] = {
+    import com.fasterxml.jackson.databind.JsonNode
+    import scala.jdk.CollectionConverters._
+    n match {
+      case o if o.isObject =>
+        if (depth >= 2) None
+        else Some(o.properties().asScala.toSeq.flatMap { e =>
+          renderJsonNode(e.getValue, depth + 1).map(v => s"${e.getKey}: $v")
+        }.mkString("{", ", ", "}"))
+      case a if a.isArray => None
+      case s if s.isTextual => Some("\"" + s.asText + "\"")
+      case b if b.isBoolean => Some(b.asBoolean.toString)
+      case i if i.isIntegralNumber => Some(i.asLong.toString)
+      case d if d.isNumber => Some(d.asDouble.toString)
+      case x if x.isNull => Some("NULL")
+      case _ => None
+    }
+  }
+  private val jsonExtractMapUdf = udf((s: String) =>
+    Option(s).map { str =>
+      try {
+        val root = jsonMapper.readTree(str)
+        if (root == null || !root.isObject) "BAD_DATA"
+        else renderJsonNode(root, 0).getOrElse("BAD_DATA")
+      } catch { case _: Exception => "BAD_DATA" }
+    })
+  def jsonExtractMap(c: Column): Column = jsonExtractMapUdf(c)
+
   // ---- path functions over our array-of-vids path representation
   // (nodes relationships startNode endNode hasSameVertexInPath ...,
   // FunctionManager.cpp graph-specific registry) ----

@@ -473,7 +473,22 @@ object Expr {
           case (acc, (cond, v)) => acc.when(s === c(cond), c(v))
         }
         els.map(e2 => base.otherwise(c(e2))).getOrElse(base)
-      case ListLit(items) => array(items.map(c): _*)
+      case ListLit(items) =>
+        // the reference's List is heterogeneous (Value union); Spark
+        // arrays are not — a literal list mixing booleans/strings/
+        // numbers falls back to the string rendering so construction
+        // doesn't ANSI-cast (UNWIND [true, "3.14"] in TypeConversion
+        // .feature); downstream to*() conversions parse from string
+        val kinds = items.collect { case Lit(v) if v != null => v match {
+          case _: Long | _: Double => "num"
+          case _: String => "str"
+          case _: Boolean => "bool"
+          case _ => "other"
+        } }.toSet
+        if (kinds.size > 1 && items.forall {
+          case Lit(_) => true; case _ => false })
+          array(items.map(x => c(x).cast("string")): _*)
+        else array(items.map(c): _*)
       case MapLit(entries) =>
         struct(entries.map { case (k, v2) => c(v2).as(k) }: _*)
       // lambda forms → Spark higher-order functions; the bound var
@@ -646,10 +661,17 @@ object Expr {
       case "concat_ws" => concat_ws(strArg(args, 0), cs.tail: _*)
       case "md5" => md5(a(0).cast("string"))
       case "sha1" => sha1(a(0).cast("string"))
-      // casts (openCypher to*)
-      case "toboolean" => a(0).cast("boolean")
-      case "tofloat" => a(0).cast("double")
-      case "tointeger" => a(0).cast("long")
+      // casts (openCypher to*): unparsable strings are NULL, not
+      // errors (TypeConversion.feature: toBoolean("3.14") → NULL,
+      // toInteger("1.5E4") → 15000, toInteger("3.14") → 3)
+      case "toboolean" =>
+        val s = lower(a(0).cast("string"))
+        when(s === "true", lit(true))
+          .when(s === "false", lit(false))
+          .otherwise(lit(null).cast("boolean"))
+      case "tofloat" => a(0).cast("string").try_cast("double")
+      case "tointeger" =>
+        a(0).cast("string").try_cast("double").cast("long")
       case "tostring" => a(0).cast("string")
       // collections
       case "size" => size(a(0))
@@ -660,9 +682,56 @@ object Expr {
       case "range" =>
         if (args.size == 3) sequence(a(0), a(1), a(2)) else sequence(a(0), a(1))
       case "coalesce" => coalesce(cs: _*)
+      case "json_extract" => graft.functions.Fn.jsonExtractMap(a(0))
+      // reference hash(): identity on ints, 0/1 on bools, bit-pattern
+      // murmur on floats, UTF-8 murmur on strings (FunctionManager
+      // .cpp:1689 via std::hash<Value>); int-vid spaces key every
+      // vertex on hash(<string>) so goldens need bit-parity
+      case "hash" => tryConst(args.head) match {
+        case Some(v) => lit(graft.functions.NebulaHash.hashValue(v))
+        case None => graft.functions.NebulaHash.hashCol(a(0))
+      }
       case other =>
         throw new IllegalArgumentException(s"unsupported function $other")
     }
+  }
+
+  /** Driver-side evaluation of a constant expression (literals, unary
+    * neg/not, arithmetic) — None when any input is non-constant. */
+  private def tryConst(e: E): Option[Any] = e match {
+    case Lit(v) => Some(v)
+    case Un("neg", x) => tryConst(x).collect {
+      case n: Long => -n
+      case d: Double => -d
+    }
+    case Un("not", x) => tryConst(x).collect { case b: Boolean => !b }
+    case Bin(op, a, b) =>
+      (tryConst(a), tryConst(b)) match {
+        case (Some(x: Long), Some(y: Long)) => op match {
+          case "+" => Some(x + y); case "-" => Some(x - y)
+          case "*" => Some(x * y)
+          case "/" => if (y == 0) None else Some(x / y)
+          case "%" => if (y == 0) None else Some(x % y)
+          case _ => None
+        }
+        case (Some(x: String), Some(y: String)) if op == "+" => Some(x + y)
+        case (Some(xa), Some(ya)) =>
+          def toD(v: Any): Option[Double] = v match {
+            case n: Long => Some(n.toDouble)
+            case d: Double => Some(d)
+            case _ => None
+          }
+          (toD(xa), toD(ya)) match {
+            case (Some(x), Some(y)) => op match {
+              case "+" => Some(x + y); case "-" => Some(x - y)
+              case "*" => Some(x * y); case "/" => Some(x / y)
+              case _ => None
+            }
+            case _ => None
+          }
+        case _ => None
+      }
+    case _ => None
   }
 
   private def intArg(args: List[E], i: Int): Int = args(i) match {

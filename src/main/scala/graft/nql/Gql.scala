@@ -64,6 +64,16 @@ object Gql {
               case 'u' if j + 5 < q.length =>
                 sb.append(Integer.parseInt(q.substring(j + 2, j + 6), 16).toChar)
                 j += 6
+              case 'x' =>
+                // C-style hex escape, greedy digits (scanner.lex):
+                // `\x70EB` is one char U+70EB
+                var k = j + 2
+                while (k < q.length && k - (j + 2) < 4 &&
+                  Character.digit(q(k), 16) >= 0) k += 1
+                if (k > j + 2) {
+                  sb.append(Integer.parseInt(q.substring(j + 2, k), 16).toChar)
+                  j = k
+                } else { sb.append('x'); j += 2 }
               case other => sb.append(other); j += 2
             }
           } else if (ch == c) { closed = true; j += 1 }
@@ -135,6 +145,13 @@ object Gql {
           case Str(s) => out += s
           case Num(v, _) => out += v.toLong
           case Sym("-") => out += -intLit().toLong
+          case Word(w) if w.equalsIgnoreCase("hash") =>
+            // int-vid seed form `hash("Tim Duncan")` (GO.IntVid.feature)
+            expectSym("("); val s = next() match {
+              case Str(x) => x
+              case t => throw new IllegalArgumentException(s"hash() vid arg $t")
+            }; expectSym(")")
+            out += graft.functions.NebulaHash.hash64(s)
           case t => throw new IllegalArgumentException(s"expected vid, got $t")
         }
         if (peek.contains(Sym(","))) next() else go = false
@@ -872,11 +889,21 @@ object Gql {
           Some(col("dst"))
         case Expr.FnCall("id", List(Expr.Param("src", _, Nil)), _) =>
           Some(col("src"))
-        // whole-value yields, reference serialization forms
+        // whole-value yields, reference serialization forms; goYield
+        // orients columns to traversal direction, but a whole-edge
+        // value prints the STORED direction (Edge.cpp toString) — under
+        // REVERSELY the stored src is the traversal dst
         case Expr.Ref(List("edge")) =>
+          val (es, ed) = dir match {
+            case Traverse.In => (col("dst"), col("src"))
+            case Traverse.Both =>
+              (when(col("__rev"), col("dst")).otherwise(col("src")),
+               when(col("__rev"), col("src")).otherwise(col("dst")))
+            case _ => (col("src"), col("dst"))
+          }
           Some(renderEdge(
             if (single) lit(etypes.head) else col("__etype"),
-            col("src"), col("dst"), col("rank"), strVid))
+            es, ed, col("rank"), strVid))
         case Expr.Param("dst", _, Nil) => Some(renderNode(col("dst"), strVid))
         case Expr.Param("src", _, Nil) => Some(renderNode(col("src"), strVid))
         // source-frame refs from a pipe/$var seed (join-back columns)
@@ -884,11 +911,41 @@ object Gql {
           Some(colByName(s"__in_$c"))
         case _ => None
       }
+      // Multi-edge EMPTY semantics: a prop ref of edge type A evaluated
+      // on a type-B row is __EMPTY__ in the reference — equality against
+      // it is DEFINITE (`!=` true, `==` false), not null-propagating
+      // (Value.cpp operator==; SimpleCase.feature `WHERE serve._dst !=
+      // "abc"` keeps the like-rows). Our guarded columns are NULL on
+      // other types' rows, so rewrite equality leaves to carry the
+      // type guard explicitly.
+      def edgeRefType(x: Expr.E): Option[String] = x match {
+        case Expr.Ref(List(et, _)) if etypes.contains(et) => Some(et)
+        case _ => None
+      }
+      def rwEmpty(e: Expr.E): Expr.E = e match {
+        case Expr.Bin(op @ ("and" | "or" | "xor"), l, r) =>
+          Expr.Bin(op, rwEmpty(l), rwEmpty(r))
+        case Expr.Un("not", x) => Expr.Un("not", rwEmpty(x))
+        case cmp @ Expr.Bin(op @ ("==" | "!="), l, r) if !single =>
+          edgeRefType(l).orElse(edgeRefType(r)) match {
+            case Some(et) =>
+              val typeCmp = Expr.Bin(op, Expr.Ref(List("__raw_etype")),
+                Expr.Lit(et))
+              if (op == "==") Expr.Bin("and", typeCmp, cmp)
+              else Expr.Bin("or", typeCmp, cmp)
+            case None => cmp
+          }
+        case other => other
+      }
+      val fullResolver: Expr.Resolver = {
+        case Expr.Ref(List("__raw_etype")) => Some(col("__etype"))
+        case other => resolver(other)
+      }
       val filtered = where match {
-        case Some(w) => out.filter(Expr.compile(w, resolver))
+        case Some(w) => out.filter(Expr.compile(rwEmpty(w), fullResolver))
         case None => out
       }
-      val sel = selectItems(filtered, items, resolver)
+      val sel = selectItems(filtered, items, fullResolver)
       finish(if (dist) sel.distinct() else sel)
     }
   }

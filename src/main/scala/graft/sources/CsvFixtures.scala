@@ -92,4 +92,13 @@ object CsvFixtures {
       shaped.dropDuplicates("src", "dst", "rank")
     else shaped.dropDuplicates("vid")
   }
+
+  /** Int-vid variant of a string-keyed fixture: every vid/src/dst →
+    * MurmurHash2 of the string key, per the importer's
+    * `function: hash` (tests/data/nba_int_vid/config.yaml — the
+    * int-vid spaces load the SAME CSVs through a hash). */
+  def hashVids(df: DataFrame): DataFrame =
+    Seq("vid", "src", "dst").filter(df.columns.contains)
+      .foldLeft(df)((d, c) =>
+        d.withColumn(c, graft.functions.NebulaHash.hashCol(col(c))))
 }

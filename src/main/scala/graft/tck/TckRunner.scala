@@ -17,7 +17,12 @@ import graft.nql.Gql
   */
 object TckRunner {
 
-  case class Case(query: String, golden: Seq[Seq[String]])
+  /** `hashedCols` — golden columns recorded as plain strings that the
+    * engine returns as int-vid hashes ("and the columns N should be
+    * hashed", conftest.py:553 `hash_columns`: the EXPECTED cell is
+    * murmur-hashed before compare). */
+  case class Case(query: String, golden: Seq[Seq[String]],
+                  hashedCols: Set[Int] = Set.empty)
   /** `skipped` = the parser rejected the sentence (unsupported
     * language surface). `errored` = the sentence PARSED but execution
     * threw — a supported-surface regression, surfaced in `ok` so it
@@ -86,6 +91,10 @@ object TckRunner {
           while (j < lines.length && lines(j).trim.isEmpty) j += 1
           if (j < lines.length &&
               lines(j).trim.startsWith("Then the result should be")) {
+            val hashedRe = "columns ([0-9, ]+) should be hashed".r
+            val hashed = hashedRe.findFirstMatchIn(lines(j).trim).map(m =>
+              m.group(1).split(",").map(_.trim.toInt).toSet)
+              .getOrElse(Set.empty[Int])
             var k = j + 1
             val rows = scala.collection.mutable.ListBuffer.empty[Seq[String]]
             while (k < lines.length && lines(k).trim.startsWith("|")) {
@@ -94,7 +103,7 @@ object TckRunner {
               k += 1
             }
             if (rows.nonEmpty && !poisoned)
-              out += Case(query, rows.toSeq.drop(1)) // drop header
+              out += Case(query, rows.toSeq.drop(1), hashed) // drop header
             i = k
           } else i = end + 1
         } else i += 1
@@ -131,7 +140,32 @@ object TckRunner {
     case other => other.toString
   }
 
-  private def normGolden(cell: String): String = {
+  /** In an int-vid space every vertex key is `hash(<string>)` but the
+    * goldens still write the string (conftest compare_vid applies
+    * vid_fn=murmurhash2 to the expected side). After props/tags are
+    * stripped, the only quoted strings left inside node/edge/path
+    * literal cells are vids → hash them. */
+  private def hashVidsInCell(s: String): String = {
+    // goldens write either `hash("key")` or a bare quoted key
+    val unwrapped = "hash\\(\"([^\"]*)\"\\)".r.replaceAllIn(s, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        graft.functions.NebulaHash.hash64(m.group(1)).toString))
+    "\"([^\"]*)\"".r.replaceAllIn(unwrapped, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        graft.functions.NebulaHash.hash64(m.group(1)).toString))
+  }
+
+  private def normGolden(cell: String): String = normGolden(cell, false)
+
+  private def normGolden(cell: String, intVid: Boolean): String = {
+    val base = normGolden0(cell)
+    if (intVid && (base.startsWith("(") || base.startsWith("[:") ||
+        base.startsWith("<(")))
+      hashVidsInCell(base)
+    else base
+  }
+
+  private def normGolden0(cell: String): String = {
     val c = cell.trim
     if (c.length >= 2 &&
         ((c.startsWith("\"") && c.endsWith("\"")) ||
@@ -207,6 +241,9 @@ object TckRunner {
       ((s.head == '[' && s.last == ']') || (s.head == '{' && s.last == '}'))
 
   private def cellMatch(got: String, want: String): Boolean =
+    cellMatch(got, want, false)
+
+  private def cellMatch(got: String, want: String, intVid: Boolean): Boolean =
     if (want.length >= 2 && want.startsWith("/") && want.endsWith("/"))
       got.matches(want.substring(1, want.length - 1))
     else if (got == want) true
@@ -218,9 +255,11 @@ object TckRunner {
         if (isListCell(got) && isListCell(want)) {
           // collection cells: element-wise multiset compare ({..} set
           // cells and collect() output order are both unordered)
-          val ge = splitTop(got.substring(1, got.length - 1)).map(normGolden)
-          val we = splitTop(want.substring(1, want.length - 1)).map(normGolden)
-          multisetMatch(ge.map(Seq(_)), we.map(Seq(_)))
+          val ge = splitTop(got.substring(1, got.length - 1))
+            .map(normGolden(_, intVid))
+          val we = splitTop(want.substring(1, want.length - 1))
+            .map(normGolden(_, intVid))
+          multisetMatch(ge.map(Seq(_)), we.map(Seq(_)), intVid)
         } else (parseEdgeCell(got), parseEdgeCell(want)) match {
           case (Some((t1, s1, d1, r1)), Some((t2, s2, d2, r2))) =>
             t1 == t2 && s1 == s2 && d1 == d2 &&
@@ -231,7 +270,8 @@ object TckRunner {
 
   /** Unordered row matching with backtracking (regex cells make plain
     * sorting unreliable); golden tables are small. */
-  private def multisetMatch(got: Seq[Seq[String]], want: Seq[Seq[String]]): Boolean = {
+  private def multisetMatch(got: Seq[Seq[String]], want: Seq[Seq[String]],
+                            intVid: Boolean = false): Boolean = {
     if (got.size != want.size) return false
     def solve(ws: List[Seq[String]], remaining: Vector[Seq[String]]): Boolean =
       ws match {
@@ -239,7 +279,8 @@ object TckRunner {
         case w :: rest =>
           remaining.indices.exists { i =>
             val r = remaining(i)
-            r.size == w.size && r.zip(w).forall((cellMatch _).tupled) &&
+            r.size == w.size &&
+              r.zip(w).forall { case (g, x) => cellMatch(g, x, intVid) } &&
               solve(rest, remaining.patch(i, Nil, 1))
           }
       }
@@ -251,11 +292,15 @@ object TckRunner {
   /** Rows above this are a runaway query, not a golden table. */
   private val MaxGoldenRows = 100000
 
-  def run(g: GraphCatalog, featureText: String): Report = {
+  def run(g: GraphCatalog, featureText: String): Report =
+    run(g, featureText, space = "nba")
+
+  def run(g: GraphCatalog, featureText: String, space: String): Report = {
+    val intVid = space.toLowerCase.contains("int_vid")
     var executed = 0; var passed = 0; var skipped = 0
     val failures = scala.collection.mutable.ListBuffer.empty[(String, String)]
     val errors = scala.collection.mutable.ListBuffer.empty[(String, String)]
-    parseFeature(featureText).foreach { c =>
+    parseFeature(featureText, space).foreach { c =>
       val parsed =
         try Some(Gql.parseScript(c.query))
         catch { case _: Exception => None }
@@ -267,8 +312,14 @@ object TckRunner {
             val got = df.limit(MaxGoldenRows).collect().toSeq
               .map(r => r.toSeq.map(norm))
             executed += 1
-            val want = c.golden.map(_.map(normGolden))
-            if (multisetMatch(got, want)) passed += 1
+            val want = c.golden.map(_.zipWithIndex.map { case (cell, idx) =>
+              val n = normGolden(cell, intVid)
+              // hashed column: golden records the pre-hash string
+              if (c.hashedCols.contains(idx) && n != "NULL")
+                graft.functions.NebulaHash.hash64(n).toString
+              else n
+            })
+            if (multisetMatch(got, want, intVid)) passed += 1
             else failures += c.query ->
               s"got=${got.take(5)} want=${want.take(5)} (${got.size}/${want.size} rows)"
           } catch {

@@ -166,7 +166,15 @@ object Traverse {
     require(m >= 1 && n >= m, s"bad step range $m..$n")
     // persisted but NOT unpersisted here: the yielded rows reference e
     // lazily until the caller materializes them (LRU eviction reclaims)
-    val e = persistIfMultiStep(orient(edges, dir), n)
+    // BIDIRECT keeps a `__rev` marker so whole-edge yields can recover
+    // the STORED direction from the traversal-oriented columns
+    val oriented = dir match {
+      case Both =>
+        edges.withColumn("__rev", lit(false))
+          .unionByName(orient(edges, In).withColumn("__rev", lit(true)))
+      case other => orient(edges, other)
+    }
+    val e = persistIfMultiStep(oriented, n)
     var (frontier, cnt) = materialize(
       seeds.select(col("vid").as("origin"), col("vid")))
     var acc: DataFrame = null

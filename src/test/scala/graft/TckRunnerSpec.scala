@@ -1,70 +1,106 @@
 package graft
 
-import graft.graph.MapCatalog
+import graft.graph.{GraphCatalog, MapCatalog}
 import graft.sources.CsvFixtures
 import graft.tck.TckRunner
 
-/** Runs the reference's OWN Gherkin TCK scenarios (tests/tck/features/
-  * go/GO.feature) against the nba fixture graph through the nGQL
-  * parser. Contract: every scenario the subset can execute must match
-  * its golden table; unsupported syntax is skipped and counted. */
+/** Runs the reference's OWN Gherkin TCK scenarios (tests/tck/features/)
+  * against the nba fixture graph through the nGQL parser. Contract:
+  * every scenario the subset can execute must match its golden table;
+  * unsupported syntax is skipped and counted.
+  *
+  * Each feature file's Background declares its space; the spec picks
+  * the matching catalog ("nba" string-vid, "nba_int_vid" = same CSVs
+  * with MurmurHash2 vids, the importer's `function: hash` convention —
+  * tests/data/nba_int_vid/config.yaml). */
 class TckRunnerSpec extends SparkSpec {
 
   private val nba = "/root/reference/tests/data/nba"
+  private val root = "/root/reference/tests/tck/features"
   private val features = Seq(
-    "/root/reference/tests/tck/features/go/GO.feature",
-    "/root/reference/tests/tck/features/fetch/FetchVertices.strVid.feature",
-    "/root/reference/tests/tck/features/lookup/WithYield.feature",
+    s"$root/go/GO.feature",
+    s"$root/fetch/FetchVertices.strVid.feature",
+    s"$root/lookup/WithYield.feature",
     // (LookUpTopN is excluded: its ORDER BY+LIMIT scenarios cut ties
     // at the limit boundary, so ANY reimplementation's row choice is
     // valid but cannot match the recorded golden rows)
-    "/root/reference/tests/tck/features/lookup/LookUpLimit.feature",
-    "/root/reference/tests/tck/features/lookup/TagIndexFullScan.feature",
-    "/root/reference/tests/tck/features/lookup/Output.feature",
+    s"$root/lookup/LookUpLimit.feature",
+    s"$root/lookup/TagIndexFullScan.feature",
+    s"$root/lookup/Output.feature",
     // (GroupbyLimit excluded like LookUpTopN: LIMIT after ORDER BY on
     // an all-NULL key makes the surviving rows order-ambiguous)
-    "/root/reference/tests/tck/features/go/Orderby.feature",
+    s"$root/go/Orderby.feature",
     // MATCH surface (round 3)
-    "/root/reference/tests/tck/features/match/Base.feature",
-    "/root/reference/tests/tck/features/match/MatchById.feature",
-    "/root/reference/tests/tck/features/match/SeekById.feature",
-    "/root/reference/tests/tck/features/match/SeekByTag.feature",
-    "/root/reference/tests/tck/features/match/StartFromAnyNode.feature",
-    "/root/reference/tests/tck/features/match/MatchGroupBy.feature",
-    "/root/reference/tests/tck/features/match/MultiQueryParts.feature",
-    "/root/reference/tests/tck/features/match/VariableLengthPattern.feature",
-    "/root/reference/tests/tck/features/match/ZeroStep.feature",
-    "/root/reference/tests/tck/features/match/PipeAndVariable.feature",
-    "/root/reference/tests/tck/features/match/MatchByVariable.feature",
-    "/root/reference/tests/tck/features/match/With.feature",
-    "/root/reference/tests/tck/features/match/Unwind.feature",
+    s"$root/match/Base.feature",
+    s"$root/match/MatchById.feature",
+    s"$root/match/SeekById.feature",
+    s"$root/match/SeekByTag.feature",
+    s"$root/match/StartFromAnyNode.feature",
+    s"$root/match/MatchGroupBy.feature",
+    s"$root/match/MultiQueryParts.feature",
+    s"$root/match/VariableLengthPattern.feature",
+    s"$root/match/ZeroStep.feature",
+    s"$root/match/PipeAndVariable.feature",
+    s"$root/match/MatchByVariable.feature",
+    s"$root/match/With.feature",
+    s"$root/match/Unwind.feature",
     // FETCH edge form + set sentences (round 3)
-    "/root/reference/tests/tck/features/fetch/FetchEdges.strVid.feature",
-    "/root/reference/tests/tck/features/set/Set.feature",
+    s"$root/fetch/FetchEdges.strVid.feature",
+    s"$root/set/Set.feature",
     // expression / aggregate / yield / function surface (round 3)
-    "/root/reference/tests/tck/features/expression/Case.feature",
-    "/root/reference/tests/tck/features/expression/EndsWith.feature",
-    "/root/reference/tests/tck/features/expression/StartsWith.feature",
-    "/root/reference/tests/tck/features/expression/In.feature",
-    "/root/reference/tests/tck/features/expression/NotIn.feature",
-    "/root/reference/tests/tck/features/expression/LogicalExpression.feature",
-    "/root/reference/tests/tck/features/expression/RelationalExpr.feature",
-    "/root/reference/tests/tck/features/expression/Null.feature",
-    "/root/reference/tests/tck/features/expression/FunctionCall.feature",
-    "/root/reference/tests/tck/features/expression/Attribute.feature",
-    "/root/reference/tests/tck/features/expression/UnaryExpr.feature",
-    "/root/reference/tests/tck/features/aggregate/Agg.feature",
-    "/root/reference/tests/tck/features/yield/yield.feature",
-    "/root/reference/tests/tck/features/function/coalesce.feature",
-    "/root/reference/tests/tck/features/function/round.feature",
+    s"$root/expression/Case.feature",
+    s"$root/expression/EndsWith.feature",
+    s"$root/expression/StartsWith.feature",
+    s"$root/expression/In.feature",
+    s"$root/expression/NotIn.feature",
+    s"$root/expression/LogicalExpression.feature",
+    s"$root/expression/RelationalExpr.feature",
+    s"$root/expression/Null.feature",
+    s"$root/expression/FunctionCall.feature",
+    s"$root/expression/Attribute.feature",
+    s"$root/expression/UnaryExpr.feature",
+    s"$root/aggregate/Agg.feature",
+    s"$root/yield/yield.feature",
+    s"$root/function/coalesce.feature",
+    s"$root/function/round.feature",
     // lambda expressions: quantifiers, comprehensions, reduce, slices
-    "/root/reference/tests/tck/features/expression/Predicate.feature",
-    "/root/reference/tests/tck/features/expression/ListComprehension.feature",
-    "/root/reference/tests/tck/features/expression/Reduce.feature",
-    "/root/reference/tests/tck/features/expression/ListRangeSubscript.feature")
+    s"$root/expression/Predicate.feature",
+    s"$root/expression/ListComprehension.feature",
+    s"$root/expression/Reduce.feature",
+    s"$root/expression/ListRangeSubscript.feature",
+    // round 4: int-vid spaces (hash()-keyed twins of the nba fixtures)
+    s"$root/go/GO.IntVid.feature",
+    s"$root/fetch/FetchVertices.intVid.feature",
+    s"$root/fetch/FetchEdges.intVid.feature",
+    s"$root/yield/yield.IntVid.feature",
+    s"$root/set/Set.IntVid.feature",
+    s"$root/match/Base.IntVid.feature",
+    s"$root/match/MatchById.IntVid.feature",
+    s"$root/match/SeekById.intVid.feature",
+    s"$root/match/SeekByTag.intVid.feature",
+    s"$root/match/StartFromAnyNode.IntVid.feature",
+    s"$root/match/VariableLengthPattern.intVid.feature",
+    s"$root/match/ZeroStep.intVid.feature",
+    s"$root/lookup/WithYield.intVid.feature",
+    s"$root/lookup/Output.intVid.feature",
+    // round 4: more str-vid surface
+    s"$root/match/Scan.feature",
+    s"$root/match/ZeroStep2.feature",
+    s"$root/match/RedefinedNode.feature",
+    s"$root/match/SelfReflectiveEdges.feature",
+    s"$root/match/SameTagPropname.feature",
+    s"$root/match/MultiLineMultiQueryParts.feature",
+    s"$root/go/GoYieldVertexEdge.feature",
+    s"$root/go/SimpleCase.feature",
+    s"$root/expression/Regex.feature",
+    s"$root/expression/LabelExpr.feature",
+    s"$root/expression/function/Mathematical.feature",
+    s"$root/expression/function/TypeConversion.feature",
+    s"$root/function/json_extract.feature",
+    s"$root/yield/return.feature")
   private def have = features.forall(f => new java.io.File(f).exists())
 
-  private def catalog = MapCatalog(
+  private def strCatalog = MapCatalog(
     tags = Map(
       "player" -> CsvFixtures.load(spark, s"$nba/player.csv")
         .unionByName(CsvFixtures.load(spark, s"$nba/null.csv"),
@@ -76,13 +112,40 @@ class TckRunnerSpec extends SparkSpec {
       "serve" -> CsvFixtures.load(spark, s"$nba/serve.csv"),
       "teammate" -> CsvFixtures.load(spark, s"$nba/teammate.csv")))
 
+  private def intCatalog = {
+    val s = strCatalog
+    MapCatalog(
+      tags = s.tags.map { case (t, df) => t -> CsvFixtures.hashVids(df) },
+      edges = s.edges.map { case (e, df) => e -> CsvFixtures.hashVids(df) })
+  }
+
+  private val stu = "/root/reference/tests/data/student"
+  private def studentCatalog = MapCatalog(
+    tags = Map(
+      "person" -> CsvFixtures.load(spark, s"$stu/person.csv"),
+      "teacher" -> CsvFixtures.load(spark, s"$stu/teacher.csv"),
+      "student" -> CsvFixtures.load(spark, s"$stu/student.csv")),
+    edges = Map(
+      "is_teacher" -> CsvFixtures.load(spark, s"$stu/is_teacher.csv"),
+      "is_schoolmate" -> CsvFixtures.load(spark, s"$stu/is_schoolmate.csv"),
+      "is_friend" -> CsvFixtures.load(spark, s"$stu/is_friend.csv"),
+      "is_colleagues" -> CsvFixtures.load(spark, s"$stu/is_colleagues.csv")))
+
+  private val spaceRe = "Given a graph with space named \"([^\"]+)\"".r
+
   test("reference TCK features: every executable scenario matches its golden") {
     assume(have)
-    val cat = catalog
+    val catalogs = Map[String, GraphCatalog](
+      "nba" -> strCatalog, "nba_int_vid" -> intCatalog,
+      "student" -> studentCatalog)
     var executed = 0; var passed = 0; var skipped = 0
     features.foreach { f =>
       val text = java.nio.file.Files.readString(java.nio.file.Paths.get(f))
-      val report = TckRunner.run(cat, text)
+      val space = spaceRe.findFirstMatchIn(text).map(_.group(1)).getOrElse("nba")
+      val report = catalogs.get(space) match {
+        case Some(cat) => TckRunner.run(cat, text, space)
+        case None => TckRunner.Report(0, 0, 0, Nil)
+      }
       info(s"${f.split('/').last}: executed=${report.executed} " +
         s"passed=${report.passed} skipped=${report.skipped} " +
         s"errored=${report.errored}")
@@ -97,6 +160,7 @@ class TckRunnerSpec extends SparkSpec {
       executed += report.executed; passed += report.passed
       skipped += report.skipped
     }
+    info(s"TOTAL executed=$executed passed=$passed skipped=$skipped")
     assert(executed >= 30, "too few scenarios executed to be meaningful")
     assert(passed == executed)
   }
