@@ -130,4 +130,129 @@ object PathFinder {
           lit("").as("path"), lit(0).as("hops")).limit(0)
     else found
   }
+
+  /** FIND {SHORTEST|ALL|NOLOOP} PATH ... YIELD path — typed steps with
+    * the reference's whole-path serialization (Path.cpp toString):
+    * `<("v0")-[:etype@rank]->("v1")<-[:t]-("v2")...>`, rank omitted
+    * when 0, reverse-traversed steps arrow `<-[:t]-`.
+    *
+    * Mode semantics (AllPathsExecutor.cpp:334-366):
+    *  - all:     trail — no repeated EDGE (stored identity, keyEqual
+    *             normalizes direction, Edge.cpp:128);
+    *  - noloop:  no repeated VERTEX;
+    *  - shortest: per-(origin,target) BFS level pruning, all ties at
+    *             the first hit level survive (MultiShortestPath).
+    *
+    * `edges` must carry (src, dst, etype, rank) in STORED direction;
+    * orientation happens here so every step keeps its stored endpoints
+    * for rendering and edge-identity checks. Scale posture matches the
+    * other loops: per-step localCheckpoint, gated broadcasts, all
+    * checks are column predicates (no driver-side path work). */
+  def typedPaths(srcs: DataFrame, dsts: DataFrame, edges: DataFrame,
+                 maxSteps: Int, mode: String, dir: Direction = Out,
+                 alias: String = "p"): DataFrame = {
+    val strVid = edges.schema("src").dataType ==
+      org.apache.spark.sql.types.StringType
+    val vt = if (strVid) "string" else "bigint"
+    val stepT = s"array<struct<s:$vt,d:$vt,t:string,r:bigint,rev:boolean>>"
+    val fwd = edges.select(col("src"), col("dst"), col("etype"), col("rank"),
+      col("src").as("ss"), col("dst").as("sd"), lit(false).as("rev"))
+    def bwd = edges.select(col("dst").as("src"), col("src").as("dst"),
+      col("etype"), col("rank"),
+      col("src").as("ss"), col("dst").as("sd"), lit(true).as("rev"))
+    val e0 = dir match {
+      case Out => fwd
+      case Traverse.In => bwd
+      case Traverse.Both => fwd.unionByName(bwd)
+    }
+    val e = Traverse.persistEdges(e0, maxSteps)
+    val dstSet = broadcast(dsts.select(col("vid").as("__target")).distinct())
+      .localCheckpoint()
+
+    var frontier = srcs.select(col("vid").as("origin"), col("vid"),
+      array(col("vid")).as("vids"), array().cast(stepT).as("steps"))
+      .localCheckpoint()
+    // visited starts EMPTY (not seeded with the origin): a src that is
+    // also a dst must be re-reachable for the self-pair's cycle paths
+    // (ShortestPath.feature `FROM "Tim Duncan" TO "Tim Duncan"
+    // BIDIRECT` expects the 2-hop loops); re-reaching the origin never
+    // shortens any other pair, so the extra frontier rows are dominated
+    var visited =
+      if (mode == "shortest")
+        frontier.select(col("origin"), col("vid")).limit(0).localCheckpoint()
+      else null: DataFrame
+    var found: DataFrame = null
+    var cnt = frontier.count()
+    var step = 1
+    while (step <= maxSteps && cnt > 0) {
+      val hop = Traverse.maybeBroadcast(frontier, cnt)
+        .join(e, frontier("vid") === e("src"))
+      // every mode forbids re-walking the same stored edge: ALL is
+      // trail semantics outright, and SHORTEST's cycle paths (self-pair
+      // BIDIRECT) must use two distinct stored edges
+      // (ShortestPathBase.h:56 hasSameEdge)
+      val noRepeat = hop.filter(!exists(col("steps"), st =>
+        st("s") === e("ss") && st("d") === e("sd") &&
+          st("t") === e("etype") && st("r") === e("rank")))
+      val filteredHop = mode match {
+        case "noloop" => hop.filter(!array_contains(col("vids"), e("dst")))
+        case _ => noRepeat
+      }
+      var next = filteredHop.select(col("origin"), e("dst").as("vid"),
+        concat(col("vids"), array(e("dst"))).as("vids"),
+        concat(col("steps"), array(struct(e("ss").as("s"), e("sd").as("d"),
+          e("etype").as("t"), e("rank").as("r"), e("rev").as("rev"))))
+          .as("steps"))
+      if (mode == "shortest")
+        next = next.join(
+          visited.select(col("origin").as("vo"), col("vid").as("vv")),
+          next("origin") === col("vo") && next("vid") === col("vv"),
+          "left_anti")
+      next = next.localCheckpoint()
+      val hits = next.join(dstSet, next("vid") === col("__target"))
+        .select(col("vids"), col("steps"))
+      found = if (found == null) hits else found.unionByName(hits)
+      if (mode == "shortest")
+        visited = visited.unionByName(next.select("origin", "vid"))
+          .localCheckpoint()
+      frontier = next
+      cnt = frontier.count()
+      step += 1
+    }
+    Traverse.releaseEdges(e, maxSteps)
+    val base = if (found == null)
+      srcs.sparkSession.emptyDataFrame
+        .select(array(lit("")).cast(s"array<$vt>").as("vids"),
+          array().cast(stepT).as("steps")).limit(0)
+    else found
+    // `__path_<alias>`: hidden structured twin of the rendered path —
+    // downstream pipes use it for ORDER BY (reference Path::operator<
+    // compares src then step sequence, Path.h:211) and for
+    // length/nodes/relationships; Gql.runScript drops it from the
+    // final frame
+    base.select(renderTypedPath(col("vids"), col("steps"), strVid).as(alias),
+      struct(col("vids"), col("steps")).as(s"__path_$alias"))
+  }
+
+  /** Path serialization from the traversal vertex sequence + typed
+    * steps (Path.cpp toString, relax-comparison form: tags/props
+    * omitted, `@0` omitted). */
+  private[graft] def renderTypedPath(vids: org.apache.spark.sql.Column,
+                                     steps: org.apache.spark.sql.Column,
+                                     strVid: Boolean): org.apache.spark.sql.Column = {
+    def node(v: org.apache.spark.sql.Column) =
+      if (strVid) concat(lit("(\""), v, lit("\")"))
+      else concat(lit("("), v.cast("string"), lit(")"))
+    concat(
+      lit("<"), node(element_at(vids, 1)),
+      array_join(zip_with(steps,
+        slice(vids, lit(2), greatest(size(vids) - 1, lit(0))),
+        (st, v) => concat(
+          when(st("rev"), lit("<-[:")).otherwise(lit("-[:")), st("t"),
+          when(st("r") =!= 0, concat(lit("@"), st("r").cast("string")))
+            .otherwise(lit("")),
+          when(st("rev"), lit("]-")).otherwise(lit("]->")),
+          node(v))), ""),
+      lit(">"))
+  }
 }

@@ -176,6 +176,8 @@ object Gql {
   case class PGo(go: Go) extends Pipe
   /** Piped FETCH seeded from $-.col (Output.feature). */
   case class PFetch(f: Stmt) extends Pipe
+  /** Piped FIND PATH with $-.col endpoint sets (ShortestPath.feature). */
+  case class PFind(f: Stmt) extends Pipe
   case class Piped(head: Stmt, pipes: Seq[Pipe]) extends Stmt
   /** UNION [ALL] / INTERSECT / MINUS over piped sentences
     * (parser.yy:3031-3045). */
@@ -196,11 +198,27 @@ object Gql {
   case class FetchEdge(etype: String, keys: Seq[(Any, Any, Option[Long])],
                        keysRef: Option[(InRef, InRef)],
                        yields: Seq[Item], distinct: Boolean) extends Stmt
-  /** mode ∈ shortest | all | noloop. */
+  /** mode ∈ shortest | all | noloop. `yieldPath` = Some(alias) for the
+    * `YIELD path AS p` form (whole-path rows); None keeps the library
+    * (src, dst, path, hops) shape. Endpoint sets come from literal vid
+    * lists or from `$-.col` / `$var.col` refs. */
   case class FindPath(mode: String, srcs: Seq[Any], dsts: Seq[Any],
-                      etypes: Seq[String], dir: Direction, upto: Int) extends Stmt
+                      etypes: Seq[String], dir: Direction, upto: Int,
+                      yieldPath: Option[String] = None,
+                      srcRef: Option[InRef] = None,
+                      dstRef: Option[InRef] = None) extends Stmt
   case class Subgraph(steps: Int, seeds: Seq[Any], etypes: Seq[String],
                       dir: Direction, yieldEdges: Boolean) extends Stmt
+  /** GET SUBGRAPH with an explicit YIELD — the reference's step-row
+    * output: row i = (vertices first reached at step i, edges walked
+    * expanding step i), as rendered lists. `specs` = the
+    * [IN e1,e2 OUT e3 BOTH e4] direction-typed edge lists
+    * (parser.yy:2426); empty = all types, both directions. `yields` =
+    * (what ∈ vertices|edges, alias) in written order. */
+  case class SubgraphY(steps: Int, seeds: Seq[Any], seedsRef: Option[InRef],
+                       specs: Seq[(Direction, Seq[String])],
+                       yields: Seq[(String, String)],
+                       where: Option[Expr.E] = None) extends Stmt
   case class YieldStmt(items: Seq[Item], distinct: Boolean,
                        where: Option[Expr.E]) extends Stmt
   case class Unwind(e: Expr.E, alias: String) extends Stmt
@@ -276,6 +294,21 @@ object Gql {
           case _ =>
             throw new IllegalArgumentException("piped FETCH must seed from $-.")
         }
+      } else if (p.kwPeek("FIND")) {
+        parseSentence(p) match {
+          case fp: FindPath if fp.srcRef.exists(_.varName.isEmpty) ||
+              fp.dstRef.exists(_.varName.isEmpty) =>
+            pipes += PFind(fp)
+          case _ =>
+            throw new IllegalArgumentException("piped FIND must seed from $-.")
+        }
+      } else if (p.kwPeek("GET")) {
+        parseSentence(p) match {
+          case sg: SubgraphY if sg.seedsRef.exists(_.varName.isEmpty) =>
+            pipes += PFind(sg)
+          case _ =>
+            throw new IllegalArgumentException("piped GET must seed from $-.")
+        }
       } else if (p.kw("YIELD")) {
         val distinct = p.kw("DISTINCT")
         val items = parseItems(p)
@@ -331,6 +364,26 @@ object Gql {
     }
   }
 
+  /** The corpus writes both `STEPS` and `STEP` (go/SimpleCase). */
+  private def expectSteps(p: P): Unit =
+    require(p.kw("STEPS") || p.kw("STEP"), s"expected STEPS at ${p.ts.take(3)}")
+
+  /** Literal vid list OR a `$-.col` / `$var.col` endpoint-set ref. */
+  private def vidsOrRef(p: P): (Seq[Any], Option[InRef]) = p.peek match {
+    case Some(Sym("$")) =>
+      p.next()
+      p.peek match {
+        case Some(Sym("-")) =>
+          p.next(); p.expectSym(".")
+          (Seq.empty[Any], Some(InRef(None, p.word())))
+        case Some(Word(v)) =>
+          p.next(); p.expectSym(".")
+          (Seq.empty[Any], Some(InRef(Some(v), p.word())))
+        case t => throw new IllegalArgumentException(s"bad seed ref $t")
+      }
+    case _ => (p.vidList(), None)
+  }
+
   private def parseSentence(p: P): Stmt = {
     if (p.kw("MATCH")) MatchSeg.parse(p)
     else if (p.kw("GO")) {
@@ -338,7 +391,7 @@ object Gql {
         case Some(Num(v, _)) =>
           p.next()
           val hi = if (p.kw("TO")) p.intLit() else v.toInt
-          p.expectKw("STEPS"); (v.toInt, hi)
+          expectSteps(p); (v.toInt, hi)
         case _ => (1, 1)
       }
       p.expectKw("FROM")
@@ -463,41 +516,62 @@ object Gql {
       p.expectKw("PATH")
       if (p.kw("WITH")) p.expectKw("PROP") // props render in DataCollect; accepted
       p.expectKw("FROM")
-      val srcs = p.vidList()
+      val (srcs, srcRef) = vidsOrRef(p)
       p.expectKw("TO")
-      val dsts = p.vidList()
+      val (dsts, dstRef) = vidsOrRef(p)
       val etypes = if (p.kw("OVER")) parseEtypes(p) else Seq("*")
       val dir = if (p.kw("REVERSELY")) In
         else if (p.kw("BIDIRECT")) Both else Out
-      val upto = if (p.kw("UPTO")) { val k = p.intLit(); p.expectKw("STEPS"); k }
+      val upto = if (p.kw("UPTO")) { val k = p.intLit(); expectSteps(p); k }
         else 5
-      FindPath(mode, srcs, dsts, etypes, dir, upto)
+      val yieldPath = if (p.kw("YIELD")) {
+        p.expectKw("PATH")
+        Some(if (p.kw("AS")) p.word() else "PATH")
+      } else None
+      FindPath(mode, srcs, dsts, etypes, dir, upto, yieldPath, srcRef, dstRef)
     } else if (p.kw("GET")) {
       p.expectKw("SUBGRAPH")
       if (p.kw("WITH")) p.expectKw("PROP")
       val steps = p.peek match {
-        case Some(Num(v, _)) => p.next(); p.expectKw("STEPS"); v.toInt
+        case Some(Num(v, _)) => p.next(); expectSteps(p); v.toInt
         case _ => 1
       }
       p.expectKw("FROM")
-      val seeds = p.vidList()
-      val (etypes, dir) =
-        if (p.kw("IN")) (parseEtypes(p), In)
-        else if (p.kw("OUT")) (parseEtypes(p), Out)
-        else if (p.kw("BOTH")) (parseEtypes(p), Both)
-        else (Seq("*"), Both)
-      var yieldEdges = false
+      val (seeds, seedsRef) = vidsOrRef(p)
+      val specs = scala.collection.mutable.ListBuffer.empty[(Direction, Seq[String])]
+      var goSpecs = true
+      while (goSpecs) {
+        if (p.kw("IN")) specs += ((In, parseEtypes(p)))
+        else if (p.kw("OUT")) specs += ((Out, parseEtypes(p)))
+        else if (p.kw("BOTH")) specs += ((Both, parseEtypes(p)))
+        else goSpecs = false
+      }
+      val sgWhere = if (p.kw("WHERE")) Some(Expr.parse(p)) else None
       if (p.kw("YIELD")) {
+        val yields = scala.collection.mutable.ListBuffer.empty[(String, String)]
         var go = true
         while (go) {
-          if (p.kw("VERTICES")) { if (p.kw("AS")) p.word() }
-          else if (p.kw("EDGES")) { yieldEdges = true; if (p.kw("AS")) p.word() }
-          else throw new IllegalArgumentException(
-            s"bad subgraph yield at ${p.ts.take(3)}")
+          val what =
+            if (p.kw("VERTICES")) "vertices"
+            else if (p.kw("EDGES")) "edges"
+            else throw new IllegalArgumentException(
+              s"bad subgraph yield at ${p.ts.take(3)}")
+          p.expectKw("AS") // alias required (subgraph.feature SyntaxError)
+          yields += ((what, p.word()))
           if (p.sym(",")) () else go = false
         }
+        SubgraphY(steps, seeds, seedsRef, specs.toSeq, yields.toSeq, sgWhere)
+      } else {
+        require(sgWhere.isEmpty, "GET SUBGRAPH WHERE needs the YIELD form")
+        require(seedsRef.isEmpty, "GET SUBGRAPH $-. seeds need YIELD")
+        val (etypes, dir) = specs.toSeq match {
+          case Seq((d, ets)) => (ets, d)
+          case Seq() => (Seq("*"), Both)
+          case _ => throw new IllegalArgumentException(
+            "mixed IN/OUT lists need the YIELD form")
+        }
+        Subgraph(steps, seeds, etypes, dir, yieldEdges = false)
       }
-      Subgraph(steps, seeds, etypes, dir, yieldEdges)
     } else if (p.kw("UNWIND")) {
       val e = Expr.parse(p)
       p.expectKw("AS")
@@ -536,7 +610,9 @@ object Gql {
       last = df
     }
     require(last != null, "empty script")
-    last
+    // internal structured twins (`__path_*`) never surface to the user
+    val hidden = last.columns.filter(_.startsWith("__path_"))
+    if (hidden.isEmpty) last else last.drop(hidden: _*)
   }
 
   def exec(g: GraphCatalog, stmt: Stmt): DataFrame = exec(g, stmt, Map.empty)
@@ -546,7 +622,8 @@ object Gql {
     stmt match {
       case m: MatchSeg.MStmt => MatchSeg.exec(g, m)
       case Piped(head, pipes) =>
-        pipes.foldLeft(exec(g, head, env))((df, pp) => applyPipe(g, df, pp))
+        pipes.foldLeft(exec(g, head, env))((df, pp) =>
+          applyPipe(g, df, pp, env))
       case SetOp(op, all, l, r) =>
         val (a, b) = (exec(g, l, env), exec(g, r, env))
         // set sentences align columns positionally (the reference
@@ -620,12 +697,8 @@ object Gql {
           case None => edgeKeysDf(spark, keys)
         }
         execFetchEdge(g, fe, pairs)
-      case FindPath(mode, srcs, dsts, etypes, dir, upto) =>
-        val e = Traverse.orient(simpleEdges(g, etypes), dir)
-        if (mode == "shortest")
-          PathFinder.shortestPaths(seedsDf(spark, srcs), seedsDf(spark, dsts), e, upto)
-        else // all/noloop both traverse vertex-unique paths (module doc)
-          PathFinder.allPaths(seedsDf(spark, srcs), seedsDf(spark, dsts), e, upto)
+      case fp: FindPath => execFindPath(g, fp, None, env)
+      case sg: SubgraphY => execSubgraphY(g, sg, None, env)
       case Subgraph(steps, seeds, etypes, dir, yieldEdges) =>
         val res = Traverse.subgraph(seedsDf(spark, seeds),
           simpleEdges(g, etypes), steps, dir)
@@ -655,6 +728,130 @@ object Gql {
         }
         val out = selectItems(filtered, items, resolver)
         if (distinct) out.distinct() else out
+    }
+  }
+
+  /** GET SUBGRAPH ... YIELD — step rows of rendered vertex/edge lists
+    * (SubgraphExecutor.cpp; DataCollect kSubgraph). */
+  private def execSubgraphY(g: GraphCatalog, sg: SubgraphY,
+                            input: Option[DataFrame],
+                            env: Map[String, DataFrame]): DataFrame = {
+    val spark = g.allVertices.sparkSession
+    val SubgraphY(steps, seeds, seedsRef, specs0, yields, where) = sg
+    val seedFrame = seedsRef match {
+      case Some(InRef(None, c)) =>
+        input.getOrElse(throw new IllegalArgumentException(
+          "GET SUBGRAPH $-. needs a pipe")).select(colByName(c).as("vid"))
+      case Some(InRef(Some(v), c)) =>
+        env.getOrElse(v, throw new IllegalArgumentException(s"undefined $$$v"))
+          .select(colByName(c).as("vid"))
+      case None => seedsDf(spark, seeds)
+    }
+    val specs = if (specs0.isEmpty) Seq((Both: Direction, Seq("*"))) else specs0
+    // a WHERE clause filters edges on their props (and $$ dst-tag
+    // props) during expansion — needs the property-carrying edge view
+    val needProps = where.isDefined
+    def orientCols(b: DataFrame, swap: Boolean): DataFrame = {
+      val others = b.columns.filterNot(Seq("src", "dst").contains).map(col)
+      if (!swap)
+        b.select(Seq(col("src"), col("dst"), col("src").as("ss"),
+          col("dst").as("sd")) ++ others: _*)
+      else
+        b.select(Seq(col("dst").as("src"), col("src").as("dst"),
+          col("src").as("ss"), col("dst").as("sd")) ++ others: _*)
+    }
+    val allTypes = specs.flatMap { case (_, l) =>
+      if (l == Seq("*")) g.edgeTypeNames else l }.distinct
+    val oriented0 = specs.map { case (d, list) =>
+      val ets = if (list == Seq("*")) g.edgeTypeNames else list
+      val base =
+        if (needProps) g.edgesWithProps(ets).withColumnRenamed("__etype", "etype")
+        else if (list == Seq("*")) g.allEdges
+        else g.allEdges.filter(col("etype").isin(list: _*))
+      d match {
+        case Out => orientCols(base, swap = false)
+        case In => orientCols(base, swap = true)
+        case Both => orientCols(base, swap = false)
+          .unionByName(orientCols(base, swap = true))
+      }
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val oriented = where match {
+      case Some(w) =>
+        var frame = oriented0
+        // $$ tag-prop predicates join the dst tag table per referenced tag
+        var dstTags = Set.empty[String]
+        Expr.collect(w) {
+          case Expr.Param("dst", _, List(tag, _)) => dstTags += tag
+        }
+        dstTags.foreach { tag =>
+          frame = Traverse.appendVertices(frame, g.vertexTable(tag),
+            vidCol = "dst", prefix = s"__dst_${tag}_")
+        }
+        val resolver: Expr.Resolver = {
+          case Expr.Ref(List(et, p)) if allTypes.contains(et) =>
+            Some(p match {
+              case "_src" => when(col("etype") === et, col("ss"))
+              case "_dst" => when(col("etype") === et, col("sd"))
+              case "_rank" => when(col("etype") === et, col("rank"))
+              case prop => when(col("etype") === et, col(prop))
+            })
+          case Expr.Param("dst", _, List(tag, prop)) =>
+            Some(col(s"__dst_${tag}_$prop"))
+          case _ => None
+        }
+        frame.filter(Expr.compile(w, resolver))
+          .select("src", "dst", "etype", "rank", "ss", "sd")
+      case None => oriented0
+    }
+    val (verts, edges) = Traverse.subgraphSteps(seedFrame, oriented, steps)
+    val strVid = seedFrame.schema("vid").dataType ==
+      org.apache.spark.sql.types.StringType
+    val vRows = verts.groupBy("step")
+      .agg(collect_list(renderNode(col("vid"), strVid)).as("__v"))
+    val eRows =
+      (if (steps == 0) edges.limit(0) else edges) // 0 STEPS: vertices only
+        .groupBy("step")
+        .agg(collect_list(
+          renderEdge(col("etype"), col("ss"), col("sd"), col("rank"), strVid))
+          .as("__e"))
+    val joined = vRows.join(eRows, Seq("step"), "left")
+      .withColumn("__e", coalesce(col("__e"), array().cast("array<string>")))
+    joined.select(yields.map { case (what, alias) =>
+      (if (what == "vertices") col("__v") else col("__e")).as(alias)
+    }: _*)
+  }
+
+  /** FIND PATH execution; endpoint sets from literals, the pipe input
+    * (`$-.col`), or a script variable (`$var.col`) — the reference
+    * treats ref-seeded endpoint lists as sets (PathValidator dedups). */
+  private def execFindPath(g: GraphCatalog, fp: FindPath,
+                           input: Option[DataFrame],
+                           env: Map[String, DataFrame]): DataFrame = {
+    val spark = g.allVertices.sparkSession
+    val FindPath(mode, srcs, dsts, etypes, dir, upto, yieldPath,
+      srcRef, dstRef) = fp
+    def seedSet(vids: Seq[Any], ref: Option[InRef]): DataFrame = ref match {
+      case Some(InRef(None, c)) =>
+        input.getOrElse(throw new IllegalArgumentException(
+          "FIND PATH $-. needs a pipe")).select(colByName(c).as("vid"))
+          .distinct()
+      case Some(InRef(Some(v), c)) =>
+        env.getOrElse(v, throw new IllegalArgumentException(s"undefined $$$v"))
+          .select(colByName(c).as("vid")).distinct()
+      case None => seedsDf(spark, vids)
+    }
+    val (sSet, dSet) = (seedSet(srcs, srcRef), seedSet(dsts, dstRef))
+    yieldPath match {
+      case Some(alias) =>
+        val te = if (etypes == Seq("*")) g.allEdges
+          else g.allEdges.filter(col("etype").isin(etypes: _*))
+        PathFinder.typedPaths(sSet, dSet, te, upto, mode, dir, alias)
+      case None =>
+        val e = Traverse.orient(simpleEdges(g, etypes), dir)
+        if (mode == "shortest")
+          PathFinder.shortestPaths(sSet, dSet, e, upto)
+        else // all/noloop both traverse vertex-unique paths (module doc)
+          PathFinder.allPaths(sSet, dSet, e, upto)
     }
   }
 
@@ -951,7 +1148,12 @@ object Gql {
   }
 
   /** Pipe application over the previous stage's DataFrame ($- input). */
-  private def applyPipe(g: GraphCatalog, df: DataFrame, pipe: Pipe): DataFrame = pipe match {
+  private def applyPipe(g: GraphCatalog, df: DataFrame, pipe: Pipe,
+                        env: Map[String, DataFrame] = Map.empty): DataFrame = pipe match {
+    case PFind(fp: FindPath) => execFindPath(g, fp, Some(df), env)
+    case PFind(sg: SubgraphY) => execSubgraphY(g, sg, Some(df), env)
+    case PFind(other) =>
+      throw new IllegalArgumentException(s"bad piped FIND $other")
     case PGo(goAst) =>
       // chained GO: previous stage's column seeds the expansion WITH
       // multiplicity (GO.feature pipe goldens keep duplicate rows)
@@ -969,30 +1171,55 @@ object Gql {
       if (off == 0) df.limit(nn)
       else df.offset(off).limit(nn)
     case POrderBy(keys) =>
-      val resolver = pipeResolver
-      // NULL sorts as the largest value (OrderByExecutor comparator)
+      val resolver = pipeResolverFor(df)
+      // NULL sorts as the largest value (OrderByExecutor comparator);
+      // a path column sorts by its structured twin: src vertex, then
+      // the (dst, type, rank) step sequence (Path.h:211 operator<)
       df.orderBy(keys.map { case (e, desc) =>
-        val c = Expr.compile(e, resolver)
+        val c = pathTwin(df, e) match {
+          // Step::operator< keys on the TRAVERSAL dst (the path's next
+          // vertex), then edge type, then rank (Path.h:86)
+          case Some(h) => struct(element_at(h("vids"), 1),
+            zip_with(h("steps"),
+              slice(h("vids"), lit(2),
+                greatest(size(h("vids")) - 1, lit(0))),
+              (st, v) => struct(v, st("t"), st("r"))))
+          case None => Expr.compile(e, resolver)
+        }
         if (desc) c.desc_nulls_first else c.asc_nulls_last
       }: _*)
     case PYield(items, distinct, where) =>
+      val resolver = pipeResolverFor(df)
       val filtered = where match {
-        case Some(w) => df.filter(Expr.compile(w, pipeResolver))
+        case Some(w) => df.filter(Expr.compile(w, resolver))
         case None => df
       }
-      val out = selectItems(filtered, items, pipeResolver)
+      val out = selectItems(filtered, items, resolver)
       if (distinct) out.distinct() else out
     case PGroup(keys, items, distinct) =>
       // aggregate-free items evaluate once per group (`first`): the
       // reference emits one row per key group regardless
-      val keyCols = keys.map(k => Expr.compile(k, pipeResolver))
+      val resolver = pipeResolverFor(df)
+      val keyCols = keys.map(k => Expr.compile(k, resolver))
       val aggs = items.map { i =>
-        val c = Expr.compile(i.e, pipeResolver)
+        val c = Expr.compile(i.e, resolver)
         (if (Expr.hasAgg(i.e)) c else first(c)).as(i.alias)
       }
       val out = df.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
         .select(items.map(i => colByName(i.alias)): _*)
       if (distinct) out.distinct() else out
+  }
+
+  /** The hidden structured twin of a `$-.p` path reference, when the
+    * input frame carries one. */
+  private def pathTwin(df: DataFrame, e: Expr.E): Option[Column] = {
+    val name = e match {
+      case Expr.Param("input", _, List(c)) => Some(c)
+      case Expr.Ref(List(c)) => Some(c)
+      case _ => None
+    }
+    name.filter(c => df.columns.contains(s"__path_$c"))
+      .map(c => col(s"__path_$c"))
   }
 
   /** In pipes, `$-.col` and bare `col` both address the input frame;
@@ -1004,5 +1231,56 @@ object Gql {
     case Expr.Ref(parts) if parts.nonEmpty =>
       Some(colByName(parts.mkString(".")))
     case _ => None
+  }
+
+  /** pipeResolver plus path-aware functions over `$-.p` columns that
+    * carry a `__path_p` structured twin (length/nodes/relationships/
+    * startNode/endNode — FunctionManager.cpp path registry). */
+  private def pipeResolverFor(df: DataFrame): Expr.Resolver = {
+    val cols = df.columns.toSet
+    def twin(e: Expr.E): Option[Column] = e match {
+      case Expr.Param("input", _, List(c)) if cols(s"__path_$c") =>
+        Some(col(s"__path_$c"))
+      case Expr.Ref(List(c)) if cols(s"__path_$c") => Some(col(s"__path_$c"))
+      case _ => None
+    }
+    def strVidOf(name: String): Boolean = {
+      val t = df.schema(name).dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      t("vids").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType == org.apache.spark.sql.types.StringType
+    }
+    def twinName(e: Expr.E): Option[String] = e match {
+      case Expr.Param("input", _, List(c)) if cols(s"__path_$c") =>
+        Some(s"__path_$c")
+      case Expr.Ref(List(c)) if cols(s"__path_$c") => Some(s"__path_$c")
+      case _ => None
+    }
+    def nodeR(v: Column, strVid: Boolean): Column =
+      if (strVid) concat(lit("(\""), v, lit("\")"))
+      else concat(lit("("), v.cast("string"), lit(")"))
+
+    {
+      case Expr.FnCall("length", List(arg), _) if twin(arg).isDefined =>
+        Some(size(twin(arg).get("steps")).cast("long"))
+      case Expr.FnCall("nodes", List(arg), _) if twin(arg).isDefined =>
+        val s = strVidOf(twinName(arg).get)
+        Some(transform(twin(arg).get("vids"), v => nodeR(v, s)))
+      case Expr.FnCall("startnode", List(arg), _) if twin(arg).isDefined =>
+        val s = strVidOf(twinName(arg).get)
+        Some(nodeR(element_at(twin(arg).get("vids"), 1), s))
+      case Expr.FnCall("endnode", List(arg), _) if twin(arg).isDefined =>
+        val s = strVidOf(twinName(arg).get)
+        Some(nodeR(element_at(twin(arg).get("vids"), -1), s))
+      case Expr.FnCall("relationships", List(arg), _) if twin(arg).isDefined =>
+        val s = strVidOf(twinName(arg).get)
+        Some(transform(twin(arg).get("steps"), st =>
+          renderEdge(st("t"), st("s"), st("d"), st("r"), s)))
+      case Expr.Param("input", _, parts) if parts.nonEmpty =>
+        Some(colByName(parts.mkString(".")))
+      case Expr.Ref(parts) if parts.nonEmpty =>
+        Some(colByName(parts.mkString(".")))
+      case _ => None
+    }
   }
 }

@@ -160,7 +160,7 @@ object TckRunner {
   private def normGolden(cell: String, intVid: Boolean): String = {
     val base = normGolden0(cell)
     if (intVid && (base.startsWith("(") || base.startsWith("[:") ||
-        base.startsWith("<(")))
+        (base.startsWith("<") && base.endsWith(">"))))
       hashVidsInCell(base)
     else base
   }
@@ -182,16 +182,17 @@ object TckRunner {
     else if (c.startsWith("(") && c.endsWith(")") && c.contains(":"))
       // node literal `("vid" :tag{props} :tag2{...})` → `("vid")`
       // (relax node compare keys on vid; tags/props are advisory)
-      c.replaceAll("\\s*:[A-Za-z_][^)]*", "").replaceAll("\\(\\s*", "(")
+      c.replaceAll("\\s*:\\s*[A-Za-z_][^)]*", "").replaceAll("\\(\\s*", "(")
         .replaceAll("\\s*\\)", ")")
-    else if (c.startsWith("<(") && c.endsWith(">"))
+    else if (c.startsWith("<") && c.endsWith(">") && c.contains("("))
       // path literal: strip node prop maps and tag lists, keeping the
       // vid/edge skeleton the engine renders; the default rank prints
       // inconsistently across the corpus (`@0` vs omitted) → drop it
       c.replaceAll("\\s*\\{[^}]*\\}", "")
-        .replaceAll("\\s+:[A-Za-z_]\\w*", "")
+        .replaceAll("(?:\\s+:\\s*|:\\s+)[A-Za-z_]\\w*", "")
         .replaceAll("@0(?=\\])", "")
         .replaceAll("\\(\\s+", "(").replaceAll("\\s+\\)", ")")
+        .replaceAll("<\\s+", "<")
     else c
   }
 

@@ -292,6 +292,63 @@ object Traverse {
     * are excluded because their far endpoint is not in the set). */
   case class SubgraphResult(vertices: DataFrame, edges: DataFrame)
 
+  /** GET SUBGRAPH's per-step output (SubgraphExecutor.cpp loop): row i
+    * pairs the vertices first reached at step i with the edges walked
+    * while expanding step i; the last round only collects edges whose
+    * far end is already in the set (the induced boundary). `oriented`
+    * must carry traversal (src, dst) plus stored (ss, sd, etype, rank)
+    * — dedup and cross-step dedup key on the stored identity
+    * (Edge.cpp keyEqual). Returns (vertices(vid, step),
+    * edges(ss, sd, etype, rank, step)). */
+  def subgraphSteps(seeds: DataFrame, oriented: DataFrame,
+                    n: Int): (DataFrame, DataFrame) = {
+    val e = persistEdges(oriented, math.max(n, 1))
+    val ekey = Seq("ss", "sd", "etype", "rank")
+    var (frontier, cnt) = materialize(
+      seeds.select(col("vid")).distinct().withColumn("step", lit(0)))
+    var visited = frontier.select("vid").localCheckpoint()
+    var verts = frontier
+    var edgeAcc: DataFrame = null
+    var emitted: DataFrame = null
+    var i = 0
+    while (i <= n && cnt > 0) {
+      val hop = maybeBroadcast(frontier.select("vid"), cnt)
+        .join(e, frontier("vid") === e("src"))
+      // final round: only edges staying inside the collected vertex set
+      val bounded =
+        if (i == n) hop.join(visited.select(col("vid").as("__in")),
+          hop("dst") === col("__in"), "left_semi")
+        else hop
+      var stepEdges = bounded.select(ekey.map(col): _*)
+        .dropDuplicates(ekey)
+      if (emitted != null)
+        stepEdges = stepEdges.join(emitted, ekey, "left_anti")
+      val stepEdgesMat = stepEdges.withColumn("step", lit(i)).localCheckpoint()
+      edgeAcc = if (edgeAcc == null) stepEdgesMat
+        else edgeAcc.unionByName(stepEdgesMat)
+      emitted = (if (emitted == null) stepEdgesMat.select(ekey.map(col): _*)
+        else emitted.unionByName(stepEdgesMat.select(ekey.map(col): _*)))
+        .localCheckpoint()
+      if (i < n) {
+        val (nf, nc) = materialize(
+          hop.select(e("dst").as("vid")).distinct()
+            .join(visited.select(col("vid").as("__v")),
+              col("vid") === col("__v"), "left_anti")
+            .withColumn("step", lit(i + 1)))
+        visited = visited.unionByName(nf.select("vid")).localCheckpoint()
+        verts = verts.unionByName(nf)
+        frontier = nf; cnt = nc
+      } else cnt = 0
+      i += 1
+    }
+    releaseEdges(e, math.max(n, 1))
+    (verts, if (edgeAcc == null)
+      seeds.sparkSession.emptyDataFrame.select(lit("").as("ss"),
+        lit("").as("sd"), lit("").as("etype"), lit(0L).as("rank"),
+        lit(0).as("step")).limit(0)
+    else edgeAcc)
+  }
+
   def subgraph(seeds: DataFrame, edges: DataFrame, n: Int,
                dir: Direction = Both): SubgraphResult = {
     val verts = shortestDistances(seeds.select("vid").distinct(), edges, n, dir)

@@ -71,20 +71,21 @@ class GqlSpec extends SparkSpec {
   }
 
   test("FIND PATH honors OVER list, direction, NOLOOP, UPTO") {
-    val FindPath(m1, srcs, dsts, ets, dir, k) =
+    val FindPath(m1, srcs, dsts, ets, dir, k, _, _, _) =
       Gql.parse("""FIND SHORTEST PATH FROM "a" TO "b", "c" OVER like REVERSELY UPTO 4 STEPS"""): @unchecked
     assert(m1 == "shortest" && srcs == Seq("a") && dsts == Seq("b", "c"))
     assert(ets == Seq("like") && dir == In && k == 4)
-    val FindPath(m2, _, _, ets2, _, k2) =
+    val FindPath(m2, _, _, ets2, _, k2, _, _, _) =
       Gql.parse("""FIND NOLOOP PATH FROM "a" TO "b""""): @unchecked
     assert(m2 == "noloop" && ets2 == Seq("*") && k2 == 5)
   }
 
   test("GET SUBGRAPH with edge filter and YIELD EDGES") {
-    val Subgraph(steps, seeds, ets, dir, ye) =
+    val SubgraphY(steps, seeds, _, specs, yields, _) =
       Gql.parse("""GET SUBGRAPH 2 STEPS FROM "c:1" OUT placed YIELD VERTICES AS v, EDGES AS e"""): @unchecked
-    assert(steps == 2 && seeds == Seq("c:1") && ets == Seq("placed"))
-    assert(dir == Out && ye)
+    assert(steps == 2 && seeds == Seq("c:1"))
+    assert(specs == Seq((Out, Seq("placed"))))
+    assert(yields == Seq(("vertices", "v"), ("edges", "e")))
   }
 
   test("set sentences: UNION / UNION ALL / INTERSECT / MINUS (left-assoc)") {

@@ -142,7 +142,10 @@ class TckRunnerSpec extends SparkSpec {
     features.foreach { f =>
       val text = java.nio.file.Files.readString(java.nio.file.Paths.get(f))
       val space = spaceRe.findFirstMatchIn(text).map(_.group(1)).getOrElse("nba")
-      val report = catalogs.get(space) match {
+      // Scenario-Outline features parameterize the space ("<space_name>"
+      // with nba/int-vid Examples) — run them once against nba
+      val report = catalogs.get(space)
+        .orElse(if (space.startsWith("<")) Some(strCatalog) else None) match {
         case Some(cat) => TckRunner.run(cat, text, space)
         case None => TckRunner.Report(0, 0, 0, Nil)
       }
