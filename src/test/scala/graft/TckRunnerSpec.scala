@@ -97,7 +97,18 @@ class TckRunnerSpec extends SparkSpec {
     s"$root/expression/function/Mathematical.feature",
     s"$root/expression/function/TypeConversion.feature",
     s"$root/function/json_extract.feature",
-    s"$root/yield/return.feature")
+    s"$root/yield/return.feature",
+    // round 4: path + subgraph TCK directories
+    s"$root/path/AllPath.feature",
+    s"$root/path/AllPath.IntVid.feature",
+    s"$root/path/NoLoop.feature",
+    s"$root/path/NoLoop.IntVid.feature",
+    s"$root/path/ShortestPath.feature",
+    s"$root/path/ShortestPath.IntVid.feature",
+    s"$root/path/singleShortestPath.feature",
+    s"$root/subgraph/subgraph.feature",
+    s"$root/subgraph/subgraph.IntVid.feature",
+    s"$root/subgraph/subgraphWithFilter.feature")
   private def have = features.forall(f => new java.io.File(f).exists())
 
   private def strCatalog = MapCatalog(
