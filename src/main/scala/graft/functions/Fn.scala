@@ -191,12 +191,14 @@ object Fn {
     }
   }
   private val jsonExtractMapUdf = udf((s: String) =>
-    Option(s).map { str =>
+    Option(s).flatMap { str =>
+      // unparsable / non-object input is BAD_DATA in the reference —
+      // a typed null, carried as plain NULL here (SURVEY §7.4)
       try {
         val root = jsonMapper.readTree(str)
-        if (root == null || !root.isObject) "BAD_DATA"
-        else renderJsonNode(root, 0).getOrElse("BAD_DATA")
-      } catch { case _: Exception => "BAD_DATA" }
+        if (root == null || !root.isObject) None
+        else renderJsonNode(root, 0)
+      } catch { case _: Exception => None }
     })
   def jsonExtractMap(c: Column): Column = jsonExtractMapUdf(c)
 

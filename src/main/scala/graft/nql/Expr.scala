@@ -42,6 +42,9 @@ object Expr {
   /** reduce(acc = init, v IN list | step). */
   final case class ReduceE(acc: String, init: E, v: String, list: E, step: E) extends E
   final case class Subscript(e: E, idx: E) extends E
+  /** Postfix attribute access on a non-Ref base: properties(e).age,
+    * date("...").month, {k: 1}.k (AttributeExpression.cpp). */
+  final case class Attr(e: E, name: String) extends E
   /** list[from..to] — from inclusive, to exclusive, negatives from end. */
   final case class Slice(e: E, from: Option[E], to: Option[E]) extends E
   /** `*` (count(*), RETURN *). */
@@ -82,6 +85,7 @@ object Expr {
     case ReduceE(_, init, _, list, step) =>
       hasAgg(init) || hasAgg(list) || hasAgg(step)
     case Subscript(x, i) => hasAgg(x) || hasAgg(i)
+    case Attr(x, _) => hasAgg(x)
     case Slice(x, f2, t2) => hasAgg(x) || f2.exists(hasAgg) || t2.exists(hasAgg)
     case _ => false
   }
@@ -106,6 +110,7 @@ object Expr {
       case ReduceE(_, init, _, list, step) =>
         collect(init)(pf); collect(list)(pf); collect(step)(pf)
       case Subscript(x, i) => collect(x)(pf); collect(i)(pf)
+      case Attr(x, _) => collect(x)(pf)
       case Slice(x, f2, t2) =>
         collect(x)(pf); f2.foreach(collect(_)(pf)); t2.foreach(collect(_)(pf))
       case _ => ()
@@ -141,6 +146,7 @@ object Expr {
     case ReduceE(a, i2, v, l, s2) =>
       s"reduce($a = ${text(i2)}, $v IN ${text(l)} | ${text(s2)})"
     case Subscript(x, i2) => s"${text(x)}[${text(i2)}]"
+    case Attr(x, n) => s"${text(x)}.$n"
     case Slice(x, f2, t2) =>
       s"${text(x)}[${f2.map(text).getOrElse("")}..${t2.map(text).getOrElse("")}]"
     case Star => "*"
@@ -197,6 +203,17 @@ object Expr {
         case Some(Word(w)) if w.equalsIgnoreCase("NOT") &&
             p.peek2.exists { case Word(w2) => w2.equalsIgnoreCase("IN"); case _ => false } =>
           p.next(); p.next(); l = Un("not", Bin("in", l, addE(p)))
+        case Some(Word(w)) if w.equalsIgnoreCase("NOT") &&
+            p.peek2.exists { case Word(w2) => w2.equalsIgnoreCase("STARTS") ||
+              w2.equalsIgnoreCase("ENDS") || w2.equalsIgnoreCase("CONTAINS")
+              case _ => false } =>
+          p.next()
+          val op = p.word().toLowerCase match {
+            case "starts" => p.expectKw("WITH"); "starts"
+            case "ends" => p.expectKw("WITH"); "ends"
+            case _ => "contains"
+          }
+          l = Un("not", Bin(op, l, addE(p)))
         case Some(Word(w)) if w.equalsIgnoreCase("IS") =>
           p.next()
           val not = p.kw("NOT")
@@ -250,10 +267,9 @@ object Expr {
     while (go) {
       if (p.sym("[")) {
         val from =
-          if (p.peek.contains(Sym(".")) || p.peek.contains(Sym("]"))) None
+          if (p.peek.contains(Sym("..")) || p.peek.contains(Sym("]"))) None
           else Some(parse(p))
-        if (p.sym(".")) {
-          p.expectSym(".")
+        if (p.sym("..")) {
           val to = if (p.peek.contains(Sym("]"))) None else Some(parse(p))
           p.expectSym("]")
           e = Slice(e, from, to)
@@ -262,10 +278,31 @@ object Expr {
           e = Subscript(e, from.getOrElse(
             throw new IllegalArgumentException("empty subscript")))
         }
+      } else if (p.peek.contains(Sym(".")) &&
+          p.peek2.exists(_.isInstanceOf[Word])) {
+        // postfix attribute: properties(x).age, date(d).month, map.k —
+        // reference kAttribute (AttributeExpression.cpp); dotted Refs
+        // consume their own parts in atom(), so this only fires on
+        // non-Ref bases (function calls, literals, subscripts). On a
+        // $-/$var base the dots extend the (dot-containing) column
+        // NAME — fold into the Param so resolvers see one ref.
+        p.next()
+        e = e match {
+          case Param(k, n, parts) => Param(k, n, parts :+ p.word())
+          case other => Attr(other, p.word())
+        }
       } else go = false
     }
     e
   }
+
+  /** `(TYPE)` cast-prefix type words → to* conversion function. */
+  private val castTypes = Map(
+    "int" -> "tointeger", "int8" -> "tointeger", "int16" -> "tointeger",
+    "int32" -> "tointeger", "int64" -> "tointeger",
+    "integer" -> "tointeger",
+    "float" -> "tofloat", "double" -> "tofloat",
+    "string" -> "tostring", "bool" -> "toboolean")
 
   private val quantNames = Set("all", "any", "none", "single")
 
@@ -277,10 +314,34 @@ object Expr {
 
   private def atom(p: P): E = p.peek match {
     case Some(Num(v, raw)) =>
-      p.next(); Lit(if (raw.contains('.')) v else v.toLong)
+      p.next()
+      Lit(if (raw.exists(ch => ch == '.' || ch == 'e' || ch == 'E')) v
+          else v.toLong)
     case Some(Str(s)) => p.next(); Lit(s)
     case Some(Sym("(")) =>
-      p.next(); val e = parse(p); p.expectSym(")"); e
+      p.next()
+      // type-cast prefix `(INT)expr` (parser.yy type_cast): a known
+      // type word immediately closed by `)` and followed by an
+      // expression start is a cast, not a parenthesized column ref
+      val castFn = p.peek match {
+        case Some(Word(w)) if castTypes.contains(w.toLowerCase) &&
+            p.peek2.contains(Sym(")")) && p.ts.drop(2).headOption.exists {
+              case Word(x) => !reserved(x.toLowerCase) || x.equalsIgnoreCase("true") ||
+                x.equalsIgnoreCase("false") || x.equalsIgnoreCase("null")
+              case Str(_) | Num(_, _) => true
+              case Sym("(") | Sym("$") | Sym("-") | Sym("[") => true
+              case _ => false
+            } =>
+          Some(castTypes(w.toLowerCase))
+        case _ => None
+      }
+      castFn match {
+        case Some(fn) =>
+          p.next(); p.next() // type )
+          FnCall(fn, List(unE(p)))
+        case None =>
+          val e = parse(p); p.expectSym(")"); e
+      }
     case Some(Sym("[")) =>
       p.next()
       // list comprehension: `[v IN list ...]`
@@ -377,7 +438,8 @@ object Expr {
       Param("src", "", dottedTail(p))
     case Some(Sym("-")) =>
       p.next(); p.expectSym(".")
-      Param("input", "", List(p.word()))
+      if (p.sym("*")) Param("input", "", List("*"))
+      else Param("input", "", List(p.word()))
     case Some(Word(name)) =>
       p.next()
       Param("var", name, dottedTail(p))
@@ -386,7 +448,9 @@ object Expr {
 
   private def dottedTail(p: P): List[String] = {
     val parts = scala.collection.mutable.ListBuffer.empty[String]
-    while (p.peek.contains(Sym(".")) && parts.size < 2 &&
+    if (p.peek.contains(Sym(".")) && p.peek2.contains(Sym("*"))) {
+      p.next(); p.next(); parts += "*"
+    } else while (p.peek.contains(Sym(".")) && parts.size < 2 &&
         p.peek2.exists(_.isInstanceOf[Word])) {
       p.next(); parts += p.word()
     }
@@ -436,6 +500,21 @@ object Expr {
         c(a) < c(b) || approxEq(c(a), c(b))
       case Bin(">=", a, b) if isFloatLit(a) || isFloatLit(b) =>
         c(a) > c(b) || approxEq(c(a), c(b))
+      // ==/!= across value types is DEFINITE in the reference
+      // (Value.cpp operator==: different types are simply "not
+      // equal"), while Spark's implicit cross-type cast yields NULL
+      // (ANSI off: `src(e) != 0` on a string vid). Wrap only the
+      // shapes that can actually cross-cast — a numeric/bool literal
+      // against a non-literal — so the common string/column equality
+      // stays a bare EqualTo and KEEPS scan pushdown (PlanSpec).
+      case Bin("==", a, b) if mayTypeMismatch(a, b) =>
+        val (l, r) = (c(a), c(b))
+        when(l.isNull || r.isNull, lit(null))
+          .otherwise(coalesce(l === r, lit(false)))
+      case Bin("!=", a, b) if mayTypeMismatch(a, b) =>
+        val (l, r) = (c(a), c(b))
+        when(l.isNull || r.isNull, lit(null))
+          .otherwise(coalesce(l =!= r, lit(true)))
       case Bin("==", a, b) => c(a) === c(b)
       case Bin("!=", a, b) => c(a) =!= c(b)
       case Bin("<", a, b) => c(a) < c(b)
@@ -494,14 +573,6 @@ object Expr {
       // lambda forms → Spark higher-order functions; the bound var
       // shadows the outer resolver inside the body
       case Quant(kind, v, list, pred) =>
-        // dotted prop access on the lambda var would silently resolve
-        // against an OUTER pattern variable of the same name — out of
-        // subset (node elements are rendered strings, not structs)
-        collect(pred) {
-          case Ref(vv :: _ :: _) if vv == v =>
-            throw new IllegalArgumentException(
-              s"prop access on lambda var $v")
-        }
         val lc = c(list)
         val lam: Column => Column = x => compile(pred, bindVar(v, x, r))
         kind match {
@@ -518,11 +589,6 @@ object Expr {
               .otherwise(trueCnt === 1)
         }
       case Compr(v, list, pred, map) =>
-        (pred.toList ++ map.toList).foreach(collect(_) {
-          case Ref(vv :: _ :: _) if vv == v =>
-            throw new IllegalArgumentException(
-              s"prop access on lambda var $v")
-        })
         var lc = c(list)
         pred.foreach(p2 => lc = filter(lc, x => compile(p2, bindVar(v, x, r))))
         map.foreach(m2 => lc = transform(lc, x => compile(m2, bindVar(v, x, r))))
@@ -535,8 +601,8 @@ object Expr {
         val ic = c(i).cast("int")
         // non-negative: 0-based; negative: from the end (both match
         // the reference's List subscript)
-        when(ic >= 0, element_at(ec, ic + lit(1)))
-          .otherwise(element_at(ec, ic))
+        when(ic >= 0, try_element_at(ec, ic + lit(1)))
+          .otherwise(try_element_at(ec, ic))
       case Slice(x, f2, t2) =>
         val ec = c(x)
         val sz = size(ec)
@@ -545,6 +611,20 @@ object Expr {
         val fN = when(f0 < 0, sz + f0).otherwise(f0)
         val tN = when(t0 < 0, sz + t0).otherwise(t0)
         slice(ec, fN + lit(1), greatest(tN - fN, lit(0)))
+      case Attr(x, name) => x match {
+        // map-key access is case-SENSITIVE (Map std::map keys); a
+        // missing key is UNKNOWN_PROP -> plain NULL (SURVEY 7.4)
+        case MapLit(entries) =>
+          entries.find(_._1 == name).map(kv => c(kv._2)).getOrElse(lit(null))
+        // temporal attribute extraction (Date.h fields); unknown
+        // attribute → NULL (BAD_TYPE null value, not an exception)
+        case FnCall(fn @ ("date" | "datetime" | "time"), _, _) =>
+          temporalAttr(fn, c(x), name.toLowerCase)
+        case _ =>
+          // struct field (case-insensitive under Spark's resolver) or
+          // map key — both via UnresolvedExtractValue
+          c(x).getItem(name)
+      }
       case FnCall(name, args, distinct) => fnCol(name, args, distinct, c)
       case other =>
         throw new IllegalArgumentException(s"unresolvable expression ${text(other)}")
@@ -552,10 +632,53 @@ object Expr {
     c(e)
   }
 
+  /** Attribute on a temporal value. `date(s)` compiles to DateType,
+    * `datetime(s)` to TimestampType, `time(s)` to a "HH:mm:ss.SSSSSS"
+    * string (Spark has no time-of-day type). */
+  private def temporalAttr(fn: String, base: Column, attr: String): Column =
+    (fn, attr) match {
+      case ("date" | "datetime", "year") => year(base)
+      case ("date" | "datetime", "month") => month(base)
+      case ("date" | "datetime", "day") => dayofmonth(base)
+      case ("datetime", "hour") => hour(base)
+      case ("datetime", "minute") => minute(base)
+      case ("datetime", "second") => second(base)
+      case ("datetime", "microsec") =>
+        (unix_micros(base) % 1000000L).cast("long")
+      case ("time", "hour") => substring(base, 1, 2).cast("long")
+      case ("time", "minute") => substring(base, 4, 2).cast("long")
+      case ("time", "second") => substring(base, 7, 2).cast("long")
+      case ("time", "microsec") => substring(base, 10, 6).cast("long")
+      case _ => lit(null)
+    }
+
   private def bindVar(name: String, x: Column, r: Resolver): Resolver = {
     case Ref(List(n)) if n == name => Some(x)
+    // dotted access on the lambda var: struct-element field lookup
+    // (i.likeness over a var-length edge list)
+    case Ref(n :: rest) if n == name && rest.nonEmpty =>
+      Some(rest.foldLeft(x)(_.getItem(_)))
     case other => r(other)
   }
+
+  /** A comparison that Spark would resolve via a lossy implicit cast:
+    * a numeric/bool literal vs an expression of unknown type, or two
+    * literals of different families. */
+  private def litFamily(e: E): Option[String] = e match {
+    case Lit(_: Long) | Lit(_: Double) => Some("num")
+    case Lit(_: Boolean) => Some("bool")
+    case Lit(_: String) => Some("str")
+    case Un("neg", x) => litFamily(x)
+    case _ => None
+  }
+
+  private def mayTypeMismatch(a: E, b: E): Boolean =
+    (litFamily(a), litFamily(b)) match {
+      case (Some(x), Some(y)) => x != y
+      case (Some("num" | "bool"), None) => true
+      case (None, Some("num" | "bool")) => true
+      case _ => false
+    }
 
   private def isStr(e: E): Boolean = e match {
     case Lit(_: String) => true
@@ -658,7 +781,11 @@ object Expr {
         if (args.size == 3) a(0).substr(a(1) + lit(1), a(2))
         else a(0).substr(a(1) + lit(1), length(a(0)))
       case "concat" => concat(cs: _*)
-      case "concat_ws" => concat_ws(strArg(args, 0), cs.tail: _*)
+      case "concat_ws" => args.head match {
+        case Lit(sep: String) => concat_ws(sep, cs.tail: _*)
+        // non-string / NULL separator is BAD_TYPE → null value
+        case _ => lit(null).cast("string")
+      }
       case "md5" => md5(a(0).cast("string"))
       case "sha1" => sha1(a(0).cast("string"))
       // casts (openCypher to*): unparsable strings are NULL, not
@@ -682,6 +809,28 @@ object Expr {
       case "range" =>
         if (args.size == 3) sequence(a(0), a(1), a(2)) else sequence(a(0), a(1))
       case "coalesce" => coalesce(cs: _*)
+      case "keys" => map_keys(a(0))
+      case "udf_is_in" => a(0).isin(args.tail.collect { case Lit(v) => v }: _*)
+      // extract(s, regex): list of ALL matches (FunctionManager extract)
+      case "extract" => regexp_extract_all(a(0), lit(strArg(args, 1)), lit(0))
+      // temporal constructors (Date.h; TimeFunction.cpp). No-arg forms
+      // are "now" — nondeterministic, goldens regex-match them.
+      case "date" =>
+        if (args.isEmpty) current_date() else to_date(a(0))
+      case "datetime" =>
+        if (args.isEmpty) current_timestamp()
+        else a(0).cast("string").cast("timestamp")
+      case "time" =>
+        val ts = if (args.isEmpty) current_timestamp()
+          else concat(lit("1970-01-01 "), a(0).cast("string"))
+            .cast("timestamp")
+        date_format(ts, "HH:mm:ss.SSSSSS")
+      case "timestamp" =>
+        if (args.isEmpty) unix_timestamp()
+        else args.head match {
+          case Lit(_: Long) => a(0)
+          case _ => unix_timestamp(a(0).cast("string").cast("timestamp"))
+        }
       case "json_extract" => graft.functions.Fn.jsonExtractMap(a(0))
       // reference hash(): identity on ints, 0/1 on bools, bit-pattern
       // murmur on floats, UTF-8 murmur on strings (FunctionManager
@@ -736,6 +885,7 @@ object Expr {
 
   private def intArg(args: List[E], i: Int): Int = args(i) match {
     case Lit(n: Long) => n.toInt
+    case Un("neg", Lit(n: Long)) => -n.toInt
     case other => throw new IllegalArgumentException(s"expected int arg, got ${text(other)}")
   }
 

@@ -81,15 +81,36 @@ object Gql {
         }
         require(closed, s"unterminated string at $i")
         out += Str(sb.toString); i = j
-      } else if (c.isDigit) {
-        val j = q.indexWhere(ch => !(ch.isDigit || ch == '.'), i)
-        val end = if (j < 0) q.length else j
-        val raw = q.substring(i, end)
-        // `1..3` range syntax: the digits bind, the dots stay symbols
-        if (raw.contains("..")) {
-          val digits = raw.takeWhile(_.isDigit)
-          out += Num(digits.toDouble, digits); i += digits.length
-        } else { out += Num(raw.toDouble, raw); i = end }
+      } else if (c.isDigit ||
+          (c == '.' && i + 1 < q.length && q(i + 1).isDigit)) {
+        // number: digits [ '.' digits* ] [ (e|E) [+|-] digits ] — the
+        // dot binds only when NOT the `..` range/slice operator, and a
+        // leading-dot form (.3e4) is a number (scanner.lex DOUBLE)
+        var j = i
+        while (j < q.length && q(j).isDigit) j += 1
+        if (j < q.length && q(j) == '.' &&
+            !(j + 1 < q.length && q(j + 1) == '.')) {
+          val k = j + 1
+          val expNext = k < q.length && (q(k) == 'e' || q(k) == 'E') &&
+            k + 1 < q.length &&
+            (q(k + 1).isDigit || q(k + 1) == '+' || q(k + 1) == '-')
+          if (k < q.length && (q(k).isDigit || expNext)) {
+            j = k
+            while (j < q.length && q(j).isDigit) j += 1
+          }
+        }
+        if (j < q.length && (q(j) == 'e' || q(j) == 'E')) {
+          var k = j + 1
+          if (k < q.length && (q(k) == '+' || q(k) == '-')) k += 1
+          if (k < q.length && q(k).isDigit) {
+            while (k < q.length && q(k).isDigit) k += 1
+            j = k
+          }
+        }
+        val raw = q.substring(i, j)
+        out += Num(raw.toDouble, raw); i = j
+      } else if (c == '.' && i + 1 < q.length && q(i + 1) == '.') {
+        out += Sym(".."); i += 2
       } else if (c.isLetter || c == '_') {
         val j = q.indexWhere(ch => !(ch.isLetterOrDigit || ch == '_'), i)
         val end = if (j < 0) q.length else j
@@ -191,7 +212,7 @@ object Gql {
                     distinct: Boolean) extends Stmt
   /** Input ref for FETCH seeds: $-.col (pipe) or $var.col. */
   case class InRef(varName: Option[String], colName: String)
-  case class Fetch(tag: String, vids: Seq[Any], vidsRef: Option[InRef],
+  case class Fetch(tags: Seq[String], vids: Seq[Any], vidsRef: Option[InRef],
                    yields: Seq[Item], distinct: Boolean) extends Stmt
   /** FETCH PROP ON <etype> "src" -> "dst" [@rank] (parser.yy:2312),
     * or ref form `$-.src->$-.dst`. */
@@ -219,6 +240,8 @@ object Gql {
                        specs: Seq[(Direction, Seq[String])],
                        yields: Seq[(String, String)],
                        where: Option[Expr.E] = None) extends Stmt
+  case class GroupStmt(keys: Seq[Expr.E], items: Seq[Item],
+                       distinct: Boolean) extends Stmt
   case class YieldStmt(items: Seq[Item], distinct: Boolean,
                        where: Option[Expr.E]) extends Stmt
   case class Unwind(e: Expr.E, alias: String) extends Stmt
@@ -259,7 +282,13 @@ object Gql {
   }
 
   private def parseSet(p: P): Stmt = {
-    var l = parsePiped(p)
+    var l =
+      if (p.peek.contains(Sym("(")) &&
+          p.peek2.exists { case Word(w) =>
+            Set("go", "fetch", "lookup", "find", "get", "yield",
+              "unwind").contains(w.toLowerCase); case _ => false }) {
+        p.next(); val inner = parsePiped(p); p.expectSym(")"); inner
+      } else parsePiped(p)
     var go = true
     while (go) {
       if (p.kw("UNION")) {
@@ -275,8 +304,10 @@ object Gql {
   private def parsePiped(p: P): Stmt = {
     val head = parseSentence(p)
     val pipes = scala.collection.mutable.ListBuffer.empty[Pipe]
-    while (p.peek.contains(Sym("|"))) {
-      p.next()
+    var parenDepth = 0
+    while (p.peek.contains(Sym("|")) || parenDepth > 0) {
+      if (p.peek.contains(Sym("|"))) p.next()
+      while (p.sym("(")) parenDepth += 1
       if (p.kwPeek("GO")) {
         parseSentence(p) match {
           case g2: Go =>
@@ -332,13 +363,23 @@ object Gql {
           if (p.sym(",")) () else go2 = false
         }
         pipes += POrderBy(keys.toSeq)
+        if (p.kw("LIMIT")) {
+          val a = p.intLit()
+          if (p.sym(",")) pipes += PLimit(a, p.intLit())
+          else if (p.kw("OFFSET")) pipes += PLimit(p.intLit(), a)
+          else pipes += PLimit(0, a)
+        }
       } else if (p.kw("LIMIT")) {
         val a = p.intLit()
         if (p.sym(",")) pipes += PLimit(a, p.intLit())
+        else if (p.kw("OFFSET")) pipes += PLimit(p.intLit(), a)
         else pipes += PLimit(0, a)
       } else if (p.kw("OFFSET")) {
         pipes += PLimit(p.intLit(), Int.MaxValue)
       } else throw new IllegalArgumentException(s"bad pipe at ${p.ts.take(3)}")
+      while (parenDepth > 0 && p.sym(")")) parenDepth -= 1
+      require(parenDepth == 0 || p.peek.contains(Sym("|")),
+        s"unbalanced pipe parens at ${p.ts.take(3)}")
     }
     if (pipes.isEmpty) head else Piped(head, pipes.toSeq)
   }
@@ -395,20 +436,30 @@ object Gql {
         case _ => (1, 1)
       }
       p.expectKw("FROM")
+      // `id($-.node)` seeds from the hidden vid twin of a rendered
+      // whole-vertex column (FetchVertices pipe scenarios)
+      val idWrap = p.peek.exists {
+        case Word(w) => w.equalsIgnoreCase("id"); case _ => false } &&
+        p.peek2.contains(Sym("("))
+      if (idWrap) { p.next(); p.next() }
+      def vidTwin(c2: String): String = if (idWrap) s"__vid_$c2" else c2
       val (seeds, seedsCol, seedsVar) = p.peek match {
         case Some(Sym("$")) =>
           p.next()
           p.peek match {
             case Some(Sym("-")) =>
               p.next(); p.expectSym(".")
-              (Seq.empty[Any], Some(p.word()), None)
+              (Seq.empty[Any], Some(vidTwin(p.word())), None)
             case Some(Word(v)) =>
               p.next(); p.expectSym(".")
-              (Seq.empty[Any], None, Some(v -> p.word()))
+              (Seq.empty[Any], None, Some(v -> vidTwin(p.word())))
             case t => throw new IllegalArgumentException(s"bad seed ref $t")
           }
-        case _ => (p.vidList(), None, None)
+        case _ =>
+          require(!idWrap, "id() seed needs a $-/$var ref")
+          (p.vidList(), None, None)
       }
+      if (idWrap) p.expectSym(")")
       p.expectKw("OVER")
       val etypes = parseEtypes(p)
       val dir = if (p.kw("REVERSELY")) In
@@ -430,7 +481,18 @@ object Gql {
       Lookup(tag, where, ys, dist)
     } else if (p.kw("FETCH")) {
       p.expectKw("PROP"); p.expectKw("ON")
-      val tag = p.word()
+      // vertex form takes a tag LIST or `*` (parser.yy:2312); the edge
+      // form names exactly one edge type — a following `,Word` only
+      // occurs in the tag-list form (edge keys are quoted/numeric)
+      val tags = if (p.sym("*")) List("*") else {
+        val ts = scala.collection.mutable.ListBuffer(p.word())
+        while (p.peek.contains(Sym(",")) &&
+            p.peek2.exists(_.isInstanceOf[Word])) {
+          p.next(); ts += p.word()
+        }
+        ts.toList
+      }
+      val tag = tags.head
       // ref-seeded forms: $-.col / $var.col (Output.feature pipes)
       if (p.peek.contains(Sym("$"))) {
         def inRef(): InRef = {
@@ -457,7 +519,7 @@ object Gql {
         } else (Seq.empty[Item], false)
         keysRef match {
           case Some(kr) => FetchEdge(tag, Seq.empty, Some(kr), ys, dist)
-          case None => Fetch(tag, Seq.empty, Some(first), ys, dist)
+          case None => Fetch(tags, Seq.empty, Some(first), ys, dist)
         }
       } else {
         // literal vid forms: edge `"s" -> "d" [@rank], ...` or vid list
@@ -505,7 +567,7 @@ object Gql {
             val d = p.kw("DISTINCT")
             (parseItems(p), d)
           } else (Seq.empty[Item], false)
-          Fetch(tag, vids.toSeq, None, ys, dist)
+          Fetch(tags, vids.toSeq, None, ys, dist)
         }
       }
     } else if (p.kw("FIND")) {
@@ -591,6 +653,14 @@ object Gql {
       val items = parseItems(p)
       val where = if (p.kw("WHERE")) Some(Expr.parse(p)) else None
       YieldStmt(items, distinct, where)
+    } else if (p.kw("GROUP")) {
+      // GROUP BY sentence over one $var source (GroupByValidator)
+      p.expectKw("BY")
+      val keys = scala.collection.mutable.ListBuffer(Expr.parse(p))
+      while (p.sym(",")) keys += Expr.parse(p)
+      p.expectKw("YIELD")
+      val distinct = p.kw("DISTINCT")
+      GroupStmt(keys.toSeq, parseItems(p), distinct)
     } else throw new IllegalArgumentException(
       s"unknown sentence at ${p.ts.take(4)}")
   }
@@ -610,8 +680,9 @@ object Gql {
       last = df
     }
     require(last != null, "empty script")
-    // internal structured twins (`__path_*`) never surface to the user
-    val hidden = last.columns.filter(_.startsWith("__path_"))
+    // internal twins (`__path_*`, `__vid_*`) never surface to the user
+    val hidden = last.columns.filter(c2 =>
+      c2.startsWith("__path_") || c2.startsWith("__vid_"))
     if (hidden.isEmpty) last else last.drop(hidden: _*)
   }
 
@@ -637,10 +708,16 @@ object Gql {
         }
       case go: Go =>
         val (seeds, input) = go match {
-          case Go(_, _, _, _, Some((v, c)), _, _, _, _, _) =>
+          case Go(_, _, _, _, Some((v, c0)), _, _, _, _, _) =>
             val src = env.getOrElse(v,
               throw new IllegalArgumentException(s"undefined $$$v"))
-            (src.select(col(c).as("vid")), Some((src, c)))
+            // `id($var.vertices_)` names the reference's implicit
+            // no-YIELD FETCH output column; our raw frame carries the
+            // vid itself
+            val c = if (!src.columns.contains(c0) &&
+                (c0 == "vertices_" || c0 == "__vid_vertices_") &&
+                src.columns.contains("vid")) "vid" else c0
+            (src.select(colByName(c).as("vid")), Some((src, c)))
           case Go(_, _, s, None, None, _, _, _, _, _) =>
             // the reference treats the FROM vid list as a set (dup
             // seeds yield once — GO.feature); piped GO keeps bag rows
@@ -706,6 +783,28 @@ object Gql {
       case Unwind(e, alias) =>
         spark.range(1).select(
           explode(Expr.compile(e, Expr.noResolver)).as(alias))
+      case GroupStmt(keys, items, distinct) =>
+        // same single-$var source rule as a standalone YIELD
+        var vars = Set.empty[String]
+        (keys ++ items.map(_.e)).foreach(Expr.collect(_) {
+          case Expr.Param("var", n, _) => vars += n
+        })
+        require(vars.size == 1, "GROUP BY sentence needs one $var source")
+        val base = env.getOrElse(vars.head,
+          throw new IllegalArgumentException(s"undefined $${vars.head}"))
+        val resolver: Expr.Resolver = {
+          case Expr.Param("var", _, List(c)) => Some(colByName(c))
+          case _ => None
+        }
+        val keyCols = keys.zipWithIndex.map { case (k, i2) =>
+          Expr.compile(k, resolver).as(s"__gk$i2") }
+        val aggs = items.map { i =>
+          val c = Expr.compile(i.e, resolver)
+          (if (Expr.hasAgg(i.e)) c else first(c)).as(i.alias)
+        }
+        val out = base.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+          .select(items.map(i => colByName(i.alias)): _*)
+        if (distinct) out.distinct() else out
       case YieldStmt(items, distinct, where) =>
         // standalone YIELD: constants, or projections over one $var
         var vars = Set.empty[String]
@@ -719,7 +818,7 @@ object Gql {
           case None => spark.range(1).drop("id")
         }
         val resolver: Expr.Resolver = {
-          case Expr.Param("var", _, List(c)) => Some(col(c))
+          case Expr.Param("var", _, List(c)) => Some(colByName(c))
           case _ => None
         }
         val filtered = where match {
@@ -867,14 +966,102 @@ object Gql {
   }
 
   private def execFetch(g: GraphCatalog, f: Fetch, bag: DataFrame): DataFrame = {
-    val Fetch(tag, _, _, ys, dist) = f
-    val rows = bag.join(g.vertexTable(tag), Seq("vid"))
+    val Fetch(tags0, _, _, ys0, dist) = f
+    val ys = withVidTwins(ys0)
+    val star = tags0 == Seq("*")
+    val tags = if (star) g.tagNames else tags0
+    // single-tag fast path keeps the bare prop columns (library callers
+    // and no-YIELD output rely on the natural schema)
+    if (tags.size == 1 && !star) return execFetchOne(g, tags.head, f, bag)
+    // multi-tag / ON *: left-join every tag table (prefixed), keep
+    // vertices carrying at least one of the requested tags
+    // (GetPropProcessor merges tag prop maps per vertex)
+    var rows = bag
+    tags.foreach { t =>
+      val vt = g.vertexTable(t).withColumn("__has", lit(true))
+      rows = Traverse.appendVertices(rows, vt, vidCol = "vid",
+        prefix = s"__t_${t}_")
+    }
+    rows = rows.filter(tags.map(t => col(s"__t_${t}___has").isNotNull)
+      .reduce(_ || _))
     val strVid = rows.schema("vid").dataType ==
       org.apache.spark.sql.types.StringType
+    // merged vertex prop view: first-listed tag wins a name collision
+    // (same merge order as the reference's per-tag DataSet columns)
+    val propTags: Map[String, Seq[String]] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+      tags.foreach { t =>
+        g.vertexTable(t).columns.filter(_ != "vid").foreach { c2 =>
+          m(c2) = m.getOrElse(c2, Seq.empty) :+ t
+        }
+      }
+      m.toMap
+    }
+    def propCol(prop: String): Column = propTags.get(prop) match {
+      case Some(ts) => coalesce(ts.map(t => col(s"__t_${t}_$prop")): _*)
+      case None => lit(null)
+    }
+    def fields: Seq[(String, Column, org.apache.spark.sql.types.DataType)] =
+      propTags.toSeq.map { case (prop, ts) =>
+        (prop, propCol(prop),
+          g.vertexTable(ts.head).schema(prop).dataType)
+      }
     val resolver: Expr.Resolver = {
       case Expr.FnCall("id", List(Expr.Ref(List("vertex"))), _) =>
         Some(col("vid"))
       case Expr.Ref(List("vertex")) => Some(renderNode(col("vid"), strVid))
+      case Expr.FnCall("properties", List(Expr.Ref(List("vertex"))), _) =>
+        Some(renderPropsMap(fields))
+      case Expr.Attr(Expr.FnCall("properties",
+          List(Expr.Ref(List("vertex"))), _), prop) => Some(propCol(prop))
+      case Expr.FnCall("keys", List(Expr.Ref(List("vertex"))), _) =>
+        Some(presentKeys(fields))
+      case Expr.FnCall("tags" | "labels", List(Expr.Ref(List("vertex"))), _) =>
+        Some(array_compact(array(tags.sorted.map(t =>
+          when(col(s"__t_${t}___has").isNotNull, lit(t))): _*)))
+      case Expr.Ref(List(t, prop)) if tags.contains(t) =>
+        Some(col(s"__t_${t}_$prop"))
+      case Expr.Ref(List(c)) => Some(col(c))
+      case _ => None
+    }
+    val out =
+      if (ys.isEmpty)
+        rows.select(col("vid") +: tags.flatMap(t =>
+          g.vertexTable(t).columns.filter(_ != "vid").map(c2 =>
+            col(s"__t_${t}_$c2").as(s"$t.$c2"))): _*)
+      else selectItems(rows, ys, resolver)
+    if (dist) out.distinct() else out
+  }
+
+  /** Extend FETCH yields with hidden `__vid_<alias>` twins for every
+    * whole-vertex item, so downstream `id($-.alias)` / `GO FROM
+    * id($-.alias)` resolve without re-parsing the rendered node. */
+  private def withVidTwins(ys: Seq[Item]): Seq[Item] =
+    ys ++ ys.collect { case Item(Expr.Ref(List("vertex")), a2) =>
+      Item(Expr.FnCall("id", List(Expr.Ref(List("vertex")))), s"__vid_$a2") }
+
+  private def execFetchOne(g: GraphCatalog, tag: String, f: Fetch,
+                           bag: DataFrame): DataFrame = {
+    val ys = withVidTwins(f.yields); val dist = f.distinct
+    val rows = bag.join(g.vertexTable(tag), Seq("vid"))
+    val strVid = rows.schema("vid").dataType ==
+      org.apache.spark.sql.types.StringType
+    def fields: Seq[(String, Column, org.apache.spark.sql.types.DataType)] =
+      g.vertexTable(tag).schema.filter(_.name != "vid").map(sf =>
+        (sf.name, col(sf.name), sf.dataType))
+    val resolver: Expr.Resolver = {
+      case Expr.FnCall("id", List(Expr.Ref(List("vertex"))), _) =>
+        Some(col("vid"))
+      case Expr.Ref(List("vertex")) => Some(renderNode(col("vid"), strVid))
+      case Expr.FnCall("properties", List(Expr.Ref(List("vertex"))), _) =>
+        Some(renderPropsMap(fields))
+      case Expr.Attr(Expr.FnCall("properties",
+          List(Expr.Ref(List("vertex"))), _), prop) =>
+        Some(if (fields.exists(_._1 == prop)) col(prop) else lit(null))
+      case Expr.FnCall("keys", List(Expr.Ref(List("vertex"))), _) =>
+        Some(presentKeys(fields))
+      case Expr.FnCall("tags" | "labels", List(Expr.Ref(List("vertex"))), _) =>
+        Some(array(lit(tag)))
       case Expr.Ref(List(c)) => Some(col(c))
       case Expr.Ref(List(t, prop)) if t == tag => Some(col(prop))
       case _ => None
@@ -884,6 +1071,29 @@ object Gql {
       else selectItems(rows, ys, resolver)
     if (dist) out.distinct() else out
   }
+
+  /** Render a property map `{k: v, ...}` the way the reference prints
+    * a Value::Map (sorted keys, absent props skipped, strings quoted —
+    * src/common/datatypes/Value.cpp toString). */
+  private[nql] def renderPropsMap(
+      fields: Seq[(String, Column, org.apache.spark.sql.types.DataType)]): Column = {
+    import org.apache.spark.sql.types.StringType
+    val parts = fields.sortBy(_._1).map { case (n, c, dt) =>
+      val r = dt match {
+        case StringType => concat(lit("\""), c, lit("\""))
+        case _ => c.cast("string")
+      }
+      when(c.isNotNull, concat(lit(n + ": "), r))
+    }
+    concat(lit("{"), concat_ws(", ", parts: _*), lit("}"))
+  }
+
+  /** Sorted list of property names present (non-null) on this row. */
+  private[nql] def presentKeys(
+      fields: Seq[(String, Column, org.apache.spark.sql.types.DataType)]): Column =
+    array_compact(array(fields.sortBy(_._1).map { case (n, c, _) =>
+      when(c.isNotNull, lit(n))
+    }: _*))
 
   private def execFetchEdge(g: GraphCatalog, fe: FetchEdge,
                             pairs: DataFrame): DataFrame = {
@@ -955,8 +1165,16 @@ object Gql {
   /** Compile+select items; aggregate-bearing items trigger the
     * reference's implicit grouping (AggregateExecutor.cpp:12-99):
     * aggregate-free items become the group keys. */
-  private[nql] def selectItems(df: DataFrame, items: Seq[Item],
+  private[nql] def selectItems(df: DataFrame, items0: Seq[Item],
                           resolver: Expr.Resolver): DataFrame = {
+    // `$-.*` / `$var.*` expand to every visible input column, aliased
+    // by its own (possibly dotted) name (parser.yy yield_item `*`)
+    val items = items0.flatMap { i => i.e match {
+      case Expr.Param(k, n, List("*")) =>
+        df.columns.filterNot(_.startsWith("__"))
+          .map(c2 => Item(Expr.Param(k, n, List(c2)), c2)).toSeq
+      case _ => Seq(i)
+    } }
     val hasAgg = items.exists(i => Expr.hasAgg(i.e))
     if (!hasAgg)
       df.select(items.map(i => Expr.compile(i.e, resolver).as(i.alias)): _*)
@@ -1009,7 +1227,15 @@ object Gql {
       case Expr.Ref(parts) if parts.size > 2 => frontierOnly = false
       case Expr.Param("dst", _, List(tag, _)) => dstTags += tag
       case Expr.Param("src", _, List(tag, _)) => srcTags += tag
+      // whole-vertex prop functions need every tag joined (the
+      // reference merges all tag prop maps: GetPropProcessor)
+      case Expr.FnCall("properties" | "tags" | "labels",
+          List(Expr.Param("dst", _, Nil)), _) => dstTags ++= g.tagNames
+      case Expr.FnCall("properties" | "tags" | "labels",
+          List(Expr.Param("src", _, Nil)), _) => srcTags ++= g.tagNames
       case Expr.Param("dst" | "src", _, Nil) => needsEdge = true
+      case Expr.FnCall("src" | "dst" | "rank" | "type" | "typeid" |
+          "properties", List(Expr.Ref(List("edge"))), _) => needsEdge = true
       case Expr.Param("input" | "var", _, _) =>
         require(input.isDefined, "$-/$var ref needs a pipe or $var source")
         inputRefs = true
@@ -1053,11 +1279,13 @@ object Gql {
         }
       // vertex-prop refs join the tag tables on dst/src
       dstTags.foreach { tag =>
-        out = Traverse.appendVertices(out, g.vertexTable(tag),
+        out = Traverse.appendVertices(out,
+          g.vertexTable(tag).withColumn("__has", lit(true)),
           vidCol = "dst", prefix = s"__dst_${tag}_")
       }
       srcTags.foreach { tag =>
-        out = Traverse.appendVertices(out, g.vertexTable(tag),
+        out = Traverse.appendVertices(out,
+          g.vertexTable(tag).withColumn("__has", lit(true)),
           vidCol = "src", prefix = s"__src_${tag}_")
       }
       def guarded(et: String, c: Column): Column =
@@ -1065,11 +1293,96 @@ object Gql {
       // deterministic integer edge-type id (the reference's meta-
       // assigned EdgeType; any stable int — goldens regex-match it)
       def typeId(et: String): Int = g.edgeTypeNames.indexOf(et) + 2
+      // whole-edge values print the STORED direction (Edge.cpp
+      // toString): under REVERSELY the stored src is the traversal dst
+      val (storedSrc, storedDst) = dir match {
+        case Traverse.In => (col("dst"), col("src"))
+        case Traverse.Both =>
+          (when(col("__rev"), col("dst")).otherwise(col("src")),
+           when(col("__rev"), col("src")).otherwise(col("dst")))
+        case _ => (col("src"), col("dst"))
+      }
+      val etypeName: Column =
+        if (single) lit(etypes.head) else col("__etype")
+      // per-edge-type prop fields (props of OTHER types are NULL on a
+      // row — edgesWithProps unions by name)
+      def edgeFields(et: String) =
+        g.edgesByType(et).schema
+          .filter(f2 => !Set("src", "dst", "rank").contains(f2.name))
+          .map(f2 => (f2.name, guarded(et, col(f2.name)), f2.dataType))
+      def edgePropCol(prop: String): Column = {
+        val having = etypes.filter(et =>
+          g.edgesByType(et).columns.contains(prop))
+        if (having.isEmpty) lit(null)
+        else coalesce(having.map(et => guarded(et, col(prop))): _*)
+      }
+      def vertexPropCol(side: String, joined: Set[String],
+                        prop: String): Column = {
+        val having = joined.toSeq.sorted.filter(t =>
+          g.vertexTable(t).columns.contains(prop))
+        if (having.isEmpty) lit(null)
+        else coalesce(having.map(t => col(s"__${side}_${t}_$prop")): _*)
+      }
+      def vertexFields(side: String, joined: Set[String]) = {
+        val m = scala.collection.mutable.LinkedHashMap
+          .empty[String, org.apache.spark.sql.types.DataType]
+        joined.toSeq.sorted.foreach { t =>
+          g.vertexTable(t).schema.filter(_.name != "vid").foreach { f2 =>
+            if (!m.contains(f2.name)) m(f2.name) = f2.dataType
+          }
+        }
+        m.toSeq.map { case (n, dt) =>
+          (n, vertexPropCol(side, joined, n), dt) }
+      }
+      def tagList(side: String, joined: Set[String]): Column =
+        array_compact(array(joined.toSeq.sorted.map(t =>
+          when(col(s"__${side}_${t}___has").isNotNull, lit(t))): _*))
       val resolver: Expr.Resolver = {
         case Expr.Ref(List("origin")) => Some(col("origin"))
         // GO context: `vid` is the hop destination (GO default output)
         case Expr.Ref(List("vid")) => Some(col("dst"))
         case Expr.Ref(List("step")) => Some(col("step"))
+        // entity functions over the current edge (FunctionManager src/
+        // dst/rank/type; type() returns the NAME, typeid() the int id)
+        case Expr.FnCall("src", List(Expr.Ref(List("edge"))), _) =>
+          Some(storedSrc)
+        case Expr.FnCall("dst", List(Expr.Ref(List("edge"))), _) =>
+          Some(storedDst)
+        case Expr.FnCall("rank", List(Expr.Ref(List("edge"))), _) =>
+          Some(col("rank"))
+        case Expr.FnCall("type", List(Expr.Ref(List("edge"))), _) =>
+          Some(etypeName)
+        case Expr.FnCall("typeid", List(Expr.Ref(List("edge"))), _) =>
+          Some(if (single) lit(typeId(etypes.head))
+               else etypes.tail.foldLeft(
+                 when(col("__etype") === etypes.head, typeId(etypes.head))) {
+                   (acc, et) => acc.when(col("__etype") === et, typeId(et)) })
+        case Expr.Attr(Expr.FnCall("properties",
+            List(Expr.Ref(List("edge"))), _), prop) =>
+          Some(edgePropCol(prop))
+        case Expr.FnCall("properties", List(Expr.Ref(List("edge"))), _) =>
+          Some(if (single) renderPropsMap(edgeFields(etypes.head))
+               else etypes.tail.foldLeft(
+                 when(col("__etype") === etypes.head,
+                   renderPropsMap(edgeFields(etypes.head)))) { (acc, et) =>
+                     acc.when(col("__etype") === et,
+                       renderPropsMap(edgeFields(et))) })
+        case Expr.Attr(Expr.FnCall("properties",
+            List(Expr.Param("dst", _, Nil)), _), prop) =>
+          Some(vertexPropCol("dst", dstTags, prop))
+        case Expr.Attr(Expr.FnCall("properties",
+            List(Expr.Param("src", _, Nil)), _), prop) =>
+          Some(vertexPropCol("src", srcTags, prop))
+        case Expr.FnCall("properties", List(Expr.Param("dst", _, Nil)), _) =>
+          Some(renderPropsMap(vertexFields("dst", dstTags)))
+        case Expr.FnCall("properties", List(Expr.Param("src", _, Nil)), _) =>
+          Some(renderPropsMap(vertexFields("src", srcTags)))
+        case Expr.FnCall("tags" | "labels",
+            List(Expr.Param("dst", _, Nil)), _) =>
+          Some(tagList("dst", dstTags))
+        case Expr.FnCall("tags" | "labels",
+            List(Expr.Param("src", _, Nil)), _) =>
+          Some(tagList("src", srcTags))
         case Expr.Ref(List(et, p)) if etypes.contains(et) =>
           Some(p match {
             case "_dst" => guarded(et, col("dst"))
@@ -1198,9 +1511,12 @@ object Gql {
       if (distinct) out.distinct() else out
     case PGroup(keys, items, distinct) =>
       // aggregate-free items evaluate once per group (`first`): the
-      // reference emits one row per key group regardless
+      // reference emits one row per key group regardless. Group keys
+      // get hidden aliases so an item alias matching an input column
+      // name is never ambiguous in the output select.
       val resolver = pipeResolverFor(df)
-      val keyCols = keys.map(k => Expr.compile(k, resolver))
+      val keyCols = keys.zipWithIndex.map { case (k, i2) =>
+        Expr.compile(k, resolver).as(s"__gk$i2") }
       val aggs = items.map { i =>
         val c = Expr.compile(i.e, resolver)
         (if (Expr.hasAgg(i.e)) c else first(c)).as(i.alias)
@@ -1261,6 +1577,11 @@ object Gql {
       else concat(lit("("), v.cast("string"), lit(")"))
 
     {
+      // id() over a rendered whole-vertex column: hidden vid twin
+      case Expr.FnCall("id", List(Expr.Param("input", _, List(c2))), _)
+          if cols(s"__vid_$c2") => Some(col(s"__vid_$c2"))
+      case Expr.FnCall("id", List(Expr.Ref(List(c2))), _)
+          if cols(s"__vid_$c2") => Some(col(s"__vid_$c2"))
       case Expr.FnCall("length", List(arg), _) if twin(arg).isDefined =>
         Some(size(twin(arg).get("steps")).cast("long"))
       case Expr.FnCall("nodes", List(arg), _) if twin(arg).isDefined =>

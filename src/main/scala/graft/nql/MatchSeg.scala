@@ -261,7 +261,7 @@ object MatchSeg {
           case Some(Gql.Num(x, _)) => p.next(); Some(x.toInt)
           case _ => None
         }
-        val dots = p.sym(".") && { p.expectSym("."); true }
+        val dots = p.sym("..")
         val n = p.peek match {
           case Some(Gql.Num(x, _)) => p.next(); Some(x.toInt)
           case _ => None
@@ -311,6 +311,13 @@ object MatchSeg {
     /** WITH aliases holding collect()ed node vids — raw internally
       * (UNWIND-able), rendered element-wise at RETURN. */
     val nodeListCols = scala.collection.mutable.Set.empty[String]
+    /** Var-length edge vars: `e` in [e:like*m..n] — an ARRAY of edge
+      * structs per row (openCypher: the relationship list). */
+    val vlEdgeVars = scala.collection.mutable.LinkedHashSet.empty[String]
+    def addVlEdge(ev: String): Unit = {
+      if (!known(ev) && !vlEdgeVars.contains(ev)) declOrder += ev
+      vlEdgeVars += ev
+    }
     /** Named paths: var → node/edge sequence (rendered at RETURN). */
     val pathVars = scala.collection.mutable.Map.empty[String, PathInfo]
     def addPath(pv: String): Unit = {
@@ -498,14 +505,18 @@ object MatchSeg {
           .withColumn("__trail", concat(col("__trail"), array(col("__heid"))))
           .drop("__from", "__heid")
       case Some((m, n)) =>
-        require(rel.v.isEmpty && rel.props.isEmpty,
-          "edge var / props on a var-length hop")
-        val pairs = varLengthPairs(g, binding, fromVar, rel, m, n)
-        binding.join(pairs, Seq(fromVar))
+        val pairs = varLengthPairs(g, binding, fromVar, rel, m, n,
+          withEdges = rel.v.isDefined)
+        var j = binding.join(pairs, Seq(fromVar))
           .filter(!arrays_overlap(col("__trail"), col("__vl_ep")))
           .withColumn("__trail", concat(col("__trail"), col("__vl_ep")))
           .drop("__vl_ep")
           .withColumnRenamed("__vl_to", "__to")
+        rel.v.foreach { ev =>
+          st.addVlEdge(ev)
+          j = j.withColumnRenamed("__vl_edges", s"${ev}__vl")
+        }
+        j
     }
 
     toExisting match {
@@ -531,45 +542,67 @@ object MatchSeg {
     * not). */
   private def varLengthPairs(g: GraphCatalog, binding: DataFrame,
                              fromVar: String, rel: Rel,
-                             m: Int, n: Int): DataFrame = {
+                             m: Int, n: Int,
+                             withEdges: Boolean = false): DataFrame = {
     val types = if (rel.etypes.nonEmpty) rel.etypes else g.edgeTypeNames
-    val base = g.edgesWithProps(types)
+    val base0 = g.edgesWithProps(types)
       .withColumn("__osrc", col("src")).withColumn("__odst", col("dst"))
-      .select(col("src"), col("dst"), eidCol.as("__eid"))
+    // inline props on a var-length rel constrain EVERY step's edge
+    // (openCypher: the predicate applies to each relationship)
+    val baseF = rel.props.foldLeft(base0) { case (d, (k, value)) =>
+      d.filter(typedEq(d, k, value))
+    }
+    val propCols = base0.columns.filterNot(
+      Seq("src", "dst", "rank", "__etype", "__osrc", "__odst").contains)
+    // stored-orientation edge struct: feeds RETURN e rendering and
+    // lambda/subscript prop access (i.likeness) on the edge list
+    val estruct = struct(
+      col("__etype").as("__t") +: col("__osrc").as("__s") +:
+        col("__odst").as("__d") +: col("rank").as("__r") +:
+        propCols.map(col): _*)
+    val base =
+      if (withEdges)
+        baseF.select(col("src"), col("dst"), eidCol.as("__eid"),
+          estruct.as("__es"))
+      else baseF.select(col("src"), col("dst"), eidCol.as("__eid"))
     val e = Traverse.orient(base, rel.dir).localCheckpoint()
 
     val seeds = binding.select(col(fromVar).as("__o")).distinct()
     val empty = array().cast("array<string>")
-    var frontier = seeds
-      .select(col("__o"), col("__o").as("__v"), empty.as("__ep"))
-      .localCheckpoint()
+    val emptyEdges = array().cast(
+      s"array<${e.schema.find(_.name == "__es").map(_.dataType.sql).getOrElse("string")}>")
+    def zero(df: DataFrame): DataFrame = {
+      val b2 = df.select(col("__o"), col("__o").as("__v"), empty.as("__ep"))
+      if (withEdges) b2.withColumn("__edges", emptyEdges) else b2
+    }
+    var frontier = zero(seeds).localCheckpoint()
     var cnt = frontier.count()
-    var acc: DataFrame =
-      if (m == 0) seeds.select(col("__o"), col("__o").as("__v"), empty.as("__ep"))
-      else null
+    var acc: DataFrame = if (m == 0) zero(seeds) else null
     var step = 1
     while (step <= n && cnt > 0) {
+      val sel = Seq(col("__o"), e("dst").as("__v2"),
+        concat(col("__ep"), array(e("__eid"))).as("__ep")) ++
+        (if (withEdges)
+          Seq(concat(col("__edges"), array(e("__es"))).as("__edges"))
+        else Nil)
       val next = Traverse.maybeBroadcast(frontier, cnt)
         .join(e, col("__v") === e("src"))
         .filter(!array_contains(col("__ep"), e("__eid")))
-        .select(col("__o"), e("dst").as("__v2"),
-          concat(col("__ep"), array(e("__eid"))).as("__ep"))
+        .select(sel: _*)
         .withColumnRenamed("__v2", "__v")
       val mat = next.localCheckpoint()
       cnt = mat.count()
       frontier = mat
       if (step >= math.max(m, 1) && cnt > 0) {
-        val rows = frontier.select(col("__o"), col("__v"), col("__ep"))
-        acc = if (acc == null) rows else acc.unionByName(rows)
+        acc = if (acc == null) frontier else acc.unionByName(frontier)
       }
       step += 1
     }
-    val out =
-      if (acc == null)
-        seeds.select(col("__o"), col("__o").as("__v"), empty.as("__ep")).limit(0)
-      else acc
-    out.select(col("__o").as(fromVar), col("__v").as("__vl_to"),
-      col("__ep").as("__vl_ep"))
+    val out = if (acc == null) zero(seeds).limit(0) else acc
+    val outCols = Seq(col("__o").as(fromVar), col("__v").as("__vl_to"),
+      col("__ep").as("__vl_ep")) ++
+      (if (withEdges) Seq(col("__edges").as("__vl_edges")) else Nil)
+    out.select(outCols: _*)
   }
 
   /** Ensure every `v.tag.prop` referenced by `exprs` has its tag table
@@ -624,6 +657,13 @@ object MatchSeg {
       case Expr.Ref(List(v, tag, prop)) if st.vertexVars.contains(v) =>
         e(s"${v}_${tag}_$prop")
       case Expr.Ref(List(v)) if st.vertexVars.contains(v) => Some(col(v))
+      // var-length edge list: rendered edge values in RETURN position,
+      // raw structs in WHERE/WITH (subscript + lambda prop access)
+      case Expr.Ref(List(ev)) if st.vlEdgeVars.contains(ev) =>
+        val raw = col(s"${ev}__vl")
+        Some(if (render) transform(raw, x =>
+          Gql.renderEdge(x("__t"), x("__s"), x("__d"), x("__r"), strVid))
+        else raw)
       case Expr.Ref(List(ev, prop)) if st.edgeVars.contains(ev) =>
         e(s"${ev}_$prop")
       case Expr.FnCall("id", List(Expr.Ref(List(v))), _)

@@ -59,7 +59,7 @@ class GqlSpec extends SparkSpec {
   test("FETCH PROP ON tag vids and edge src->dst@rank") {
     val Fetch(tag, vids, _, ys, dist) =
       Gql.parse("""FETCH PROP ON part "p:1", "p:2""""): @unchecked
-    assert(tag == "part" && vids == Seq("p:1", "p:2"))
+    assert(tag == Seq("part") && vids == Seq("p:1", "p:2"))
     assert(ys.isEmpty && !dist)
     val FetchEdge(et, keys, _, _, _) = Gql.parse(
       """FETCH PROP ON serve "a" -> "b" @0, "c" -> "d" YIELD serve.start_year"""): @unchecked
