@@ -26,7 +26,12 @@ object Bench {
 
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b → time just those (local iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
@@ -36,6 +41,10 @@ object Bench {
           errors :+= name -> Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
       }
+      // outside the timed window: drop every block the finished query
+      // leaked so later iterative queries run against an empty block
+      // manager (in-session parity with their isolated times)
+      SessionHygiene.sweep(spark)
     }
     val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -64,17 +64,29 @@ object PathFinder {
           nextRaw("origin") === col("vo") && nextRaw("vid") === col("vv"),
           "left_anti")
         .localCheckpoint()
+      // checkpoint the (small) per-level hits so `found` never holds a
+      // reference to the (large) frontier checkpoints — which can then
+      // be freed as soon as they are superseded (session hygiene:
+      // without this a 94-query session accumulates every level of
+      // every BFS in the block manager until GC)
       val hits = next.join(dstSet, next("vid") === col("__target"))
         .select(col("origin").as("src"), col("vid").as("dst"),
           array_join(col("path"), "->").as("path"), lit(step).as("hops"))
-      found = if (found == null) hits else found.unionByName(hits)
-      visited = visited.unionByName(next.select("origin", "vid"))
         .localCheckpoint()
+      found = if (found == null) hits else found.unionByName(hits)
+      val v2 = visited.unionByName(next.select("origin", "vid"))
+        .localCheckpoint()
+      Traverse.freeCheckpoint(visited) // superseded by v2
+      Traverse.freeCheckpoint(frontier) // consumed by next + hits
+      visited = v2
       frontier = next
       cnt = frontier.count()
       step += 1
     }
-    Traverse.releaseEdges(e, maxSteps) // hits live in checkpointed blocks
+    Traverse.freeCheckpoint(frontier) // rows live in visited / hits
+    Traverse.freeCheckpoint(visited)
+    Traverse.freeCheckpoint(dstSet)
+    Traverse.releaseEdges(e, maxSteps) // hits are checkpointed
     val out =
       if (found == null)
         srcs.sparkSession.emptyDataFrame
@@ -115,15 +127,20 @@ object PathFinder {
           concat(col("path"), array(e("dst"))).as("path"),
           e("dst").as("vid"))
         .localCheckpoint()
+      // hits checkpointed (small) so superseded frontiers can be freed
       val hits = next.join(dstSet, next("vid") === col("__target"))
         .select(col("origin").as("src"), col("vid").as("dst"),
           array_join(col("path"), "->").as("path"), lit(step).as("hops"))
+        .localCheckpoint()
       found = if (found == null) hits else found.unionByName(hits)
+      Traverse.freeCheckpoint(frontier) // consumed by next + hits
       frontier = next
       cnt = frontier.count()
       step += 1
     }
-    Traverse.releaseEdges(e, maxSteps) // hits live in checkpointed blocks
+    Traverse.freeCheckpoint(frontier)
+    Traverse.freeCheckpoint(dstSet)
+    Traverse.releaseEdges(e, maxSteps) // hits are checkpointed
     if (found == null)
       srcs.sparkSession.emptyDataFrame
         .select(lit("").as("src"), lit("").as("dst"),
@@ -209,16 +226,25 @@ object PathFinder {
           next("origin") === col("vo") && next("vid") === col("vv"),
           "left_anti")
       next = next.localCheckpoint()
+      // hits checkpointed (small) so superseded frontiers can be freed
       val hits = next.join(dstSet, next("vid") === col("__target"))
         .select(col("vids"), col("steps"))
+        .localCheckpoint()
       found = if (found == null) hits else found.unionByName(hits)
-      if (mode == "shortest")
-        visited = visited.unionByName(next.select("origin", "vid"))
+      if (mode == "shortest") {
+        val v2 = visited.unionByName(next.select("origin", "vid"))
           .localCheckpoint()
+        Traverse.freeCheckpoint(visited)
+        visited = v2
+      }
+      Traverse.freeCheckpoint(frontier) // consumed by next + hits
       frontier = next
       cnt = frontier.count()
       step += 1
     }
+    Traverse.freeCheckpoint(frontier)
+    if (visited != null) Traverse.freeCheckpoint(visited)
+    Traverse.freeCheckpoint(dstSet)
     Traverse.releaseEdges(e, maxSteps)
     val base = if (found == null)
       srcs.sparkSession.emptyDataFrame

@@ -83,7 +83,10 @@ object Fn {
   def concat_(cs: Column*): Column = concat(cs: _*)
   def concatWs(sep: String, cs: Column*): Column = concat_ws(sep, cs: _*)
   def md5_(c: Column): Column = md5(c.cast("string"))
-  def hash_(c: Column): Column = xxhash64(c) // 64-bit like nGQL hash()
+  /** nGQL hash() — routed through NebulaHash so every entry point
+    * agrees bit-for-bit (the round-4 xxhash64 shim here silently
+    * diverged from the murmur goldens). */
+  def hash_(c: Column): Column = NebulaHash.hashCol(c)
   def strcasecmp(a: Column, b: Column): Column =
     when(lower(a) < lower(b), -1).when(lower(a) > lower(b), 1).otherwise(0)
 

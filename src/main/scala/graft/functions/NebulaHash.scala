@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
 
 /** The reference's `hash()` builtin: MurmurHash2-64A with seed
   * 0xc70f6907 (src/common/base/MurmurHash2.h:45-85). Int-vid spaces
@@ -75,13 +74,15 @@ object NebulaHash {
     case other => hash64(other.toString)
   }
 
-  /** Column form for non-constant arguments. The reference's hash() is
-    * identity on ints and hashes the string form otherwise
-    * (FunctionManager.cpp "hash": std::hash over the value). A UDF is
-    * acceptable here: hash() appears in seek predicates over small
-    * frames, never in the 100 TB scan path (vid columns are
-    * pre-hashed at load). */
-  private val hashStringUdf = udf((s: String) => Option(s).map(hash64))
-
-  def hashCol(c: Column): Column = hashStringUdf(c.cast("string"))
+  /** Column form for non-constant arguments: a native Catalyst
+    * expression (NebulaHashExpression) that dispatches on the child's
+    * RESOLVED type at analysis — identity on integral columns, 0/1 on
+    * booleans, bit-pattern murmur on floats, UTF-8 murmur on strings
+    * (FunctionManager.cpp "hash": std::hash over the value). Replaces
+    * the round-4 UDF, which stringified unconditionally and so
+    * diverged on hash(<int column>). */
+  def hashCol(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(NebulaHashExpression(ColumnBridge.expression(c)))
+  }
 }

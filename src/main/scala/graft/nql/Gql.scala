@@ -672,6 +672,20 @@ object Gql {
     * frame is the result. `$var = stmt` binds the frame in the script
     * environment (AssignmentValidator / UnionAllVersionVar). */
   def runScript(g: GraphCatalog, query: String): DataFrame = {
+    val last = runRaw(g, query)
+    // internal twins (`__path_*`, `__vid_*`, `__edges_*`) never
+    // surface to the user
+    val hidden = last.columns.filter(c2 =>
+      c2.startsWith("__path_") || c2.startsWith("__vid_") ||
+        c2.startsWith("__edges_"))
+    if (hidden.isEmpty) last else last.drop(hidden: _*)
+  }
+
+  /** Like runScript but KEEPS the hidden structured twins — for
+    * library callers that want the structured columns (e.g. the
+    * subgraph edge list as (src,dst,etype,rank) structs) without
+    * re-parsing the rendered strings. */
+  private[graft] def runRaw(g: GraphCatalog, query: String): DataFrame = {
     val env = scala.collection.mutable.Map.empty[String, DataFrame]
     var last: DataFrame = null
     parseScript(query).foreach { case (varName, stmt) =>
@@ -680,10 +694,7 @@ object Gql {
       last = df
     }
     require(last != null, "empty script")
-    // internal twins (`__path_*`, `__vid_*`) never surface to the user
-    val hidden = last.columns.filter(c2 =>
-      c2.startsWith("__path_") || c2.startsWith("__vid_"))
-    if (hidden.isEmpty) last else last.drop(hidden: _*)
+    last
   }
 
   def exec(g: GraphCatalog, stmt: Stmt): DataFrame = exec(g, stmt, Map.empty)
@@ -861,12 +872,19 @@ object Gql {
     }
     val allTypes = specs.flatMap { case (_, l) =>
       if (l == Seq("*")) g.edgeTypeNames else l }.distinct
-    val oriented0 = specs.map { case (d, list) =>
+    // persist the STORED base per spec: the BFS inside subgraphSteps
+    // scans the oriented view once per hop plus once for the edge
+    // emission, and a Both-direction orientation derives both halves
+    // from ONE cached copy instead of materializing the doubled union
+    val bases = specs.map { case (d, list) =>
       val ets = if (list == Seq("*")) g.edgeTypeNames else list
       val base =
         if (needProps) g.edgesWithProps(ets).withColumnRenamed("__etype", "etype")
         else if (list == Seq("*")) g.allEdges
         else g.allEdges.filter(col("etype").isin(list: _*))
+      (d, Traverse.persistEdges(base, steps = steps + 1))
+    }
+    val oriented0 = bases.map { case (d, base) =>
       d match {
         case Out => orientCols(base, swap = false)
         case In => orientCols(base, swap = true)
@@ -903,6 +921,9 @@ object Gql {
       case None => oriented0
     }
     val (verts, edges) = Traverse.subgraphSteps(seedFrame, oriented, steps)
+    // both outputs are checkpointed inside subgraphSteps — safe to
+    // release the base caches immediately
+    bases.foreach { case (_, b) => Traverse.releaseEdges(b, steps = steps + 1) }
     val strVid = seedFrame.schema("vid").dataType ==
       org.apache.spark.sql.types.StringType
     val vRows = verts.groupBy("step")
@@ -910,13 +931,33 @@ object Gql {
     val eRows =
       (if (steps == 0) edges.limit(0) else edges) // 0 STEPS: vertices only
         .groupBy("step")
-        .agg(collect_list(
-          renderEdge(col("etype"), col("ss"), col("sd"), col("rank"), strVid))
-          .as("__e"))
+        .agg(
+          collect_list(
+            renderEdge(col("etype"), col("ss"), col("sd"), col("rank"), strVid))
+            .as("__e"),
+          // structured twin of the rendered edge list: downstream
+          // consumers (q_nql_subgraph_edges) read (src,dst,etype,rank)
+          // columns directly instead of regex-reparsing the rendering
+          // (round-4 VERDICT #1: render-then-regex anti-pattern)
+          collect_list(struct(col("ss").as("src"), col("sd").as("dst"),
+            col("etype"), col("rank"))).as("__estruct"))
+    val eStructT = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src",
+          edges.schema("ss").dataType),
+        org.apache.spark.sql.types.StructField("dst",
+          edges.schema("sd").dataType),
+        org.apache.spark.sql.types.StructField("etype",
+          edges.schema("etype").dataType),
+        org.apache.spark.sql.types.StructField("rank",
+          edges.schema("rank").dataType))))
     val joined = vRows.join(eRows, Seq("step"), "left")
       .withColumn("__e", coalesce(col("__e"), array().cast("array<string>")))
-    joined.select(yields.map { case (what, alias) =>
-      (if (what == "vertices") col("__v") else col("__e")).as(alias)
+      .withColumn("__estruct", coalesce(col("__estruct"),
+        array().cast(eStructT)))
+    joined.select(yields.flatMap { case (what, alias) =>
+      if (what == "vertices") Seq(col("__v").as(alias))
+      else Seq(col("__e").as(alias), col("__estruct").as(s"__edges_$alias"))
     }: _*)
   }
 

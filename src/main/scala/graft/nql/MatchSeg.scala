@@ -565,7 +565,12 @@ object MatchSeg {
         baseF.select(col("src"), col("dst"), eidCol.as("__eid"),
           estruct.as("__es"))
       else baseF.select(col("src"), col("dst"), eidCol.as("__eid"))
-    val e = Traverse.orient(base, rel.dir).localCheckpoint()
+    // lazy persist, NOT localCheckpoint: the property-carrying edge
+    // table is the biggest frame in the system — an eager checkpoint
+    // copies all of it before the first hop even runs (round-4 VERDICT
+    // #3); persist materializes lazily, partition by partition, as the
+    // hop joins touch it, and is released at loop exit
+    val e = Traverse.persistEdges(Traverse.orient(base, rel.dir), math.max(n, 2))
 
     val seeds = binding.select(col(fromVar).as("__o")).distinct()
     val empty = array().cast("array<string>")
@@ -592,12 +597,16 @@ object MatchSeg {
         .withColumnRenamed("__v2", "__v")
       val mat = next.localCheckpoint()
       cnt = mat.count()
+      // frontiers below step m never reach acc — free once superseded
+      if (step <= math.max(m, 1)) Traverse.freeCheckpoint(frontier)
       frontier = mat
       if (step >= math.max(m, 1) && cnt > 0) {
         acc = if (acc == null) frontier else acc.unionByName(frontier)
       }
       step += 1
     }
+    if (cnt == 0) Traverse.freeCheckpoint(frontier) // empty tail
+    Traverse.releaseEdges(e, math.max(n, 2))
     val out = if (acc == null) zero(seeds).limit(0) else acc
     val outCols = Seq(col("__o").as(fromVar), col("__v").as("__vl_to"),
       col("__ep").as("__vl_ep")) ++

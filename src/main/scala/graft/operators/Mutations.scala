@@ -59,19 +59,35 @@ object Mutations {
       } else renameChecked(stage, target)
     }
 
+    /** Delta-size gate: broadcast the delta's key set only when it is
+      * small (the common case); a bulk mutation above the cap plans a
+      * shuffle join instead of OOMing the driver — same rule as
+      * Traverse's hop joins. The count runs against the (usually tiny)
+      * delta, not the table. */
+    private def gatedKeys(df: DataFrame): DataFrame = {
+      val ks = df.select(keys.map(col): _*)
+      graft.traverse.Traverse.maybeBroadcast(ks, ks.count())
+    }
+
+    /** The merged frame an INSERT writes (exposed for plan tests). */
+    private[graft] def insertPlan(rows: DataFrame): DataFrame =
+      read.join(gatedKeys(rows), keys, "left_anti").unionByName(rows)
+
     /** INSERT (reference default: overwrite existing keys —
       * InsertExecutor "insert or overwrite" semantics). */
     def insert(rows: DataFrame): Unit =
       if (!exists) write(rows)
-      else write(read.join(broadcast(rows.select(keys.map(col): _*)), keys,
-        "left_anti").unionByName(rows))
+      else write(insertPlan(rows))
 
     /** INSERT ... IF NOT EXISTS: keep existing rows on key conflict. */
     def insertIfNotExists(rows: DataFrame): Unit =
       if (!exists) write(rows)
       else {
         val existing = read
-        val fresh = rows.join(broadcast(existing.select(keys.map(col): _*)),
+        // the TABLE side is never broadcast — only the delta's keys
+        // would be small, and this join needs the reverse direction,
+        // so it shuffles (or AQE localizes it) on its own
+        val fresh = rows.join(existing.select(keys.map(col): _*),
           keys, "left_anti")
         write(existing.unionByName(fresh))
       }
@@ -91,10 +107,12 @@ object Mutations {
       write(updated)
     }
 
+    /** The surviving frame a DELETE writes (exposed for plan tests). */
+    private[graft] def deletePlan(keyRows: DataFrame): DataFrame =
+      read.join(gatedKeys(keyRows), keys, "left_anti")
+
     /** DELETE rows by key set (DeleteExecutor semantics). */
-    def delete(keyRows: DataFrame): Unit =
-      write(read.join(broadcast(keyRows.select(keys.map(col): _*)), keys,
-        "left_anti"))
+    def delete(keyRows: DataFrame): Unit = write(deletePlan(keyRows))
 
     /** DELETE rows matching a predicate. */
     def deleteWhere(cond: org.apache.spark.sql.Column): Unit =

@@ -194,18 +194,16 @@ object GraphQueries {
           |"n:0" -> "r:2", "n:0" -> "r:3", "n:0" -> "r:4"""".stripMargin)),
     // GET SUBGRAPH edge output through the parser (DataCollect
     // kSubgraph packs vertices AND edges, Query.h:1423-1432). The
-    // parser emits the reference's step rows (lists of rendered
-    // edges); flatten back to (src, dst, etype, rank) for the oracle.
+    // parser keeps a hidden structured twin (`__edges_e`) of the
+    // rendered edge list, so flattening to (src, dst, etype, rank) is
+    // a struct explode — no regex re-parse of the rendering.
     "q_nql_subgraph_edges" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val rows = graft.nql.Gql.run(gm(s, dir),
+      val rows = graft.nql.Gql.runRaw(gm(s, dir),
         """GET SUBGRAPH 2 STEPS FROM "c:1" YIELD VERTICES AS v, EDGES AS e""")
-      val re = "\\[:([^ ]+) \"(.*)\"->\"(.*)\" @(-?\\d+)\\]"
-      rows.select(explode(col("e")).as("es")).select(
-        regexp_extract(col("es"), re, 2).as("src"),
-        regexp_extract(col("es"), re, 3).as("dst"),
-        regexp_extract(col("es"), re, 1).as("etype"),
-        regexp_extract(col("es"), re, 4).cast("long").as("rank"))
+      rows.select(explode(col("__edges_e")).as("es"))
+        .select(col("es.src").as("src"), col("es.dst").as("dst"),
+          col("es.etype").as("etype"), col("es.rank").cast("long").as("rank"))
     }),
     // FIND PATH honoring OVER <etypes> (typed traversal, PathPlanner)
     "q_nql_typed_path" -> ((s, dir) =>

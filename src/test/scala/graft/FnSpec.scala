@@ -74,4 +74,30 @@ class FnSpec extends SparkSpec {
     assert(one.select(Fn.toSet(array(lit(1), lit(1), lit(2)))).as[Seq[Int]].head()
       .sorted == Seq(1, 2))
   }
+
+  test("hash() on NON-CONSTANT columns matches reference semantics " +
+       "per type: identity on ints, 0/1 on bools, murmur on strings/floats") {
+    import graft.functions.NebulaHash
+    // identity on an integral COLUMN (round-4 divergence: the UDF
+    // stringified then murmured)
+    val ints = Seq(0L, 1L, -7L, 123456789012L).toDF("x")
+    assert(ints.select(NebulaHash.hashCol(col("x"))).as[Long].collect().toSeq
+      == Seq(0L, 1L, -7L, 123456789012L))
+    val int32 = Seq(42, -1).toDF("x")
+    assert(int32.select(NebulaHash.hashCol(col("x"))).as[Long].collect().toSeq
+      == Seq(42L, -1L))
+    assert(Seq(true, false).toDF("x")
+      .select(NebulaHash.hashCol(col("x"))).as[Long].collect().toSeq
+      == Seq(1L, 0L))
+    // strings/floats agree with the driver-side constant fold
+    val ss = Seq("Tim Duncan", "", "nebula").toDF("x")
+    assert(ss.select(NebulaHash.hashCol(col("x"))).as[Long].collect().toSeq
+      == Seq("Tim Duncan", "", "nebula").map(NebulaHash.hash64))
+    val ds = Seq(1.5, -2.25).toDF("x")
+    assert(ds.select(NebulaHash.hashCol(col("x"))).as[Long].collect().toSeq
+      == Seq(1.5, -2.25).map(NebulaHash.hash64))
+    // Fn.hash_ is the same function (the round-4 xxhash64 shim is gone)
+    assert(ints.select(Fn.hash_(col("x"))).as[Long].collect().toSeq
+      == Seq(0L, 1L, -7L, 123456789012L))
+  }
 }
