@@ -170,6 +170,24 @@ object PathFinder {
                  alias: String = "p"): DataFrame = {
     val strVid = edges.schema("src").dataType ==
       org.apache.spark.sql.types.StringType
+    val base = typedPathsRaw(srcs, dsts, edges, maxSteps, mode, dir)
+    // `__path_<alias>`: hidden structured twin of the rendered path —
+    // downstream pipes use it for ORDER BY (reference Path::operator<
+    // compares src then step sequence, Path.h:211) and for
+    // length/nodes/relationships; Gql.runScript drops it from the
+    // final frame
+    base.select(renderTypedPath(col("vids"), col("steps"), strVid).as(alias),
+      struct(col("vids"), col("steps")).as(s"__path_$alias"))
+  }
+
+  /** typedPaths without the rendering: raw (vids, steps) rows — the
+    * MATCH shortestPath()/allShortestPaths() surface binds pattern
+    * variables straight off the structured columns. */
+  def typedPathsRaw(srcs: DataFrame, dsts: DataFrame, edges: DataFrame,
+                    maxSteps: Int, mode: String,
+                    dir: Direction = Out): DataFrame = {
+    val strVid = edges.schema("src").dataType ==
+      org.apache.spark.sql.types.StringType
     val vt = if (strVid) "string" else "bigint"
     val stepT = s"array<struct<s:$vt,d:$vt,t:string,r:bigint,rev:boolean>>"
     val fwd = edges.select(col("src"), col("dst"), col("etype"), col("rank"),
@@ -246,18 +264,11 @@ object PathFinder {
     if (visited != null) Traverse.freeCheckpoint(visited)
     Traverse.freeCheckpoint(dstSet)
     Traverse.releaseEdges(e, maxSteps)
-    val base = if (found == null)
+    if (found == null)
       srcs.sparkSession.emptyDataFrame
         .select(array(lit("")).cast(s"array<$vt>").as("vids"),
           array().cast(stepT).as("steps")).limit(0)
     else found
-    // `__path_<alias>`: hidden structured twin of the rendered path —
-    // downstream pipes use it for ORDER BY (reference Path::operator<
-    // compares src then step sequence, Path.h:211) and for
-    // length/nodes/relationships; Gql.runScript drops it from the
-    // final frame
-    base.select(renderTypedPath(col("vids"), col("steps"), strVid).as(alias),
-      struct(col("vids"), col("steps")).as(s"__path_$alias"))
   }
 
   /** Path serialization from the traversal vertex sequence + typed

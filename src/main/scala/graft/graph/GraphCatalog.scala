@@ -27,8 +27,13 @@ trait GraphCatalog {
     * responses). One projection per type over columnar scans — no
     * shuffle. */
   def edgesWithProps(etypes: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    etypes.map(t => edgesByType(t).withColumn("__etype", lit(t)))
+    import org.apache.spark.sql.functions.{col, lit}
+    if (etypes.isEmpty)
+      // a space with no edge types yet (fresh scenario space): an
+      // empty frame with the minimal hop schema, not a reduce crash
+      allEdges.limit(0).withColumnRenamed("etype", "__etype")
+        .select(col("src"), col("dst"), col("rank"), col("__etype"))
+    else etypes.map(t => edgesByType(t).withColumn("__etype", lit(t)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 }

@@ -1,0 +1,171 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** A mutable, driver-side GraphCatalog: the Spark re-expression of one
+  * reference "space" under DDL/DML (CREATE TAG/EDGE, INSERT, UPDATE,
+  * DELETE — executor/mutate dir, parser.yy:3060/3141/2987).
+  *
+  * Scope: scenario-local state — TCK scenarios that create their own
+  * space, interactive sessions, unit fixtures. Rows live on the
+  * driver (a TCK space is tens of rows) and every read materializes a
+  * DataFrame via `createDataFrame`, so the full query surface (GO /
+  * MATCH / LOOKUP / FETCH / FIND PATH / GET SUBGRAPH) plans against it
+  * unchanged. The AT-SCALE mutation path is
+  * `operators/Mutations.KeyedTable` (staged parquet rewrite ≈ Delta
+  * MERGE) — this class is deliberately NOT that: a 100 TB space is a
+  * table, not a driver map.
+  */
+final class ScenarioCatalog(val spark: SparkSession,
+                            var vidIsInt: Boolean = false)
+    extends GraphCatalog {
+  import ScenarioCatalog.PropDef
+
+  val tagDefs = mutable.LinkedHashMap.empty[String, Vector[PropDef]]
+  val edgeDefs = mutable.LinkedHashMap.empty[String, Vector[PropDef]]
+  /** vid → prop values (declared order). LinkedHashMap: insert order
+    * is stable for deterministic output. */
+  val tagRows =
+    mutable.LinkedHashMap.empty[String, mutable.LinkedHashMap[Any, Array[Any]]]
+  /** (src, dst, rank) → prop values. */
+  val edgeRows = mutable.LinkedHashMap
+    .empty[String, mutable.LinkedHashMap[(Any, Any, Long), Array[Any]]]
+
+  def vidType: DataType = if (vidIsInt) LongType else StringType
+
+  def createTag(name: String, props: Vector[PropDef],
+                ifNotExists: Boolean): Unit = {
+    if (tagDefs.contains(name)) {
+      if (!ifNotExists)
+        throw new graft.nql.DmlError(s"Existed tag $name")
+    } else { tagDefs(name) = props; tagRows(name) = mutable.LinkedHashMap() }
+  }
+
+  def createEdge(name: String, props: Vector[PropDef],
+                 ifNotExists: Boolean): Unit = {
+    if (edgeDefs.contains(name)) {
+      if (!ifNotExists)
+        throw new graft.nql.DmlError(s"Existed edge $name")
+    } else { edgeDefs(name) = props; edgeRows(name) = mutable.LinkedHashMap() }
+  }
+
+  def dropTag(name: String): Unit = { tagDefs -= name; tagRows -= name }
+  def dropEdge(name: String): Unit = { edgeDefs -= name; edgeRows -= name }
+
+  private def frame(schema: StructType, rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(rows.asJava, schema)
+
+  def vertexTable(tag: String): DataFrame = {
+    val defs = tagDefs.getOrElse(tag,
+      throw new IllegalArgumentException(s"unknown tag $tag"))
+    val schema = StructType(StructField("vid", vidType) +:
+      defs.map(d => StructField(d.name, d.dt)))
+    frame(schema, tagRows(tag).iterator
+      .map { case (v, ps) => Row.fromSeq(v +: ps.toSeq) }.toSeq)
+  }
+
+  def edgesByType(etype: String): DataFrame = {
+    val defs = edgeDefs.getOrElse(etype,
+      throw new IllegalArgumentException(s"unknown edge $etype"))
+    val schema = StructType(
+      StructField("src", vidType) +: StructField("dst", vidType) +:
+        StructField("rank", LongType) +:
+        defs.map(d => StructField(d.name, d.dt)))
+    frame(schema, edgeRows(etype).iterator
+      .map { case ((s, d, r), ps) => Row.fromSeq(s +: d +: r +: ps.toSeq) }
+      .toSeq)
+  }
+
+  def allEdges: DataFrame = {
+    val schema = StructType(Seq(StructField("src", vidType),
+      StructField("dst", vidType), StructField("etype", StringType),
+      StructField("rank", LongType)))
+    val rows = edgeRows.iterator.flatMap { case (name, m) =>
+      m.keysIterator.map { case (s, d, r) => Row(s, d, name, r) }
+    }.toSeq
+    frame(schema, rows)
+  }
+
+  def allVertices: DataFrame = {
+    val schema = StructType(Seq(StructField("vid", vidType),
+      StructField("label", StringType)))
+    val rows = tagRows.iterator.flatMap { case (name, m) =>
+      m.keysIterator.map(v => Row(v, name))
+    }.toSeq
+    frame(schema, rows)
+  }
+
+  def tagNames: Seq[String] = tagDefs.keys.toSeq
+  def edgeTypeNames: Seq[String] = edgeDefs.keys.toSeq
+
+  /** Vids present in ANY tag (DELETE VERTEX / dangling checks). */
+  def hasVertex(vid: Any): Boolean = tagRows.values.exists(_.contains(vid))
+
+  def deleteVertex(vid: Any, withEdge: Boolean): Unit = {
+    tagRows.values.foreach(_ -= vid)
+    if (withEdge) edgeRows.values.foreach { m =>
+      m.filterInPlace { case ((s, d, _), _) => s != vid && d != vid }
+    }
+  }
+}
+
+object ScenarioCatalog {
+  /** One prop of a tag/edge schema (NebulaSchemaProvider fields:
+    * nullable unless NOT NULL, optional DEFAULT). */
+  final case class PropDef(name: String,
+                           dt: org.apache.spark.sql.types.DataType,
+                           notNull: Boolean = false,
+                           hasDefault: Boolean = false,
+                           default: Any = null,
+                           /** declared nGQL type, for DESCRIBE (e.g.
+                             * "int64", "list_string"). */
+                           typeName: String = "")
+
+  /** Deep-copy a fixture catalog into a mutable scenario space so a
+    * DML-bearing scenario can't corrupt the shared fixture. Rows are
+    * collected driver-side once per (catalog, table) — TCK fixtures
+    * are hundreds of rows. */
+  def fromCatalog(spark: SparkSession, src: GraphCatalog,
+                  vidIsInt: Boolean): ScenarioCatalog = {
+    val cat = new ScenarioCatalog(spark, vidIsInt)
+    src.tagNames.foreach { t =>
+      val df = src.vertexTable(t)
+      val props = df.schema.fields.filter(_.name != "vid")
+      cat.tagDefs(t) =
+        props.map(f => ScenarioCatalog.PropDef(f.name, f.dataType)).toVector
+      val vidIdx = df.schema.fieldIndex("vid")
+      val propIdx = props.map(f => df.schema.fieldIndex(f.name))
+      val m = mutable.LinkedHashMap.empty[Any, Array[Any]]
+      df.collect().foreach { r =>
+        m(r.get(vidIdx)) = propIdx.map(r.get).toArray
+      }
+      cat.tagRows(t) = m
+    }
+    src.edgeTypeNames.foreach { e =>
+      val df = src.edgesByType(e)
+      val keyNames = Set("src", "dst", "rank")
+      val props = df.schema.fields.filterNot(f => keyNames(f.name))
+      cat.edgeDefs(e) =
+        props.map(f => ScenarioCatalog.PropDef(f.name, f.dataType)).toVector
+      val si = df.schema.fieldIndex("src")
+      val di = df.schema.fieldIndex("dst")
+      val ri = df.schema.fieldIndex("rank")
+      val propIdx = props.map(f => df.schema.fieldIndex(f.name))
+      val m = mutable.LinkedHashMap.empty[(Any, Any, Long), Array[Any]]
+      df.collect().foreach { r =>
+        val rank = r.get(ri) match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case null => 0L
+          case other => other.toString.toLong
+        }
+        m((r.get(si), r.get(di), rank)) = propIdx.map(r.get).toArray
+      }
+      cat.edgeRows(e) = m
+    }
+    cat
+  }
+}

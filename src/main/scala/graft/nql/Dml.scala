@@ -1,0 +1,1081 @@
+package graft.nql
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import graft.graph.{GraphCatalog, ScenarioCatalog}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** A DML/DDL statement violated the reference's semantic or execution
+  * rules (wrong arity, unknown prop, type mismatch, missing key) —
+  * the analogue of the reference's SemanticError / ExecutionError
+  * status codes. Distinct from IllegalArgumentException (= surface we
+  * don't parse) so the TCK runner can assert expected-error steps. */
+final class DmlError(msg: String) extends RuntimeException(msg)
+
+/** nGQL DML + DDL sentences (SURVEY §2.1 sinks as a *parser* surface;
+  * reference grammar: parser.yy:3060 insert_vertex_sentence, :3141
+  * insert_edge_sentence, :2987 update, delete at :3220, CREATE TAG/
+  * EDGE in the maintain section). Statements execute against a
+  * ScenarioCatalog (driver-side scenario space). The at-scale
+  * mutation path stays `operators/Mutations.KeyedTable`; this is the
+  * language front door used by the TCK runner and small sessions. */
+object Dml {
+  import Gql.{P, Stmt, Item, InRef, Word, Sym, Str, Num}
+
+  // ---------- AST ----------
+  sealed trait DStmt extends Stmt
+  /** CREATE TAG / CREATE EDGE (schema definition). */
+  case class CreateSchema(isTag: Boolean, name: String,
+                          props: Vector[(String, String, Boolean, Option[Expr.E])],
+                          ifNotExists: Boolean) extends DStmt
+  case class DropSchema(isTag: Boolean, name: String,
+                        ifExists: Boolean) extends DStmt
+  case class AlterAdd(isTag: Boolean, name: String,
+                      props: Vector[(String, String, Boolean, Option[Expr.E])],
+                      drops: Vector[String]) extends DStmt
+  /** CREATE SPACE / USE / CREATE INDEX / REBUILD / SHOW ... — parsed
+    * and ignored (no cluster to administer; LOOKUP needs no index). */
+  case class AdminNoop(kind: String) extends DStmt
+  case class InsertVertex(tags: Vector[(String, Option[Vector[String]])],
+                          rows: Vector[(Any, Vector[Expr.E])],
+                          ifNotExists: Boolean) extends DStmt
+  case class InsertEdge(etype: String, props: Option[Vector[String]],
+                        rows: Vector[(Any, Any, Long, Vector[Expr.E])],
+                        ifNotExists: Boolean) extends DStmt
+  case class UpdateVertex(tag: String, vids: Seq[Any],
+                          sets: Vector[(String, Expr.E)],
+                          when: Option[Expr.E], yields: Option[Seq[Item]],
+                          upsert: Boolean) extends DStmt
+  case class UpdateEdge(etype: String, keys: Seq[(Any, Any, Long)],
+                        sets: Vector[(String, Expr.E)],
+                        when: Option[Expr.E], yields: Option[Seq[Item]],
+                        upsert: Boolean) extends DStmt
+  case class DeleteVertex(vids: Seq[Any], ref: Option[InRef],
+                          withEdge: Boolean) extends DStmt
+  case class DeleteEdge(etype: String,
+                        keys: Seq[(Any, Any, Long)],
+                        refKeys: Option[(InRef, InRef, Option[InRef])])
+      extends DStmt
+  case class DeleteTag(tags: Seq[String], vids: Seq[Any]) extends DStmt
+  /** DESCRIBE TAG/EDGE — schema listing (Field/Type/Null/Default/
+    * Comment rows, meta DESC output shape). */
+  case class Describe(isTag: Boolean, name: String) extends DStmt
+
+  // ---------- parser ----------
+  private val dmlHeads = Set("insert", "update", "upsert", "delete",
+    "create", "drop", "alter", "rebuild", "use", "show", "describe", "desc")
+
+  def startsDml(p: P): Boolean = p.peek match {
+    case Some(Word(w)) => dmlHeads.contains(w.toLowerCase)
+    case _ => false
+  }
+
+  /** Consume tokens to end of statement (`;` or EOF) — used for admin
+    * sentences we accept-and-ignore. */
+  private def skipStatement(p: P): Unit =
+    while (p.ts.nonEmpty && !p.peek.contains(Sym(";"))) p.next()
+
+  private def parsePropDefs(p: P)
+      : Vector[(String, String, Boolean, Option[Expr.E])] = {
+    val out = mutable.ListBuffer
+      .empty[(String, String, Boolean, Option[Expr.E])]
+    if (p.sym("(")) {
+      var go = !p.sym(")")
+      while (go) {
+        val name = p.word()
+        var tpe = p.word().toLowerCase
+        if (tpe == "fixed_string" && p.sym("(")) { p.intLit(); p.expectSym(")") }
+        if (tpe == "geography" && p.sym("(")) {
+          tpe = s"geography(${p.word().toLowerCase})"
+          p.expectSym(")")
+        }
+        if ((tpe == "list" || tpe == "set" || tpe == "map") && p.sym("<")) {
+          val inner = p.word().toLowerCase
+          p.expectSym(">")
+          tpe = s"$tpe<$inner>"
+        }
+        var notNull = false
+        var default: Option[Expr.E] = None
+        var opts = true
+        while (opts) {
+          if (p.kw("NOT")) { p.expectKw("NULL"); notNull = true }
+          else if (p.kw("NULL")) ()
+          else if (p.kw("DEFAULT")) default = Some(Expr.parse(p))
+          else if (p.kw("COMMENT")) p.next()
+          else opts = false
+        }
+        out += ((name, tpe, notNull, default))
+        if (!p.sym(",")) { p.expectSym(")"); go = false }
+      }
+    }
+    out.toVector
+  }
+
+  /** Trailing schema options: ttl_duration = n, ttl_col = "c",
+    * comment = "..." — accepted, not enforced at parse level. */
+  private def skipSchemaOptions(p: P): Unit =
+    while (p.ts.nonEmpty && !p.peek.contains(Sym(";"))) p.next()
+
+  /** A vid literal: string, [-]int, or hash("...") — token-level so
+    * the `->` in edge keys never reaches the expression parser. */
+  private def vidExpr(p: P): Any = constVid(p)
+
+  def parseSentence(p: P): Stmt = {
+    if (p.kw("INSERT")) {
+      if (p.kw("VERTEX")) parseInsertVertex(p)
+      else if (p.kw("EDGE")) parseInsertEdge(p)
+      else throw new IllegalArgumentException("INSERT expects VERTEX|EDGE")
+    } else if (p.kw("UPDATE")) parseUpdate(p, upsert = false)
+    else if (p.kw("UPSERT")) parseUpdate(p, upsert = true)
+    else if (p.kw("DELETE")) parseDelete(p)
+    else if (p.kw("CREATE")) {
+      val isTag = p.kw("TAG")
+      val isEdge = !isTag && p.kw("EDGE")
+      if ((isTag || isEdge) && !p.kwPeek("INDEX")) {
+        val ifNotExists =
+          if (p.kw("IF")) { p.expectKw("NOT"); p.expectKw("EXISTS"); true }
+          else false
+        val name = p.word()
+        val props = parsePropDefs(p)
+        skipSchemaOptions(p)
+        CreateSchema(isTag, name, props, ifNotExists)
+      } else { skipStatement(p); AdminNoop("create") }
+    } else if (p.kw("DROP")) {
+      val isTag = p.kw("TAG")
+      val isEdge = !isTag && p.kw("EDGE")
+      if ((isTag || isEdge) && !p.kwPeek("INDEX")) {
+        val ifExists =
+          if (p.kw("IF")) { p.expectKw("EXISTS"); true } else false
+        DropSchema(isTag, p.word(), ifExists)
+      } else { skipStatement(p); AdminNoop("drop") }
+    } else if (p.kw("ALTER")) {
+      val isTag = p.kw("TAG")
+      if (!isTag) p.expectKw("EDGE")
+      val name = p.word()
+      val adds = mutable.ListBuffer
+        .empty[(String, String, Boolean, Option[Expr.E])]
+      val drops = mutable.ListBuffer.empty[String]
+      var go = true
+      while (go) {
+        if (p.kw("ADD")) adds ++= parsePropDefs(p)
+        else if (p.kw("DROP")) {
+          p.expectSym("(")
+          drops += p.word()
+          while (p.sym(",")) drops += p.word()
+          p.expectSym(")")
+        } else if (p.kw("CHANGE")) { // type change: accept, keep data
+          parsePropDefs(p)
+        } else go = false
+        if (!p.sym(",")) go = false
+      }
+      skipSchemaOptions(p)
+      AlterAdd(isTag, name, adds.toVector, drops.toVector)
+    } else if (p.kw("DESCRIBE") || p.kw("DESC")) {
+      val isTag = p.kw("TAG")
+      val isEdge = !isTag && p.kw("EDGE")
+      if (isTag || isEdge) Describe(isTag, p.word())
+      else { skipStatement(p); AdminNoop("describe") }
+    } else if (p.kw("REBUILD") || p.kw("USE")) {
+      skipStatement(p); AdminNoop("admin")
+    } else if (p.kwPeek("SHOW")) {
+      // SHOW output shapes (meta listings, CREATE statements) are out
+      // of surface — unsupported, so golden-bearing SHOW steps skip
+      // instead of comparing against an empty frame
+      throw new IllegalArgumentException("SHOW is unsupported")
+    } else throw new IllegalArgumentException(
+      s"unknown DML sentence at ${p.ts.take(3)}")
+  }
+
+  private def parseInsertVertex(p: P): InsertVertex = {
+    val ifNotExists =
+      if (p.kw("IF")) { p.expectKw("NOT"); p.expectKw("EXISTS"); true }
+      else false
+    // IGNORE_EXISTED_INDEX asserts STALE-index reads (insert without
+    // index maintenance) — no index exists here to leave stale, so
+    // those scenarios' goldens are unreachable by design: unsupported
+    if (p.kwPeek("IGNORE_EXISTED_INDEX"))
+      throw new IllegalArgumentException("IGNORE_EXISTED_INDEX unsupported")
+    val tags = mutable.ListBuffer.empty[(String, Option[Vector[String]])]
+    var go = true
+    while (go) {
+      val name = p.word()
+      val props = if (p.sym("(")) {
+        val ps = mutable.ListBuffer.empty[String]
+        if (!p.sym(")")) {
+          ps += p.word()
+          while (p.sym(",")) ps += p.word()
+          p.expectSym(")")
+        }
+        Some(ps.toVector)
+      } else None
+      tags += (name -> props)
+      if (!p.sym(",")) go = false
+    }
+    p.expectKw("VALUES")
+    val rows = mutable.ListBuffer.empty[(Any, Vector[Expr.E])]
+    go = true
+    while (go) {
+      val vid = vidExpr(p)
+      p.expectSym(":")
+      p.expectSym("(")
+      val vals = mutable.ListBuffer.empty[Expr.E]
+      if (!p.sym(")")) {
+        vals += Expr.parse(p)
+        while (p.sym(",")) vals += Expr.parse(p)
+        p.expectSym(")")
+      }
+      rows += (vid -> vals.toVector)
+      if (!p.sym(",")) go = false
+    }
+    InsertVertex(tags.toVector, rows.toVector, ifNotExists)
+  }
+
+  private def parseInsertEdge(p: P): InsertEdge = {
+    val ifNotExists =
+      if (p.kw("IF")) { p.expectKw("NOT"); p.expectKw("EXISTS"); true }
+      else false
+    if (p.kwPeek("IGNORE_EXISTED_INDEX"))
+      throw new IllegalArgumentException("IGNORE_EXISTED_INDEX unsupported")
+    val etype = p.word()
+    val props = if (p.sym("(")) {
+      val ps = mutable.ListBuffer.empty[String]
+      if (!p.sym(")")) {
+        ps += p.word()
+        while (p.sym(",")) ps += p.word()
+        p.expectSym(")")
+      }
+      Some(ps.toVector)
+    } else None
+    p.expectKw("VALUES")
+    val rows = mutable.ListBuffer.empty[(Any, Any, Long, Vector[Expr.E])]
+    var go = true
+    while (go) {
+      val src = vidExpr(p)
+      p.expectSym("-"); p.expectSym(">")
+      val dst = vidExpr(p)
+      val rank = if (p.sym("@")) parseRank(p) else 0L
+      p.expectSym(":")
+      p.expectSym("(")
+      val vals = mutable.ListBuffer.empty[Expr.E]
+      if (!p.sym(")")) {
+        vals += Expr.parse(p)
+        while (p.sym(",")) vals += Expr.parse(p)
+        p.expectSym(")")
+      }
+      rows += ((src, dst, rank, vals.toVector))
+      if (!p.sym(",")) go = false
+    }
+    InsertEdge(etype, props, rows.toVector, ifNotExists)
+  }
+
+  private def parseRank(p: P): Long = {
+    val neg = p.sym("-")
+    p.next() match {
+      case Num(v, _) => if (neg) -v.toLong else v.toLong
+      case t => throw new IllegalArgumentException(s"expected rank, got $t")
+    }
+  }
+
+  private def parseSets(p: P): Vector[(String, Expr.E)] = {
+    p.expectKw("SET")
+    val out = mutable.ListBuffer.empty[(String, Expr.E)]
+    var go = true
+    while (go) {
+      // prop name, possibly written tag.prop (legacy form)
+      var name = p.word()
+      while (p.sym(".")) name = p.word()
+      p.expectSym("=")
+      out += (name -> Expr.parse(p))
+      if (!p.sym(",")) go = false
+    }
+    out.toVector
+  }
+
+  private def parseUpdate(p: P, upsert: Boolean): DStmt = {
+    if (p.kw("VERTEX")) {
+      if (p.kw("ON")) {
+        val tag = p.word()
+        val vids = mutable.ListBuffer[Any](vidExpr(p))
+        while (p.sym(",")) vids += vidExpr(p)
+        val sets = parseSets(p)
+        val when = if (p.kw("WHEN")) Some(Expr.parse(p)) else None
+        val yields = if (p.kw("YIELD")) Some(Gql.parseItems(p)) else None
+        UpdateVertex(tag, vids.toSeq, sets, when, yields, upsert)
+      } else {
+        // legacy: UPDATE VERTEX "vid" SET tag.prop = ... (v1 syntax);
+        // the tag comes from the SET refs
+        val vid = vidExpr(p)
+        p.expectKw("SET")
+        val sets = mutable.ListBuffer.empty[(String, Expr.E)]
+        var tag: Option[String] = None
+        var go = true
+        while (go) {
+          val t = p.word(); p.expectSym(".")
+          val prop = p.word()
+          require(tag.forall(_ == t), "legacy UPDATE mixes tags")
+          tag = Some(t)
+          p.expectSym("=")
+          sets += (prop -> Expr.parse(p))
+          if (!p.sym(",")) go = false
+        }
+        val when = if (p.kw("WHEN")) Some(Expr.parse(p)) else None
+        val yields = if (p.kw("YIELD")) Some(Gql.parseItems(p)) else None
+        UpdateVertex(tag.get, Seq(vid), sets.toVector, when, yields, upsert)
+      }
+    } else if (p.kw("EDGE")) {
+      if (p.kw("ON")) {
+        val etype = p.word()
+        def key(): (Any, Any, Long) = {
+          val src = vidExpr(p)
+          p.expectSym("-"); p.expectSym(">")
+          val dst = vidExpr(p)
+          val rank = if (p.sym("@")) parseRank(p) else 0L
+          (src, dst, rank)
+        }
+        val keys = mutable.ListBuffer[(Any, Any, Long)](key())
+        while (p.sym(",")) keys += key()
+        val sets = parseSets(p)
+        val when = if (p.kw("WHEN")) Some(Expr.parse(p)) else None
+        val yields = if (p.kw("YIELD")) Some(Gql.parseItems(p)) else None
+        UpdateEdge(etype, keys.toSeq, sets, when, yields, upsert)
+      } else {
+        // legacy: UPDATE EDGE "a"->"b"@r OF type SET ...
+        val src = vidExpr(p)
+        p.expectSym("-"); p.expectSym(">")
+        val dst = vidExpr(p)
+        val rank = if (p.sym("@")) parseRank(p) else 0L
+        p.expectKw("OF")
+        val etype = p.word()
+        val sets = parseSets(p)
+        val when = if (p.kw("WHEN")) Some(Expr.parse(p)) else None
+        val yields = if (p.kw("YIELD")) Some(Gql.parseItems(p)) else None
+        UpdateEdge(etype, Seq((src, dst, rank)), sets, when, yields, upsert)
+      }
+    } else throw new IllegalArgumentException("UPDATE expects VERTEX|EDGE")
+  }
+
+  private def parseDelete(p: P): DStmt = {
+    if (p.kw("VERTEX")) {
+      val (vids, ref) = Gql.vidsOrRefPub(p)
+      val withEdge = if (p.kw("WITH")) { p.expectKw("EDGE"); true } else false
+      DeleteVertex(vids, ref, withEdge)
+    } else if (p.kw("EDGE")) {
+      val etype = p.word()
+      // ref form: DELETE EDGE t $-.src -> $-.dst [@$-.rank]
+      if (p.peek.contains(Sym("$"))) {
+        def ref(): InRef = {
+          p.expectSym("$")
+          p.peek match {
+            case Some(Sym("-")) =>
+              p.next(); p.expectSym("."); InRef(None, p.word())
+            case Some(Word(v)) =>
+              p.next(); p.expectSym("."); InRef(Some(v), p.word())
+            case t => throw new IllegalArgumentException(s"bad ref $t")
+          }
+        }
+        val s = ref(); p.expectSym("-"); p.expectSym(">")
+        val d = ref()
+        val r = if (p.sym("@")) Some(ref()) else None
+        DeleteEdge(etype, Seq.empty, Some((s, d, r)))
+      } else {
+        val keys = mutable.ListBuffer.empty[(Any, Any, Long)]
+        var go = true
+        while (go) {
+          val s = constVid(p)
+          p.expectSym("-"); p.expectSym(">")
+          val d = constVid(p)
+          val r = if (p.sym("@")) parseRank(p) else 0L
+          keys += ((s, d, r))
+          if (!p.sym(",")) go = false
+        }
+        DeleteEdge(etype, keys.toSeq, None)
+      }
+    } else if (p.kw("TAG")) {
+      val tags = mutable.ListBuffer.empty[String]
+      if (p.sym("*")) tags += "*"
+      else { tags += p.word(); while (p.sym(",")) tags += p.word() }
+      p.expectKw("FROM")
+      val vids = p.vidList()
+      DeleteTag(tags.toSeq, vids)
+    } else throw new IllegalArgumentException("DELETE expects VERTEX|EDGE|TAG")
+  }
+
+  private def constVid(p: P): Any = p.next() match {
+    case Str(s) => s
+    case Num(v, _) => v.toLong
+    case Sym("-") => p.next() match {
+      case Num(v, _) => -v.toLong
+      case t => throw new IllegalArgumentException(s"bad vid $t")
+    }
+    case Word(w) if w.equalsIgnoreCase("hash") =>
+      p.expectSym("(")
+      val s = p.next() match {
+        case Str(x) => x
+        case t => throw new IllegalArgumentException(s"hash() arg $t")
+      }
+      p.expectSym(")")
+      graft.functions.NebulaHash.hash64(s)
+    case t => throw new IllegalArgumentException(s"expected vid, got $t")
+  }
+
+  /** A geography VALUE (WKT + shape kind) — distinct from a plain
+    * string so geography-typed props reject strings and vice versa
+    * (Geography.h:39-43 shape kinds; storage is canonical WKT). */
+  final case class GeoVal(wkt: String, kind: String)
+
+  private val wktRe =
+    ("(?i)^\\s*(POINT\\s*\\(\\s*-?[0-9.]+\\s+-?[0-9.]+\\s*\\)|" +
+     "LINESTRING\\s*\\(\\s*(-?[0-9.]+\\s+-?[0-9.]+\\s*,\\s*)+-?[0-9.]+\\s+-?[0-9.]+\\s*\\)|" +
+     "POLYGON\\s*\\(\\s*(\\(\\s*(-?[0-9.]+\\s+-?[0-9.]+\\s*,\\s*)*-?[0-9.]+\\s+-?[0-9.]+\\s*\\)\\s*,?\\s*)+\\))\\s*$").r
+
+  /** Parse + normalize a WKT literal; DmlError on malformed text
+    * (GeoFunction wktToGeography error path). */
+  def geogFromText(wkt: String): GeoVal = {
+    if (wktRe.findFirstIn(wkt).isEmpty)
+      throw new DmlError(s"Invalid WKT: $wkt")
+    val upper = wkt.trim
+    val kind =
+      if (upper.toUpperCase.startsWith("POINT")) "point"
+      else if (upper.toUpperCase.startsWith("LINESTRING")) "linestring"
+      else "polygon"
+    // canonical rendering: upper-case keyword, normalized spacing,
+    // numbers printed the way the reference prints Values (integral
+    // doubles drop the trailing .0: "1.0 1.0" -> "1 1")
+    val body = upper.substring(upper.indexOf('('))
+      .replaceAll("\\s*\\(\\s*", "(").replaceAll("\\s*\\)\\s*", ")")
+      .replaceAll("\\s*,\\s*", ", ")
+    val canon = "-?[0-9.]+".r.replaceAllIn(body, m => {
+      val d = m.group(0).toDouble
+      if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15)
+        d.toLong.toString
+      else m.group(0)
+    })
+    GeoVal(kind.toUpperCase + canon, kind)
+  }
+
+  // ---------- driver-side constant/row-context evaluation ----------
+  /** Evaluate an expression against a prop-name environment; throws
+    * IllegalArgumentException for surface outside the DML subset and
+    * DmlError for semantic violations (unknown prop). */
+  def eval(e: Expr.E, env: String => Option[Any]): Any = e match {
+    case Expr.Lit(v) => v
+    case Expr.ListLit(items) => items.map(eval(_, env))
+    case Expr.SetLit(items) => items.map(eval(_, env)).distinct
+    case Expr.Ref(parts) =>
+      env(parts.last).getOrElse(
+        throw new DmlError(s"unknown prop ${parts.mkString(".")}"))
+    case Expr.Param(_, _, parts) if parts.nonEmpty =>
+      env(parts.last).getOrElse(
+        throw new DmlError(s"unknown prop ${parts.mkString(".")}"))
+    case Expr.Un("neg", x) => eval(x, env) match {
+      case n: Long => -n
+      case d: Double => -d
+      case other => throw new DmlError(s"cannot negate $other")
+    }
+    case Expr.Un("not", x) => eval(x, env) match {
+      case b: Boolean => !b
+      case null => null
+      case other => throw new DmlError(s"cannot NOT $other")
+    }
+    case Expr.Bin(op, a, b) => binop(op, eval(a, env), eval(b, env))
+    case Expr.CaseW(None, branches, els) =>
+      branches.collectFirst {
+        case (c, v) if eval(c, env) == true => eval(v, env)
+      }.getOrElse(els.map(eval(_, env)).orNull)
+    case Expr.FnCall(name, args, _) => fncall(name.toLowerCase,
+      args.map(eval(_, env)))
+    case other =>
+      throw new IllegalArgumentException(s"unsupported DML expr $other")
+  }
+
+  private def num2(x: Any, y: Any): Option[(Double, Double, Boolean)] = {
+    def d(v: Any): Option[(Double, Boolean)] = v match {
+      case n: Long => Some((n.toDouble, true))
+      case n: Int => Some((n.toDouble, true))
+      case f: Double => Some((f, false))
+      case _ => None
+    }
+    (d(x), d(y)) match {
+      case (Some((a, ai)), Some((b, bi))) => Some((a, b, ai && bi))
+      case _ => None
+    }
+  }
+
+  private def binop(op: String, x: Any, y: Any): Any = op match {
+    case "and" | "AND" => (x, y) match {
+      case (false, _) | (_, false) => false
+      case (true, true) => true
+      case _ => null
+    }
+    case "or" | "OR" => (x, y) match {
+      case (true, _) | (_, true) => true
+      case (false, false) => false
+      case _ => null
+    }
+    case "==" | "=" =>
+      if (x == null || y == null) null
+      else num2(x, y).map { case (a, b, _) => a == b }.getOrElse(x == y)
+    case "!=" | "<>" =>
+      if (x == null || y == null) null
+      else num2(x, y).map { case (a, b, _) => a != b }.getOrElse(x != y)
+    case "<" | "<=" | ">" | ">=" =>
+      if (x == null || y == null) null
+      else num2(x, y) match {
+        case Some((a, b, _)) => op match {
+          case "<" => a < b; case "<=" => a <= b
+          case ">" => a > b; case ">=" => a >= b
+        }
+        case None => (x, y) match {
+          case (a: String, b: String) => op match {
+            case "<" => a < b; case "<=" => a <= b
+            case ">" => a > b; case ">=" => a >= b
+          }
+          case _ => throw new DmlError(s"cannot compare $x $op $y")
+        }
+      }
+    case "+" => (x, y) match {
+      case (a: Seq[_], b: Seq[_]) => a ++ b
+      case (a: String, b: String) => a + b
+      case (null, _) | (_, null) => null
+      case _ => num2(x, y) match {
+        case Some((a, b, true)) => a.toLong + b.toLong
+        case Some((a, b, false)) => a + b
+        case None => throw new DmlError(s"cannot add $x + $y")
+      }
+    }
+    case "-" | "*" | "/" | "%" =>
+      if (x == null || y == null) null
+      else num2(x, y) match {
+        case Some((a, b, bothInt)) =>
+          if (bothInt) {
+            val (ai, bi) = (a.toLong, b.toLong)
+            op match {
+              case "-" => ai - bi
+              case "*" => ai * bi
+              case "/" =>
+                if (bi == 0) throw new DmlError("division by zero") else ai / bi
+              case "%" =>
+                if (bi == 0) throw new DmlError("division by zero") else ai % bi
+            }
+          } else op match {
+            case "-" => a - b; case "*" => a * b
+            case "/" => a / b; case "%" => a % b
+          }
+        case None => throw new DmlError(s"cannot $op $x $y")
+      }
+    case other =>
+      throw new IllegalArgumentException(s"unsupported DML operator $other")
+  }
+
+  private def fncall(name: String, args: List[Any]): Any = name match {
+    case "timestamp" => args match {
+      case Nil => System.currentTimeMillis() / 1000
+      case List(s: String) =>
+        java.time.LocalDateTime.parse(s)
+          .toEpochSecond(java.time.ZoneOffset.UTC)
+      case List(n: Long) => n
+      case _ => throw new DmlError(s"timestamp($args)")
+    }
+    case "date" => args match {
+      case List(s: String) => java.sql.Date.valueOf(s)
+      case Nil => new java.sql.Date(System.currentTimeMillis())
+      case _ => throw new DmlError(s"date($args)")
+    }
+    case "datetime" => args match {
+      case List(s: String) =>
+        java.sql.Timestamp.valueOf(java.time.LocalDateTime.parse(s))
+      case _ => throw new DmlError(s"datetime($args)")
+    }
+    case "time" => args match {
+      case List(s: String) => s
+      case _ => throw new DmlError(s"time($args)")
+    }
+    case "now" => System.currentTimeMillis() / 1000
+    case "hash" => graft.functions.NebulaHash.hashValue(args.head)
+    case "abs" => args.head match {
+      case n: Long => math.abs(n)
+      case d: Double => math.abs(d)
+      case other => throw new DmlError(s"abs($other)")
+    }
+    case "tointeger" => args.head match {
+      case n: Long => n
+      case d: Double => d.toLong
+      case s: String => s.trim.toLongOption.orNull
+      case _ => null
+    }
+    case "tofloat" => args.head match {
+      case n: Long => n.toDouble
+      case d: Double => d
+      case s: String => s.trim.toDoubleOption.orNull
+      case _ => null
+    }
+    case "tostring" => args.head match {
+      case null => null
+      case d: Double => graft.tck.TckRunner.norm(d)
+      case v => v.toString
+    }
+    case "replace" => args match {
+      case List(s0: String, o: String, n0: String) => s0.replace(o, n0)
+      case List(xs: Seq[_], o, n0) => xs.map(x => if (x == o) n0 else x)
+      case _ => throw new DmlError(s"replace($args)")
+    }
+    case "erase" => args match {
+      case List(xs: Seq[_], v) => xs.filterNot(_ == v)
+      case _ => throw new DmlError(s"erase($args)")
+    }
+    case "setadd" => args match {
+      case List(xs: Seq[_], v) => if (xs.contains(v)) xs else xs :+ v
+      case _ => throw new DmlError(s"setadd($args)")
+    }
+    case "setdel" => args match {
+      case List(xs: Seq[_], v) => xs.filterNot(_ == v)
+      case _ => throw new DmlError(s"setdel($args)")
+    }
+    case "st_geogfromtext" => args match {
+      case List(w: String) => geogFromText(w)
+      case _ => throw new DmlError(s"st_geogfromtext($args)")
+    }
+    case "st_point" => args match {
+      case List(x, y) =>
+        def n(v: Any): String = v match {
+          case l: Long => l.toString
+          case d: Double => graft.tck.TckRunner.norm(d)
+          case other => other.toString
+        }
+        GeoVal(s"POINT(${n(x)} ${n(y)})", "point")
+      case _ => throw new DmlError(s"st_point($args)")
+    }
+    case "st_astext" => args.head match {
+      case GeoVal(w, _) => w
+      case s0: String => s0
+      case null => null
+      case other => throw new DmlError(s"st_astext($other)")
+    }
+    case "lower" | "tolower" => args.head match {
+      case s: String => s.toLowerCase; case _ => null
+    }
+    case "upper" | "toupper" => args.head match {
+      case s: String => s.toUpperCase; case _ => null
+    }
+    case other =>
+      throw new IllegalArgumentException(s"unsupported DML function $other")
+  }
+
+  // ---------- execution ----------
+  private def cat(g: GraphCatalog): ScenarioCatalog = g match {
+    case s: ScenarioCatalog => s
+    case _ => throw new IllegalArgumentException(
+      "DML needs a mutable (scenario) catalog")
+  }
+
+  private def sparkOf(g: GraphCatalog): SparkSession =
+    g match {
+      case s: ScenarioCatalog => s.spark
+      case other => other.allVertices.sparkSession
+    }
+
+  /** DESCRIBE's rendering of a declared type (meta DESC output):
+    * int aliases widen to int64; containers print list_/set_ prefix. */
+  private def describeTypeName(tpe: String): String = tpe match {
+    case "int" => "int64"
+    // container element types print their RAW name (list_int, not
+    // list_int64 — meta DESC keeps the declared alias inside containers)
+    case l if l.startsWith("list<") =>
+      "list_" + l.substring(5, l.length - 1)
+    case l if l.startsWith("set<") =>
+      "set_" + l.substring(4, l.length - 1)
+    case other => other
+  }
+
+  private def dataTypeOf(tpe: String): DataType = tpe match {
+    // set-ness is encoded in containsNull=false: a schema-level SET
+    // renders with {...} braces (Value.cpp Set::toString) while LIST
+    // renders [...] — the only place the distinction surfaces
+    case l if l.startsWith("list<") =>
+      ArrayType(dataTypeOf(l.substring(5, l.length - 1)), containsNull = true)
+    case l if l.startsWith("set<") =>
+      ArrayType(dataTypeOf(l.substring(4, l.length - 1)), containsNull = false)
+    case "int" | "int64" | "int32" | "int16" | "int8" | "timestamp" => LongType
+    case "double" | "float" => DoubleType
+    case "bool" => BooleanType
+    case "string" | "fixed_string" => StringType
+    case "date" => DateType
+    case "datetime" => TimestampType
+    case "time" => StringType
+    case "duration" => StringType
+    case g2 if g2.startsWith("geography") => StringType
+    case other =>
+      throw new IllegalArgumentException(s"unsupported prop type $other")
+  }
+
+  /** PropDef-aware coercion: geography props accept only GeoVal (with
+    * a matching shape when the schema narrows it); everything else
+    * falls through to the type-based rules. */
+  private def coerceDef(v: Any, d: ScenarioCatalog.PropDef): Any =
+    if (d.typeName.startsWith("geography")) v match {
+      case null =>
+        if (d.notNull) throw new DmlError(s"prop ${d.name} is NOT NULL")
+        else null
+      case GeoVal(w, kind) =>
+        val want = d.typeName match {
+          case "geography" => None
+          case t => Some(t.substring(10, t.length - 1))
+        }
+        if (want.exists(_ != kind))
+          throw new DmlError(s"shape $kind does not match ${d.typeName}")
+        w
+      case other =>
+        throw new DmlError(s"wrong type for ${d.name}: $other is not geography")
+    }
+    else v match {
+      case GeoVal(_, _) =>
+        throw new DmlError(s"wrong type for ${d.name}: geography value")
+      case _ => coerce(v, d.dt, d.name)
+    }
+
+  /** Type-check one INSERT/UPDATE value against the declared type —
+    * the reference's ExecutionError on wrong-typed writes. Ints widen
+    * to double; everything else must match exactly. */
+  private def coerce(v: Any, dt: DataType, prop: String): Any = (v, dt) match {
+    case (null, _) => null
+    case (n: Long, LongType) => n
+    case (n: Int, LongType) => n.toLong
+    case (n: Long, DoubleType) => n.toDouble
+    case (d: Double, DoubleType) => d
+    case (s: String, StringType) => s
+    case (b: Boolean, BooleanType) => b
+    case (d: java.sql.Date, DateType) => d
+    case (t: java.sql.Timestamp, TimestampType) => t
+    case (xs: Seq[_], ArrayType(et, _)) =>
+      xs.map(x => coerce(x, et, prop))
+    case (other, _) =>
+      throw new DmlError(s"wrong type for $prop: $other is not $dt")
+  }
+
+  private def propDefs(g: ScenarioCatalog, isTag: Boolean, name: String) =
+    (if (isTag) g.tagDefs else g.edgeDefs).getOrElse(name,
+      throw new DmlError(
+        s"${if (isTag) "tag" else "edge"} $name does not exist"))
+
+  /** Build the full prop-value array for one insert row: named props
+    * from values, the rest from defaults / NULL; strict arity and
+    * name checks (SemanticError), type checks (ExecutionError). */
+  private def buildRow(defs: Vector[ScenarioCatalog.PropDef],
+                       names: Option[Vector[String]],
+                       vals: Vector[Any]): Array[Any] = {
+    val given = names.getOrElse(defs.map(_.name))
+    if (given.size != vals.size)
+      throw new DmlError(
+        s"value count ${vals.size} != prop count ${given.size}")
+    val byName = given.zip(vals).toMap
+    given.foreach { n =>
+      if (!defs.exists(_.name == n)) throw new DmlError(s"unknown prop $n")
+    }
+    defs.map { d =>
+      byName.get(d.name) match {
+        case Some(v) =>
+          val c = coerceDef(v, d)
+          if (c == null && d.notNull)
+            throw new DmlError(s"prop ${d.name} is NOT NULL")
+          c
+        case None =>
+          if (d.hasDefault) d.default
+          else if (!d.notNull) null
+          else throw new DmlError(s"prop ${d.name} has no default")
+      }
+    }.toArray
+  }
+
+  private def evalConst(e: Expr.E): Any = eval(e, _ => None)
+
+  private def evalVid(g: ScenarioCatalog, v: Any): Any =
+    (v, g.vidIsInt) match {
+      case (s: String, false) => s
+      case (n: Long, true) => n
+      case (n: Int, true) => n.toLong
+      case (other, _) =>
+        throw new DmlError(s"vid $other does not match the space vid type")
+    }
+
+  /** One-row result frame for UPDATE ... YIELD. */
+  private def yieldFrame(spark: SparkSession, items: Seq[Item],
+                         env: String => Option[Any]): DataFrame = {
+    val vals = items.map(i => i.alias -> eval(i.e, env))
+    def dtOf(v: Any): DataType = v match {
+      case _: Long => LongType
+      case _: Int => LongType
+      case _: Double => DoubleType
+      case _: Boolean => BooleanType
+      case _: java.sql.Date => DateType
+      case _: java.sql.Timestamp => TimestampType
+      case xs: Seq[_] =>
+        ArrayType(xs.headOption.map(dtOf).getOrElse(StringType))
+      case _ => StringType
+    }
+    val fields = vals.map { case (n, v) => StructField(n, dtOf(v)) }
+    val row = Row.fromSeq(vals.map {
+      case (_, i: Int) => i.toLong
+      case (_, v) => v
+    })
+    spark.createDataFrame(Seq(row).asJava, StructType(fields))
+  }
+
+  private def emptyOk(spark: SparkSession): DataFrame =
+    spark.emptyDataFrame
+
+  /** Shared UPDATE/UPSERT row engine. All mutations stage on a COPY
+    * and commit only when the whole statement (SETs + YIELD) evaluates
+    * — the reference validates the full statement before writing, so a
+    * bad YIELD ref must not half-apply the SETs (Update.feature: the
+    * SemanticError "Has wrong expr" statements leave state untouched).
+    * SET items evaluate SEQUENTIALLY (each sees the previous item's
+    * result — UpdateExecutor applies props in order). On a missing key
+    * UPSERT inserts regardless of WHEN (UpdateExecutor insertable
+    * path), starting from schema defaults.
+    * Returns (rowToCommit?, yieldFrame). */
+  private def applyUpdate(spark: SparkSession,
+                          defs: Vector[ScenarioCatalog.PropDef],
+                          existing: Option[Array[Any]],
+                          sets: Vector[(String, Expr.E)],
+                          when: Option[Expr.E], yields: Option[Seq[Item]],
+                          upsert: Boolean,
+                          what: String): (Option[Array[Any]], DataFrame) = {
+    sets.foreach { case (n, _) =>
+      if (!defs.exists(_.name == n)) throw new DmlError(s"unknown prop $n")
+    }
+    def envOf(arr: Array[Any]): String => Option[Any] = n =>
+      defs.indexWhere(_.name == n) match {
+        case -1 => None
+        case i => Some(arr(i))
+      }
+    def applySets(work: Array[Any]): Unit =
+      sets.foreach { case (n, e) =>
+        val i = defs.indexWhere(_.name == n)
+        work(i) = coerceDef(eval(e, envOf(work)), defs(i))
+      }
+    existing match {
+      case Some(arr) =>
+        val work = arr.clone()
+        val pass = when.forall(w => eval(w, envOf(arr)) == true)
+        if (pass) applySets(work)
+        val out = yields.map(items => yieldFrame(spark, items, envOf(work)))
+          .getOrElse(emptyOk(spark))
+        (if (pass) Some(work) else None, out)
+      case None if upsert =>
+        val work = defs.map(d2 =>
+          if (d2.hasDefault) d2.default else null).toArray[Any]
+        applySets(work)
+        defs.zipWithIndex.foreach { case (d2, i) =>
+          if (d2.notNull && work(i) == null)
+            throw new DmlError(s"NOT NULL prop ${d2.name} unset in UPSERT")
+        }
+        val out = yields.map(items => yieldFrame(spark, items, envOf(work)))
+          .getOrElse(emptyOk(spark))
+        (Some(work), out)
+      case None =>
+        throw new DmlError(s"$what not found")
+    }
+  }
+
+  def exec(g0: GraphCatalog, d: DStmt,
+           env: Map[String, DataFrame],
+           input: Option[DataFrame]): DataFrame = {
+    val spark = sparkOf(g0)
+    d match {
+      case AdminNoop(_) => emptyOk(spark)
+      case CreateSchema(isTag, name, props, ifNotExists) =>
+        val g = cat(g0)
+        val defs = props.map { case (n, tpe, notNull, defE) =>
+          val dt = dataTypeOf(tpe)
+          val tn = describeTypeName(tpe)
+          defE match {
+            case Some(e) =>
+              val proto = ScenarioCatalog.PropDef(n, dt, notNull, typeName = tn)
+              val v = coerceDef(evalConst(e), proto)
+              proto.copy(hasDefault = true, default = v)
+            case None =>
+              ScenarioCatalog.PropDef(n, dt, notNull, typeName = tn)
+          }
+        }
+        if (isTag) g.createTag(name, defs, ifNotExists)
+        else g.createEdge(name, defs, ifNotExists)
+        emptyOk(spark)
+      case DropSchema(isTag, name, ifExists) =>
+        val g = cat(g0)
+        val known =
+          if (isTag) g.tagDefs.contains(name) else g.edgeDefs.contains(name)
+        if (!known && !ifExists)
+          throw new DmlError(s"not existed ${if (isTag) "tag" else "edge"}")
+        if (isTag) g.dropTag(name) else g.dropEdge(name)
+        emptyOk(spark)
+      case AlterAdd(isTag, name, adds, drops) =>
+        val g = cat(g0)
+        val defsMap = if (isTag) g.tagDefs else g.edgeDefs
+        val rowsMap: mutable.Map[String, _ <: mutable.LinkedHashMap[_, Array[Any]]] =
+          if (isTag) g.tagRows else g.edgeRows
+        val cur = defsMap.getOrElse(name, throw new DmlError(s"unknown $name"))
+        val added = adds.map { case (n, tpe, notNull, defE) =>
+          val dt = dataTypeOf(tpe)
+          defE match {
+            case Some(e) =>
+              ScenarioCatalog.PropDef(n, dt, notNull, hasDefault = true,
+                default = coerce(evalConst(e), dt, n))
+            case None => ScenarioCatalog.PropDef(n, dt, notNull)
+          }
+        }
+        val keepIdx = cur.zipWithIndex.filterNot { case (d2, _) =>
+          drops.contains(d2.name) }.map(_._2)
+        defsMap(name) = keepIdx.map(cur) ++ added
+        rowsMap(name).asInstanceOf[mutable.LinkedHashMap[Any, Array[Any]]]
+          .mapValuesInPlace { (_, arr) =>
+            keepIdx.map(arr).toArray ++ added.map(d2 =>
+              if (d2.hasDefault) d2.default else null)
+          }
+        emptyOk(spark)
+      case InsertVertex(tags, rows, ifNotExists) =>
+        val g = cat(g0)
+        // per-tag prop slices: values are flattened across tags
+        val perTag = tags.map { case (t, names) =>
+          val defs = propDefs(g, isTag = true, t)
+          val n = names.map(_.size).getOrElse(defs.size)
+          (t, names, defs, n)
+        }
+        rows.foreach { case (vidE, vals0) =>
+          val vid = evalVid(g, vidE)
+          val vals = vals0.map(evalConst)
+          val total = perTag.map(_._4).sum
+          if (vals.size != total)
+            throw new DmlError(s"value count ${vals.size} != $total")
+          var off = 0
+          // validate all tags BEFORE writing any (a failed insert
+          // must not half-apply)
+          val staged = perTag.map { case (t, names, defs, n) =>
+            val slice = vals.slice(off, off + n); off += n
+            (t, buildRow(defs, names, slice))
+          }
+          staged.foreach { case (t, arr) =>
+            val m = g.tagRows(t)
+            if (!(ifNotExists && m.contains(vid))) m(vid) = arr
+          }
+        }
+        emptyOk(spark)
+      case InsertEdge(etype, names, rows, ifNotExists) =>
+        val g = cat(g0)
+        val defs = propDefs(g, isTag = false, etype)
+        rows.foreach { case (srcE, dstE, rank, vals0) =>
+          val src = evalVid(g, srcE)
+          val dst = evalVid(g, dstE)
+          val arr = buildRow(defs, names, vals0.map(evalConst))
+          val m = g.edgeRows(etype)
+          val key = (src, dst, rank)
+          if (!(ifNotExists && m.contains(key))) m(key) = arr
+        }
+        emptyOk(spark)
+      case UpdateVertex(tag, vidEs, sets, when, yields, upsert) =>
+        val g = cat(g0)
+        val defs = propDefs(g, isTag = true, tag)
+        val m = g.tagRows(tag)
+        val outs = vidEs.map { vidE =>
+          val vid = evalVid(g, vidE)
+          applyUpdate(spark, defs, m.get(vid), sets, when, yields, upsert,
+            what = s"vertex $vid on tag $tag") match {
+            case (Some(work), out) => m(vid) = work; out
+            case (None, out) => out
+          }
+        }
+        outs.reduceLeft((a, b) =>
+          if (a.columns.isEmpty) b
+          else if (b.columns.isEmpty) a
+          else a.unionByName(b))
+      case UpdateEdge(etype, keyEs, sets, when, yields, upsert) =>
+        val g = cat(g0)
+        val defs = propDefs(g, isTag = false, etype)
+        val m = g.edgeRows(etype)
+        val outs = keyEs.map { case (srcE, dstE, rank) =>
+          val key = (evalVid(g, srcE), evalVid(g, dstE), rank)
+          applyUpdate(spark, defs, m.get(key), sets, when, yields, upsert,
+            what = s"edge $key on $etype") match {
+            case (Some(work), out) => m(key) = work; out
+            case (None, out) => out
+          }
+        }
+        outs.reduceLeft((a, b) =>
+          if (a.columns.isEmpty) b
+          else if (b.columns.isEmpty) a
+          else a.unionByName(b))
+      case DeleteVertex(vids, ref, withEdge) =>
+        val g = cat(g0)
+        val targets: Seq[Any] = ref match {
+          case Some(InRef(None, c)) =>
+            input.getOrElse(throw new IllegalArgumentException(
+              "DELETE VERTEX $-. needs a pipe"))
+              .select(c).collect().map(_.get(0)).toSeq
+          case Some(InRef(Some(v), c)) =>
+            env.getOrElse(v, throw new IllegalArgumentException(
+              s"undefined $$$v")).select(c).collect().map(_.get(0)).toSeq
+          case None => vids
+        }
+        targets.foreach { v =>
+          val vid = (v, g.vidIsInt) match {
+            case (s: String, false) => s
+            case (n: Long, true) => n
+            case (n: Int, true) => n.toLong
+            case (other, _) =>
+              throw new DmlError(s"vid $other type mismatch")
+          }
+          g.deleteVertex(vid, withEdge)
+        }
+        emptyOk(spark)
+      case DeleteEdge(etype, keys, refKeys) =>
+        val g = cat(g0)
+        val m = g.edgeRows.getOrElse(etype,
+          throw new DmlError(s"unknown edge $etype"))
+        val resolved: Seq[(Any, Any, Long)] = refKeys match {
+          case Some((sr, dr, rr)) =>
+            val df = (sr, input) match {
+              case (InRef(None, _), Some(in)) => in
+              case (InRef(Some(v), _), _) =>
+                env.getOrElse(v, throw new IllegalArgumentException(
+                  s"undefined $$$v"))
+              case _ => throw new IllegalArgumentException(
+                "DELETE EDGE $-. needs a pipe")
+            }
+            val cols = Seq(sr.colName, dr.colName) ++ rr.map(_.colName)
+            df.select(cols.head, cols.tail: _*).collect().toSeq.map { r =>
+              val rank = if (rr.isDefined) r.get(2) match {
+                case l: Long => l; case i: Int => i.toLong
+                case other => other.toString.toLong
+              } else 0L
+              (r.get(0), r.get(1), rank)
+            }
+          case None => keys
+        }
+        resolved.foreach(m -= _)
+        emptyOk(spark)
+      case Describe(isTag, name) =>
+        val g = cat(g0)
+        val defs = propDefs(g, isTag = isTag, name)
+        val schema = StructType(Seq(
+          StructField("Field", StringType), StructField("Type", StringType),
+          StructField("Null", StringType), StructField("Default", StringType),
+          StructField("Comment", StringType)))
+        val rows = defs.map { d2 =>
+          Row(d2.name, d2.typeName,
+            if (d2.notNull) "NO" else "YES",
+            if (d2.hasDefault) String.valueOf(d2.default) else null,
+            null)
+        }
+        spark.createDataFrame(rows.asJava, schema)
+      case DeleteTag(tags, vids) =>
+        val g = cat(g0)
+        val ts = if (tags == Seq("*")) g.tagNames else tags
+        ts.foreach { t =>
+          val m = g.tagRows.getOrElse(t,
+            throw new DmlError(s"unknown tag $t"))
+          vids.foreach(m -= _)
+        }
+        emptyOk(spark)
+    }
+  }
+}

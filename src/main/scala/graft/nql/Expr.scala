@@ -35,6 +35,9 @@ object Expr {
   final case class ListLit(items: List[E]) extends E
   /** Map literal {k: v, ...} → struct column with named fields. */
   final case class MapLit(entries: List[(String, E)]) extends E
+  /** `{e1, e2, ...}` / `set{...}` — a SET literal: distinct elements
+    * (reference set_expression). */
+  final case class SetLit(items: List[E]) extends E
   /** all/any/none/single(v IN list WHERE pred). */
   final case class Quant(kind: String, v: String, list: E, pred: E) extends E
   /** [v IN list WHERE pred | map]. */
@@ -78,6 +81,7 @@ object Expr {
       s.exists(hasAgg) || brs.exists(b => hasAgg(b._1) || hasAgg(b._2)) ||
         els.exists(hasAgg)
     case ListLit(items) => items.exists(hasAgg)
+    case SetLit(items) => items.exists(hasAgg)
     case MapLit(entries) => entries.exists(e2 => hasAgg(e2._2))
     case Quant(_, _, list, pred) => hasAgg(list) || hasAgg(pred)
     case Compr(_, list, pred, map) =>
@@ -103,6 +107,7 @@ object Expr {
         brs.foreach { case (c, v) => collect(c)(pf); collect(v)(pf) }
         els.foreach(collect(_)(pf))
       case ListLit(items) => items.foreach(collect(_)(pf))
+      case SetLit(items) => items.foreach(collect(_)(pf))
       case MapLit(entries) => entries.foreach(e2 => collect(e2._2)(pf))
       case Quant(_, _, list, pred) => collect(list)(pf); collect(pred)(pf)
       case Compr(_, list, pred, map) =>
@@ -137,6 +142,7 @@ object Expr {
     case Un(op, x) => s"$op(${text(x)})"
     case CaseW(_, _, _) => "CASE"
     case ListLit(items) => items.map(text).mkString("[", ",", "]")
+    case SetLit(items) => items.map(text).mkString("{", ",", "}")
     case MapLit(entries) =>
       entries.map { case (k, v) => s"$k: ${text(v)}" }.mkString("{", ", ", "}")
     case Quant(k, v, l, p2) => s"$k($v IN ${text(l)} WHERE ${text(p2)})"
@@ -367,17 +373,51 @@ object Expr {
       }
     case Some(Sym("{")) =>
       p.next()
-      val entries = scala.collection.mutable.ListBuffer.empty[(String, E)]
-      if (!p.sym("}")) {
-        var go = true
-        while (go) {
-          val k = p.word(); p.expectSym(":")
-          entries += (k -> parse(p))
-          if (p.sym(",")) () else go = false
+      // `{k: v, ...}` is a map literal; `{e1, e2, ...}` is a SET
+      // literal (reference set_expression) — distinguished by whether
+      // a word+colon follows. A set keeps distinct elements.
+      val isMap = p.peek.contains(Sym("}")) ||
+        (p.peek.exists(_.isInstanceOf[Word]) && p.peek2.contains(Sym(":")))
+      if (isMap) {
+        val entries = scala.collection.mutable.ListBuffer.empty[(String, E)]
+        if (!p.sym("}")) {
+          var go = true
+          while (go) {
+            val k = p.word(); p.expectSym(":")
+            entries += (k -> parse(p))
+            if (p.sym(",")) () else go = false
+          }
+          p.expectSym("}")
         }
+        MapLit(entries.toList)
+      } else {
+        val items = scala.collection.mutable.ListBuffer.empty[E]
+        items += parse(p)
+        while (p.sym(",")) items += parse(p)
+        p.expectSym("}")
+        SetLit(items.toList)
+      }
+    case Some(Word(w)) if w.equalsIgnoreCase("set") &&
+        p.peek2.contains(Sym("{")) =>
+      // `set{...}` prefix form (Insert.feature container scenarios)
+      p.next(); p.next()
+      val items = scala.collection.mutable.ListBuffer.empty[E]
+      if (!p.sym("}")) {
+        items += parse(p)
+        while (p.sym(",")) items += parse(p)
         p.expectSym("}")
       }
-      MapLit(entries.toList)
+      SetLit(items.toList)
+    case Some(Word(w)) if w.equalsIgnoreCase("list") &&
+        p.peek2.contains(Sym("[")) =>
+      p.next(); p.next()
+      val items = scala.collection.mutable.ListBuffer.empty[E]
+      if (!p.sym("]")) {
+        items += parse(p)
+        while (p.sym(",")) items += parse(p)
+        p.expectSym("]")
+      }
+      ListLit(items.toList)
     case Some(Sym("*")) => p.next(); Star
     case Some(Sym("$")) => p.next(); param(p)
     case Some(Word(w)) if w.equalsIgnoreCase("true") => p.next(); Lit(true)
@@ -568,6 +608,8 @@ object Expr {
           case Lit(_) => true; case _ => false })
           array(items.map(x => c(x).cast("string")): _*)
         else array(items.map(c): _*)
+      case SetLit(items) =>
+        array_distinct(array(items.map(c): _*))
       case MapLit(entries) =>
         struct(entries.map { case (k, v2) => c(v2).as(k) }: _*)
       // lambda forms → Spark higher-order functions; the bound var
@@ -608,8 +650,12 @@ object Expr {
         val sz = size(ec)
         val f0 = f2.map(e2 => c(e2).cast("int")).getOrElse(lit(0))
         val t0 = t2.map(e2 => c(e2).cast("int")).getOrElse(sz)
-        val fN = when(f0 < 0, sz + f0).otherwise(f0)
-        val tN = when(t0 < 0, sz + t0).otherwise(t0)
+        // out-of-range bounds CLAMP (openCypher List2: [1,2,3][-5..5]
+        // is the whole list), they don't wrap or error
+        val fN = greatest(least(
+          when(f0 < 0, sz + f0).otherwise(f0), sz), lit(0))
+        val tN = greatest(least(
+          when(t0 < 0, sz + t0).otherwise(t0), sz), lit(0))
         slice(ec, fN + lit(1), greatest(tN - fN, lit(0)))
       case Attr(x, name) => x match {
         // map-key access is case-SENSITIVE (Map std::map keys); a
@@ -832,6 +878,9 @@ object Expr {
           case _ => unix_timestamp(a(0).cast("string").cast("timestamp"))
         }
       case "json_extract" => graft.functions.Fn.jsonExtractMap(a(0))
+      // geography storage is canonical WKT (Dml.GeoVal) — AsText is
+      // identity over the stored column
+      case "st_astext" => a(0)
       // reference hash(): identity on ints, 0/1 on bools, bit-pattern
       // murmur on floats, UTF-8 murmur on strings (FunctionManager
       // .cpp:1689 via std::hash<Value>); int-vid spaces key every

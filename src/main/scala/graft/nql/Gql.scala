@@ -197,6 +197,8 @@ object Gql {
   case class PGo(go: Go) extends Pipe
   /** Piped FETCH seeded from $-.col (Output.feature). */
   case class PFetch(f: Stmt) extends Pipe
+  /** Piped DML (`GO ... | DELETE VERTEX $-.id WITH EDGE`). */
+  case class PDml(d: Dml.DStmt) extends Pipe
   /** Piped FIND PATH with $-.col endpoint sets (ShortestPath.feature). */
   case class PFind(f: Stmt) extends Pipe
   case class Piped(head: Stmt, pipes: Seq[Pipe]) extends Stmt
@@ -340,6 +342,17 @@ object Gql {
           case _ =>
             throw new IllegalArgumentException("piped GET must seed from $-.")
         }
+      } else if (p.kwPeek("DELETE")) {
+        // GO ... | DELETE VERTEX $-.id WITH EDGE (DeleteVertex.feature)
+        parseSentence(p) match {
+          case d: Dml.DeleteVertex if d.ref.exists(_.varName.isEmpty) =>
+            pipes += PDml(d)
+          case d: Dml.DeleteEdge
+              if d.refKeys.exists(_._1.varName.isEmpty) =>
+            pipes += PDml(d)
+          case _ => throw new IllegalArgumentException(
+            "piped DELETE must seed from $-.")
+        }
       } else if (p.kw("YIELD")) {
         val distinct = p.kw("DISTINCT")
         val items = parseItems(p)
@@ -425,8 +438,14 @@ object Gql {
     case _ => (p.vidList(), None)
   }
 
+  /** Literal vid list OR `$-.col` / `$var.col` ref — public form for
+    * the DML parser (DELETE VERTEX seeds). */
+  private[nql] def vidsOrRefPub(p: P): (Seq[Any], Option[InRef]) =
+    vidsOrRef(p)
+
   private def parseSentence(p: P): Stmt = {
-    if (p.kw("MATCH")) MatchSeg.parse(p)
+    if (Dml.startsDml(p)) Dml.parseSentence(p)
+    else if (p.kw("MATCH")) MatchSeg.parse(p)
     else if (p.kw("GO")) {
       val (m, n) = p.peek match {
         case Some(Num(v, _)) =>
@@ -703,6 +722,7 @@ object Gql {
     val spark = g.allVertices.sparkSession
     stmt match {
       case m: MatchSeg.MStmt => MatchSeg.exec(g, m)
+      case d: Dml.DStmt => Dml.exec(g, d, env, None)
       case Piped(head, pipes) =>
         pipes.foldLeft(exec(g, head, env))((df, pp) =>
           applyPipe(g, df, pp, env))
@@ -1011,6 +1031,9 @@ object Gql {
     val ys = withVidTwins(ys0)
     val star = tags0 == Seq("*")
     val tags = if (star) g.tagNames else tags0
+    // ON * over a space with no tags yet (fresh scenario space):
+    // nothing can match — empty frame, not a crash
+    if (tags.isEmpty) return bag.limit(0)
     // single-tag fast path keeps the bare prop columns (library callers
     // and no-YIELD output rely on the natural schema)
     if (tags.size == 1 && !star) return execFetchOne(g, tags.head, f, bag)
@@ -1084,7 +1107,13 @@ object Gql {
   private def execFetchOne(g: GraphCatalog, tag: String, f: Fetch,
                            bag: DataFrame): DataFrame = {
     val ys = withVidTwins(f.yields); val dist = f.distinct
-    val rows = bag.join(g.vertexTable(tag), Seq("vid"))
+    // GetPropProcessor semantics: a vid that EXISTS (under any tag)
+    // but lacks this tag yields a row of NULL props; a vid absent
+    // from the space yields no row (DeleteTag.feature goldens)
+    val rows = bag
+      .join(g.allVertices.select(col("vid")).distinct(), Seq("vid"),
+        "left_semi")
+      .join(g.vertexTable(tag), Seq("vid"), "left")
     val strVid = rows.schema("vid").dataType ==
       org.apache.spark.sql.types.StringType
     def fields: Seq[(String, Column, org.apache.spark.sql.types.DataType)] =
@@ -1118,13 +1147,19 @@ object Gql {
     * src/common/datatypes/Value.cpp toString). */
   private[nql] def renderPropsMap(
       fields: Seq[(String, Column, org.apache.spark.sql.types.DataType)]): Column = {
-    import org.apache.spark.sql.types.StringType
-    val parts = fields.sortBy(_._1).map { case (n, c, dt) =>
-      val r = dt match {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    def render(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
         case StringType => concat(lit("\""), c, lit("\""))
+        case ArrayType(et, nullable) =>
+          // list → [..]; schema-level SET (containsNull=false) → {..}
+          val (open, close) = if (nullable) ("[", "]") else ("{", "}")
+          concat(lit(open),
+            array_join(transform(c, x => render(x, et)), ", "), lit(close))
         case _ => c.cast("string")
       }
-      when(c.isNotNull, concat(lit(n + ": "), r))
+    val parts = fields.sortBy(_._1).map { case (n, c, dt) =>
+      when(c.isNotNull, concat(lit(n + ": "), render(c, dt)))
     }
     concat(lit("{"), concat_ws(", ", parts: _*), lit("}"))
   }
@@ -1506,6 +1541,7 @@ object Gql {
                         env: Map[String, DataFrame] = Map.empty): DataFrame = pipe match {
     case PFind(fp: FindPath) => execFindPath(g, fp, Some(df), env)
     case PFind(sg: SubgraphY) => execSubgraphY(g, sg, Some(df), env)
+    case PDml(d) => Dml.exec(g, d, env, Some(df))
     case PFind(other) =>
       throw new IllegalArgumentException(s"bad piped FIND $other")
     case PGo(goAst) =>

@@ -35,7 +35,11 @@ object MatchSeg {
   /** range: None = single hop; Some((m, n)) = var-length *m..n. */
   case class Rel(v: Option[String], etypes: List[String], dir: Direction,
                  range: Option[(Int, Int)], props: List[(String, Any)])
-  case class Part(pathVar: Option[String], nodes: List[Node], rels: List[Rel])
+  /** `sp`: the part is wrapped in shortestPath(...) (Some(false)) or
+    * allShortestPaths(...) (Some(true)) — reference planner
+    * planner/match/ShortestPathPlanner.h:13. */
+  case class Part(pathVar: Option[String], nodes: List[Node], rels: List[Rel],
+                  sp: Option[Boolean] = None)
   /** Recorded shape of a named path: node/edge var sequence. */
   case class PathInfo(nodes: List[String], rels: List[String],
                       varLength: Boolean)
@@ -144,6 +148,17 @@ object MatchSeg {
       case (Some(Word(w)), Some(Sym("="))) => p.next(); p.next(); Some(w)
       case _ => None
     }
+    // shortestPath((a)-[e*..n]-(b)) / allShortestPaths(...)
+    // (ShortestPathPlanner.h:13; MatchPathPattern in parser.yy)
+    val sp = p.peek match {
+      case Some(Word(w)) if w.equalsIgnoreCase("shortestPath") &&
+          p.peek2.contains(Sym("(")) =>
+        p.next(); p.next(); Some(false)
+      case Some(Word(w)) if w.equalsIgnoreCase("allShortestPaths") &&
+          p.peek2.contains(Sym("(")) =>
+        p.next(); p.next(); Some(true)
+      case _ => None
+    }
     val nodes = scala.collection.mutable.ListBuffer(parseNode(p))
     val rels = scala.collection.mutable.ListBuffer.empty[Rel]
     var go = true
@@ -155,7 +170,18 @@ object MatchSeg {
         case _ => go = false
       }
     }
-    Part(pathVar, nodes.toList, rels.toList)
+    if (sp.isDefined) {
+      p.expectSym(")")
+      // the reference's validator constraints (ShortestPathValidator):
+      // exactly (start)-[edge*..hop]-(end), min steps 0 or 1
+      require(rels.size == 1 && nodes.size == 2,
+        "`shortestPath(...)' only support pattern like (start)-[edge*..hop]-(end)")
+      rels.head.range.foreach { case (m, _) =>
+        require(m <= 1,
+          "The minimal number of steps for shortestPath() must be either 0 or 1")
+      }
+    }
+    Part(pathVar, nodes.toList, rels.toList, sp)
   }
 
   private def litValue(p: P): Any = constFold(Expr.parse(p))
@@ -320,6 +346,10 @@ object MatchSeg {
     }
     /** Named paths: var → node/edge sequence (rendered at RETURN). */
     val pathVars = scala.collection.mutable.Map.empty[String, PathInfo]
+    /** shortestPath()/allShortestPaths() named paths: rendered string
+      * bound as a plain column, structure in `${pv}__spvids/__spsteps`
+      * hidden columns. */
+    val spPaths = scala.collection.mutable.Set.empty[String]
     def addPath(pv: String): Unit = {
       if (!known(pv) && !pathVars.contains(pv)) declOrder += pv
     }
@@ -396,7 +426,102 @@ object MatchSeg {
     * already used — openCypher relationship-uniqueness (trail
     * semantics) holds across the WHOLE clause, so every later hop
     * filters against it (the reference's TraverseExecutor edge dedup). */
-  private def buildPart(g: GraphCatalog, st: BState, part: Part): DataFrame = {
+  /** MATCH shortestPath() / allShortestPaths() part: endpoint seeks →
+    * multi-origin BFS (PathFinder.typedPathsRaw, mode=shortest) → bind
+    * v1/v2/edge-var/path-var columns like any other part. Single mode
+    * keeps one deterministic representative per (v1, v2) pair. */
+  private def buildShortestPart(g: GraphCatalog, st: BState,
+                                part: Part,
+                                idHints: Map[String, Seq[Any]]): DataFrame = {
+    import graft.algo.PathFinder
+    val all = part.sp.get
+    val n1 = part.nodes.head
+    val n2 = part.nodes(1)
+    val rel = part.rels.head
+    val v1 = n1.v.getOrElse(st.freshVar())
+    val v2 = n2.v.getOrElse(st.freshVar())
+    val (_, maxN) = rel.range.getOrElse((1, 1))
+    // endpoint seeks WITHOUT registering boundTags (the prop columns
+    // of the seek frames are discarded; tags re-join onto the result)
+    def seekSet(nd: Node, v: String): DataFrame = {
+      st.addVertex(v)
+      var df0 =
+        if (nd.tags.isEmpty) g.allVertices.select(col("vid").as(v))
+        else {
+          var df = tagFrame(g, nd.tags.head, v)
+          nd.tags.tail.foreach(t => df = df.join(tagFrame(g, t, v), Seq(v)))
+          nodePropFilter(df, v, nd.tags, nd.props)
+        }
+      nd.v.flatMap(idHints.get).foreach { vids =>
+        df0 = df0.filter(col(v).isin(vids: _*)) // pushed to the scan
+      }
+      df0.select(col(v).as("vid")).distinct()
+    }
+    val srcs = seekSet(n1, v1)
+    val dsts = seekSet(n2, v2)
+    val types = if (rel.etypes.nonEmpty) rel.etypes else g.edgeTypeNames
+    val te = g.allEdges.filter(col("etype").isin(types: _*))
+    val strVid = te.schema("src").dataType ==
+      org.apache.spark.sql.types.StringType
+    val raw = PathFinder.typedPathsRaw(srcs, dsts, te, maxN, "shortest",
+      rel.dir)
+    var frame = raw.select(
+      element_at(col("vids"), 1).as(v1),
+      element_at(col("vids"), -1).as(v2),
+      col("vids"), col("steps"))
+    if (!all) {
+      // shortestPath(): one (deterministic) representative per pair
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col(v1), col(v2)).orderBy(
+        graft.algo.PathFinder.renderTypedPath(col("vids"), col("steps"),
+          strVid).desc)
+      frame = frame.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    rel.v.foreach { ev =>
+      if (rel.range.isEmpty) {
+        // single-hop form: bare edge var columns
+        st.addEdge(ev)
+        val s0 = element_at(col("steps"), 1)
+        frame = frame
+          .withColumn(s"${ev}_src", s0("s"))
+          .withColumn(s"${ev}_dst", s0("d"))
+          .withColumn(s"${ev}_etype", s0("t"))
+          .withColumn(s"${ev}_rank", s0("r"))
+      } else {
+        // var-length: edge-list var in the `${ev}__vl` struct shape
+        st.addVlEdge(ev)
+        frame = frame.withColumn(s"${ev}__vl",
+          transform(col("steps"), x => struct(x("t").as("__t"),
+            x("s").as("__s"), x("d").as("__d"), x("r").as("__r"))))
+      }
+    }
+    part.pathVar.foreach { pv =>
+      // var-length named path: bind the rendered path as a plain
+      // column (the fixed-length renderPath machinery can't apply);
+      // keep the structure for length()/nodes()/relationships()
+      frame = frame.withColumn(pv,
+        PathFinder.renderTypedPath(col("vids"), col("steps"), strVid))
+        .withColumn(s"${pv}__spvids", col("vids"))
+        .withColumn(s"${pv}__spsteps", col("steps"))
+      st.addPlain(pv)
+      st.spPaths += pv
+    }
+    frame = frame.drop("vids", "steps")
+    // re-join tag tables on the endpoints so rendering/labels see props
+    (n1.tags.map((v1, _)) ++ n2.tags.map((v2, _))).foreach { case (v, t) =>
+      if (!st.boundTags.contains((v, t))) {
+        frame = frame.join(tagFrame(g, t, v), Seq(v))
+        st.boundTags += (v -> t)
+      }
+    }
+    frame.withColumn("__trail", array().cast("array<string>"))
+  }
+
+  private def buildPart(g: GraphCatalog, st: BState, part: Part,
+                        idHints: Map[String, Seq[Any]] = Map.empty)
+      : DataFrame = {
+    if (part.sp.isDefined) return buildShortestPart(g, st, part, idHints)
     val n0 = part.nodes.head
     val v0 = n0.v.getOrElse(st.freshVar())
     var binding =
@@ -499,7 +624,13 @@ object MatchSeg {
                   propCols.map(p2 => col(p2).as(s"${ev}_$p2"))
               case None => Nil
             })
-        val hopF = oriented.select(kept: _*)
+        // an undirected hop matches each relationship ONCE: a Both
+        // orientation duplicates SELF-LOOP edges (fwd and rev rows are
+        // identical when src == dst) — collapse them (openCypher
+        // relationship match semantics; SelfReflectiveEdges.feature)
+        val hopF0 = oriented.select(kept: _*)
+        val hopF =
+          if (rel.dir == Both) hopF0.distinct() else hopF0
         binding.join(hopF, col(fromVar) === col("__from"))
           .filter(!array_contains(col("__trail"), col("__heid")))
           .withColumn("__trail", concat(col("__trail"), array(col("__heid"))))
@@ -570,7 +701,12 @@ object MatchSeg {
     // copies all of it before the first hop even runs (round-4 VERDICT
     // #3); persist materializes lazily, partition by partition, as the
     // hop joins touch it, and is released at loop exit
-    val e = Traverse.persistEdges(Traverse.orient(base, rel.dir), math.max(n, 2))
+    val oriented0 = Traverse.orient(base, rel.dir)
+    // Both-direction self-loops: fwd and rev rows are identical — an
+    // undirected hop matches each relationship once (same rule as the
+    // single-hop path; SelfReflectiveEdges.feature)
+    val oriented = if (rel.dir == Both) oriented0.distinct() else oriented0
+    val e = Traverse.persistEdges(oriented, math.max(n, 2))
 
     val seeds = binding.select(col(fromVar).as("__o")).distinct()
     val empty = array().cast("array<string>")
@@ -689,6 +825,17 @@ object MatchSeg {
           if st.vertexVars.contains(v) =>
         Some(array_compact(array(st.tags.sorted.map(t =>
           when(col(s"__lbl_${v}_$t"), lit(t))): _*)))
+      // shortestPath named-path functions (structured hidden twins)
+      case Expr.FnCall("length", List(Expr.Ref(List(pv))), _)
+          if st.spPaths.contains(pv) =>
+        Some(size(col(s"${pv}__spsteps")).cast("long"))
+      case Expr.FnCall("nodes", List(Expr.Ref(List(pv))), _)
+          if st.spPaths.contains(pv) =>
+        Some(transform(col(s"${pv}__spvids"), x => Gql.renderNode(x, strVid)))
+      case Expr.FnCall("relationships", List(Expr.Ref(List(pv))), _)
+          if st.spPaths.contains(pv) =>
+        Some(transform(col(s"${pv}__spsteps"), x =>
+          Gql.renderEdge(x("t"), x("s"), x("d"), x("r"), strVid)))
       // named-path functions over fixed-length paths
       case Expr.FnCall("length", List(Expr.Ref(List(pv))), _)
           if st.pathVars.get(pv).exists(!_.varLength) =>
@@ -743,15 +890,42 @@ object MatchSeg {
     applyReturn(g, st, base(), m.ret)
   }
 
+  /** Literal id-constraints in a WHERE conjunction: `id(v) == lit` /
+    * `id(v) IN [lits]` → v's seed set. Pushed into shortestPath
+    * endpoint seeks so the BFS starts from the constrained vids, not
+    * every tagged vertex (the reference's SeekById; at 100 TB an
+    * unseeded all-pairs shortest BFS is a non-plan). */
+  private def idSeedHints(w: Option[Expr.E]): Map[String, Seq[Any]] = {
+    val out = scala.collection.mutable.Map.empty[String, Seq[Any]]
+    def conj(e: Expr.E): Unit = e match {
+      case Expr.Bin("and", a, b) => conj(a); conj(b)
+      case Expr.Bin("==" | "=",
+          Expr.FnCall("id", List(Expr.Ref(List(v))), _), Expr.Lit(x)) =>
+        out(v) = Seq(x)
+      case Expr.Bin("==" | "=", Expr.Lit(x),
+          Expr.FnCall("id", List(Expr.Ref(List(v))), _)) =>
+        out(v) = Seq(x)
+      case Expr.Bin("in",
+          Expr.FnCall("id", List(Expr.Ref(List(v))), _),
+          Expr.ListLit(items))
+          if items.forall(_.isInstanceOf[Expr.Lit]) =>
+        out(v) = items.collect { case Expr.Lit(x) => x }
+      case _ => ()
+    }
+    w.foreach(conj)
+    out.toMap
+  }
+
   private def execClauses(g: GraphCatalog, st: BState,
                           clauses: List[Clause],
                           binding0: DataFrame): DataFrame = {
     var binding = binding0
     clauses.foreach { cl =>
+      val idHints = idSeedHints(cl.where)
       // frame for this clause: its parts joined on shared vars
       var frame: DataFrame = null
       cl.parts.foreach { part =>
-        val pf = buildPart(g, st, part)
+        val pf = buildPart(g, st, part, idHints)
         frame =
           if (frame == null) pf
           else joinShared(st, frame, pf, joinType = "inner")

@@ -211,6 +211,37 @@ object GraphQueries {
         """FIND ALL PATH FROM "c:1" TO "r:0", "r:1", "r:2", "r:3", "r:4"
           |OVER in_nation, in_region UPTO 3 STEPS""".stripMargin)),
 
+    // nGQL DML sentences end-to-end (round 5): build a scenario-local
+    // space through the parser (CREATE/INSERT/UPDATE/UPSERT/DELETE),
+    // then read it back with GO — the oracle replays the net effect as
+    // constants (parser.yy:3060/3141/2987 surface)
+    "q_nql_dml" -> ((s, dir) => {
+      val cat = new graft.graph.ScenarioCatalog(s)
+      graft.nql.Gql.runScript(cat,
+        """CREATE TAG account(owner string, balance int DEFAULT 0);
+          |CREATE EDGE paid(amount int);
+          |INSERT VERTEX account(owner) VALUES "a":("Ann"), "b":("Bob"), "c":("Cy");
+          |INSERT EDGE paid(amount) VALUES "a"->"b":(10), "a"->"c":(20), "b"->"c":(30);
+          |UPDATE VERTEX ON account "a" SET balance = balance + 100;
+          |UPSERT VERTEX ON account "d" SET owner = "Dee", balance = 5;
+          |UPDATE EDGE ON paid "a"->"b" SET amount = amount * 2;
+          |DELETE EDGE paid "b"->"c";
+          |DELETE VERTEX "c" WITH EDGE;""".stripMargin)
+      graft.nql.Gql.run(cat,
+        """GO FROM "a" OVER paid
+          |YIELD paid._src AS src, paid._dst AS dst, paid.amount AS amount,
+          |      $^.account.balance AS balance""".stripMargin)
+    }),
+
+    // MATCH shortestPath()/allShortestPaths() text surface (round 5):
+    // customer → region is exactly customer -in_nation-> nation
+    // -in_region-> region, so every shortest path has length 2
+    "q_match_shortest" -> ((s, dir) =>
+      graft.nql.Gql.run(gm(s, dir),
+        """MATCH p = allShortestPaths((a:customer)-[e:in_nation|in_region*..4]->(b:region))
+          |WHERE id(a) == "c:1"
+          |RETURN id(a) AS a, id(b) AS b, length(p) AS len""".stripMargin)),
+
     // GET SUBGRAPH 2 STEPS (SubgraphExecutor.cpp:15-52): vertex set...
     "q_subgraph_vertices" -> ((s, dir) => {
       val g = gm(s, dir)
@@ -449,6 +480,15 @@ object GraphQueries {
         |WHERE o_custkey IN (1, 2, 3)""".stripMargin,
     "q_nql_unwind" ->
       "SELECT CAST(unnest(range(1, 5)) AS BIGINT) AS x",
+    // net effect of the q_nql_dml script: a's balance 100, edges from
+    // a: a->b amount 20 (updated), a->c deleted with vertex c
+    "q_nql_dml" ->
+      """SELECT 'a' AS src, 'b' AS dst, CAST(20 AS BIGINT) AS amount,
+        |       CAST(100 AS BIGINT) AS balance""".stripMargin,
+    "q_match_shortest" ->
+      """SELECT 'c:1' AS a, 'r:' || n_regionkey AS b, CAST(2 AS BIGINT) AS len
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |WHERE c_custkey = 1""".stripMargin,
     "q_nql_fetch_edge" ->
       """SELECT 'n:' || n_nationkey AS src, 'r:' || n_regionkey AS dst,
         |       CAST(0 AS BIGINT) AS rank

@@ -34,85 +34,191 @@ object TckRunner {
     def ok: Boolean = failures.isEmpty && errors.isEmpty
   }
 
-  /** DDL/DML statements mutate the scenario-local space; after one,
-    * the fixture catalog no longer reflects the scenario's state. */
-  private val mutating = Seq("create ", "alter ", "insert ", "drop ",
-    "upsert ", "update ", "delete ", "use ", "rebuild ")
+  // ---------- scenario model ----------
+  /** One Gherkin step the runner understands. */
+  sealed trait SStep
+  /** `Given/And having executed:` — setup DDL/DML; must succeed. */
+  case class SExec(script: String) extends SStep
+  /** `When [try to] executing query:` + its Then expectation. */
+  case class SQuery(query: String, expect: Expect,
+                    tryMode: Boolean) extends SStep
+  sealed trait Expect
+  case class ETable(golden: Seq[Seq[String]], hashed: Set[Int]) extends Expect
+  case object ESuccess extends Expect
+  /** `Then a XxxError should be raised` — the reference rejects this
+    * statement; our engine should too (or the scenario diverges). */
+  case object EError extends Expect
 
-  /** Extract (query, golden-table) pairs from feature-file text. Only
-    * `Then the result should be...` blocks count; error-assertion
-    * scenarios are ignored. A scenario that sets up its own space
-    * (`Given an empty graph`, `Given having executed`) or runs a
-    * DDL/DML query is POISONED from that point: the fixture catalog
-    * cannot answer it, so its queries are not extracted (they'd
-    * compare nba data against another space's goldens). */
+  /** One scenario: its space binding plus ordered steps. `ownSpace` =
+    * the scenario creates its own space (`Given an empty graph`). */
+  case class TckScenario(skip: Boolean, fixtureSpace: Option[String],
+                         ownSpace: Boolean, vidInt: Boolean,
+                         steps: Vector[SStep],
+                         /** `Given load "X" csv data to a new space` —
+                           * fixture data in a scenario-local space
+                           * (mutations expected; always clone). */
+                         fresh: Boolean = false)
+
+  private val spaceGivenRe = "Given a graph with space named \"([^\"]+)\"".r
+  private val spaceLoadRe =
+    "(?:Given|And) load \"([^\"]+)\" csv data to a new space".r
+
+  /** Parse feature text into scenarios. Background steps are
+    * replicated into every scenario. */
+  def parseScenarios(text: String, defaultSpace: String): Seq[TckScenario] = {
+    val lines = text.linesIterator.toVector
+
+    def queryBlock(from: Int): Option[(String, Int)] = {
+      val start = lines.indexWhere(_.trim == "\"\"\"", from)
+      val end = if (start < 0) -1 else lines.indexWhere(_.trim == "\"\"\"", start + 1)
+      if (start > 0 && end > start)
+        Some((lines.slice(start + 1, end).map(_.trim).mkString(" "), end + 1))
+      else None
+    }
+
+    // parse one section (Background or a Scenario body) into steps
+    case class Section(steps: Vector[SStep], fixtureSpace: Option[String],
+                       ownSpace: Boolean, vidInt: Option[Boolean],
+                       fresh: Boolean)
+    def parseSection(from: Int, until: Int): Section = {
+      val steps = scala.collection.mutable.ListBuffer.empty[SStep]
+      var fixtureSpace: Option[String] = None
+      var ownSpace = false
+      var vidInt: Option[Boolean] = None
+      var fresh = false
+      var i = from
+      while (i < until) {
+        val t = lines(i).trim
+        spaceGivenRe.findFirstMatchIn(t).foreach { mm =>
+          fixtureSpace = Some(mm.group(1))
+          if (mm.group(1).toLowerCase.contains("int_vid")) vidInt = Some(true)
+        }
+        spaceLoadRe.findFirstMatchIn(t).foreach { mm =>
+          fixtureSpace = Some(mm.group(1))
+          fresh = true
+          if (mm.group(1).toLowerCase.contains("int_vid")) vidInt = Some(true)
+        }
+        if (t.startsWith("Given an empty graph")) ownSpace = true
+        if (t.startsWith("And create a space") ||
+            t.startsWith("Given create a space")) {
+          ownSpace = true
+          // option table follows: | vid_type | FIXED_STRING(20) / int |
+          var k = i + 1
+          while (k < until && lines(k).trim.startsWith("|")) {
+            val cells = lines(k).trim.stripPrefix("|").stripSuffix("|")
+              .split("\\|").map(_.trim)
+            if (cells.headOption.contains("vid_type"))
+              vidInt = Some(cells.lift(1).exists(_.toLowerCase.startsWith("int")))
+            k += 1
+          }
+          i = k - 1
+        }
+        if (t == "Given having executed:" || t == "And having executed:" ||
+            t == "Given having executed" || t == "And having executed") {
+          queryBlock(i) match {
+            case Some((q, next)) => steps += SExec(q); i = next - 1
+            case None => ()
+          }
+        }
+        // "and retrying it on failure every N seconds" is a cluster-
+        // convergence retry — irrelevant here, same step semantics
+        if (t.startsWith("When executing query") ||
+            t == "When profiling query:" ||
+            t.startsWith("When try to execute query")) {
+          val tryMode = t.startsWith("When try")
+          queryBlock(i) match {
+            case Some((q, next)) =>
+              var j = next
+              while (j < until && lines(j).trim.isEmpty) j += 1
+              val thenLine = if (j < until) lines(j).trim else ""
+              if (thenLine.startsWith("Then the result should be")) {
+                val hashedRe = "columns ([0-9, ]+) should be hashed".r
+                val hashed = hashedRe.findFirstMatchIn(thenLine).map(m =>
+                  m.group(1).split(",").map(_.trim.toInt).toSet)
+                  .getOrElse(Set.empty[Int])
+                var k = j + 1
+                val rows = scala.collection.mutable.ListBuffer.empty[Seq[String]]
+                while (k < until && lines(k).trim.startsWith("|")) {
+                  rows += lines(k).trim.stripPrefix("|").stripSuffix("|")
+                    .split("\\|").toSeq.map(_.trim)
+                  k += 1
+                }
+                // header row dropped; empty golden = assert 0 rows
+                steps += SQuery(q, ETable(rows.toSeq.drop(1), hashed), tryMode)
+                i = k - 1
+              } else if (thenLine.startsWith("Then the execution should be successful")) {
+                steps += SQuery(q, ESuccess, tryMode)
+                i = j
+              } else if (thenLine.matches("Then an? \\w*(Error|error).*")) {
+                steps += SQuery(q, EError, tryMode)
+                i = j
+              } else {
+                // no recognized Then: execute for effect only
+                steps += SQuery(q, ESuccess, tryMode = true)
+                i = next - 1
+              }
+            case None => ()
+          }
+        }
+        i += 1
+      }
+      Section(steps.toVector, fixtureSpace, ownSpace, vidInt, fresh)
+    }
+
+    // split into Background + Scenario sections
+    val marks = lines.zipWithIndex.collect {
+      case (l, i) if l.trim.startsWith("Scenario") => i
+    }
+    val bgEnd = marks.headOption.getOrElse(lines.length)
+    val bg = parseSection(0, bgEnd)
+    marks.zipWithIndex.map { case (start, mi) =>
+      val end = marks.lift(mi + 1).getOrElse(lines.length)
+      val skip = start > 0 && lines(start - 1).trim.startsWith("@skip")
+      val sec = parseSection(start + 1, end)
+      // a scenario-level `Given an empty graph` / `Given a graph with
+      // space named` RESETS the space: the background's setup does
+      // not apply (conftest semantics — Given re-binds the space)
+      val resets = sec.ownSpace || sec.fixtureSpace.isDefined
+      if (resets)
+        TckScenario(skip, sec.fixtureSpace, sec.ownSpace,
+          sec.vidInt.getOrElse(false), sec.steps, fresh = sec.fresh)
+      else
+        TckScenario(
+          skip = skip,
+          fixtureSpace = bg.fixtureSpace
+            .orElse(if (bg.ownSpace) None else Some(defaultSpace)),
+          ownSpace = bg.ownSpace,
+          vidInt = bg.vidInt.getOrElse(false),
+          steps = bg.steps ++ sec.steps,
+          fresh = bg.fresh)
+    }
+  }
+
+  /** Legacy view: the read-only golden cases a fixture catalog can
+    * answer without any scenario-local state (used by corpus-size
+    * sanity tests). */
   def parseFeature(text: String): Seq[Case] =
     parseFeature(text, space = "nba")
 
-  /** `space` — only scenarios running against this space are
-    * extracted (the Background's `Given a graph with space named`). */
-  def parseFeature(text: String, space: String): Seq[Case] = {
-    val lines = text.linesIterator.toVector
-    val out = scala.collection.mutable.ListBuffer.empty[Case]
-    var poisoned = false
-    // a poisoning line in the Background poisons EVERY scenario
-    var inBackground = true
-    var backgroundPoisoned = false
-    var backgroundSpace = space // features without a Given default in
-    var i = 0
-    while (i < lines.length) {
-      val t = lines(i).trim
-      if (t.startsWith("Scenario")) {
-        inBackground = false
-        poisoned = backgroundPoisoned || backgroundSpace != space
-        // honor the corpus's own @skip tag (placeholder goldens for
-        // unimplemented/flaky reference features)
-        if (i > 0 && lines(i - 1).trim.startsWith("@skip")) poisoned = true
+  def parseFeature(text: String, space: String): Seq[Case] =
+    parseScenarios(text, space).flatMap { sc =>
+      if (sc.skip || sc.ownSpace || !sc.fixtureSpace.contains(space)) Nil
+      else if (sc.steps.exists {
+        case SExec(_) => true
+        case SQuery(q, _, _) => isMutating(q)
+      }) Nil
+      else sc.steps.collect {
+        case SQuery(q, ETable(golden, hashed), _) if golden.nonEmpty =>
+          Case(q, golden, hashed)
       }
-      val spaceGiven = "Given a graph with space named \"([^\"]+)\"".r
-      spaceGiven.findFirstMatchIn(t).foreach { mm =>
-        backgroundSpace = mm.group(1)
-        poisoned = backgroundSpace != space
-      }
-      if (t.startsWith("Given an empty graph") ||
-          t.startsWith("Given having executed") ||
-          t.startsWith("And having executed") ||
-          t.startsWith("And create a space")) {
-        poisoned = true
-        if (inBackground) backgroundPoisoned = true
-      }
-      if (lines(i).trim == "When executing query:" ||
-          lines(i).trim == "When profiling query:") {
-        // query block delimited by triple quotes
-        val start = lines.indexWhere(_.trim == "\"\"\"", i)
-        val end = lines.indexWhere(_.trim == "\"\"\"", start + 1)
-        if (start > 0 && end > start) {
-          val query = lines.slice(start + 1, end).map(_.trim).mkString(" ")
-          if (mutating.exists(query.toLowerCase.startsWith)) poisoned = true
-          // find the Then line directly after the block
-          var j = end + 1
-          while (j < lines.length && lines(j).trim.isEmpty) j += 1
-          if (j < lines.length &&
-              lines(j).trim.startsWith("Then the result should be")) {
-            val hashedRe = "columns ([0-9, ]+) should be hashed".r
-            val hashed = hashedRe.findFirstMatchIn(lines(j).trim).map(m =>
-              m.group(1).split(",").map(_.trim.toInt).toSet)
-              .getOrElse(Set.empty[Int])
-            var k = j + 1
-            val rows = scala.collection.mutable.ListBuffer.empty[Seq[String]]
-            while (k < lines.length && lines(k).trim.startsWith("|")) {
-              rows += lines(k).trim.stripPrefix("|").stripSuffix("|")
-                .split("\\|").toSeq.map(_.trim)
-              k += 1
-            }
-            if (rows.nonEmpty && !poisoned)
-              out += Case(query, rows.toSeq.drop(1), hashed) // drop header
-            i = k
-          } else i = end + 1
-        } else i += 1
-      } else i += 1
     }
-    out.toSeq
+
+  /** DDL/DML statement heads — these need a scenario-local catalog. */
+  private val mutating = Seq("create ", "alter ", "insert ", "drop ",
+    "upsert ", "update ", "delete ", "use ", "rebuild ")
+  private def isMutating(q: String): Boolean = {
+    val l = q.toLowerCase
+    mutating.exists(l.startsWith)
   }
 
   /** Relax normalization: strip string quotes, render numbers
@@ -171,11 +277,21 @@ object TckRunner {
 
   private def normGolden(cell: String): String = normGolden(cell, false)
 
+  private val hashCellRe = "^hash\\(\"([^\"]*)\"\\)$".r
+
   private def normGolden(cell: String, intVid: Boolean): String = {
     val base = normGolden0(cell)
     if (intVid && (base.startsWith("(") || base.startsWith("[:") ||
         (base.startsWith("<") && base.endsWith(">"))))
       hashVidsInCell(base)
+    else if (intVid)
+      // bare `hash("X")` golden cells (DeleteEdge.IntVid) hold the
+      // murmur of the string key
+      base match {
+        case hashCellRe(x) =>
+          graft.functions.NebulaHash.hash64(x).toString
+        case _ => base
+      }
     else base
   }
 
@@ -216,7 +332,10 @@ object TckRunner {
       // vid/edge skeleton the engine renders; the default rank prints
       // inconsistently across the corpus (`@0` vs omitted) → drop it
       c.replaceAll("\\s*\\{[^}]*\\}", "")
-        .replaceAll("(?:\\s+:\\s*|:\\s+)[A-Za-z_]\\w*", "")
+        // tag lists: ` :tag`, `: tag`, or compact `"vid":tag` — a tag
+        // colon follows a quote/paren/brace or whitespace, never the
+        // `[` of an edge label
+        .replaceAll("(?:(?<=[\")}])|\\s+)(?::\\s*[A-Za-z_]\\w*)+", "")
         .replaceAll("@0(?=\\])", "")
         .replaceAll("\\(\\s+", "(").replaceAll("\\s+\\)", ")")
         .replaceAll("<\\s+", "<")
@@ -268,6 +387,15 @@ object TckRunner {
     s.length >= 2 && !s.startsWith("[:") &&
       ((s.head == '[' && s.last == ']') || (s.head == '{' && s.last == '}'))
 
+  /** A backward step between two IDENTICAL vids is the same self-loop
+    * edge as the forward step — the reference prints whichever
+    * traversal orientation found it (AllPath self-loop goldens). */
+  private val selfLoopStepRe = "(\\([^()]*\\))<-(\\[[^\\]]*\\])-(?=\\1)".r
+  private def canonSelfLoops(s: String): String =
+    selfLoopStepRe.replaceAllIn(s, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        s"${m.group(1)}-${m.group(2)}->"))
+
   private def cellMatch(got: String, want: String): Boolean =
     cellMatch(got, want, false)
 
@@ -275,6 +403,8 @@ object TckRunner {
     if (want.length >= 2 && want.startsWith("/") && want.endsWith("/"))
       got.matches(want.substring(1, want.length - 1))
     else if (got == want) true
+    else if (got.startsWith("<") && want.startsWith("<") &&
+             canonSelfLoops(got) == canonSelfLoops(want)) true
     else (got.toDoubleOption, want.toDoubleOption) match {
       // numeric cells compare by value: int column vs `38.0` golden
       case (Some(a), Some(b)) =>
@@ -332,66 +462,188 @@ object TckRunner {
   def run(g: GraphCatalog, featureText: String): Report =
     run(g, featureText, space = "nba")
 
-  def run(g: GraphCatalog, featureText: String, space: String): Report = {
+  def run(g: GraphCatalog, featureText: String, space: String): Report =
+    runAll(Map(space -> g), space, featureText)
+
+  /** Multi-fixture entry: scenarios bind to whichever fixture space
+    * they name (`Given a graph with space named X` / `Given load "X"
+    * csv data to a new space`), or to a fresh empty ScenarioCatalog
+    * (`Given an empty graph`). */
+  def runAll(fixtures: Map[String, GraphCatalog], defaultSpace: String,
+             featureText: String): Report = {
     // nebula's Value model never throws on a bad operand — mixed-type
     // comparisons/casts produce typed nulls (Value.cpp), which ANSI
     // mode would turn into runtime errors. Scope ANSI off to TCK
     // execution and restore after.
-    val conf = g.allVertices.sparkSession.conf
+    val conf = fixtures.values.head.allVertices.sparkSession.conf
     val ansiBefore = conf.get("spark.sql.ansi.enabled", "true")
     conf.set("spark.sql.ansi.enabled", "false")
-    try runInner(g, featureText, space)
+    try runInner(fixtures, defaultSpace, featureText)
     finally conf.set("spark.sql.ansi.enabled", ansiBefore)
   }
 
-  private def runInner(g: GraphCatalog, featureText: String,
-                       space: String): Report = {
-    val intVid = space.toLowerCase.contains("int_vid")
+  /** Driver-side snapshot of a fixture catalog, cached per space name
+    * so DML-bearing scenarios can clone it cheaply instead of
+    * re-collecting the fixture frames per scenario. */
+  private val snapshotCache =
+    scala.collection.mutable.Map.empty[String, graft.graph.ScenarioCatalog]
+
+  private def cloneCatalog(src: graft.graph.ScenarioCatalog)
+      : graft.graph.ScenarioCatalog = {
+    val c = new graft.graph.ScenarioCatalog(src.spark, src.vidIsInt)
+    src.tagDefs.foreach { case (k, v) => c.tagDefs(k) = v }
+    src.edgeDefs.foreach { case (k, v) => c.edgeDefs(k) = v }
+    src.tagRows.foreach { case (k, m) =>
+      c.tagRows(k) = m.map { case (vk, arr) => vk -> arr.clone() }
+    }
+    src.edgeRows.foreach { case (k, m) =>
+      c.edgeRows(k) = m.map { case (ek, arr) => ek -> arr.clone() }
+    }
+    c
+  }
+
+  private def scenarioClone(g: GraphCatalog,
+                            space: String): graft.graph.ScenarioCatalog = {
+    val proto = snapshotCache.getOrElseUpdate(space,
+      graft.graph.ScenarioCatalog.fromCatalog(
+        g.allVertices.sparkSession, g,
+        space.toLowerCase.contains("int_vid")))
+    cloneCatalog(proto)
+  }
+
+  private def runInner(fixtures: Map[String, GraphCatalog],
+                       defaultSpace: String,
+                       featureText: String): Report = {
     var executed = 0; var passed = 0; var skipped = 0
     val failures = scala.collection.mutable.ListBuffer.empty[(String, String)]
     val errors = scala.collection.mutable.ListBuffer.empty[(String, String)]
-    parseFeature(featureText, space).foreach { c =>
-      // A LIMIT/OFFSET window over an ORDER BY whose keys tie across
-      // more rows than the window admits ANY valid row subset — the
-      // golden records the reference's internal (stable-sort input)
-      // order, which no other engine can reproduce from the spec.
-      // (GO.feature/GoYieldVertexEdge.feature "Go and Limit": keys
-      // (src, like_src) tie on all 6 rows, window is 2.)
-      val tieWindow = c.query.contains("ORDER BY $-.src,$-.like_src") &&
-        c.query.contains("OFFSET")
-      val parsed =
-        if (tieWindow) None
-        else try Some(Gql.parseScript(c.query))
-        catch { case _: Exception => None }
-      parsed match {
-        case None => skipped += 1
-        case Some(_) =>
-          try {
-            val df = Gql.runScript(g, c.query)
-            val got = df.limit(MaxGoldenRows).collect().toSeq
-              .map(r => r.toSeq.map(norm))
-            executed += 1
-            val want = c.golden.map(_.zipWithIndex.map { case (cell, idx) =>
-              val n = normGolden(cell, intVid)
-              // hashed column: golden records the pre-hash string
-              if (c.hashedCols.contains(idx) && n != "NULL")
-                graft.functions.NebulaHash.hash64(n).toString
-              else n
-            })
-            if (multisetMatch(got, want, intVid)) passed += 1
-            else failures += c.query ->
-              s"got=${got.take(5)} want=${want.take(5)} (${got.size}/${want.size} rows)"
-          } catch {
-            // an expression/function outside the compiled subset is a
-            // skip (unsupported surface, IllegalArgumentException from
-            // Expr/Gql); an AnalysisException is a schema-surface gap
-            // (e.g. props added by DDL scenarios we don't execute);
-            // anything else parsed-but-broke → error, surfaced in ok
-            case _: IllegalArgumentException => skipped += 1
-            case _: org.apache.spark.sql.AnalysisException => skipped += 1
-            case e: Exception =>
-              errors += c.query -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
-          }
+    val spark = fixtures.values.head.allVertices.sparkSession
+
+    parseScenarios(featureText, defaultSpace).foreach { sc =>
+      val goldenSteps = sc.steps.collect {
+        case s @ SQuery(_, _: ETable, _) => s }
+      val fixture = sc.fixtureSpace.flatMap(fixtures.get)
+      val relevant = sc.ownSpace || fixture.isDefined
+      if (!relevant) ()
+      else if (sc.skip) skipped += goldenSteps.size
+      else {
+        val needsMutable = sc.ownSpace || sc.fresh || sc.steps.exists {
+          case SExec(_) => true
+          case SQuery(q, _, _) => isMutating(q)
+        }
+        val cat: GraphCatalog =
+          if (!needsMutable) fixture.get
+          else if (fixture.isDefined) // incl. `load ... to a new space`
+            scenarioClone(fixture.get, sc.fixtureSpace.get)
+          else new graft.graph.ScenarioCatalog(spark, sc.vidInt)
+        val scIntVid = sc.vidInt ||
+          sc.fixtureSpace.exists(_.toLowerCase.contains("int_vid"))
+
+        // `dead` = scenario state can no longer match the reference
+        // (unsupported setup, or a statement the reference rejects
+        // that we accepted) — remaining golden queries are skips
+        var dead = false
+        val debug = sys.env.contains("SPARK_GRAFT_TCK_DEBUG")
+        def died(step: String, why: Throwable): Unit = {
+          dead = true
+          if (debug) System.err.println(
+            s"[tck-dead] ${step.take(120)} -> ${why.getClass.getSimpleName}: ${String.valueOf(why.getMessage).take(200)}")
+        }
+        sc.steps.foreach {
+          case SExec(script) =>
+            if (!dead) {
+              try { Gql.runScript(cat, script); () }
+              catch {
+                case e: IllegalArgumentException => died(script, e)
+                case e: org.apache.spark.sql.AnalysisException => died(script, e)
+                case e: graft.nql.DmlError =>
+                  dead = true
+                  errors += script.take(80) ->
+                    s"setup DmlError: ${e.getMessage}"
+                case e: Exception =>
+                  dead = true
+                  errors += script.take(80) ->
+                    s"setup ${e.getClass.getSimpleName}: ${e.getMessage}"
+              }
+            }
+          case SQuery(q, expect, tryMode) =>
+            expect match {
+              case _ if dead => expect match {
+                case _: ETable => skipped += 1
+                case _ => ()
+              }
+              case ESuccess =>
+                try { Gql.runScript(cat, q).count(); () }
+                catch {
+                  // unsupported surface kills the scenario even in
+                  // try-mode (the statement's EFFECT is missing);
+                  // try-mode only tolerates execution-level rejects
+                  case e: IllegalArgumentException => died(q, e)
+                  case e: org.apache.spark.sql.AnalysisException => died(q, e)
+                  case _ if tryMode => () // try-mode tolerates failure
+                  case e: graft.nql.DmlError =>
+                    dead = true
+                    errors += q -> s"DmlError: ${e.getMessage}"
+                  case e: Exception =>
+                    dead = true
+                    errors += q -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
+                }
+              case EError =>
+                // the reference rejects this statement; if we accept
+                // it the scenario state diverges → skip the rest
+                val threw =
+                  try { Gql.runScript(cat, q).count(); false }
+                  catch { case _: Throwable => true }
+                if (!threw) dead = true
+              case ETable(golden, hashedCols) =>
+                // A LIMIT/OFFSET window over an ORDER BY whose keys tie
+                // across more rows than the window admits ANY valid row
+                // subset — the golden records the reference's internal
+                // stable-sort order, which no engine can reproduce from
+                // the spec (GO.feature "Go and Limit").
+                val tieWindow = q.contains("ORDER BY $-.src,$-.like_src") &&
+                  q.contains("OFFSET")
+                val parsed =
+                  if (tieWindow) None
+                  else try Some(Gql.parseScript(q))
+                  catch { case _: Exception => None }
+                parsed match {
+                  case None => skipped += 1
+                  case Some(_) =>
+                    try {
+                      val df = Gql.runScript(cat, q)
+                      val got = df.limit(MaxGoldenRows).collect().toSeq
+                        .map(r => r.toSeq.map(norm))
+                      executed += 1
+                      val want = golden.map(_.zipWithIndex.map {
+                        case (cell, idx) =>
+                          val n = normGolden(cell, scIntVid)
+                          if (hashedCols.contains(idx) && n != "NULL")
+                            graft.functions.NebulaHash.hash64(n).toString
+                          else n
+                      })
+                      if (multisetMatch(got, want, scIntVid)) passed += 1
+                      else failures += q ->
+                        s"got=${got.take(5)} want=${want.take(5)} (${got.size}/${want.size} rows)"
+                    } catch {
+                      // unsupported expression surface → skip; schema
+                      // gap (AnalysisException) → skip; parsed-but-
+                      // broke → error, surfaced in ok
+                      case e: IllegalArgumentException =>
+                        skipped += 1
+                        if (debug) System.err.println(
+                          s"[tck-skip] ${q.take(120)} -> ${String.valueOf(e.getMessage).take(160)}")
+                      case e: org.apache.spark.sql.AnalysisException =>
+                        skipped += 1
+                        if (debug) System.err.println(
+                          s"[tck-skip] ${q.take(120)} -> AnalysisException: ${String.valueOf(e.getMessage).take(160)}")
+                      case e: Exception =>
+                        errors += q ->
+                          s"${e.getClass.getSimpleName}: ${e.getMessage}"
+                    }
+                }
+            }
+        }
       }
     }
     Report(executed, passed, skipped, failures.toSeq, errors.toSeq)

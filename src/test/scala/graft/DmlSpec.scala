@@ -1,0 +1,104 @@
+package graft
+
+import graft.graph.{MapCatalog, ScenarioCatalog}
+import graft.nql.{Dml, DmlError, Gql}
+import graft.sources.CsvFixtures
+
+/** DML/DDL sentence surface over a scenario-local space
+  * (ScenarioCatalog): the library face of the reference's INSERT /
+  * UPDATE / UPSERT / DELETE grammar (parser.yy:3060/3141/2987). */
+class DmlSpec extends SparkSpec {
+
+  private def fresh(int: Boolean = false) = new ScenarioCatalog(spark, int)
+
+  test("create + insert + query round trip") {
+    val cat = fresh()
+    Gql.runScript(cat,
+      """CREATE TAG person(name string, age int);
+        |CREATE EDGE knows(since int);
+        |INSERT VERTEX person(name, age) VALUES "a":("Ann", 30), "b":("Bob", 40);
+        |INSERT EDGE knows(since) VALUES "a"->"b":(2020);""".stripMargin)
+    val out = Gql.run(cat,
+      """GO FROM "a" OVER knows YIELD knows._dst AS dst, knows.since AS since""")
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("b", 2020L)))
+  }
+
+  test("insert overwrites; IF NOT EXISTS keeps the first row") {
+    val cat = fresh()
+    Gql.runScript(cat,
+      """CREATE TAG t(x int);
+        |INSERT VERTEX t(x) VALUES "v":(1);
+        |INSERT VERTEX t(x) VALUES "v":(2);
+        |INSERT VERTEX IF NOT EXISTS t(x) VALUES "v":(3);""".stripMargin)
+    assert(cat.tagRows("t")("v").head == 2L)
+  }
+
+  test("update stages and commits atomically: bad YIELD leaves state") {
+    val cat = fresh()
+    Gql.runScript(cat,
+      """CREATE TAG t(x int);
+        |INSERT VERTEX t(x) VALUES "v":(1);""".stripMargin)
+    intercept[DmlError] {
+      Gql.runScript(cat,
+        """UPDATE VERTEX ON t "v" SET x = x + 1 YIELD nonexistent AS n""")
+    }
+    assert(cat.tagRows("t")("v").head == 1L) // SET not half-applied
+  }
+
+  test("upsert on a missing key inserts from defaults, WHEN ignored") {
+    val cat = fresh()
+    Gql.runScript(cat,
+      """CREATE TAG t(a int DEFAULT 10, b int);
+        |UPSERT VERTEX ON t "v" SET b = a + 5 WHEN b > 100 YIELD a AS a, b AS b;
+        |""".stripMargin)
+    assert(cat.tagRows("t")("v").toSeq == Seq(10L, 15L))
+  }
+
+  test("delete vertex WITH EDGE removes incident edges") {
+    val cat = fresh()
+    Gql.runScript(cat,
+      """CREATE TAG t(x int); CREATE EDGE e();
+        |INSERT VERTEX t(x) VALUES "a":(1), "b":(2);
+        |INSERT EDGE e() VALUES "a"->"b":();
+        |DELETE VERTEX "a" WITH EDGE;""".stripMargin)
+    assert(!cat.tagRows("t").contains("a"))
+    assert(cat.edgeRows("e").isEmpty)
+  }
+
+  test("type checking: wrong-typed insert value is rejected") {
+    val cat = fresh()
+    Gql.runScript(cat, """CREATE TAG t(x int)""")
+    intercept[DmlError] {
+      Gql.runScript(cat, """INSERT VERTEX t(x) VALUES "v":("not an int")""")
+    }
+    assert(cat.tagRows("t").isEmpty)
+  }
+
+  test("DML against an immutable catalog is unsupported, not silent") {
+    val nba = "/root/reference/tests/data/nba"
+    assume(new java.io.File(s"$nba/player.csv").exists())
+    val cat = MapCatalog(
+      tags = Map("player" -> CsvFixtures.load(spark, s"$nba/player.csv")),
+      edges = Map("like" -> CsvFixtures.load(spark, s"$nba/like.csv")))
+    intercept[IllegalArgumentException] {
+      Gql.runScript(cat, """DELETE VERTEX "Tim Duncan" WITH EDGE""")
+    }
+  }
+
+  test("fixture clone: mutations stay scenario-local") {
+    val nba = "/root/reference/tests/data/nba"
+    assume(new java.io.File(s"$nba/player.csv").exists())
+    val base = MapCatalog(
+      tags = Map("player" -> CsvFixtures.load(spark, s"$nba/player.csv")),
+      edges = Map("like" -> CsvFixtures.load(spark, s"$nba/like.csv")))
+    val clone = ScenarioCatalog.fromCatalog(spark, base, vidIsInt = false)
+    val before = clone.tagRows("player").size
+    Gql.runScript(clone, """DELETE VERTEX "Tim Duncan" WITH EDGE""")
+    assert(clone.tagRows("player").size == before - 1)
+    assert(base.vertexTable("player")
+      .filter(org.apache.spark.sql.functions.col("vid") === "Tim Duncan")
+      .count() == 1) // fixture untouched
+  }
+}

@@ -17,6 +17,7 @@ class TckRunnerSpec extends SparkSpec {
 
   private val nba = "/root/reference/tests/data/nba"
   private val root = "/root/reference/tests/tck/features"
+  private val oc = "/root/reference/tests/tck/openCypher/features"
   private val features = Seq(
     s"$root/go/GO.feature",
     s"$root/fetch/FetchVertices.strVid.feature",
@@ -108,7 +109,36 @@ class TckRunnerSpec extends SparkSpec {
     s"$root/path/singleShortestPath.feature",
     s"$root/subgraph/subgraph.feature",
     s"$root/subgraph/subgraph.IntVid.feature",
-    s"$root/subgraph/subgraphWithFilter.feature")
+    s"$root/subgraph/subgraphWithFilter.feature",
+    // round 5: MATCH shortestPath()/allShortestPaths() text surface
+    s"$root/match/SingleShorestPath.feature",
+    s"$root/match/AllShortestPaths.feature",
+    // round 5: DML sentences (INSERT/UPDATE/UPSERT/DELETE) against
+    // scenario-local spaces (ScenarioCatalog)
+    s"$root/insert/Insert.feature",
+    s"$root/insert/Insert.IntVid.feature",
+    s"$root/insert/InsertIfNotExists.feature",
+    s"$root/insert/insertVertexOnly.feature",
+    s"$root/update/Update.feature",
+    s"$root/update/Update.IntVid.feature",
+    s"$root/update/MultiUpdate.feature",
+    s"$root/delete/DeleteVertex.feature",
+    s"$root/delete/DeleteVertex.IntVid.feature",
+    s"$root/delete/DeleteEdge.feature",
+    s"$root/delete/DeleteEdge.IntVid.feature",
+    s"$root/delete/DeleteTag.feature",
+    s"$root/delete/DeleteTag.IntVid.feature",
+    s"$root/delete/DeleteVertexWithoutEdge.feature",
+    // round 5: geography storage surface (WKT round-trip; spherical
+    // predicates on lines/polygons stay unsupported -> skipped)
+    s"$root/geo/GeoBase.feature",
+    // round 5: openCypher TCK subset (expression surface)
+    s"$oc/expressions/list/List2.feature",
+    s"$oc/expressions/map/Map1.feature",
+    s"$oc/expressions/map/Map2.feature",
+    s"$oc/expressions/path/Path1.feature",
+    s"$oc/expressions/path/Path2.feature",
+    s"$oc/expressions/path/Path3.feature")
   private def have = features.forall(f => new java.io.File(f).exists())
 
   private def strCatalog = MapCatalog(
@@ -163,11 +193,12 @@ class TckRunnerSpec extends SparkSpec {
       val space = spaceRe.findFirstMatchIn(text).map(_.group(1)).getOrElse("nba")
       // Scenario-Outline features parameterize the space ("<space_name>"
       // with nba/int-vid Examples) — run them once against nba
-      val report = catalogs.get(space)
-        .orElse(if (space.startsWith("<")) Some(strCatalog) else None) match {
-        case Some(cat) => TckRunner.run(cat, text, space)
-        case None => TckRunner.Report(0, 0, 0, Nil)
-      }
+      // Scenario-Outline features parameterize the space
+      // ("<space_name>" with Examples) — bind them to the nba fixture
+      val fixtures =
+        if (space.startsWith("<")) catalogs + (space -> strCatalog)
+        else catalogs
+      val report = TckRunner.runAll(fixtures, space, text)
       info(s"${f.split('/').last}: executed=${report.executed} " +
         s"passed=${report.passed} skipped=${report.skipped} " +
         s"errored=${report.errored}")
