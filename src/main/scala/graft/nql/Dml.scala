@@ -140,7 +140,14 @@ object Dml {
         val props = parsePropDefs(p)
         skipSchemaOptions(p)
         CreateSchema(isTag, name, props, ifNotExists)
-      } else { skipStatement(p); AdminNoop("create") }
+      } else {
+        // only real nGQL CREATE objects are admin no-ops; anything
+        // else (CREATE TABLE ...) is a syntax error like the reference
+        require(p.kwPeek("INDEX") || p.kwPeek("SPACE") ||
+          p.kwPeek("USER") || p.kwPeek("SNAPSHOT") || p.kwPeek("FULLTEXT"),
+          s"unknown CREATE object at ${p.ts.take(2)}")
+        skipStatement(p); AdminNoop("create")
+      }
     } else if (p.kw("DROP")) {
       val isTag = p.kw("TAG")
       val isEdge = !isTag && p.kw("EDGE")
@@ -148,7 +155,12 @@ object Dml {
         val ifExists =
           if (p.kw("IF")) { p.expectKw("EXISTS"); true } else false
         DropSchema(isTag, p.word(), ifExists)
-      } else { skipStatement(p); AdminNoop("drop") }
+      } else {
+        require(p.kwPeek("INDEX") || p.kwPeek("SPACE") ||
+          p.kwPeek("USER") || p.kwPeek("SNAPSHOT") || p.kwPeek("FULLTEXT"),
+          s"unknown DROP object at ${p.ts.take(2)}")
+        skipStatement(p); AdminNoop("drop")
+      }
     } else if (p.kw("ALTER")) {
       val isTag = p.kw("TAG")
       if (!isTag) p.expectKw("EDGE")
