@@ -537,9 +537,10 @@ object MatchSeg {
     var hasVarLen = false
     part.rels.zip(part.nodes.tail).foreach { case (rel0, node) =>
       // a named path needs every hop's edge columns bound → material-
-      // ize anonymous single-hop edge vars
+      // ize anonymous edge vars (single-hop columns, or the var-length
+      // edge-struct list that length()/relationships() read)
       val rel =
-        if (part.pathVar.isDefined && rel0.v.isEmpty && rel0.range.isEmpty)
+        if (part.pathVar.isDefined && rel0.v.isEmpty)
           rel0.copy(v = Some(st.freshVar()))
         else rel0
       if (rel.range.isDefined) hasVarLen = true
@@ -836,6 +837,30 @@ object MatchSeg {
           if st.spPaths.contains(pv) =>
         Some(transform(col(s"${pv}__spsteps"), x =>
           Gql.renderEdge(x("t"), x("s"), x("d"), x("r"), strVid)))
+      // named-path functions over paths CONTAINING var-length rels:
+      // length sums per-rel hop counts; relationships concatenates the
+      // per-rel edge renderings (nodes/rendering stay unsupported —
+      // the traversal-direction node sequence is not materialized)
+      case Expr.FnCall("length", List(Expr.Ref(List(pv))), _)
+          if st.pathVars.get(pv).exists(_.varLength) &&
+            st.pathVars(pv).rels.forall(ev =>
+              st.vlEdgeVars.contains(ev) || st.edgeVars.contains(ev)) =>
+        Some(st.pathVars(pv).rels.map { ev =>
+          if (st.vlEdgeVars.contains(ev)) size(col(s"${ev}__vl"))
+          else lit(1)
+        }.reduce(_ + _).cast("long"))
+      case Expr.FnCall("relationships", List(Expr.Ref(List(pv))), _)
+          if st.pathVars.get(pv).exists(_.varLength) &&
+            st.pathVars(pv).rels.forall(ev =>
+              st.vlEdgeVars.contains(ev) || st.edgeVars.contains(ev)) =>
+        val parts2 = st.pathVars(pv).rels.map { ev =>
+          if (st.vlEdgeVars.contains(ev))
+            transform(col(s"${ev}__vl"), x =>
+              Gql.renderEdge(x("__t"), x("__s"), x("__d"), x("__r"), strVid))
+          else array(Gql.renderEdge(col(s"${ev}_etype"), col(s"${ev}_src"),
+            col(s"${ev}_dst"), col(s"${ev}_rank"), strVid))
+        }
+        Some(if (parts2.size == 1) parts2.head else concat(parts2: _*))
       // named-path functions over fixed-length paths
       case Expr.FnCall("length", List(Expr.Ref(List(pv))), _)
           if st.pathVars.get(pv).exists(!_.varLength) =>
