@@ -67,6 +67,8 @@ object GraphAlgos {
         .localCheckpoint()
       if (untilConverged)
         changed = upd.filter(col("label") =!= col("__old")).count()
+      // the new checkpoint holds every row — free the superseded one
+      graft.traverse.Traverse.freeCheckpoint(labels)
       labels = upd.drop("__old")
       round += 1
     }
@@ -102,6 +104,7 @@ object GraphAlgos {
         .localCheckpoint()
       if (tol > 0.0)
         delta = upd.agg(max(abs(col("pr") - col("__old")))).head.getDouble(0)
+      graft.traverse.Traverse.freeCheckpoint(pr) // superseded by upd
       pr = upd.drop("__old")
       round += 1
     }
