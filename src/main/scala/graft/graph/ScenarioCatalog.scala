@@ -20,7 +20,11 @@ import scala.jdk.CollectionConverters._
   * table, not a driver map.
   */
 final class ScenarioCatalog(val spark: SparkSession,
-                            var vidIsInt: Boolean = false)
+                            var vidIsInt: Boolean = false,
+                            /** FIXED_STRING(N) cap from the space's
+                              * vid_type; string vids longer than this
+                              * are a storage-level reject. */
+                            var vidLen: Option[Int] = None)
     extends GraphCatalog {
   import ScenarioCatalog.PropDef
 

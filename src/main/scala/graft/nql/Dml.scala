@@ -753,6 +753,10 @@ object Dml {
     case (null, _) => null
     case (n: Long, LongType) => n
     case (n: Int, LongType) => n.toLong
+    // float/double into an integer column ROUNDS half away from zero
+    // (reference issue #3473: WriteVertexProps lround semantics)
+    case (d: Double, LongType) =>
+      if (d >= 0) math.floor(d + 0.5).toLong else math.ceil(d - 0.5).toLong
     case (n: Long, DoubleType) => n.toDouble
     case (d: Double, DoubleType) => d
     case (s: String, StringType) => s
@@ -803,7 +807,14 @@ object Dml {
 
   private def evalVid(g: ScenarioCatalog, v: Any): Any =
     (v, g.vidIsInt) match {
-      case (s: String, false) => s
+      case (s: String, false) =>
+        // FIXED_STRING(N) space: overlong vids are a storage reject
+        // (reference issue #4397, VidInvalidLength.feature)
+        g.vidLen.filter(_ < s.getBytes("UTF-8").length).foreach { n =>
+          throw new DmlError("Storage Error: The VID must be a 64-bit " +
+            "integer or a string fitting space vertex id length limit.")
+        }
+        s
       case (n: Long, true) => n
       case (n: Int, true) => n.toLong
       case (other, _) =>

@@ -567,7 +567,16 @@ object Expr {
       case Bin("+", a, b) => c(a) + c(b)
       case Bin("-", a, b) => c(a) - c(b)
       case Bin("*", a, b) => c(a) * c(b)
-      case Bin("/", a, b) => c(a) / c(b)
+      case e0 @ Bin("/", a, b) =>
+        // Spark's Divide null-guards ALL zero divisors in non-ANSI
+        // mode, but the reference's double division is IEEE (0/0.0 →
+        // NaN, 1/0.0 → inf, issue #3473). Constant double divisions
+        // fold here with Java (= IEEE) semantics; int/int keeps the
+        // engine's NULL-on-zero behavior (DIV_BY_ZERO → NULL).
+        tryConst(e0) match {
+          case Some(d: Double) => lit(d)
+          case _ => c(a) / c(b)
+        }
       case Bin("%", a, b) => c(a) % c(b)
       // =~ is a FULL match (std::regex_match, not search)
       case Bin("=~", a, Lit(p: String)) => c(a).rlike("^(?:" + p + ")$")
@@ -656,7 +665,11 @@ object Expr {
           when(f0 < 0, sz + f0).otherwise(f0), sz), lit(0))
         val tN = greatest(least(
           when(t0 < 0, sz + t0).otherwise(t0), sz), lit(0))
-        slice(ec, fN + lit(1), greatest(tN - fN, lit(0)))
+        // a NULL bound nulls the whole slice (reference: BAD_TYPE
+        // range operand → NULL, bugfix/ListSlicingWithNull); `when`
+        // without otherwise yields NULL of the array type
+        when(f0.isNotNull && t0.isNotNull,
+          slice(ec, fN + lit(1), greatest(tN - fN, lit(0))))
       case Attr(x, name) => x match {
         // map-key access is case-SENSITIVE (Map std::map keys); a
         // missing key is UNKNOWN_PROP -> plain NULL (SURVEY 7.4)

@@ -559,25 +559,49 @@ object MatchSeg {
 
   /** Render a named path `<("a")-[:like@0]->("b")...>` — per-hop arrow
     * direction decided at runtime against the stored edge orientation
-    * (src/common/datatypes/Path.cpp toString). */
-  private def renderPath(info: PathInfo, strVid: Boolean): Column = {
-    require(!info.varLength, "var-length named paths are not renderable")
+    * (src/common/datatypes/Path.cpp toString). A var-length hop walks
+    * its edge-struct list with `aggregate`, threading the current
+    * vertex through the fold so each step's arrow direction and next
+    * node come from whichever endpoint differs from the walk head. */
+  private def renderPath(st: BState, info: PathInfo,
+                         strVid: Boolean): Column = {
     var c: Column = concat(lit("<"),
       Gql.renderNode(col(info.nodes.head), strVid))
     info.rels.zipWithIndex.foreach { case (ev, i) =>
       val left = info.nodes(i)
       val right = info.nodes(i + 1)
-      // rank prints only when non-zero (Path.cpp toString)
-      val lbl = concat(lit(":"), col(s"${ev}_etype"),
-        when(col(s"${ev}_rank") =!= 0,
-          concat(lit("@"), col(s"${ev}_rank").cast("string")))
-          .otherwise(lit("")))
-      val fwd = concat(lit("-["), lbl, lit("]->"),
-        Gql.renderNode(col(right), strVid))
-      val bwd = concat(lit("<-["), lbl, lit("]-"),
-        Gql.renderNode(col(right), strVid))
-      c = concat(c,
-        when(col(s"${ev}_src") === col(left), fwd).otherwise(bwd))
+      if (st.vlEdgeVars.contains(ev)) {
+        val seg = aggregate(
+          col(s"${ev}__vl"),
+          struct(col(left).as("cur"), lit("").as("acc")),
+          (acc, x) => {
+            // rank prints only when non-zero (Path.cpp toString)
+            val lbl = concat(lit(":"), x("__t"),
+              when(x("__r") =!= 0,
+                concat(lit("@"), x("__r").cast("string"))).otherwise(lit("")))
+            val isFwd = x("__s") === acc("cur")
+            val nextV = when(isFwd, x("__d")).otherwise(x("__s"))
+            val hopS = when(isFwd,
+              concat(lit("-["), lbl, lit("]->"),
+                Gql.renderNode(x("__d"), strVid)))
+              .otherwise(concat(lit("<-["), lbl, lit("]-"),
+                Gql.renderNode(x("__s"), strVid)))
+            struct(nextV.as("cur"), concat(acc("acc"), hopS).as("acc"))
+          },
+          acc => acc("acc"))
+        c = concat(c, seg)
+      } else {
+        val lbl = concat(lit(":"), col(s"${ev}_etype"),
+          when(col(s"${ev}_rank") =!= 0,
+            concat(lit("@"), col(s"${ev}_rank").cast("string")))
+            .otherwise(lit("")))
+        val fwd = concat(lit("-["), lbl, lit("]->"),
+          Gql.renderNode(col(right), strVid))
+        val bwd = concat(lit("<-["), lbl, lit("]-"),
+          Gql.renderNode(col(right), strVid))
+        c = concat(c,
+          when(col(s"${ev}_src") === col(left), fwd).otherwise(bwd))
+      }
     }
     concat(c, lit(">"))
   }
@@ -875,7 +899,7 @@ object MatchSeg {
           Gql.renderEdge(col(s"${ev}_etype"), col(s"${ev}_src"),
             col(s"${ev}_dst"), col(s"${ev}_rank"), strVid)): _*))
       case Expr.Ref(List(pv)) if st.pathVars.contains(pv) =>
-        Some(renderPath(st.pathVars(pv), strVid))
+        Some(renderPath(st, st.pathVars(pv), strVid))
       // plain struct column (a WITH-projected map literal): dotted
       // access is a field lookup
       case Expr.Ref(List(m, field))
