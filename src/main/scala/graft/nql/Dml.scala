@@ -436,6 +436,90 @@ object Dml {
     * (Geography.h:39-43 shape kinds; storage is canonical WKT). */
   final case class GeoVal(wkt: String, kind: String)
 
+  /** A TIME value — distinct from a plain string so time-typed props
+    * reject raw strings the way the reference's storage does
+    * (InsertWithTimeType: "10:0:0" without time() is a type error).
+    * `s` is normalized "HH:mm:ss.SSSSSS" in UTC. */
+  final case class TimeVal(s: String)
+
+  /** A DURATION value (Duration.h: months / seconds / microseconds). */
+  final case class DurVal(months: Long, seconds: Long, micros: Long) {
+    /** Duration.h:128 toString: P{}MT{}.{:0>6}000S */
+    override def toString: String =
+      f"P${months}MT${seconds + micros / 1000000}.${micros % 1000000}%06d000S"
+  }
+
+  /** Split a temporal literal's optional `±HH:MM` offset and
+    * `[Zone/Name]` suffix (Time.cpp parse), returning the core text
+    * and the resolved UTC offset. A zone name with a MISMATCHED
+    * explicit offset is the reference's "Wrong value type" reject. */
+  private def splitZone(s0: String, at: Option[java.time.LocalDateTime])
+      : (String, Int) = {
+    var s = s0.trim
+    var zone: Option[java.time.ZoneId] = None
+    val zm = "\\[([^\\]]+)\\]$".r.findFirstMatchIn(s)
+    zm.foreach { m =>
+      zone = Some(
+        try java.time.ZoneId.of(m.group(1))
+        catch { case _: Exception =>
+          throw new DmlError(s"unknown time zone ${m.group(1)}") })
+      s = s.substring(0, m.start)
+    }
+    var off: Option[Int] = None
+    val om = "([+-])(\\d{2}):(\\d{2})$".r.findFirstMatchIn(s)
+    om.foreach { m =>
+      val sec = (m.group(2).toInt * 3600 + m.group(3).toInt * 60) *
+        (if (m.group(1) == "-") -1 else 1)
+      off = Some(sec)
+      s = s.substring(0, m.start)
+    }
+    val zoneOff = zone.map { z =>
+      val instant = at
+        .map(_.toInstant(java.time.ZoneOffset.UTC))
+        .getOrElse(java.time.Instant.now())
+      z.getRules.getOffset(instant).getTotalSeconds
+    }
+    (off, zoneOff) match {
+      case (Some(a), Some(b)) if a != b =>
+        throw new DmlError(s"Wrong value type: $s0")
+      case _ => ()
+    }
+    (s, off.orElse(zoneOff).getOrElse(0))
+  }
+
+  private def timeFromString(s0: String): TimeVal = {
+    val (core, off) = splitZone(s0, None)
+    val lt =
+      try java.time.LocalTime.parse(core)
+      catch { case _: Exception => throw new DmlError(
+        "Storage Error: The data type does not meet the requirements. " +
+          "Use the correct type of data.") }
+    val utc = lt.minusSeconds(off)
+    TimeVal(f"${utc.getHour}%02d:${utc.getMinute}%02d:" +
+      f"${utc.getSecond}%02d.${utc.getNano / 1000}%06d")
+  }
+
+  private def datetimeFromString(s0: String): java.sql.Timestamp = {
+    val core0 = s0.trim
+    val ldt0 =
+      try java.time.LocalDateTime.parse(splitZone(core0, None)._1)
+      catch { case e: DmlError => throw e
+        case _: Exception => throw new DmlError(
+          "Storage Error: The data type does not meet the requirements. " +
+            "Use the correct type of data.") }
+    val (_, off) = splitZone(core0, Some(ldt0))
+    java.sql.Timestamp.valueOf(ldt0.minusSeconds(off))
+  }
+
+  private def mapLong(m: collection.Map[String, Any], k: String,
+                      default: Long = 0L): Long =
+    m.get(k) match {
+      case Some(n: Long) => n
+      case Some(n: Int) => n.toLong
+      case None => default
+      case Some(other) => throw new DmlError(s"bad $k: $other")
+    }
+
   private val wktRe =
     ("(?i)^\\s*(POINT\\s*\\(\\s*-?[0-9.]+\\s+-?[0-9.]+\\s*\\)|" +
      "LINESTRING\\s*\\(\\s*(-?[0-9.]+\\s+-?[0-9.]+\\s*,\\s*)+-?[0-9.]+\\s+-?[0-9.]+\\s*\\)|" +
@@ -497,6 +581,9 @@ object Dml {
       }.getOrElse(els.map(eval(_, env)).orNull)
     case Expr.FnCall(name, args, _) => fncall(name.toLowerCase,
       args.map(eval(_, env)))
+    case Expr.MapLit(entries) =>
+      scala.collection.immutable.ListMap(
+        entries.map { case (k, v) => k -> eval(v, env) }: _*)
     case other =>
       throw new IllegalArgumentException(s"unsupported DML expr $other")
   }
@@ -590,18 +677,49 @@ object Dml {
       case _ => throw new DmlError(s"timestamp($args)")
     }
     case "date" => args match {
-      case List(s: String) => java.sql.Date.valueOf(s)
+      case List(s: String) =>
+        try java.sql.Date.valueOf(s)
+        catch { case _: Exception => throw new DmlError(
+          "Storage Error: The data type does not meet the requirements. " +
+            "Use the correct type of data.") }
+      case List(m: collection.Map[String @unchecked, Any @unchecked]) =>
+        java.sql.Date.valueOf(java.time.LocalDate.of(
+          mapLong(m, "year", 1970).toInt, mapLong(m, "month", 1).toInt,
+          mapLong(m, "day", 1).toInt))
       case Nil => new java.sql.Date(System.currentTimeMillis())
       case _ => throw new DmlError(s"date($args)")
     }
     case "datetime" => args match {
-      case List(s: String) =>
-        java.sql.Timestamp.valueOf(java.time.LocalDateTime.parse(s))
+      case List(s: String) => datetimeFromString(s)
+      case List(m: collection.Map[String @unchecked, Any @unchecked]) =>
+        java.sql.Timestamp.valueOf(java.time.LocalDateTime.of(
+          mapLong(m, "year", 1970).toInt, mapLong(m, "month", 1).toInt,
+          mapLong(m, "day", 1).toInt, mapLong(m, "hour").toInt,
+          mapLong(m, "minute").toInt, mapLong(m, "second").toInt,
+          (mapLong(m, "millisecond") * 1000000 +
+            mapLong(m, "microsecond") * 1000).toInt))
       case _ => throw new DmlError(s"datetime($args)")
     }
     case "time" => args match {
-      case List(s: String) => s
+      case List(s: String) => timeFromString(s)
+      case List(m: collection.Map[String @unchecked, Any @unchecked]) =>
+        TimeVal(f"${mapLong(m, "hour")}%02d:${mapLong(m, "minute")}%02d:" +
+          f"${mapLong(m, "second")}%02d." +
+          f"${mapLong(m, "millisecond") * 1000 + mapLong(m, "microsecond")}%06d")
       case _ => throw new DmlError(s"time($args)")
+    }
+    case "duration" => args match {
+      case List(m: collection.Map[String @unchecked, Any @unchecked]) =>
+        val bad = m.keySet.diff(Set("years", "months", "days", "hours",
+          "minutes", "seconds", "milliseconds", "microseconds"))
+        if (bad.nonEmpty) throw new DmlError(s"duration: unknown $bad")
+        DurVal(
+          months = mapLong(m, "years") * 12 + mapLong(m, "months"),
+          seconds = mapLong(m, "days") * 86400 + mapLong(m, "hours") * 3600 +
+            mapLong(m, "minutes") * 60 + mapLong(m, "seconds"),
+          micros = mapLong(m, "milliseconds") * 1000 +
+            mapLong(m, "microseconds"))
+      case _ => throw new DmlError(s"duration($args)")
     }
     case "now" => System.currentTimeMillis() / 1000
     case "hash" => graft.functions.NebulaHash.hashValue(args.head)
@@ -740,6 +858,24 @@ object Dml {
       case other =>
         throw new DmlError(s"wrong type for ${d.name}: $other is not geography")
     }
+    else if (d.typeName == "time") v match {
+      case null =>
+        if (d.notNull) throw new DmlError(s"prop ${d.name} is NOT NULL")
+        else null
+      case TimeVal(s) => s
+      case _ => throw new DmlError(
+        "Storage Error: The data type does not meet the requirements. " +
+          "Use the correct type of data.")
+    }
+    else if (d.typeName == "duration") v match {
+      case null =>
+        if (d.notNull) throw new DmlError(s"prop ${d.name} is NOT NULL")
+        else null
+      case dv: DurVal => dv.toString
+      case _ => throw new DmlError(
+        "Storage Error: The data type does not meet the requirements. " +
+          "Use the correct type of data.")
+    }
     else v match {
       case GeoVal(_, _) =>
         throw new DmlError(s"wrong type for ${d.name}: geography value")
@@ -760,6 +896,9 @@ object Dml {
     case (n: Long, DoubleType) => n.toDouble
     case (d: Double, DoubleType) => d
     case (s: String, StringType) => s
+    // typed temporal values landing in untyped (fixture) string props
+    case (t: TimeVal, StringType) => t.s
+    case (d2: DurVal, StringType) => d2.toString
     case (b: Boolean, BooleanType) => b
     case (d: java.sql.Date, DateType) => d
     case (t: java.sql.Timestamp, TimestampType) => t

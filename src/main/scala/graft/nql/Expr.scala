@@ -902,6 +902,9 @@ object Expr {
         case Some(v) => lit(graft.functions.NebulaHash.hashValue(v))
         case None => graft.functions.NebulaHash.hashCol(a(0))
       }
+      // uuid() returns an int64 per call (FunctionManager.cpp uuid —
+      // random per evaluation); hash a per-row random UUID string
+      case "uuid" => xxhash64(expr("uuid()"))
       case other =>
         throw new IllegalArgumentException(s"unsupported function $other")
     }

@@ -350,6 +350,12 @@ object MatchSeg {
       * bound as a plain column, structure in `${pv}__spvids/__spsteps`
       * hidden columns. */
     val spPaths = scala.collection.mutable.Set.empty[String]
+    /** Deferred same-relationship constraints from re-using a bound
+      * edge var in a later pattern: (tmpVar, originalVar, isVarLen).
+      * The two vars' columns may live in frames that only meet at a
+      * joinShared — the equality filter applies once both resolve. */
+    val pendingEdgeEq =
+      scala.collection.mutable.ListBuffer.empty[(String, String, Boolean)]
     def addPath(pv: String): Unit = {
       if (!known(pv) && !pathVars.contains(pv)) declOrder += pv
     }
@@ -637,12 +643,21 @@ object MatchSeg {
         val oriented = Traverse.orient(tagged, rel.dir)
         val propCols = base0.columns
           .filterNot(Seq("src", "dst", "rank", "__etype").contains)
+        // re-using an already-bound edge var joins the two patterns ON
+        // EDGE IDENTITY (openCypher: same variable = same relationship;
+        // MatchJoinOnEdge.feature); re-use across Edge/EdgeList types
+        // is the reference's SemanticError
+        if (rel.v.exists(st.vlEdgeVars.contains))
+          throw new IllegalArgumentException(
+            s"${rel.v.get} binding to different type: Edge vs EdgeList")
+        val reused = rel.v.filter(st.edgeVars.contains)
+        val ev0 = reused.map(_ => st.freshVar()).orElse(rel.v)
         val kept: Seq[Column] =
           Seq(col("src").as("__from"), col("dst").as("__to"),
             eidCol.as("__heid")) ++
-            (rel.v match {
+            (ev0 match {
               case Some(ev) =>
-                st.addEdge(ev)
+                if (reused.isEmpty) st.addEdge(ev)
                 Seq(col("__osrc").as(s"${ev}_src"), col("__odst").as(s"${ev}_dst"),
                   col("rank").as(s"${ev}_rank"),
                   col("__etype").as(s"${ev}_etype")) ++
@@ -656,10 +671,15 @@ object MatchSeg {
         val hopF0 = oriented.select(kept: _*)
         val hopF =
           if (rel.dir == Both) hopF0.distinct() else hopF0
-        binding.join(hopF, col(fromVar) === col("__from"))
+        val j0 = binding.join(hopF, col(fromVar) === col("__from"))
           .filter(!array_contains(col("__trail"), col("__heid")))
           .withColumn("__trail", concat(col("__trail"), array(col("__heid"))))
           .drop("__from", "__heid")
+        (reused, ev0) match {
+          case (Some(ev), Some(tmp)) =>
+            st.pendingEdgeEq += ((tmp, ev, false)); j0
+          case _ => j0
+        }
       case Some((m, n)) =>
         val pairs = varLengthPairs(g, binding, fromVar, rel, m, n,
           withEdges = rel.v.isDefined)
@@ -669,8 +689,19 @@ object MatchSeg {
           .drop("__vl_ep")
           .withColumnRenamed("__vl_to", "__to")
         rel.v.foreach { ev =>
-          st.addVlEdge(ev)
-          j = j.withColumnRenamed("__vl_edges", s"${ev}__vl")
+          if (st.edgeVars.contains(ev))
+            throw new IllegalArgumentException(
+              s"$ev binding to different type: EdgeList vs Edge")
+          if (st.vlEdgeVars.contains(ev)) {
+            // re-used edge-LIST var: the two patterns must bind the
+            // same relationship list (struct-list equality)
+            val tmp = st.freshVar()
+            j = j.withColumnRenamed("__vl_edges", s"${tmp}__vl")
+            st.pendingEdgeEq += ((tmp, ev, true))
+          } else {
+            st.addVlEdge(ev)
+            j = j.withColumnRenamed("__vl_edges", s"${ev}__vl")
+          }
         }
         j
     }
@@ -786,7 +817,7 @@ object MatchSeg {
             !st.boundTags.contains((v, tag)) =>
         binding = binding.join(tagFrame(g, tag, v), Seq(v), "left_outer")
         st.boundTags += (v -> tag)
-      case Expr.FnCall("labels", List(Expr.Ref(List(v))), _)
+      case Expr.FnCall("labels" | "tags", List(Expr.Ref(List(v))), _)
           if st.vertexVars.contains(v) && !st.labelsBound.contains(v) =>
         // per-tag membership flags feed the labels() array
         g.tagNames.foreach { t =>
@@ -846,7 +877,21 @@ object MatchSeg {
           if st.edgeVars.contains(ev) => Some(col(s"${ev}_src"))
       case Expr.FnCall("dst", List(Expr.Ref(List(ev))), _)
           if st.edgeVars.contains(ev) => Some(col(s"${ev}_dst"))
-      case Expr.FnCall("labels", List(Expr.Ref(List(v))), _)
+      // edge accessors on a subscripted var-length edge list:
+      // rank(e[0]) / type(e[i]) / src / dst read the struct fields
+      case Expr.FnCall(fn2 @ ("type" | "rank" | "src" | "dst"),
+          List(Expr.Subscript(Expr.Ref(List(ev)), idx)), _)
+          if st.vlEdgeVars.contains(ev) =>
+        val raw = col(s"${ev}__vl")
+        val ic = Expr.compile(idx, resolver(st, binding)).cast("int")
+        val elem = when(ic >= 0, try_element_at(raw, ic + lit(1)))
+          .otherwise(try_element_at(raw, ic))
+        val field = fn2 match {
+          case "type" => "__t"; case "rank" => "__r"
+          case "src" => "__s"; case _ => "__d"
+        }
+        Some(elem.getField(field))
+      case Expr.FnCall("labels" | "tags", List(Expr.Ref(List(v))), _)
           if st.vertexVars.contains(v) =>
         Some(array_compact(array(st.tags.sorted.map(t =>
           when(col(s"__lbl_${v}_$t"), lit(t))): _*)))
@@ -969,6 +1014,31 @@ object MatchSeg {
                           clauses: List[Clause],
                           binding0: DataFrame): DataFrame = {
     var binding = binding0
+    // apply deferred same-relationship constraints once both sides'
+    // columns are present in the combined frame
+    def applyPendingEdgeEq(df0: DataFrame): DataFrame = {
+      var d = df0
+      val cols = d.columns.toSet
+      st.pendingEdgeEq.toList.foreach { case pend @ (tmp, ev, isVl) =>
+        val ready =
+          if (isVl) cols(s"${tmp}__vl") && cols(s"${ev}__vl")
+          else cols(s"${tmp}_src") && cols(s"${ev}_src")
+        if (ready) {
+          d =
+            if (isVl)
+              d.filter(col(s"${tmp}__vl") === col(s"${ev}__vl"))
+                .drop(s"${tmp}__vl")
+            else
+              d.filter(col(s"${tmp}_src") === col(s"${ev}_src") &&
+                col(s"${tmp}_dst") === col(s"${ev}_dst") &&
+                col(s"${tmp}_etype") === col(s"${ev}_etype") &&
+                col(s"${tmp}_rank") === col(s"${ev}_rank"))
+                .drop(d.columns.filter(_.startsWith(s"${tmp}_")): _*)
+          st.pendingEdgeEq -= pend
+        }
+      }
+      d
+    }
     clauses.foreach { cl =>
       val idHints = idSeedHints(cl.where)
       // frame for this clause: its parts joined on shared vars
@@ -978,6 +1048,7 @@ object MatchSeg {
         frame =
           if (frame == null) pf
           else joinShared(st, frame, pf, joinType = "inner")
+        frame = applyPendingEdgeEq(frame)
       }
       // clause-local WHERE applies before an OPTIONAL left join when
       // its refs stay inside the clause (cypher optional semantics);
@@ -992,6 +1063,7 @@ object MatchSeg {
         if (binding == null) frame
         else joinShared(st, binding, frame,
           joinType = if (cl.optional) "left_outer" else "inner")
+      binding = applyPendingEdgeEq(binding)
       postW.foreach { w =>
         binding = ensureTags(g, st, binding, Seq(w))
         binding = binding.filter(Expr.compile(w, resolver(st, binding)))

@@ -204,59 +204,71 @@ object TckRunner {
         }
       }
 
-    /** Expand a Scenario Outline's body against its Examples rows:
-      * each row substitutes `<col>` placeholders line-wise. A plain
-      * Scenario yields its body unchanged. */
-    def expand(body: Vector[String], isOutline: Boolean): Seq[Vector[String]] = {
-      val exIdx = body.indexWhere(_.trim.matches("Examples:.*"))
-      if (!isOutline || exIdx < 0) Seq(body)
-      else {
-        // body minus every Examples block; collect all data rows
-        val kept = Vector.newBuilder[String]
-        val rows = Seq.newBuilder[(Seq[String], Seq[String])] // (header, row)
-        var i = 0
-        while (i < body.length) {
-          if (body(i).trim.matches("Examples:.*")) {
-            var k = i + 1
-            while (k < body.length && body(k).trim.isEmpty) k += 1
-            val table = scala.collection.mutable.ListBuffer.empty[Seq[String]]
-            while (k < body.length && body(k).trim.startsWith("|")) {
-              table += body(k).trim.stripPrefix("|").stripSuffix("|")
-                .split("\\|", -1).toSeq.map(_.trim)
-              k += 1
-            }
-            table.toList match {
-              case header :: data => data.foreach(r => rows += header -> r)
-              case Nil => ()
-            }
-            i = k
-          } else { kept += body(i); i += 1 }
-        }
-        val tmpl = kept.result()
-        val all = rows.result()
-        if (all.isEmpty) Seq(tmpl)
-        else all.map { case (header, row) =>
-          tmpl.map { line =>
-            header.zip(row).foldLeft(line) { case (l, (k, v)) =>
-              l.replace(s"<$k>", v)
-            }
+    /** Strip every `Examples:` block out of a line slice, returning
+      * the remaining lines plus the collected (header, row) pairs. */
+    def stripExamples(body: Vector[String])
+        : (Vector[String], Seq[(Seq[String], Seq[String])]) = {
+      val kept = Vector.newBuilder[String]
+      val rows = Seq.newBuilder[(Seq[String], Seq[String])]
+      var i = 0
+      while (i < body.length) {
+        if (body(i).trim.matches("Examples:.*")) {
+          var k = i + 1
+          while (k < body.length && body(k).trim.isEmpty) k += 1
+          val table = scala.collection.mutable.ListBuffer.empty[Seq[String]]
+          while (k < body.length && body(k).trim.startsWith("|")) {
+            table += body(k).trim.stripPrefix("|").stripSuffix("|")
+              .split("\\|", -1).toSeq.map(_.trim)
+            k += 1
           }
-        }
+          table.toList match {
+            case header :: data => data.foreach(r => rows += header -> r)
+            case Nil => ()
+          }
+          i = k
+        } else { kept += body(i); i += 1 }
       }
+      (kept.result(), rows.result())
     }
 
-    // split into Background + Scenario sections
+    def substitute(ls: Vector[String], header: Seq[String],
+                   row: Seq[String]): Vector[String] =
+      ls.map { line =>
+        header.zip(row).foldLeft(line) { case (l, (k, v)) =>
+          l.replace(s"<$k>", v)
+        }
+      }
+
+    // split into feature header + Background + Scenario sections
     val lines = text.linesIterator.toVector
     val marks = lines.zipWithIndex.collect {
       case (l, i) if l.trim.startsWith("Scenario") => i
     }
     val bgEnd = marks.headOption.getOrElse(lines.length)
-    val bg = parseSection(lines.slice(0, bgEnd))
+    val bgStart = lines.indexWhere(_.trim.startsWith("Background"))
+    val headerEnd = if (bgStart >= 0 && bgStart < bgEnd) bgStart else bgEnd
+    // feature-level Examples (above Background) parameterize every
+    // Scenario Outline that has no Examples of its own — including
+    // `<param>`s inside the Background itself (MatchReturnEmptyTag)
+    val (_, featureRows) = stripExamples(lines.slice(0, headerEnd))
+    val bgLines = lines.slice(headerEnd, bgEnd)
     marks.zipWithIndex.flatMap { case (start, mi) =>
       val end = marks.lift(mi + 1).getOrElse(lines.length)
       val skip = start > 0 && lines(start - 1).trim.startsWith("@skip")
       val isOutline = lines(start).trim.startsWith("Scenario Outline")
-      expand(lines.slice(start + 1, end), isOutline).map { body =>
+      val rawBody = lines.slice(start + 1, end)
+      val bodies: Seq[(Vector[String], Vector[String])] =
+        if (!isOutline) Seq((bgLines, rawBody))
+        else {
+          val (tmpl, localRows) = stripExamples(rawBody)
+          val rows = if (localRows.nonEmpty) localRows else featureRows
+          if (rows.isEmpty) Seq((bgLines, tmpl))
+          else rows.map { case (h, r) =>
+            (substitute(bgLines, h, r), substitute(tmpl, h, r))
+          }
+        }
+      bodies.map { case (bgl, body) =>
+        val bg = parseSection(bgl)
         val sec = parseSection(body)
         val params = bg.params ++ sec.params
         // a scenario-level `Given an empty graph` / `Given a graph with
