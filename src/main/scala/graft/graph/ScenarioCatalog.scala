@@ -30,6 +30,65 @@ final class ScenarioCatalog(val spark: SparkSession,
 
   val tagDefs = mutable.LinkedHashMap.empty[String, Vector[PropDef]]
   val edgeDefs = mutable.LinkedHashMap.empty[String, Vector[PropDef]]
+  /** schema → (ttl_col, ttl_duration seconds). Rows whose ttl column
+    * value + duration has passed are invisible to every read
+    * (storage TTL filter; duration 0 or empty col = disabled). */
+  val tagTtl = mutable.Map.empty[String, (String, Long)]
+  val edgeTtl = mutable.Map.empty[String, (String, Long)]
+  /** Schema-level COMMENT = "..." (SHOW CREATE suffix). */
+  val tagComment = mutable.Map.empty[String, String]
+  val edgeComment = mutable.Map.empty[String, String]
+  /** CREATE SPACE registry: name → (vid type text, comment). The
+    * scenario's DATA lives in this one catalog regardless — spaces
+    * here exist for DESC/SHOW CREATE SPACE output only. */
+  val spaceDefs =
+    mutable.LinkedHashMap.empty[String, (String, Option[String])]
+  /** CREATE TAG|EDGE INDEX registry: index name → (isTag, schema,
+    * cols(name, prefixLen), with-options, comment) — the engine needs
+    * no index (LOOKUP scans), kept for SHOW CREATE output. */
+  val indexDefs = mutable.LinkedHashMap.empty[String,
+    (Boolean, String, Vector[(String, Option[Long])],
+      Vector[(String, String)], Option[String])]
+
+  def hasTtl: Boolean =
+    tagTtl.values.exists(t => t._1.nonEmpty && t._2 > 0) ||
+      edgeTtl.values.exists(t => t._1.nonEmpty && t._2 > 0)
+
+  private def ttlAlive(defs: Vector[PropDef],
+                       ttl: Option[(String, Long)]): Array[Any] => Boolean =
+    ttl.filter(t => t._1.nonEmpty && t._2 > 0) match {
+      case None => _ => true
+      case Some((c, dur)) =>
+        val i = defs.indexWhere(_.name == c)
+        if (i < 0) _ => true
+        else {
+          val now = System.currentTimeMillis() / 1000
+          ps => ps(i) match {
+            case n: Long => n + dur > now
+            case n: Int => n + dur > now
+            case _ => true
+          }
+        }
+    }
+
+  /** Expiry is OBSERVED deletion: once a read sees a row past its
+    * TTL the row is gone for good — later config changes (ALTER
+    * dropping the ttl column) do not resurrect it (TTL2.feature
+    * `ttl ddl2`: expired rows stay invisible after `drop (b)`). */
+  private def pruneExpired(): Unit = {
+    tagTtl.foreach { case (t, ttl) =>
+      tagDefs.get(t).foreach { defs =>
+        val alive = ttlAlive(defs, Some(ttl))
+        tagRows(t).filterInPlace((_, ps) => alive(ps))
+      }
+    }
+    edgeTtl.foreach { case (e, ttl) =>
+      edgeDefs.get(e).foreach { defs =>
+        val alive = ttlAlive(defs, Some(ttl))
+        edgeRows(e).filterInPlace((_, ps) => alive(ps))
+      }
+    }
+  }
   /** vid → prop values (declared order). LinkedHashMap: insert order
     * is stable for deterministic output. */
   val tagRows =
@@ -56,48 +115,63 @@ final class ScenarioCatalog(val spark: SparkSession,
     } else { edgeDefs(name) = props; edgeRows(name) = mutable.LinkedHashMap() }
   }
 
-  def dropTag(name: String): Unit = { tagDefs -= name; tagRows -= name }
-  def dropEdge(name: String): Unit = { edgeDefs -= name; edgeRows -= name }
+  def dropTag(name: String): Unit = {
+    tagDefs -= name; tagRows -= name; tagTtl -= name
+  }
+  def dropEdge(name: String): Unit = {
+    edgeDefs -= name; edgeRows -= name; edgeTtl -= name
+  }
 
   private def frame(schema: StructType, rows: Seq[Row]): DataFrame =
     spark.createDataFrame(rows.asJava, schema)
 
   def vertexTable(tag: String): DataFrame = {
+    pruneExpired()
     val defs = tagDefs.getOrElse(tag,
       throw new IllegalArgumentException(s"unknown tag $tag"))
     val schema = StructType(StructField("vid", vidType) +:
       defs.map(d => StructField(d.name, d.dt)))
+    val alive = ttlAlive(defs, tagTtl.get(tag))
     frame(schema, tagRows(tag).iterator
+      .filter { case (_, ps) => alive(ps) }
       .map { case (v, ps) => Row.fromSeq(v +: ps.toSeq) }.toSeq)
   }
 
   def edgesByType(etype: String): DataFrame = {
+    pruneExpired()
     val defs = edgeDefs.getOrElse(etype,
       throw new IllegalArgumentException(s"unknown edge $etype"))
     val schema = StructType(
       StructField("src", vidType) +: StructField("dst", vidType) +:
         StructField("rank", LongType) +:
         defs.map(d => StructField(d.name, d.dt)))
+    val alive = ttlAlive(defs, edgeTtl.get(etype))
     frame(schema, edgeRows(etype).iterator
+      .filter { case (_, ps) => alive(ps) }
       .map { case ((s, d, r), ps) => Row.fromSeq(s +: d +: r +: ps.toSeq) }
       .toSeq)
   }
 
   def allEdges: DataFrame = {
+    pruneExpired()
     val schema = StructType(Seq(StructField("src", vidType),
       StructField("dst", vidType), StructField("etype", StringType),
       StructField("rank", LongType)))
     val rows = edgeRows.iterator.flatMap { case (name, m) =>
-      m.keysIterator.map { case (s, d, r) => Row(s, d, name, r) }
+      val alive = ttlAlive(edgeDefs(name), edgeTtl.get(name))
+      m.iterator.collect { case ((s, d, r), ps) if alive(ps) =>
+        Row(s, d, name, r) }
     }.toSeq
     frame(schema, rows)
   }
 
   def allVertices: DataFrame = {
+    pruneExpired()
     val schema = StructType(Seq(StructField("vid", vidType),
       StructField("label", StringType)))
     val rows = tagRows.iterator.flatMap { case (name, m) =>
-      m.keysIterator.map(v => Row(v, name))
+      val alive = ttlAlive(tagDefs(name), tagTtl.get(name))
+      m.iterator.collect { case (v, ps) if alive(ps) => Row(v, name) }
     }.toSeq
     frame(schema, rows)
   }
@@ -126,7 +200,9 @@ object ScenarioCatalog {
                            default: Any = null,
                            /** declared nGQL type, for DESCRIBE (e.g.
                              * "int64", "list_string"). */
-                           typeName: String = "")
+                           typeName: String = "",
+                           /** COMMENT "..." on the prop. */
+                           comment: Option[String] = None)
 
   /** Deep-copy a fixture catalog into a mutable scenario space so a
     * DML-bearing scenario can't corrupt the shared fixture. Rows are

@@ -27,13 +27,38 @@ object Dml {
   sealed trait DStmt extends Stmt
   /** CREATE TAG / CREATE EDGE (schema definition). */
   case class CreateSchema(isTag: Boolean, name: String,
-                          props: Vector[(String, String, Boolean, Option[Expr.E])],
-                          ifNotExists: Boolean) extends DStmt
+                          props: Vector[PropSpec],
+                          ifNotExists: Boolean,
+                          ttlDuration: Option[Long] = None,
+                          ttlCol: Option[String] = None,
+                          comment: Option[String] = None) extends DStmt
   case class DropSchema(isTag: Boolean, name: String,
                         ifExists: Boolean) extends DStmt
   case class AlterAdd(isTag: Boolean, name: String,
-                      props: Vector[(String, String, Boolean, Option[Expr.E])],
-                      drops: Vector[String]) extends DStmt
+                      props: Vector[PropSpec],
+                      drops: Vector[String],
+                      changes: Vector[PropSpec] = Vector.empty,
+                      ttlDuration: Option[Long] = None,
+                      ttlCol: Option[String] = None,
+                      comment: Option[String] = None) extends DStmt
+  /** CREATE SPACE (registry for DESC/SHOW CREATE SPACE output). */
+  case class CreateSpace(name: String, vidType: String,
+                         comment: Option[String],
+                         ifNotExists: Boolean) extends DStmt
+  case class DescSpace(name: String) extends DStmt
+  case class ShowCreateSpace(name: String) extends DStmt
+  /** SHOW CREATE TAG/EDGE — the schema rendered back as its CREATE
+    * statement (meta toCreate output shape). */
+  case class ShowCreate(isTag: Boolean, name: String) extends DStmt
+  /** CREATE TAG/EDGE INDEX — index DDL is a planning no-op here
+    * (LOOKUP needs no index) but the column types still validate
+    * (duration columns reject, InsertDurationType.feature) and the
+    * definition registers for SHOW CREATE ... INDEX. */
+  case class CreateIndex(isTag: Boolean, index: String, schema: String,
+                         cols: Vector[(String, Option[Long])],
+                         withOpts: Vector[(String, String)],
+                         comment: Option[String]) extends DStmt
+  case class ShowCreateIndex(isTag: Boolean, index: String) extends DStmt
   /** CREATE SPACE / USE / CREATE INDEX / REBUILD / SHOW ... — parsed
     * and ignored (no cluster to administer; LOOKUP needs no index). */
   case class AdminNoop(kind: String) extends DStmt
@@ -76,16 +101,21 @@ object Dml {
   private def skipStatement(p: P): Unit =
     while (p.ts.nonEmpty && !p.peek.contains(Sym(";"))) p.next()
 
-  private def parsePropDefs(p: P)
-      : Vector[(String, String, Boolean, Option[Expr.E])] = {
-    val out = mutable.ListBuffer
-      .empty[(String, String, Boolean, Option[Expr.E])]
+  /** One parsed prop spec of CREATE/ALTER TAG|EDGE. */
+  case class PropSpec(name: String, tpe: String, notNull: Boolean,
+                      default: Option[Expr.E], comment: Option[String])
+
+  private def parsePropDefs(p: P): Vector[PropSpec] = {
+    val out = mutable.ListBuffer.empty[PropSpec]
     if (p.sym("(")) {
       var go = !p.sym(")")
       while (go) {
         val name = p.word()
         var tpe = p.word().toLowerCase
-        if (tpe == "fixed_string" && p.sym("(")) { p.intLit(); p.expectSym(")") }
+        if (tpe == "fixed_string" && p.sym("(")) {
+          val n = p.intLit(); p.expectSym(")")
+          tpe = s"fixed_string($n)"
+        }
         if (tpe == "geography" && p.sym("(")) {
           tpe = s"geography(${p.word().toLowerCase})"
           p.expectSym(")")
@@ -97,15 +127,19 @@ object Dml {
         }
         var notNull = false
         var default: Option[Expr.E] = None
+        var comment: Option[String] = None
         var opts = true
         while (opts) {
           if (p.kw("NOT")) { p.expectKw("NULL"); notNull = true }
           else if (p.kw("NULL")) ()
           else if (p.kw("DEFAULT")) default = Some(Expr.parse(p))
-          else if (p.kw("COMMENT")) p.next()
+          else if (p.kw("COMMENT")) p.next() match {
+            case Str(s) => comment = Some(s)
+            case _ => ()
+          }
           else opts = false
         }
-        out += ((name, tpe, notNull, default))
+        out += PropSpec(name, tpe, notNull, default, comment)
         if (!p.sym(",")) { p.expectSym(")"); go = false }
       }
     }
@@ -113,9 +147,39 @@ object Dml {
   }
 
   /** Trailing schema options: ttl_duration = n, ttl_col = "c",
-    * comment = "..." — accepted, not enforced at parse level. */
-  private def skipSchemaOptions(p: P): Unit =
+    * comment = "..." — all captured. */
+  private def parseSchemaOptions(p: P)
+      : (Option[Long], Option[String], Option[String]) = {
+    var dur: Option[Long] = None
+    var col: Option[String] = None
+    var comment: Option[String] = None
+    var go = true
+    while (go && p.ts.nonEmpty && !p.peek.contains(Sym(";"))) {
+      if (p.kw("TTL_DURATION")) {
+        p.expectSym("=")
+        val neg = p.sym("-")
+        val n = p.intLit()
+        dur = Some(if (neg) -n else n)
+      } else if (p.kw("TTL_COL")) {
+        p.expectSym("=")
+        col = Some(p.next() match {
+          case Str(s) => s
+          case t => throw new IllegalArgumentException(s"ttl_col = $t")
+        })
+      } else if (p.kw("COMMENT")) {
+        p.sym("=")
+        p.next() match {
+          case Str(s) => comment = Some(s)
+          case _ => ()
+        }
+      } else if (p.sym(",")) ()
+      else go = false
+    }
+    // anything unrecognized: consume to end of statement (other
+    // options are storage-level knobs with no semantic effect here)
     while (p.ts.nonEmpty && !p.peek.contains(Sym(";"))) p.next()
+    (dur, col, comment)
+  }
 
   /** A vid literal: string, [-]int, or hash("...") — token-level so
     * the `->` in edge keys never reaches the expression parser. */
@@ -138,12 +202,88 @@ object Dml {
           else false
         val name = p.word()
         val props = parsePropDefs(p)
-        skipSchemaOptions(p)
-        CreateSchema(isTag, name, props, ifNotExists)
+        val (ttlDur, ttlCol, comment) = parseSchemaOptions(p)
+        CreateSchema(isTag, name, props, ifNotExists, ttlDur, ttlCol, comment)
+      } else if ((isTag || isEdge) && p.kw("INDEX")) {
+        // CREATE TAG|EDGE INDEX [IF NOT EXISTS] idx ON schema(col[(n)]...)
+        if (p.kw("IF")) { p.expectKw("NOT"); p.expectKw("EXISTS") }
+        val idx = p.word()
+        p.expectKw("ON")
+        val schema = p.word()
+        val cols = mutable.ListBuffer.empty[(String, Option[Long])]
+        if (p.sym("(")) {
+          var go = !p.sym(")")
+          while (go) {
+            val c = p.word()
+            val len = if (p.sym("(")) {
+              val n = p.intLit(); p.expectSym(")"); Some(n.toLong)
+            } else None
+            cols += ((c, len))
+            if (!p.sym(",")) { p.expectSym(")"); go = false }
+          }
+        }
+        // WITH (s2_max_level=30, ...) — geo index tuning knobs, kept
+        // verbatim for SHOW CREATE output (no S2 index to tune here)
+        val withOpts = mutable.ListBuffer.empty[(String, String)]
+        if (p.kw("WITH") && p.sym("(")) {
+          var go = !p.sym(")")
+          while (go) {
+            val k = p.word(); p.expectSym("=")
+            val v = p.next() match {
+              case Word(w) => w; case Num(_, raw) => raw
+              case Str(s2) => s2; case Sym(s2) => s2
+            }
+            withOpts += ((k, v))
+            if (!p.sym(",")) { p.expectSym(")"); go = false }
+          }
+        }
+        val (_, _, comment) = parseSchemaOptions(p)
+        CreateIndex(isTag, idx, schema, cols.toVector, withOpts.toVector,
+          comment)
+      } else if (p.kw("SPACE")) {
+        val ifNotExists =
+          if (p.kw("IF")) { p.expectKw("NOT"); p.expectKw("EXISTS"); true }
+          else false
+        val name = p.word()
+        if (p.kw("AS")) {
+          // CREATE SPACE clone AS origin — schema-clone registration
+          val origin = p.word()
+          skipStatement(p)
+          CreateSpace(name, s"AS:$origin", None, ifNotExists)
+        } else {
+          var vidType = "FIXED_STRING(8)"
+          if (p.sym("(")) {
+            var go = !p.sym(")")
+            while (go) {
+              val k = p.word().toLowerCase
+              p.expectSym("=")
+              val sb = new StringBuilder
+              var depth = 0
+              var take = true
+              while (take) p.peek match {
+                case Some(Sym(",")) if depth == 0 => take = false
+                case Some(Sym(")")) if depth == 0 => take = false
+                case Some(t) =>
+                  if (t == Sym("(")) depth += 1
+                  if (t == Sym(")")) depth -= 1
+                  sb ++= (t match {
+                    case Word(w) => w; case Sym(s2) => s2
+                    case Num(_, raw) => raw; case Str(s2) => s2
+                  })
+                  p.next()
+                case None => take = false
+              }
+              if (k == "vid_type") vidType = sb.toString
+              if (!p.sym(",")) { p.expectSym(")"); go = false }
+            }
+          }
+          val (_, _, comment) = parseSchemaOptions(p)
+          CreateSpace(name, vidType, comment, ifNotExists)
+        }
       } else {
         // only real nGQL CREATE objects are admin no-ops; anything
         // else (CREATE TABLE ...) is a syntax error like the reference
-        require(p.kwPeek("INDEX") || p.kwPeek("SPACE") ||
+        require(
           p.kwPeek("USER") || p.kwPeek("SNAPSHOT") || p.kwPeek("FULLTEXT"),
           s"unknown CREATE object at ${p.ts.take(2)}")
         skipStatement(p); AdminNoop("create")
@@ -165,9 +305,9 @@ object Dml {
       val isTag = p.kw("TAG")
       if (!isTag) p.expectKw("EDGE")
       val name = p.word()
-      val adds = mutable.ListBuffer
-        .empty[(String, String, Boolean, Option[Expr.E])]
+      val adds = mutable.ListBuffer.empty[PropSpec]
       val drops = mutable.ListBuffer.empty[String]
+      val changes = mutable.ListBuffer.empty[PropSpec]
       var go = true
       while (go) {
         if (p.kw("ADD")) adds ++= parsePropDefs(p)
@@ -176,25 +316,38 @@ object Dml {
           drops += p.word()
           while (p.sym(",")) drops += p.word()
           p.expectSym(")")
-        } else if (p.kw("CHANGE")) { // type change: accept, keep data
-          parsePropDefs(p)
-        } else go = false
+        } else if (p.kw("CHANGE")) changes ++= parsePropDefs(p)
+        else go = false
         if (!p.sym(",")) go = false
       }
-      skipSchemaOptions(p)
-      AlterAdd(isTag, name, adds.toVector, drops.toVector)
+      val (ttlDur, ttlCol, comment) = parseSchemaOptions(p)
+      AlterAdd(isTag, name, adds.toVector, drops.toVector,
+        changes.toVector, ttlDur, ttlCol, comment)
     } else if (p.kw("DESCRIBE") || p.kw("DESC")) {
       val isTag = p.kw("TAG")
       val isEdge = !isTag && p.kw("EDGE")
       if (isTag || isEdge) Describe(isTag, p.word())
+      else if (p.kw("SPACE")) DescSpace(p.word())
       else { skipStatement(p); AdminNoop("describe") }
     } else if (p.kw("REBUILD") || p.kw("USE")) {
       skipStatement(p); AdminNoop("admin")
     } else if (p.kwPeek("SHOW")) {
-      // SHOW output shapes (meta listings, CREATE statements) are out
-      // of surface — unsupported, so golden-bearing SHOW steps skip
-      // instead of comparing against an empty frame
-      throw new IllegalArgumentException("SHOW is unsupported")
+      if (p.ts.lift(1).contains(Word("CREATE")) ||
+          p.ts.lift(1).exists { case Word(w) =>
+            w.equalsIgnoreCase("create"); case _ => false }) {
+        p.next(); p.next()
+        if (p.kw("SPACE")) ShowCreateSpace(p.word())
+        else {
+          val isTag = p.kw("TAG")
+          if (!isTag) p.expectKw("EDGE")
+          if (p.kw("INDEX")) ShowCreateIndex(isTag, p.word())
+          else ShowCreate(isTag, p.word())
+        }
+      } else
+        // other SHOW output shapes (meta listings) are out of surface —
+        // unsupported, so golden-bearing SHOW steps skip instead of
+        // comparing against an empty frame
+        throw new IllegalArgumentException("SHOW is unsupported")
     } else throw new IllegalArgumentException(
       s"unknown DML sentence at ${p.ts.take(3)}")
   }
@@ -807,6 +960,41 @@ object Dml {
 
   /** DESCRIBE's rendering of a declared type (meta DESC output):
     * int aliases widen to int64; containers print list_/set_ prefix. */
+  /** TTL config validation (meta SchemaUtil): the column must exist
+    * and be int/timestamp; a duration without a column is rejected. */
+  private def validateTtl(defs: Vector[ScenarioCatalog.PropDef],
+                          ttlDur: Option[Long],
+                          ttlCol: Option[String]): Unit = {
+    ttlCol match {
+      case Some(c) if c.nonEmpty =>
+        val d = defs.find(_.name == c).getOrElse(
+          throw new DmlError(s"ttl_col $c does not exist"))
+        if (d.dt != LongType)
+          throw new DmlError("Ttl column type illegal")
+      case _ =>
+        if (ttlDur.exists(_ > 0))
+          throw new DmlError("Implicit ttl_col not support")
+    }
+  }
+
+  private def sparkTypeName(dt: DataType): String = dt match {
+    case LongType => "int64"
+    case DoubleType => "double"
+    case BooleanType => "bool"
+    case StringType => "string"
+    case DateType => "date"
+    case TimestampType => "datetime"
+    case other => other.simpleString
+  }
+
+  /** Render a stored default value the way SHOW CREATE prints it. */
+  private def renderValue(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "\"" + s + "\""
+    case d: Double => graft.tck.TckRunner.norm(d)
+    case other => other.toString
+  }
+
   private def describeTypeName(tpe: String): String = tpe match {
     case "int" => "int64"
     // container element types print their RAW name (list_int, not
@@ -830,6 +1018,7 @@ object Dml {
     case "double" | "float" => DoubleType
     case "bool" => BooleanType
     case "string" | "fixed_string" => StringType
+    case f if f.startsWith("fixed_string(") => StringType
     case "date" => DateType
     case "datetime" => TimestampType
     case "time" => StringType
@@ -879,8 +1068,34 @@ object Dml {
     else v match {
       case GeoVal(_, _) =>
         throw new DmlError(s"wrong type for ${d.name}: geography value")
-      case _ => coerce(v, d.dt, d.name)
+      case _ =>
+        val c = coerce(v, d.dt, d.name)
+        // fixed_string(N) writes truncate to N BYTES, keeping only
+        // complete UTF-8 chars (storage FIXED_STRING semantics,
+        // Insert.feature "out of fixed_string's size")
+        if (d.typeName.startsWith("fixed_string(")) c match {
+          case s: String =>
+            val n = d.typeName.substring(13, d.typeName.length - 1).toInt
+            truncUtf8Bytes(s, n)
+          case other => other
+        } else c
     }
+
+  private def truncUtf8Bytes(s: String, n: Int): String = {
+    if (s.getBytes("UTF-8").length <= n) return s
+    val out = new java.lang.StringBuilder
+    var used = 0
+    var i = 0
+    var stop = false
+    while (i < s.length && !stop) {
+      val cp = s.codePointAt(i)
+      val w = if (cp < 0x80) 1 else if (cp < 0x800) 2
+              else if (cp < 0x10000) 3 else 4
+      if (used + w > n) stop = true
+      else { out.appendCodePoint(cp); used += w; i += Character.charCount(cp) }
+    }
+    out.toString
+  }
 
   /** Type-check one INSERT/UPDATE value against the declared type —
     * the reference's ExecutionError on wrong-typed writes. Ints widen
@@ -1046,23 +1261,137 @@ object Dml {
     val spark = sparkOf(g0)
     d match {
       case AdminNoop(_) => emptyOk(spark)
-      case CreateSchema(isTag, name, props, ifNotExists) =>
+      case CreateSchema(isTag, name, props, ifNotExists, ttlDur, ttlCol,
+          comment) =>
         val g = cat(g0)
-        val defs = props.map { case (n, tpe, notNull, defE) =>
-          val dt = dataTypeOf(tpe)
-          val tn = describeTypeName(tpe)
-          defE match {
+        val defs = props.map { spec =>
+          val dt = dataTypeOf(spec.tpe)
+          val tn = describeTypeName(spec.tpe)
+          spec.default match {
             case Some(e) =>
-              val proto = ScenarioCatalog.PropDef(n, dt, notNull, typeName = tn)
+              val proto = ScenarioCatalog.PropDef(spec.name, dt, spec.notNull,
+                typeName = tn, comment = spec.comment)
               val v = coerceDef(evalConst(e), proto)
               proto.copy(hasDefault = true, default = v)
             case None =>
-              ScenarioCatalog.PropDef(n, dt, notNull, typeName = tn)
+              ScenarioCatalog.PropDef(spec.name, dt, spec.notNull,
+                typeName = tn, comment = spec.comment)
           }
         }
+        validateTtl(defs, ttlDur, ttlCol)
         if (isTag) g.createTag(name, defs, ifNotExists)
         else g.createEdge(name, defs, ifNotExists)
+        if (ttlCol.isDefined || ttlDur.exists(_ != 0)) {
+          val m = if (isTag) g.tagTtl else g.edgeTtl
+          m(name) = (ttlCol.getOrElse(""), math.max(ttlDur.getOrElse(0L), 0L))
+        }
+        comment.foreach { c =>
+          (if (isTag) g.tagComment else g.edgeComment)(name) = c
+        }
         emptyOk(spark)
+      case CreateSpace(name, vidType, comment, ifNotExists) =>
+        val g = cat(g0)
+        if (g.spaceDefs.contains(name)) {
+          if (!ifNotExists)
+            throw new DmlError(s"Existed space $name")
+        } else {
+          val vt =
+            if (vidType.startsWith("AS:")) {
+              val origin = vidType.substring(3)
+              g.spaceDefs.getOrElse(origin,
+                throw new DmlError(s"space $origin not found"))._1
+            } else vidType
+          g.spaceDefs(name) = (vt, comment)
+        }
+        emptyOk(spark)
+      case DescSpace(name) =>
+        val g = cat(g0)
+        val (vt, comment) = g.spaceDefs.getOrElse(name,
+          throw new DmlError(s"space $name not found"))
+        val id = g.spaceDefs.keys.toSeq.indexOf(name) + 1
+        val schema2 = StructType(Seq(
+          StructField("ID", LongType), StructField("Name", StringType),
+          StructField("Partition Number", LongType),
+          StructField("Replica Factor", LongType),
+          StructField("Charset", StringType),
+          StructField("Collate", StringType),
+          StructField("Vid Type", StringType),
+          StructField("Comment", StringType)))
+        spark.createDataFrame(java.util.List.of(
+          Row(id.toLong, name, 1L, 1L, "utf8", "utf8_bin",
+            vt.toUpperCase.replace("FIXED_STRING(", "FIXED_STRING(").trim,
+            // comment = '' prints as empty; never-set prints NULL
+            comment.orNull)), schema2)
+      case ShowCreateSpace(name) =>
+        val g = cat(g0)
+        val (vt, comment) = g.spaceDefs.getOrElse(name,
+          throw new DmlError(s"space $name not found"))
+        val stmt = s"CREATE SPACE `$name` (partition_num = 1, " +
+          "replica_factor = 1, charset = utf8, collate = utf8_bin, " +
+          s"vid_type = $vt, atomic_edge = false) ON default" +
+          comment.map(c => s" comment = '$c'").getOrElse("")
+        val schema2 = StructType(Seq(StructField("Space", StringType),
+          StructField("Create Space", StringType)))
+        spark.createDataFrame(java.util.List.of(Row(name, stmt)), schema2)
+      case CreateIndex(isTag, index, schema, cols, withOpts, comment) =>
+        val g = cat(g0)
+        val defs = (if (isTag) g.tagDefs else g.edgeDefs).getOrElse(schema,
+          throw new DmlError(s"unknown ${if (isTag) "tag" else "edge"} $schema"))
+        cols.foreach { case (c, _) =>
+          if (defs.find(_.name == c).exists(_.typeName == "duration"))
+            throw new DmlError("Invalid param!")
+        }
+        g.indexDefs(index) = (isTag, schema, cols, withOpts, comment)
+        emptyOk(spark)
+      case ShowCreateIndex(isTag, index) =>
+        val g = cat(g0)
+        val (_, schema0, cols, withOpts, comment) =
+          g.indexDefs.getOrElse(index,
+            throw new DmlError(s"unknown index $index"))
+        val kind = if (isTag) "TAG" else "EDGE"
+        val colList = cols.map { case (c, len) =>
+          s" `$c`" + len.map(n => s"($n)").getOrElse("")
+        }.mkString(",\n")
+        val withPart =
+          if (withOpts.isEmpty) ""
+          else withOpts.map { case (k, v) => s"$k = $v" }
+            .mkString(" WITH (", ", ", ")")
+        val stmt = s"CREATE $kind INDEX `$index` ON `$schema0` (\n" +
+          colList + "\n)" + withPart +
+          comment.map(c => s""" comment "$c"""").getOrElse("")
+        val title = if (isTag) "Tag" else "Edge"
+        val schema2 = StructType(Seq(
+          StructField(s"$title Index Name", StringType),
+          StructField(s"Create $title Index", StringType)))
+        spark.createDataFrame(java.util.List.of(Row(index, stmt)), schema2)
+      case ShowCreate(isTag, name) =>
+        val g = cat(g0)
+        val defs = (if (isTag) g.tagDefs else g.edgeDefs).getOrElse(name,
+          throw new DmlError(s"unknown ${if (isTag) "tag" else "edge"} $name"))
+        val (ttlCol, ttlDur) =
+          (if (isTag) g.tagTtl else g.edgeTtl).getOrElse(name, ("", 0L))
+        val kind = if (isTag) "TAG" else "EDGE"
+        val fields = defs.map { d2 =>
+          val base = s" `${d2.name}` ${d2.typeName match {
+            case "" => sparkTypeName(d2.dt); case t => t
+          }} ${if (d2.notNull) "NOT NULL" else "NULL"}"
+          val withDef =
+            if (d2.hasDefault) s"$base DEFAULT ${renderValue(d2.default)}"
+            else base
+          d2.comment.map(c => s"""$withDef COMMENT "$c"""").getOrElse(withDef)
+        }
+        val schemaComment =
+          (if (isTag) g.tagComment else g.edgeComment).get(name)
+            .map(c => s""", comment = "$c"""").getOrElse("")
+        val stmt = s"CREATE $kind `$name` (\n" +
+          fields.mkString(",\n") +
+          s"\n) ttl_duration = $ttlDur, ttl_col = " + "\"" + ttlCol + "\"" +
+          schemaComment
+        val title = if (isTag) "Tag" else "Edge"
+        val schema2 = StructType(Seq(StructField(title, StringType),
+          StructField(s"Create $title", StringType)))
+        spark.createDataFrame(
+          java.util.List.of(Row(name, stmt)), schema2)
       case DropSchema(isTag, name, ifExists) =>
         val g = cat(g0)
         val known =
@@ -1071,24 +1400,71 @@ object Dml {
           throw new DmlError(s"not existed ${if (isTag) "tag" else "edge"}")
         if (isTag) g.dropTag(name) else g.dropEdge(name)
         emptyOk(spark)
-      case AlterAdd(isTag, name, adds, drops) =>
+      case AlterAdd(isTag, name, adds, drops, changes, ttlDur, ttlCol,
+          comment) =>
         val g = cat(g0)
         val defsMap = if (isTag) g.tagDefs else g.edgeDefs
         val rowsMap: mutable.Map[String, _ <: mutable.LinkedHashMap[_, Array[Any]]] =
           if (isTag) g.tagRows else g.edgeRows
-        val cur = defsMap.getOrElse(name, throw new DmlError(s"unknown $name"))
-        val added = adds.map { case (n, tpe, notNull, defE) =>
-          val dt = dataTypeOf(tpe)
-          defE match {
+        val ttlMap = if (isTag) g.tagTtl else g.edgeTtl
+        val cur0 = defsMap.getOrElse(name, throw new DmlError(s"unknown $name"))
+        val curTtl = ttlMap.get(name)
+        // CHANGE: the ttl column is immutable while configured, and a
+        // prop cannot change its data type (meta AlterSchema checks);
+        // same-type CHANGE updates nullability/default/comment
+        changes.foreach { spec =>
+          if (curTtl.exists(_._1 == spec.name))
+            throw new DmlError(s"ttl column ${spec.name} cannot be changed")
+          val old = cur0.find(_.name == spec.name).getOrElse(
+            throw new DmlError(s"unknown prop ${spec.name}"))
+          if (old.dt != dataTypeOf(spec.tpe))
+            throw new DmlError(s"prop ${spec.name} cannot change type")
+        }
+        val cur = cur0.map { d2 =>
+          changes.find(_.name == d2.name) match {
+            case Some(spec) =>
+              val withDef = spec.default match {
+                case Some(e) => d2.copy(hasDefault = true,
+                  default = coerce(evalConst(e), d2.dt, d2.name))
+                case None => d2.copy(hasDefault = false, default = null)
+              }
+              withDef.copy(notNull = spec.notNull, comment = spec.comment)
+            case None => d2
+          }
+        }
+        val added = adds.map { spec =>
+          val dt = dataTypeOf(spec.tpe)
+          spec.default match {
             case Some(e) =>
-              ScenarioCatalog.PropDef(n, dt, notNull, hasDefault = true,
-                default = coerce(evalConst(e), dt, n))
-            case None => ScenarioCatalog.PropDef(n, dt, notNull)
+              ScenarioCatalog.PropDef(spec.name, dt, spec.notNull,
+                hasDefault = true, default = coerce(evalConst(e), dt, spec.name),
+                typeName = describeTypeName(spec.tpe), comment = spec.comment)
+            case None => ScenarioCatalog.PropDef(spec.name, dt, spec.notNull,
+              typeName = describeTypeName(spec.tpe), comment = spec.comment)
           }
         }
         val keepIdx = cur.zipWithIndex.filterNot { case (d2, _) =>
           drops.contains(d2.name) }.map(_._2)
-        defsMap(name) = keepIdx.map(cur) ++ added
+        val next = keepIdx.map(cur) ++ added
+        comment.foreach { c =>
+          (if (isTag) g.tagComment else g.edgeComment)(name) = c
+        }
+        // new ttl settings validate against the POST-alter schema
+        if (ttlCol.contains("")) ttlMap -= name // ttl_col = "" disables
+        else ttlCol.orElse(ttlDur.map(_ => "")) match {
+          case Some(_) =>
+            val effCol = ttlCol.orElse(curTtl.map(_._1)).getOrElse("")
+            val effDur = ttlDur.orElse(curTtl.map(_._2)).getOrElse(0L)
+            validateTtl(next, Some(effDur),
+              Some(effCol).filter(_.nonEmpty))
+            if (effCol.isEmpty && effDur == 0) ttlMap -= name
+            else ttlMap(name) = (effCol, math.max(effDur, 0L))
+          case None =>
+            // dropping the configured ttl column resets the config
+            if (curTtl.exists(t => drops.contains(t._1)))
+              ttlMap -= name
+        }
+        defsMap(name) = next
         rowsMap(name).asInstanceOf[mutable.LinkedHashMap[Any, Array[Any]]]
           .mapValuesInPlace { (_, arr) =>
             keepIdx.map(arr).toArray ++ added.map(d2 =>
@@ -1226,7 +1602,7 @@ object Dml {
           Row(d2.name, d2.typeName,
             if (d2.notNull) "NO" else "YES",
             if (d2.hasDefault) String.valueOf(d2.default) else null,
-            null)
+            d2.comment.orNull)
         }
         spark.createDataFrame(rows.asJava, schema)
       case DeleteTag(tags, vids) =>

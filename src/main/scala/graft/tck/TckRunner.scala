@@ -39,6 +39,14 @@ object TckRunner {
   sealed trait SStep
   /** `Given/And having executed:` — setup DDL/DML; must succeed. */
   case class SExec(script: String) extends SStep
+  /** `And wait N seconds` — only meaningful when the scenario's space
+    * has live TTL schemas (expiry is wall-clock); cluster-convergence
+    * waits are skipped. */
+  case class SWait(seconds: Int) extends SStep
+  /** `When clone a new space according to current space`
+    * (conftest.py:490) — subsequent steps run in a schema-only clone
+    * (CREATE SPACE AS semantics: schema copied, data not). */
+  case object SCloneSpace extends SStep
   /** `When [try to] executing query:` + its Then expectation. */
   case class SQuery(query: String, expect: Expect,
                     tryMode: Boolean) extends SStep
@@ -134,6 +142,10 @@ object TckRunner {
           }
           i = k - 1
         }
+        "(?:And|Given|Then) wait (\\d+) seconds".r.findFirstMatchIn(t)
+          .foreach(m => steps += SWait(m.group(1).toInt))
+        if (t == "When clone a new space according to current space")
+          steps += SCloneSpace
         if (t == "Given having executed:" || t == "And having executed:" ||
             t == "Given having executed" || t == "And having executed") {
           queryBlock(lines, i) match {
@@ -201,6 +213,7 @@ object TckRunner {
         step match {
           case SExec(s) => SExec(sub(s))
           case SQuery(q, e, t) => SQuery(sub(q), e, t)
+          case other => other
         }
       }
 
@@ -319,6 +332,7 @@ object TckRunner {
       else if (sc.steps.exists {
         case SExec(_) => true
         case SQuery(q, _, _) => isMutating(q)
+        case _ => true // wait/clone steps imply scenario-local state
       }) Nil
       else sc.steps.collect {
         case SQuery(q, ETable(golden, hashed), _) if golden.nonEmpty =>
@@ -414,7 +428,9 @@ object TckRunner {
   }
 
   private def normGolden0(cell: String): String = {
-    val c0 = cell.trim
+    // golden cells write literal \n for embedded newlines and \" for
+    // embedded quotes (SHOW CREATE TAG statements)
+    val c0 = cell.trim.replace("\\n", "\n").replace("\\\"", "\"")
     // structural cells sometimes quote vids with single quotes
     // (('Spurs')); the engine renders double quotes. Only safe when
     // the cell has no double quotes at all — otherwise an apostrophe
@@ -579,7 +595,10 @@ object TckRunner {
 
   private def cellMatch(got: String, want: String, intVid: Boolean): Boolean =
     if (want.length >= 2 && want.startsWith("/") && want.endsWith("/"))
-      got.matches(want.substring(1, want.length - 1))
+      // the reference comparator uses Python re.match: anchored at the
+      // start, UNANCHORED at the end (tests/common/comparator.py:92)
+      java.util.regex.Pattern.compile(want.substring(1, want.length - 1))
+        .matcher(got).lookingAt()
     else if (got == want) true
     else if (got.startsWith("<") && want.startsWith("<") &&
              (canonSelfLoops(got) == canonSelfLoops(want) ||
@@ -673,9 +692,16 @@ object TckRunner {
 
   private def cloneCatalog(src: graft.graph.ScenarioCatalog)
       : graft.graph.ScenarioCatalog = {
-    val c = new graft.graph.ScenarioCatalog(src.spark, src.vidIsInt)
+    val c = new graft.graph.ScenarioCatalog(src.spark, src.vidIsInt,
+      src.vidLen)
     src.tagDefs.foreach { case (k, v) => c.tagDefs(k) = v }
     src.edgeDefs.foreach { case (k, v) => c.edgeDefs(k) = v }
+    src.tagTtl.foreach { case (k, v) => c.tagTtl(k) = v }
+    src.edgeTtl.foreach { case (k, v) => c.edgeTtl(k) = v }
+    src.tagComment.foreach { case (k, v) => c.tagComment(k) = v }
+    src.edgeComment.foreach { case (k, v) => c.edgeComment(k) = v }
+    src.spaceDefs.foreach { case (k, v) => c.spaceDefs(k) = v }
+    src.indexDefs.foreach { case (k, v) => c.indexDefs(k) = v }
     src.tagRows.foreach { case (k, m) =>
       c.tagRows(k) = m.map { case (vk, arr) => vk -> arr.clone() }
     }
@@ -713,8 +739,10 @@ object TckRunner {
         val needsMutable = sc.ownSpace || sc.fresh || sc.steps.exists {
           case SExec(_) => true
           case SQuery(q, _, _) => isMutating(q)
+          case SCloneSpace => true
+          case SWait(_) => false
         }
-        val cat: GraphCatalog =
+        var cat: GraphCatalog =
           if (!needsMutable) fixture.get
           else if (fixture.isDefined) // incl. `load ... to a new space`
             scenarioClone(fixture.get, sc.fixtureSpace.get)
@@ -733,6 +761,23 @@ object TckRunner {
             s"[tck-dead] ${step.take(120)} -> ${why.getClass.getSimpleName}: ${String.valueOf(why.getMessage).take(200)}")
         }
         sc.steps.foreach {
+          case SCloneSpace =>
+            cat match {
+              case s: graft.graph.ScenarioCatalog if !dead =>
+                val c = cloneCatalog(s)
+                c.tagRows.values.foreach(_.clear())
+                c.edgeRows.values.foreach(_.clear())
+                cat = c
+              case _ => ()
+            }
+          case SWait(n) =>
+            // honor waits only when expiry is actually wall-clock
+            // (TTL) — schema-propagation waits don't apply here
+            cat match {
+              case s: graft.graph.ScenarioCatalog if s.hasTtl && !dead =>
+                Thread.sleep(n * 1000L)
+              case _ => ()
+            }
           case SExec(script) =>
             if (!dead) {
               try { Gql.runScript(cat, script); () }

@@ -132,6 +132,13 @@ class TckRunnerSpec extends SparkSpec {
     // round 5: geography storage surface (WKT round-trip; spherical
     // predicates on lines/polygons stay unsupported -> skipped)
     s"$root/geo/GeoBase.feature",
+    // round 6: TTL expiry reads + schema/space DDL surface
+    // (SHOW CREATE TAG/EDGE/SPACE/INDEX, DESC SPACE, comments)
+    s"$root/ttl/TTL.feature",
+    s"$root/ttl/TTL2.feature",
+    s"$root/schema/Comment.feature",
+    s"$root/schema/CreateSpaceAs.feature",
+    s"$root/schema/Schema.feature",
     // round 5: openCypher TCK subset (expression surface)
     s"$oc/expressions/list/List2.feature",
     s"$oc/expressions/map/Map1.feature",
