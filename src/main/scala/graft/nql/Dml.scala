@@ -89,7 +89,8 @@ object Dml {
 
   // ---------- parser ----------
   private val dmlHeads = Set("insert", "update", "upsert", "delete",
-    "create", "drop", "alter", "rebuild", "use", "show", "describe", "desc")
+    "create", "drop", "alter", "rebuild", "use", "show", "describe", "desc",
+    "grant", "revoke")
 
   def startsDml(p: P): Boolean = p.peek match {
     case Some(Word(w)) => dmlHeads.contains(w.toLowerCase)
@@ -104,6 +105,23 @@ object Dml {
   /** One parsed prop spec of CREATE/ALTER TAG|EDGE. */
   case class PropSpec(name: String, tpe: String, notNull: Boolean,
                       default: Option[Expr.E], comment: Option[String])
+
+  /** A wall-clock DEFAULT (`DEFAULT time()`): stored as the expression,
+    * evaluated per INSERT; DESC/SHOW CREATE print the expression TEXT
+    * (meta keeps defaults as exprs, Ddl.feature golden "time()"). */
+  case class DynDefault(text: String, e: Expr.E) {
+    override def toString: String = text
+  }
+
+  private def isDynDefault(e: Expr.E): Boolean = {
+    var dyn = false
+    Expr.collect(e) {
+      case Expr.FnCall(n, Nil, _)
+          if Set("time", "datetime", "date", "now", "uuid", "timestamp")
+            .contains(n.toLowerCase) => dyn = true
+    }
+    dyn
+  }
 
   private def parsePropDefs(p: P): Vector[PropSpec] = {
     val out = mutable.ListBuffer.empty[PropSpec]
@@ -295,9 +313,16 @@ object Dml {
         val ifExists =
           if (p.kw("IF")) { p.expectKw("EXISTS"); true } else false
         DropSchema(isTag, p.word(), ifExists)
+      } else if (p.kw("USER")) {
+        if (p.kw("IF")) p.expectKw("EXISTS")
+        val u = p.word()
+        // the root account is undroppable (PermissionManager check,
+        // DropRootUser.feature #4879)
+        if (u == "root") throw new DmlError("Can't drop root user.")
+        AdminNoop("drop user")
       } else {
         require(p.kwPeek("INDEX") || p.kwPeek("SPACE") ||
-          p.kwPeek("USER") || p.kwPeek("SNAPSHOT") || p.kwPeek("FULLTEXT"),
+          p.kwPeek("SNAPSHOT") || p.kwPeek("FULLTEXT"),
           s"unknown DROP object at ${p.ts.take(2)}")
         skipStatement(p); AdminNoop("drop")
       }
@@ -329,6 +354,9 @@ object Dml {
       if (isTag || isEdge) Describe(isTag, p.word())
       else if (p.kw("SPACE")) DescSpace(p.word())
       else { skipStatement(p); AdminNoop("describe") }
+    } else if (p.kw("GRANT") || p.kw("REVOKE")) {
+      // role grants: no auth layer here — accepted, no-op
+      skipStatement(p); AdminNoop("role")
     } else if (p.kw("REBUILD") || p.kw("USE")) {
       skipStatement(p); AdminNoop("admin")
     } else if (p.kwPeek("SHOW")) {
@@ -737,6 +765,12 @@ object Dml {
     case Expr.MapLit(entries) =>
       scala.collection.immutable.ListMap(
         entries.map { case (k, v) => k -> eval(v, env) }: _*)
+    case Expr.Attr(x, nm) => eval(x, env) match {
+      case m: collection.Map[String @unchecked, Any @unchecked] =>
+        m.getOrElse(nm, null)
+      case null => null
+      case other => throw new DmlError(s"cannot access .$nm on $other")
+    }
     case other =>
       throw new IllegalArgumentException(s"unsupported DML expr $other")
   }
@@ -851,6 +885,7 @@ object Dml {
           mapLong(m, "minute").toInt, mapLong(m, "second").toInt,
           (mapLong(m, "millisecond") * 1000000 +
             mapLong(m, "microsecond") * 1000).toInt))
+      case Nil => new java.sql.Timestamp(System.currentTimeMillis())
       case _ => throw new DmlError(s"datetime($args)")
     }
     case "time" => args match {
@@ -859,6 +894,11 @@ object Dml {
         TimeVal(f"${mapLong(m, "hour")}%02d:${mapLong(m, "minute")}%02d:" +
           f"${mapLong(m, "second")}%02d." +
           f"${mapLong(m, "millisecond") * 1000 + mapLong(m, "microsecond")}%06d")
+      case Nil =>
+        // zero-arg time(): current UTC wall-clock (DEFAULT exprs)
+        TimeVal(java.time.LocalTime.now(java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("HH:mm:ss.SSSSSS")))
       case _ => throw new DmlError(s"time($args)")
     }
     case "duration" => args match {
@@ -1150,7 +1190,10 @@ object Dml {
             throw new DmlError(s"prop ${d.name} is NOT NULL")
           c
         case None =>
-          if (d.hasDefault) d.default
+          if (d.hasDefault) d.default match {
+            case DynDefault(_, e) => coerceDef(evalConst(e), d)
+            case v => v
+          }
           else if (!d.notNull) null
           else throw new DmlError(s"prop ${d.name} has no default")
       }
@@ -1271,8 +1314,13 @@ object Dml {
             case Some(e) =>
               val proto = ScenarioCatalog.PropDef(spec.name, dt, spec.notNull,
                 typeName = tn, comment = spec.comment)
-              val v = coerceDef(evalConst(e), proto)
-              proto.copy(hasDefault = true, default = v)
+              if (isDynDefault(e))
+                proto.copy(hasDefault = true,
+                  default = DynDefault(Expr.text(e), e))
+              else {
+                val v = coerceDef(evalConst(e), proto)
+                proto.copy(hasDefault = true, default = v)
+              }
             case None =>
               ScenarioCatalog.PropDef(spec.name, dt, spec.notNull,
                 typeName = tn, comment = spec.comment)
@@ -1436,8 +1484,11 @@ object Dml {
           val dt = dataTypeOf(spec.tpe)
           spec.default match {
             case Some(e) =>
+              val dv =
+                if (isDynDefault(e)) DynDefault(Expr.text(e), e)
+                else coerce(evalConst(e), dt, spec.name)
               ScenarioCatalog.PropDef(spec.name, dt, spec.notNull,
-                hasDefault = true, default = coerce(evalConst(e), dt, spec.name),
+                hasDefault = true, default = dv,
                 typeName = describeTypeName(spec.tpe), comment = spec.comment)
             case None => ScenarioCatalog.PropDef(spec.name, dt, spec.notNull,
               typeName = describeTypeName(spec.tpe), comment = spec.comment)
@@ -1468,7 +1519,11 @@ object Dml {
         rowsMap(name).asInstanceOf[mutable.LinkedHashMap[Any, Array[Any]]]
           .mapValuesInPlace { (_, arr) =>
             keepIdx.map(arr).toArray ++ added.map(d2 =>
-              if (d2.hasDefault) d2.default else null)
+              if (d2.hasDefault) d2.default match {
+                case DynDefault(_, e) => coerceDef(evalConst(e), d2)
+                case v => v
+              }
+              else null)
           }
         emptyOk(spark)
       case InsertVertex(tags, rows, ifNotExists) =>

@@ -377,13 +377,20 @@ object Expr {
       // literal (reference set_expression) — distinguished by whether
       // a word+colon follows. A set keeps distinct elements.
       val isMap = p.peek.contains(Sym("}")) ||
-        (p.peek.exists(_.isInstanceOf[Word]) && p.peek2.contains(Sym(":")))
+        ((p.peek.exists(_.isInstanceOf[Word]) ||
+          p.peek.exists(_.isInstanceOf[Str])) && p.peek2.contains(Sym(":")))
       if (isMap) {
         val entries = scala.collection.mutable.ListBuffer.empty[(String, E)]
         if (!p.sym("}")) {
           var go = true
           while (go) {
-            val k = p.word(); p.expectSym(":")
+            // JSON-style quoted keys appear via `Given parameters`
+            // substitution ({"a":3,...})
+            val k = p.peek match {
+              case Some(Str(s)) => p.next(); s
+              case _ => p.word()
+            }
+            p.expectSym(":")
             entries += (k -> parse(p))
             if (p.sym(",")) () else go = false
           }
@@ -564,18 +571,26 @@ object Expr {
       // `+` on a string literal operand is concatenation (the
       // reference's Arithmetic + on strings, ArithmeticExpression.cpp)
       case Bin("+", a, b) if isStr(a) || isStr(b) => concat(c(a), c(b))
-      case Bin("+", a, b) => c(a) + c(b)
+      case Bin("+", a, b) =>
+        // string-typed COLUMNS also concatenate (Value.cpp operator+:
+        // `$-.id + 1` → "...1") — type dispatch happens at analysis
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        ColumnBridge.column(graft.functions.NebulaAdd(
+          ColumnBridge.expression(c(a)), ColumnBridge.expression(c(b))))
       case Bin("-", a, b) => c(a) - c(b)
       case Bin("*", a, b) => c(a) * c(b)
       case e0 @ Bin("/", a, b) =>
         // Spark's Divide null-guards ALL zero divisors in non-ANSI
         // mode, but the reference's double division is IEEE (0/0.0 →
         // NaN, 1/0.0 → inf, issue #3473). Constant double divisions
-        // fold here with Java (= IEEE) semantics; int/int keeps the
-        // engine's NULL-on-zero behavior (DIV_BY_ZERO → NULL).
+        // fold here with Java (= IEEE) semantics; int/int divides
+        // INTEGRALLY (C++ semantics) with NULL-on-zero (DIV_BY_ZERO).
         tryConst(e0) match {
           case Some(d: Double) => lit(d)
-          case _ => c(a) / c(b)
+          case _ =>
+            import org.apache.spark.sql.graftbridge.ColumnBridge
+            ColumnBridge.column(graft.functions.NebulaDivide(
+              ColumnBridge.expression(c(a)), ColumnBridge.expression(c(b))))
         }
       case Bin("%", a, b) => c(a) % c(b)
       // =~ is a FULL match (std::regex_match, not search)

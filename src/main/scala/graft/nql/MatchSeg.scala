@@ -402,10 +402,13 @@ object MatchSeg {
   private def nodePropFilter(df: DataFrame, v: String, tags: List[String],
                              props: List[(String, Any)]): DataFrame =
     props.foldLeft(df) { case (d, (k, value)) =>
-      // an inline prop constrains whichever bound tag defines it
+      // an inline prop constrains whichever bound tag defines it; a
+      // prop NO bound tag declares reads as NULL and never matches —
+      // the reference executes to an empty result, it does not reject
+      // (MatchCrash.feature)
       val candidates = tags.map(t => s"${v}_${t}_$k").filter(d.columns.contains)
-      require(candidates.nonEmpty, s"unknown prop $k on $v")
-      d.filter(candidates.map(c => typedEq(d, c, value)).reduce(_ || _))
+      if (candidates.isEmpty) d.filter(lit(false))
+      else d.filter(candidates.map(c => typedEq(d, c, value)).reduce(_ || _))
     }
 
   /** Build the frame for one node var: tagged → tag table(s) joined on
@@ -707,8 +710,14 @@ object MatchSeg {
     }
 
     toExisting match {
-      case Some(_) =>
+      case Some(_) if joined.columns.contains(w) =>
         joined.filter(col("__to") === col(w)).drop("__to")
+      case Some(_) =>
+        // endpoint bound in a SIBLING comma-part whose frame hasn't
+        // joined yet (`(p), (t), pth = (p)-[*1..4]-(t)`): name the
+        // endpoint after the var; joinShared equates them when the
+        // part frames meet (CrashWhenNullPathExpr.feature)
+        joined.withColumnRenamed("__to", w)
       case None =>
         var out = joined.withColumnRenamed("__to", w)
         st.addVertex(w)
@@ -877,6 +886,17 @@ object MatchSeg {
           if st.edgeVars.contains(ev) => Some(col(s"${ev}_src"))
       case Expr.FnCall("dst", List(Expr.Ref(List(ev))), _)
           if st.edgeVars.contains(ev) => Some(col(s"${ev}_dst"))
+      // prop access on a subscripted relationship-list var (`e[0].p`
+      // where e is a var-length edge var or a relationships(p) WITH
+      // alias): the RETURN-visible value renders as strings, so read
+      // the struct twin
+      case Expr.Attr(Expr.Subscript(Expr.Ref(List(tt)), idx), prop)
+          if st.vlEdgeVars.contains(tt) && cols(s"${tt}__vl") =>
+        val raw = col(s"${tt}__vl")
+        val ic = Expr.compile(idx, resolver(st, binding)).cast("int")
+        val elem = when(ic >= 0, try_element_at(raw, ic + lit(1)))
+          .otherwise(try_element_at(raw, ic))
+        Some(elem.getField(prop))
       // edge accessors on a subscripted var-length edge list:
       // rank(e[0]) / type(e[i]) / src / dst read the struct fields
       case Expr.FnCall(fn2 @ ("type" | "rank" | "src" | "dst"),
@@ -1112,39 +1132,90 @@ object MatchSeg {
       }
       st2.boundTags ++= st.boundTags
     } else {
-      // per-item column plan
+      // per-item column plan — (column, output name) pairs so the
+      // aggregate branch can restore ITEM order after groupBy/agg
+      // (RETURN * emits WITH-item order, not keys-then-aggs)
       val hasAgg = w.items.exists(i => Expr.hasAgg(i.e))
-      def itemCols(i: Item): Seq[Column] = i.e match {
+      def itemCols(i: Item): Seq[(Column, String)] = i.e match {
         case Expr.Ref(List(v)) if st.vertexVars.contains(v) =>
           st2.addVertex(i.alias)
-          Seq(col(v).as(i.alias))
+          Seq(col(v).as(i.alias) -> i.alias)
         case Expr.Ref(List(ev)) if st.edgeVars.contains(ev) =>
           st2.addEdge(i.alias)
           binding.columns.filter(_.startsWith(s"${ev}_")).toSeq
-            .map(c2 => col(c2).as(i.alias + c2.stripPrefix(ev)))
+            .map { c2 =>
+              val n2 = i.alias + c2.stripPrefix(ev)
+              col(c2).as(n2) -> n2
+            }
+        case Expr.FnCall("relationships", List(Expr.Ref(List(pv))), _)
+            if st.pathVars.contains(pv) =>
+          // `WITH relationships(p) AS e` binds e as a relationship
+          // LIST: keep the raw edge STRUCTS (`e__vl`, the var-length
+          // edge-var convention) so `e[i].prop` reads props and a
+          // later `[e:type*m..n]` re-use joins on list identity
+          // (NullProp / MatchJoinOnEdge features); rendering happens
+          // at RETURN like any vlEdgeVar
+          val info = st.pathVars(pv)
+          val special = (ev: String) => Set(s"${ev}_src", s"${ev}_dst",
+            s"${ev}_rank", s"${ev}_etype")
+          val twin: Option[Column] =
+            if (info.rels.nonEmpty &&
+                info.rels.forall(ev => st.edgeVars.contains(ev)))
+              Some(array(info.rels.map { ev =>
+                val props = binding.columns.filter(c2 =>
+                  c2.startsWith(s"${ev}_") && !special(ev).contains(c2))
+                struct(col(s"${ev}_etype").as("__t") +:
+                  col(s"${ev}_src").as("__s") +:
+                  col(s"${ev}_dst").as("__d") +:
+                  col(s"${ev}_rank").as("__r") +:
+                  props.toSeq.map(c2 =>
+                    col(c2).as(c2.stripPrefix(s"${ev}_"))): _*)
+              }: _*))
+            else if (info.rels.size == 1 &&
+                st.vlEdgeVars.contains(info.rels.head))
+              Some(col(s"${info.rels.head}__vl"))
+            else None
+          twin match {
+            case Some(tc) =>
+              st2.addVlEdge(i.alias)
+              Seq(tc.as(i.alias + "__vl") -> (i.alias + "__vl"))
+            case None =>
+              st2.addPlain(i.alias)
+              Seq(Expr.compile(i.e, res).as(i.alias) -> i.alias)
+          }
         case e2 =>
           st2.addPlain(i.alias)
-          Seq(Expr.compile(e2, res).as(i.alias))
+          Seq(Expr.compile(e2, res).as(i.alias) -> i.alias)
       }
       if (!hasAgg)
-        binding = binding.select(w.items.flatMap(itemCols): _*)
+        binding = binding.select(w.items.flatMap(itemCols).map(_._1): _*)
       else {
-        // itemCols registers key vars in st2; agg aliases register as
-        // plain columns (part of the namespace for later stages / *)
-        val keyCols = w.items.filter(i => !Expr.hasAgg(i.e)).flatMap(itemCols)
-        val aggCols = w.items.filter(i => Expr.hasAgg(i.e)).map { i =>
-          st2.addPlain(i.alias)
-          i.e match {
-            case Expr.FnCall("collect" | "collect_set",
-                List(Expr.Ref(List(v))), _) if st.vertexVars.contains(v) =>
-              st2.nodeListCols += i.alias
-            case _ => ()
+        // iterate ITEMS IN ORDER so st2's declOrder (and the final
+        // column order) follow the WITH text, not keys-then-aggs
+        val keyCols = scala.collection.mutable.ListBuffer.empty[Column]
+        val aggCols = scala.collection.mutable.ListBuffer.empty[Column]
+        val outNames = scala.collection.mutable.ListBuffer.empty[String]
+        w.items.foreach { i =>
+          if (!Expr.hasAgg(i.e)) {
+            val cs = itemCols(i)
+            keyCols ++= cs.map(_._1); outNames ++= cs.map(_._2)
+          } else {
+            st2.addPlain(i.alias)
+            i.e match {
+              case Expr.FnCall("collect" | "collect_set",
+                  List(Expr.Ref(List(v))), _) if st.vertexVars.contains(v) =>
+                st2.nodeListCols += i.alias
+              case _ => ()
+            }
+            aggCols += Expr.compile(i.e, res).as(i.alias)
+            outNames += i.alias
           }
-          Expr.compile(i.e, res).as(i.alias)
         }
         binding =
-          if (keyCols.isEmpty) binding.agg(aggCols.head, aggCols.tail: _*)
-          else binding.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+          if (keyCols.isEmpty) binding.agg(aggCols.head, aggCols.tail.toSeq: _*)
+          else binding.groupBy(keyCols.toSeq: _*)
+            .agg(aggCols.head, aggCols.tail.toSeq: _*)
+        binding = binding.select(outNames.toSeq.map(col): _*)
       }
     }
     if (w.distinct) binding = binding.distinct()

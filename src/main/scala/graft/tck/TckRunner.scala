@@ -311,13 +311,56 @@ object TckRunner {
 
   /** Parse a `Given parameters: {"p1":"Tim Duncan","p2":3}` map into
     * name → nGQL literal text (strings re-quoted, scalars verbatim,
-    * flat lists rendered as [..]). */
+    * lists/objects captured balanced so nested values substitute as
+    * map literals — the quoted-key map form parses downstream). */
   private[tck] def parseParams(json: String): Map[String, String] = {
-    val entryRe =
-      """"(\w+)"\s*:\s*("(?:[^"\\]|\\.)*"|\[[^\]]*\]|true|false|-?\d+(?:\.\d+)?)""".r
-    entryRe.findAllMatchIn(json).map { m =>
-      m.group(1) -> m.group(2)
-    }.toMap
+    val out = Map.newBuilder[String, String]
+    var i = json.indexOf('{') + 1
+    def skipWs(): Unit =
+      while (i < json.length && json(i).isWhitespace) i += 1
+    def scanString(): String = {
+      val st = i; i += 1
+      while (i < json.length && (json(i) != '"' || json(i - 1) == '\\')) i += 1
+      i += 1
+      json.substring(st, math.min(i, json.length))
+    }
+    def scanValue(): String = {
+      skipWs()
+      json(i) match {
+        case '"' => scanString()
+        case open @ ('{' | '[') =>
+          val close = if (open == '{') '}' else ']'
+          var depth = 0; val st = i
+          var done = -1
+          while (i < json.length && done < 0) {
+            json(i) match {
+              case '"' => scanString()
+              case ch =>
+                if (ch == open) depth += 1
+                if (ch == close) { depth -= 1; if (depth == 0) done = i + 1 }
+                i += 1
+            }
+          }
+          json.substring(st, if (done < 0) i else done)
+        case _ =>
+          val st = i
+          while (i < json.length && !",}".contains(json(i))) i += 1
+          json.substring(st, i).trim
+      }
+    }
+    skipWs()
+    while (i < json.length && json(i) != '}') {
+      if (json(i) == ',') { i += 1; skipWs() }
+      else if (json(i) == '"') {
+        val k = scanString()
+        skipWs()
+        if (i < json.length && json(i) == ':') i += 1
+        val v = scanValue()
+        out += k.substring(1, k.length - 1) -> v
+        skipWs()
+      } else i += 1
+    }
+    out.result()
   }
 
   /** Legacy view: the read-only golden cases a fixture catalog can
@@ -779,7 +822,23 @@ object TckRunner {
               case _ => ()
             }
           case SExec(script) =>
-            if (!dead) {
+            // `CREATE SPACE x AS <fixture>` clones a session-global
+            // fixture space the catalog can't see — swap the scenario
+            // onto a data-bearing clone of that fixture instead
+            // (FixIterCrash.feature; reference clones schema only, a
+            // data clone is a superset that keeps GO/SUBGRAPH runnable)
+            val asFixture = if (dead) None else
+              "(?is)^\\s*CREATE\\s+SPACE\\s+(\\S+)\\s+AS\\s+(\\S+?)\\s*;?\\s*$".r
+                .findFirstMatchIn(script)
+                .filter(m => fixtures.contains(m.group(2)))
+            if (asFixture.isDefined) {
+              val m = asFixture.get
+              val c = scenarioClone(fixtures(m.group(2)), m.group(2))
+              val vt = if (c.vidIsInt) "INT64" else "FIXED_STRING(32)"
+              c.spaceDefs(m.group(2)) = (vt, None)
+              c.spaceDefs(m.group(1)) = (vt, None)
+              cat = c
+            } else if (!dead) {
               try { Gql.runScript(cat, script); () }
               catch {
                 case e: IllegalArgumentException => died(script, e)
