@@ -19,16 +19,24 @@ object Tables {
     if (name == "events") loadEvents(spark, s"$sfDir/$name.parquet")
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's reader
-    * rejects by default; read nanos as long and truncate to µs (the
-    * same ns→µs floor DuckDB applies), keeping the column name+type
-    * contract (ts: timestamp). */
+  /** events.parquet's `ts` physical type varies by generator version:
+    * TIMESTAMP(NANOS) (read as long under nanosAsLong, floored to µs —
+    * same floor DuckDB applies) or timestamp[us] (read as
+    * TIMESTAMP_NTZ). Normalize both to TimestampType; the session runs
+    * in UTC so the NTZ→instant cast is value-preserving and matches
+    * the DuckDB oracle's naive-timestamp arithmetic. */
   def loadEvents(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path)
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(path)
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Register every table as a temp view so spark.sql(...) mirrors the

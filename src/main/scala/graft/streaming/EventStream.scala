@@ -25,14 +25,20 @@ object EventStream {
     * tail a landing zone). */
   def readEvents(spark: SparkSession, dir: String,
                  schemaFrom: String): DataFrame = {
-    // events parquet carries TIMESTAMP(NANOS): read as long + truncate
-    // to µs, same contract as graft.Tables.loadEvents
+    // `ts` physical type varies by generator version — normalize to
+    // TimestampType (watermarks reject NTZ), same contract as
+    // graft.Tables.loadEvents
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(schemaFrom).schema
     val raw = spark.readStream.schema(schema).parquet(dir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling-window per-type counts+sums with a watermark: the
