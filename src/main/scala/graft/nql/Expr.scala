@@ -534,18 +534,26 @@ object Expr {
       case Bin("xor", a, b) => c(a) =!= c(b)
       // float comparisons are epsilon-approximate (the reference's
       // Value comparator, kEpsilon 1e-8: 2.0 == 2.000000009 is true,
-      // and >=/<= hold under approximate equality)
-      case Bin("==", a, b) if isFloatLit(a) || isFloatLit(b) =>
+      // and >=/<= hold under approximate equality). EXCEPT around
+      // ST_Distance: the geo predicate path compares raw doubles
+      // (GeoBase.feature discriminates thresholds 2e-9 apart).
+      case Bin("==", a, b)
+        if (isFloatLit(a) || isFloatLit(b)) && !isGeoDist(a) && !isGeoDist(b) =>
         approxEq(c(a), c(b))
-      case Bin("!=", a, b) if isFloatLit(a) || isFloatLit(b) =>
+      case Bin("!=", a, b)
+        if (isFloatLit(a) || isFloatLit(b)) && !isGeoDist(a) && !isGeoDist(b) =>
         !approxEq(c(a), c(b))
-      case Bin("<", a, b) if isFloatLit(a) || isFloatLit(b) =>
+      case Bin("<", a, b)
+        if (isFloatLit(a) || isFloatLit(b)) && !isGeoDist(a) && !isGeoDist(b) =>
         c(a) < c(b) && !approxEq(c(a), c(b))
-      case Bin(">", a, b) if isFloatLit(a) || isFloatLit(b) =>
+      case Bin(">", a, b)
+        if (isFloatLit(a) || isFloatLit(b)) && !isGeoDist(a) && !isGeoDist(b) =>
         c(a) > c(b) && !approxEq(c(a), c(b))
-      case Bin("<=", a, b) if isFloatLit(a) || isFloatLit(b) =>
+      case Bin("<=", a, b)
+        if (isFloatLit(a) || isFloatLit(b)) && !isGeoDist(a) && !isGeoDist(b) =>
         c(a) < c(b) || approxEq(c(a), c(b))
-      case Bin(">=", a, b) if isFloatLit(a) || isFloatLit(b) =>
+      case Bin(">=", a, b)
+        if (isFloatLit(a) || isFloatLit(b)) && !isGeoDist(a) && !isGeoDist(b) =>
         c(a) > c(b) || approxEq(c(a), c(b))
       // ==/!= across value types is DEFINITE in the reference
       // (Value.cpp operator==: different types are simply "not
@@ -568,6 +576,24 @@ object Expr {
       case Bin("<=", a, b) => c(a) <= c(b)
       case Bin(">", a, b) => c(a) > c(b)
       case Bin(">=", a, b) => c(a) >= c(b)
+      // temporal ± duration: statically-typed operands (literal
+      // date()/time()/datetime() calls) dispatch here; WITH-aliased
+      // operands dispatch in MatchSeg's schema-aware resolver
+      case Bin(op @ ("+" | "-"), a, b)
+          if isDurCall(a) || isDurCall(b) =>
+        if (isDurCall(a) && isDurCall(b)) {
+          val (l, r) = (c(a), c(b)); val s2 = if (op == "-") -1 else 1
+          struct(
+            (l.getField("__dmon") + r.getField("__dmon") * s2).as("__dmon"),
+            (l.getField("__dsec") + r.getField("__dsec") * s2).as("__dsec"),
+            (l.getField("__dmic") + r.getField("__dmic") * s2).as("__dmic"))
+        } else {
+          val (temp, dur, sign) =
+            if (isDurCall(b)) (a, b, if (op == "-") -1 else 1)
+            else (b, a, 1) // duration + temporal commutes
+          if (!isDurCall(b) && op == "-") lit(null) // duration - temporal
+          else DurationOps.arith(tempKind(temp), c(temp), c(dur), sign)
+        }
       // `+` on a string literal operand is concatenation (the
       // reference's Arithmetic + on strings, ArithmeticExpression.cpp)
       case Bin("+", a, b) if isStr(a) || isStr(b) => concat(c(a), c(b))
@@ -766,6 +792,25 @@ object Expr {
     case _ => false
   }
 
+  private def isGeoDist(e: E): Boolean = e match {
+    case FnCall("st_distance", _, _) => true
+    case _ => false
+  }
+
+  private def isDurCall(e: E): Boolean = e match {
+    case FnCall("duration", _, _) => true
+    case _ => false
+  }
+
+  /** Static temporal kind of a literal constructor call (for the
+    * duration-arithmetic dispatch when no schema is available). */
+  private def tempKind(e: E): String = e match {
+    case FnCall("date", _, _) => "date"
+    case FnCall("datetime", _, _) => "datetime"
+    case FnCall("time", _, _) => "time"
+    case _ => "other"
+  }
+
   private def approxEq(x: Column, y: Column): Column =
     abs(x - y) < lit(1e-8)
 
@@ -906,9 +951,59 @@ object Expr {
           case _ => unix_timestamp(a(0).cast("string").cast("timestamp"))
         }
       case "json_extract" => graft.functions.Fn.jsonExtractMap(a(0))
+      // duration({years:..,months:..,days:..,...}) → a typed struct
+      // (months, seconds, micros — Duration.h model). Field names are
+      // the duration marker: comparison/arith special-cases key on
+      // them (MatchSeg resolver; TimeComputation.feature)
+      case "duration" => args.head match {
+        case MapLit(entries) =>
+          val m = entries.map { case (k, v) =>
+            k -> (tryConst(v) match {
+              case Some(n: Long) => n
+              case Some(d: Double) => d.toLong
+              case _ => throw new IllegalArgumentException(
+                s"unsupported non-constant duration field $k")
+            })
+          }.toMap
+          val bad = m.keySet.diff(Set("years", "months", "days", "hours",
+            "minutes", "seconds", "milliseconds", "microseconds"))
+          require(bad.isEmpty, s"duration: unknown ${bad.mkString(",")}")
+          def g2(k: String) = m.getOrElse(k, 0L)
+          struct(
+            lit(g2("years") * 12 + g2("months")).as("__dmon"),
+            lit(g2("days") * 86400 + g2("hours") * 3600 +
+              g2("minutes") * 60 + g2("seconds")).as("__dsec"),
+            lit(g2("milliseconds") * 1000 + g2("microseconds")).as("__dmic"))
+        case _ =>
+          throw new IllegalArgumentException("unsupported duration() form")
+      }
       // geography storage is canonical WKT (Dml.GeoVal) — AsText is
       // identity over the stored column
       case "st_astext" => a(0)
+      // geography constructors: constant-folded to canonical WKT (the
+      // value the storage layer holds); runtime-arg forms are not in
+      // the reference surface either (geo args are literals/props)
+      case "st_point" =>
+        (tryConst(args(0)), tryConst(args(1))) match {
+          case (Some(x), Some(y)) =>
+            lit(Dml.geogFromText(s"POINT($x $y)").wkt)
+          case _ =>
+            throw new IllegalArgumentException("unsupported non-constant ST_Point")
+        }
+      case "st_geogfromtext" => args.head match {
+        case Lit(w: String) => lit(Dml.geogFromText(w).wkt)
+        case _ =>
+          throw new IllegalArgumentException("unsupported non-literal ST_GeogFromText")
+      }
+      // spherical predicates (GeoFunction.cpp dispatch, S2 semantics)
+      case "st_intersects" => graft.functions.GeoFn.intersects(a(0), a(1))
+      case "st_covers" => graft.functions.GeoFn.covers(a(0), a(1))
+      case "st_coveredby" => graft.functions.GeoFn.coveredBy(a(0), a(1))
+      case "st_distance" => graft.functions.GeoFn.distance(a(0), a(1))
+      case "st_dwithin" => graft.functions.GeoFn.dWithin(a(0), a(1), a(2))
+      case "s2_cellidfrompoint" =>
+        if (args.size >= 2) graft.functions.GeoFn.cellIdFromPoint(a(0), a(1))
+        else graft.functions.GeoFn.cellIdFromPoint(a(0))
       // reference hash(): identity on ints, 0/1 on bools, bit-pattern
       // murmur on floats, UTF-8 murmur on strings (FunctionManager
       // .cpp:1689 via std::hash<Value>); int-vid spaces key every
@@ -972,5 +1067,52 @@ object Expr {
   private def strArg(args: List[E], i: Int): String = args(i) match {
     case Lit(s: String) => s
     case other => throw new IllegalArgumentException(s"expected string arg, got ${text(other)}")
+  }
+}
+
+/** Temporal ± duration arithmetic shared by the static compile path
+  * (literal `date(...) + duration(...)`) and MatchSeg's schema-aware
+  * resolver (WITH-aliased operands). Duration model is the reference's
+  * Duration.h: calendar months apply first, then seconds+micros;
+  * date arithmetic truncates the sub-day part to whole days
+  * (TimeComputation.feature goldens). */
+private[nql] object DurationOps {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** kind: "date" | "datetime" | "time" (HH:mm:ss.SSSSSS string) |
+    * anything else → NULL (the reference's BAD_TYPE). `sign` is +1
+    * for addition, -1 for subtraction. */
+  def arith(kind: String, tempC: Column, durC: Column, sign: Int): Column = {
+    val mon = (durC.getField("__dmon") * sign).cast("int")
+    val secs = durC.getField("__dsec") * sign
+    val mics = durC.getField("__dmic") * sign
+    kind match {
+      case "date" =>
+        date_add(add_months(tempC, mon), (secs / 86400L).cast("int"))
+      case "datetime" =>
+        tempC + make_interval(
+          lit(0), mon, lit(0), lit(0), lit(0), lit(0),
+          secs.cast("decimal(18,6)") + mics.cast("decimal(18,6)") / 1000000L)
+      case "time" =>
+        // time-of-day wraps modulo 24h; months are ignored (no date)
+        val dayUs = lit(86400000000L)
+        val baseUs =
+          (substring(tempC, 1, 2).cast("long") * 3600L +
+            substring(tempC, 4, 2).cast("long") * 60L +
+            substring(tempC, 7, 2).cast("long")) * 1000000L +
+            coalesce(rpad(substring(tempC, 10, 6), 6, "0").cast("long"),
+              lit(0L))
+        val tot0 = (baseUs + secs * 1000000L + mics) % dayUs
+        val tot = (tot0 + dayUs) % dayUs
+        when(tempC.rlike("^\\d{2}:\\d{2}:\\d{2}"),
+          format_string("%02d:%02d:%02d.%06d",
+            (tot / 3600000000L).cast("long"),
+            (tot % 3600000000L / 60000000L).cast("long"),
+            (tot % 60000000L / 1000000L).cast("long"),
+            tot % 1000000L))
+          .otherwise(lit(null))
+      case _ => lit(null)
+    }
   }
 }

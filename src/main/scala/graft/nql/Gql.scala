@@ -759,6 +759,7 @@ object Gql {
         execGo(g, go, seeds, input)
       case Lookup(tag, where, ys, dist) =>
         // LOOKUP targets a tag OR an edge type (LookupEdge TCK)
+        where.foreach(validateGeoIndexFilter)
         val (tbl, isEdge) =
           try (g.vertexTable(tag), false)
           catch { case _: IllegalArgumentException => (g.edgesByType(tag), true) }
@@ -1013,6 +1014,59 @@ object Gql {
         else // all/noloop both traverse vertex-unique paths (module doc)
           PathFinder.allPaths(sSet, dSet, e, upto)
     }
+  }
+
+  /** The reference's geo-index planner only accepts predicates it can
+    * turn into an S2 cell scan: one side of ST_Intersects/Covers/
+    * CoveredBy/DWithin must be a CONSTANT geography, and ST_Distance
+    * may only appear as an upper bound (dist < c / dist <= c /
+    * c > dist / c >= dist) with a numeric bound. Anything else raises
+    * a SemanticError ("not supported yet" — GeoIndex.cpp) rather than
+    * silently full-scanning; we mirror the reject so LOOKUP behavior
+    * matches (GeoBase.feature error scenarios). */
+  private def validateGeoIndexFilter(w: Expr.E): Unit = {
+    import Expr.{Bin, E, FnCall, Lit}
+    def constGeo(e: E): Boolean = e match {
+      case FnCall(n, args, _)
+        if n == "st_geogfromtext" || n == "st_point" =>
+        var refs = false
+        args.foreach(Expr.collect(_) {
+          case Expr.Ref(_) => refs = true
+          case Expr.Param(_, _, _) => refs = true
+        })
+        !refs
+      case _ => false
+    }
+    def reject(what: String): Nothing =
+      throw new DmlError(s"Expression $what not supported yet")
+    def isDist(e: E): Boolean = e match {
+      case FnCall("st_distance", _, _) => true
+      case _ => false
+    }
+    // a bound is definitely-bad only when it is a non-numeric literal;
+    // non-literal bounds (params/refs) fall through to execution
+    def badBound(e: E): Boolean = e match {
+      case Lit(_: Boolean) => true
+      case Lit(_: String) => true
+      case _ => false
+    }
+    def walk(e: E): Unit = e match {
+      case Bin(op, l, r) if isDist(l) || isDist(r) =>
+        val ok =
+          if (isDist(l)) Set("<", "<=").contains(op) && !badBound(r)
+          else Set(">", ">=").contains(op) && !badBound(l)
+        if (!ok) reject("(ST_Distance comparison)")
+      case FnCall(n, args, _)
+        if n == "st_intersects" || n == "st_covers" || n == "st_coveredby" =>
+        if (!args.exists(constGeo)) reject(s"$n(non-constant args)")
+      case FnCall("st_dwithin", args, _) =>
+        if (!args.take(2).exists(constGeo) ||
+            args.lift(2).exists(badBound)) reject("ST_DWithin(bad distance)")
+      case Bin(_, l, r) => walk(l); walk(r)
+      case Expr.Un(_, x) => walk(x)
+      case _ => ()
+    }
+    walk(w)
   }
 
   private def edgeKeysDf(spark: SparkSession,

@@ -840,6 +840,63 @@ object MatchSeg {
     binding
   }
 
+  private val DurFields = Array("__dmon", "__dsec", "__dmic")
+
+  /** Is this expression a duration value — a duration() call, or a
+    * binding column holding the duration marker struct? */
+  private def durExpr(binding: DataFrame, e: Expr.E): Boolean = e match {
+    case Expr.FnCall("duration", _, _) => true
+    case Expr.Ref(List(n)) if binding.columns.contains(n) =>
+      binding.schema(n).dataType match {
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fieldNames.sameElements(DurFields)
+        case _ => false
+      }
+    case _ => false
+  }
+
+  /** Duration comparison / temporal+duration arithmetic
+    * (TimeComparison / TimeComputation features; Duration.h model:
+    * calendar months apply first, then the seconds+micros part). */
+  private def durationBin(st: BState, binding: DataFrame, render: Boolean,
+                          op: String, l2: Expr.E, r2: Expr.E): Option[Column] = {
+    import org.apache.spark.sql.types._
+    val res = resolver(st, binding, render)
+    val lc = Expr.compile(l2, res); val rc = Expr.compile(r2, res)
+    def dtype(c: Column): DataType =
+      binding.select(c.as("__p")).schema.head.dataType
+    val lDur = durExpr(binding, l2); val rDur = durExpr(binding, r2)
+    if (lDur && rDur) op match {
+      case "==" => Some(lc === rc)
+      case "!=" => Some(lc =!= rc)
+      // ordering durations is BAD_TYPE (months vs days incomparable)
+      case _ => Some(lit(null).cast("boolean"))
+    } else {
+      // one duration side: +/- applies it to a temporal value;
+      // any comparison across types is definite (==false / !=true),
+      // ordering is BAD_TYPE → NULL
+      val (tempC, durC, sign) =
+        if (rDur) (lc, rc, if (op == "-") -1 else 1)
+        else (rc, lc, 1) // duration + temporal commutes; "-" invalid
+      op match {
+        case "==" => Some(lit(false))
+        case "!=" => Some(lit(true))
+        case "<" | ">" | "<=" | ">=" => Some(lit(null).cast("boolean"))
+        case _ if !rDur && op == "-" =>
+          // duration - temporal is BAD_TYPE
+          Some(lit(null))
+        case _ =>
+          val kind = dtype(tempC) match {
+            case DateType => "date"
+            case TimestampType => "datetime"
+            case StringType => "time"
+            case _ => "other"
+          }
+          Some(DurationOps.arith(kind, tempC, durC, sign))
+      }
+    }
+  }
+
   /** Domain resolver over the binding frame. `render=true` (RETURN
     * position): collect() over bare node/edge vars gathers RENDERED
     * values for display; `render=false` (WITH / WHERE positions):
@@ -853,6 +910,26 @@ object MatchSeg {
     def e(name: String): Option[Column] =
       if (cols(name)) Some(col(name)) else Some(lit(null))
     val f: Expr.Resolver = {
+      // duration arithmetic/comparison (TimeComputation.feature).
+      // Durations travel as (__dmon,__dsec,__dmic) structs (Expr
+      // `duration` ctor); ordering them is the reference's BAD_TYPE
+      // (→ NULL), equality is the exact triple, and +/- against
+      // date/datetime/time applies months-then-seconds
+      case Expr.Bin(op, l2, r2)
+          if Set("+", "-", "<", ">", "<=", ">=", "==", "!=")(op) &&
+            (durExpr(binding, l2) || durExpr(binding, r2)) =>
+        durationBin(st, binding, render, op, l2, r2)
+      // entity-kind predicates on a bound alias fold to constants —
+      // the alias' kind is static (BoolCheckingInExpr.feature)
+      case Expr.FnCall(fn @ ("is_edge" | "is_vertex" | "is_path"),
+          List(Expr.Ref(List(v))), _)
+          if st.vertexVars.contains(v) || st.edgeVars.contains(v) ||
+            st.vlEdgeVars.contains(v) || st.pathVars.contains(v) =>
+        Some(lit(fn match {
+          case "is_edge" => st.edgeVars.contains(v)
+          case "is_vertex" => st.vertexVars.contains(v)
+          case _ => st.pathVars.contains(v)
+        }))
       // collect over a bare node/edge var gathers RENDERED values
       // (goldens: COLLECT(v2) == [("Tim Duncan"), ...])
       case Expr.FnCall(fn @ ("collect" | "collect_set"),

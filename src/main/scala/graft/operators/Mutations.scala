@@ -117,6 +117,17 @@ object Mutations {
     /** DELETE rows matching a predicate. */
     def deleteWhere(cond: org.apache.spark.sql.Column): Unit =
       write(read.filter(!coalesce(cond, lit(false))))
+
+    /** DELETE rows that match ANY row of `other` under `cond` — an
+      * anti join, so a piped delete set stays a DataFrame end to end
+      * (no driver collect; `other` broadcast when small via AQE).
+      * Used for `DELETE VERTEX ... WITH EDGE` incidence sweeps. */
+    def deleteJoin(other: DataFrame,
+                   cond: (DataFrame, DataFrame) =>
+                     org.apache.spark.sql.Column): Unit = {
+      val cur = read
+      write(cur.join(other, cond(cur, other), "left_anti"))
+    }
   }
 
   def vertexTable(spark: SparkSession, path: String): KeyedTable =

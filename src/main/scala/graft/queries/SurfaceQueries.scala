@@ -86,6 +86,26 @@ object SurfaceQueries {
       s.table("q_stream_window_sink")
     }),
 
+    // nGQL DML against a parquet-backed TableCatalog (round 7): the
+    // AT-SCALE text-DML route. Bulk ingest arrives as a DataFrame
+    // write; the text surface then mutates via KeyedTable merges, and
+    // the piped DELETE keeps its id set as a DataFrame (anti join —
+    // never a driver collect)
+    "q_nql_dml_scale" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-tdml").toString
+      val tc = new graft.graph.TableCatalog(s, root, vidIsInt = true)
+      graft.nql.Gql.runScript(tc, "CREATE TAG account(balance double);")
+      tc.tagTable("account").insert(
+        Tables.load(s, dir, "customer").select(
+          col("c_custkey").cast("long").as("vid"),
+          col("c_acctbal").cast("double").as("balance")))
+      graft.nql.Gql.runScript(tc,
+        """INSERT VERTEX account(balance) VALUES 900001:(11.0), 900002:(22.0);
+          |UPDATE VERTEX ON account 1, 2, 3 SET account.balance = account.balance + 1000;
+          |LOOKUP ON account WHERE account.balance < 0.0 YIELD id(vertex) AS id | DELETE VERTEX $-.id;""".stripMargin)
+      tc.vertexTable("account")
+    }),
+
     // raw SQL entry point over the registered catalog (the reference's
     // query-language front door, minus the parser: Spark SQL IS the
     // declarative surface here)
@@ -128,6 +148,14 @@ object SurfaceQueries {
         |       event_type, count(*) AS cnt,
         |       floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_nql_dml_scale" ->
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS vid,
+        |                     CAST(c_acctbal AS DOUBLE) AS balance FROM customer),
+        |ins AS (SELECT * FROM base
+        |        UNION ALL SELECT * FROM (VALUES (900001, 11.0), (900002, 22.0)) t(vid, balance)),
+        |upd AS (SELECT vid, CASE WHEN vid IN (1, 2, 3) THEN balance + 1000
+        |                         ELSE balance END AS balance FROM ins)
+        |SELECT vid, balance FROM upd WHERE balance >= 0.0""".stripMargin,
     "q_sql_e2e" ->
       """SELECT n_name, count(*) AS order_cnt,
         |       floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue

@@ -487,6 +487,7 @@ object TckRunner {
          (c.startsWith("'") && c.endsWith("'"))))
       c.substring(1, c.length - 1)
     else if (c == "EMPTY" || c.isEmpty) "NULL" // relax folds EMPTY/blank/NULL
+    else if (c == "null") "NULL" // openCypher TCK goldens: lowercase null
     // typed nulls (Value.h:37-46) carry plain NULL in our value model —
     // documented divergence (SURVEY §7.4)
     else if (c == "BAD_TYPE" || c == "BAD_DATA" || c == "UNKNOWN_PROP" ||
@@ -499,11 +500,16 @@ object TckRunner {
       // engine renders edges the same way (relax comparison matches
       // type/src/dst/rank, conftest.py edge compare)
       c.replaceAll("\\s*\\{[^}]*\\}\\s*\\]$", "]")
+        .replaceAll("\\s+\\]$", "]") // stray table-format space: `@0 ]`
     else if (c.startsWith("(") && c.endsWith(")") && c.contains(":"))
       // node literal `("vid" :tag{props} :tag2{...})` → `("vid")`
       // (relax node compare keys on vid; tags/props are advisory)
       c.replaceAll("\\s*:\\s*[A-Za-z_][^)]*", "").replaceAll("\\(\\s*", "(")
         .replaceAll("\\s*\\)", ")")
+    else if (c.startsWith("(\"") && c.endsWith(")"))
+      // tagless node literal with stray table-format whitespace:
+      // `("Tim Duncan" )` → `("Tim Duncan")` (MultiQueryParts golden)
+      c.replaceAll("\\(\\s*", "(").replaceAll("\\s*\\)", ")")
     else if (c.startsWith("<") && c.endsWith(">") && c.contains("("))
       // path literal: strip node prop maps and tag lists, keeping the
       // vid/edge skeleton the engine renders; the default rank prints
@@ -942,7 +948,7 @@ object TckRunner {
                       })
                       if (multisetMatch(got, want, scIntVid)) passed += 1
                       else failures += q ->
-                        s"got=${got.take(5)} want=${want.take(5)} (${got.size}/${want.size} rows)"
+                        s"got=${got.take(12)} want=${want.take(12)} (${got.size}/${want.size} rows)"
                     } catch {
                       // unsupported expression surface → skip; schema
                       // gap (AnalysisException) → skip; parsed-but-

@@ -87,6 +87,50 @@ class DmlSpec extends SparkSpec {
     }
   }
 
+  test("table space: text DML routes through KeyedTable merges") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-tc").toString
+    val tc = new graft.graph.TableCatalog(spark, root, vidIsInt = true)
+    Gql.runScript(tc, "CREATE TAG account(balance double);")
+    Gql.runScript(tc, "CREATE EDGE paid(amount int);")
+    // bulk ingest (the at-scale shape: a DataFrame write)
+    tc.tagTable("account").insert(
+      spark.range(1, 11).selectExpr("id as vid", "cast(id * 10 as double) as balance"))
+    Gql.runScript(tc,
+      """INSERT VERTEX account(balance) VALUES 100:(-5.0), 101:(7.0);
+        |INSERT EDGE paid(amount) VALUES 1->2:(10), 2->3:(20), 3->100:(30);
+        |UPDATE VERTEX ON account 1, 2 SET account.balance = account.balance + 1000;
+        |UPDATE EDGE ON paid 1->2 SET amount = amount * 2;
+        |DELETE EDGE paid 2->3;""".stripMargin)
+    // piped delete: the id set STAYS a DataFrame (anti join)
+    Gql.runScript(tc,
+      """LOOKUP ON account WHERE account.balance < 0.0 YIELD id(vertex) AS id
+        || DELETE VERTEX $-.id WITH EDGE;""".stripMargin)
+    val acct = tc.vertexTable("account")
+    assert(acct.count() == 11) // 10 + 2 inserted - 1 deleted (vid 100)
+    assert(acct.filter(col("vid") === 1).select("balance")
+      .head.getDouble(0) == 1010.0)
+    val paid = tc.edgesByType("paid")
+    assert(paid.count() == 1) // 2->3 deleted; 3->100 swept WITH EDGE
+    assert(paid.filter(col("src") === 1 && col("dst") === 2)
+      .select("amount").head.getLong(0) == 20L)
+  }
+
+  test("table-space piped DML never collects to the driver") {
+    // guard at the source level, like PlanSpec's localCheckpoint rule:
+    // the execTable region of Dml.scala (TableCatalog route) must not
+    // contain a .collect( — piped $- sets must stay DataFrames
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/nql/Dml.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val start = text.indexOf("private def execTable")
+    val end = text.indexOf("private def execScenario")
+    assert(start >= 0 && end > start, "execTable region not found")
+    val region = text.substring(start, end)
+    assert(!region.contains(".collect("),
+      "table-space DML collects to the driver")
+  }
+
   test("fixture clone: mutations stay scenario-local") {
     val nba = "/root/reference/tests/data/nba"
     assume(new java.io.File(s"$nba/player.csv").exists())

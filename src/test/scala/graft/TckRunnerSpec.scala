@@ -139,13 +139,95 @@ class TckRunnerSpec extends SparkSpec {
     s"$root/schema/Comment.feature",
     s"$root/schema/CreateSpaceAs.feature",
     s"$root/schema/Schema.feature",
-    // round 5: openCypher TCK subset (expression surface)
+    // round 5: openCypher TCK subset (expression surface).
+    // Dropped (zero executable scenarios — coverage claims without
+    // evidence, per round-5 verdict #2):
+    //  - Map1: heterogeneous lists ([{num:0},1]) — Spark arrays are
+    //    homogeneous, the surface cannot exist
+    //  - Map2: every scenario is a parse-error golden whose syntax the
+    //    parser rejects at feature-parse time (zero runnable)
+    //  - Path1: nodes(null) / OPTIONAL MATCH seeded from a null var
     s"$oc/expressions/list/List2.feature",
-    s"$oc/expressions/map/Map1.feature",
-    s"$oc/expressions/map/Map2.feature",
-    s"$oc/expressions/path/Path1.feature",
     s"$oc/expressions/path/Path2.feature",
-    s"$oc/expressions/path/Path3.feature")
+    s"$oc/expressions/path/Path3.feature",
+    // round 7: the bugfix/ directory — real-user regression scenarios.
+    // All 48 files triaged; the 4 with zero executable scenarios are
+    // left out with reasons:
+    //  - AggPatternExpression: pattern expression inside an aggregate
+    //    (size((v)--(:team)) + count(...)) — unsupported surface
+    //  - AliasTypeDeduce / ExtractFilter: allShortestPaths piped
+    //    through nested list comprehensions — unsupported surface
+    //  - BoolCheckingInExpr: is_edge() on a vertex alias
+    s"$root/bugfix/ArgumentPlanNodeDep.feature",
+    s"$root/bugfix/BuildPathMistake.feature",
+    s"$root/bugfix/CompareDate.feature",
+    s"$root/bugfix/ContainsFilter.feature",
+    s"$root/bugfix/CrashWhenNullPathExpr.feature",
+    s"$root/bugfix/CreateDurationAsDefaultValue.feature",
+    s"$root/bugfix/DropRootUser.feature",
+    s"$root/bugfix/DupAliasInMatch.feature",
+    s"$root/bugfix/FindStartError.feature",
+    s"$root/bugfix/FixIterCrash.feature",
+    s"$root/bugfix/GetEdgesTransformLimitRule.feature",
+    s"$root/bugfix/InnerVar.feature",
+    s"$root/bugfix/InsertMismatchedTypeDateTime.feature",
+    s"$root/bugfix/LabelIndexCrash.feature",
+    s"$root/bugfix/LackFilterGetEdges.feature",
+    s"$root/bugfix/ListSlicingWithNull.feature",
+    s"$root/bugfix/LookupIn.feature",
+    s"$root/bugfix/MTSafeConcurrencyVariables.feature",
+    s"$root/bugfix/MatchCrash.feature",
+    s"$root/bugfix/MatchJoinOnEdge.feature",
+    s"$root/bugfix/MatchNodeLabelFilter.feature",
+    s"$root/bugfix/MatchNotFilterTheUndeclaredTag.feature",
+    s"$root/bugfix/MatchReturnEmptyTag.feature",
+    s"$root/bugfix/MatchUsedInPipe.feature",
+    s"$root/bugfix/NaNInfinityFloat.feature",
+    s"$root/bugfix/NullInputOfLength.feature",
+    s"$root/bugfix/NullProp.feature",
+    s"$root/bugfix/ParameterQuery.feature",
+    s"$root/bugfix/PredicationPushDownInGo.feature",
+    s"$root/bugfix/PrunePropertiesError.feature",
+    s"$root/bugfix/PushFilterDownProject.feature",
+    s"$root/bugfix/RewriteEdgeFilter.feature",
+    s"$root/bugfix/RoundFloat.feature",
+    s"$root/bugfix/StringFlaotAddition.feature",
+    s"$root/bugfix/SubgraphBeforePipe.feature",
+    s"$root/bugfix/SubscriptInUpdate.feature",
+    s"$root/bugfix/SyntaxErrorCrash.feature",
+    s"$root/bugfix/TestYieldConstantAfterPipe.feature",
+    s"$root/bugfix/TimeDefaultValue.feature",
+    s"$root/bugfix/TruncatedStringIndex.feature",
+    s"$root/bugfix/TypoError.feature",
+    s"$root/bugfix/UseSpaceAndMatch.feature",
+    s"$root/bugfix/VariableExpression.feature",
+    s"$root/bugfix/VidInvalidLength.feature",
+    // round 7: remaining match/ files (Path.feature parses zero
+    // runnable scenarios — its queries are all openCypher CASE paths
+    // the parser rejects whole)
+    s"$root/match/IndexSelecting.feature",
+    s"$root/match/PathExpr.feature",
+    s"$root/match/PathExprRefLocalVariable.feature",
+    s"$root/match/PushFilterDown.feature",
+    s"$root/match/SeekByEdge.feature",
+    // round 7: remaining lookup/ files (LookupEdge2 executes zero —
+    // every scenario needs fulltext index surface, out of scope)
+    s"$root/lookup/ByIndex.feature",
+    s"$root/lookup/ByIndex.intVid.feature",
+    s"$root/lookup/EdgeIndexFullScan.feature",
+    s"$root/lookup/LookUp.feature",
+    s"$root/lookup/LookUp.IntVid.feature",
+    s"$root/lookup/LookUpUpdate.feature",
+    s"$root/lookup/LookupEdge.feature",
+    s"$root/lookup/LookupTag.feature",
+    s"$root/lookup/LookupTag2.feature",
+    // round 7: remaining expression/ files (Attribute1 and
+    // BugFixWithngdata parse zero runnable scenarios — all their
+    // queries are parse-reject goldens)
+    s"$root/expression/Depth.feature",
+    s"$root/expression/FixedString.feature",
+    s"$root/expression/TimeComparison.feature",
+    s"$root/expression/TimeComputation.feature")
   private def have = features.forall(f => new java.io.File(f).exists())
 
   private def strCatalog = MapCatalog(
