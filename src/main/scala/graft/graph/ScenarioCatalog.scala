@@ -49,6 +49,24 @@ final class ScenarioCatalog(val spark: SparkSession,
   val indexDefs = mutable.LinkedHashMap.empty[String,
     (Boolean, String, Vector[(String, Option[Long])],
       Vector[(String, String)], Option[String])]
+  /** (isTag, comma-joined names) of REBUILD INDEX jobs, for
+    * SHOW TAG/EDGE INDEX STATUS (always FINISHED — nothing async). */
+  val rebuiltJobs = mutable.ListBuffer.empty[(Boolean, String)]
+  /** (isTag, schema) → keys visible through that schema's index(es).
+    * Present only while ≥1 index exists on the schema. Rows stored
+    * BEFORE index creation stay out until REBUILD backfills them —
+    * the reference's stale-index read semantics (Index.feature
+    * rebuild scenarios). Keys: vid (tags), (src,dst,rank) (edges). */
+  val indexVisible = mutable.Map.empty[(Boolean, String), mutable.Set[Any]]
+
+  /** Record a write in every live index of the schema. */
+  def noteWrite(isTag: Boolean, schema: String, key: Any): Unit =
+    indexVisible.get((isTag, schema)).foreach(_ += key)
+
+  /** LOOKUP visibility set: None = no index tracked, scan freely. */
+  def lookupVisible(isTag: Boolean,
+                    schema: String): Option[collection.Set[Any]] =
+    indexVisible.get((isTag, schema))
 
   def hasTtl: Boolean =
     tagTtl.values.exists(t => t._1.nonEmpty && t._2 > 0) ||

@@ -59,8 +59,19 @@ object Dml {
   case class CreateIndex(isTag: Boolean, index: String, schema: String,
                          cols: Vector[(String, Option[Long])],
                          withOpts: Vector[(String, String)],
-                         comment: Option[String]) extends DStmt
+                         comment: Option[String],
+                         ifNotExists: Boolean = false) extends DStmt
   case class ShowCreateIndex(isTag: Boolean, index: String) extends DStmt
+  /** DESC TAG/EDGE INDEX — (Field, Type) listing of indexed columns. */
+  case class DescIndex(isTag: Boolean, index: String) extends DStmt
+  case class DropIndex(isTag: Boolean, index: String,
+                       ifExists: Boolean) extends DStmt
+  /** REBUILD TAG/EDGE INDEX a, b — validates the names (SemanticError
+    * on unknown, TagEdgeIndex.feature) and records a FINISHED job for
+    * SHOW ... INDEX STATUS; no physical index to build (LOOKUP scans). */
+  case class RebuildIndex(isTag: Boolean, names: Vector[String]) extends DStmt
+  case class ShowIndexes(isTag: Boolean, by: Option[String]) extends DStmt
+  case class ShowIndexStatus(isTag: Boolean) extends DStmt
   /** CREATE SPACE / USE / CREATE INDEX / REBUILD / SHOW ... — parsed
     * and ignored (no cluster to administer; LOOKUP needs no index). */
   case class AdminNoop(kind: String) extends DStmt
@@ -226,7 +237,9 @@ object Dml {
         CreateSchema(isTag, name, props, ifNotExists, ttlDur, ttlCol, comment)
       } else if ((isTag || isEdge) && p.kw("INDEX")) {
         // CREATE TAG|EDGE INDEX [IF NOT EXISTS] idx ON schema(col[(n)]...)
-        if (p.kw("IF")) { p.expectKw("NOT"); p.expectKw("EXISTS") }
+        val idxIfNotExists =
+          if (p.kw("IF")) { p.expectKw("NOT"); p.expectKw("EXISTS"); true }
+          else false
         val idx = p.word()
         p.expectKw("ON")
         val schema = p.word()
@@ -259,7 +272,7 @@ object Dml {
         }
         val (_, _, comment) = parseSchemaOptions(p)
         CreateIndex(isTag, idx, schema, cols.toVector, withOpts.toVector,
-          comment)
+          comment, idxIfNotExists)
       } else if (p.kw("SPACE")) {
         val ifNotExists =
           if (p.kw("IF")) { p.expectKw("NOT"); p.expectKw("EXISTS"); true }
@@ -311,7 +324,11 @@ object Dml {
     } else if (p.kw("DROP")) {
       val isTag = p.kw("TAG")
       val isEdge = !isTag && p.kw("EDGE")
-      if ((isTag || isEdge) && !p.kwPeek("INDEX")) {
+      if ((isTag || isEdge) && p.kw("INDEX")) {
+        val ifExists =
+          if (p.kw("IF")) { p.expectKw("EXISTS"); true } else false
+        DropIndex(isTag, p.word(), ifExists)
+      } else if (isTag || isEdge) {
         val ifExists =
           if (p.kw("IF")) { p.expectKw("EXISTS"); true } else false
         DropSchema(isTag, p.word(), ifExists)
@@ -353,13 +370,26 @@ object Dml {
     } else if (p.kw("DESCRIBE") || p.kw("DESC")) {
       val isTag = p.kw("TAG")
       val isEdge = !isTag && p.kw("EDGE")
-      if (isTag || isEdge) Describe(isTag, p.word())
+      if ((isTag || isEdge) && p.kw("INDEX")) DescIndex(isTag, p.word())
+      else if (isTag || isEdge) Describe(isTag, p.word())
       else if (p.kw("SPACE")) DescSpace(p.word())
       else { skipStatement(p); AdminNoop("describe") }
     } else if (p.kw("GRANT") || p.kw("REVOKE")) {
       // role grants: no auth layer here — accepted, no-op
       skipStatement(p); AdminNoop("role")
-    } else if (p.kw("REBUILD") || p.kw("USE")) {
+    } else if (p.kw("REBUILD")) {
+      val isTag = p.kw("TAG")
+      val isEdge = !isTag && p.kw("EDGE")
+      if ((isTag || isEdge) && p.kw("INDEX")) {
+        // bare `REBUILD TAG INDEX` (no names) backfills every index
+        val names = mutable.ListBuffer.empty[String]
+        if (p.peek.exists(_.isInstanceOf[Word])) {
+          names += p.word()
+          while (p.sym(",")) names += p.word()
+        }
+        RebuildIndex(isTag, names.toVector)
+      } else { skipStatement(p); AdminNoop("admin") }
+    } else if (p.kw("USE")) {
       skipStatement(p); AdminNoop("admin")
     } else if (p.kwPeek("SHOW")) {
       if (p.ts.lift(1).contains(Word("CREATE")) ||
@@ -372,6 +402,25 @@ object Dml {
           if (!isTag) p.expectKw("EDGE")
           if (p.kw("INDEX")) ShowCreateIndex(isTag, p.word())
           else ShowCreate(isTag, p.word())
+        }
+      } else if (p.ts.lift(1).exists {
+            case Word(w) => w.equalsIgnoreCase("tag") ||
+              w.equalsIgnoreCase("edge")
+            case _ => false
+          } && p.ts.lift(2).exists {
+            case Word(w) => w.equalsIgnoreCase("indexes") ||
+              w.equalsIgnoreCase("index")
+            case _ => false
+          }) {
+        p.next() // SHOW
+        val isTag = p.kw("TAG")
+        if (!isTag) p.expectKw("EDGE")
+        if (p.kw("INDEXES")) {
+          val by = if (p.kw("BY")) Some(p.word()) else None
+          ShowIndexes(isTag, by)
+        } else {
+          p.expectKw("INDEX"); p.expectKw("STATUS")
+          ShowIndexStatus(isTag)
         }
       } else
         // other SHOW output shapes (meta listings) are out of surface —
@@ -1522,6 +1571,19 @@ object Dml {
                 throw new DmlError(s"space $origin not found"))._1
             } else vidType
           g.spaceDefs(name) = (vt, comment)
+          // the scenario's data catalog adopts the FIRST created
+          // space's vid type while still empty (CREATE SPACE + USE
+          // + INSERT scripts, With.feature `condition on nonexist
+          // prop`): int vids must key as longs
+          if (g.tagRows.values.forall(_.isEmpty) &&
+              g.edgeRows.values.forall(_.isEmpty)) {
+            val up = vt.toUpperCase
+            if (up.contains("INT")) { g.vidIsInt = true; g.vidLen = None }
+            else "FIXED_STRING\\((\\d+)\\)".r.findFirstMatchIn(up)
+              .foreach { m =>
+                g.vidIsInt = false; g.vidLen = Some(m.group(1).toInt)
+              }
+          }
         }
         emptyOk(spark)
       case DescSpace(name) =>
@@ -1553,16 +1615,114 @@ object Dml {
         val schema2 = StructType(Seq(StructField("Space", StringType),
           StructField("Create Space", StringType)))
         spark.createDataFrame(java.util.List.of(Row(name, stmt)), schema2)
-      case CreateIndex(isTag, index, schema, cols, withOpts, comment) =>
+      case CreateIndex(isTag, index, schema, cols, withOpts, comment,
+                       ifNotExists) =>
         val g = cat(g0)
         val defs = (if (isTag) g.tagDefs else g.edgeDefs).getOrElse(schema,
           throw new DmlError(s"unknown ${if (isTag) "tag" else "edge"} $schema"))
-        cols.foreach { case (c, _) =>
-          if (defs.find(_.name == c).exists(_.typeName == "duration"))
-            throw new DmlError("Invalid param!")
+        // meta-side validation (IndexProcessor::checkIndexFields):
+        // the name, the exact column sequence (an empty list — index
+        // on the tag itself — is legal), each column's existence, and
+        // no repeated column. IF NOT EXISTS tolerates both duplicate
+        // forms (Index.feature:22).
+        val dupName = g.indexDefs.contains(index)
+        val dupCols = g.indexDefs.values.exists { case (t, s, cs, _, _) =>
+          t == isTag && s == schema && cs.map(_._1) == cols.map(_._1) }
+        if ((dupName || dupCols) && ifNotExists) emptyOk(spark)
+        else {
+          if (dupName) throw new DmlError(s"index $index existed")
+          if (cols.map(_._1).distinct.size != cols.size)
+            throw new DmlError("duplicate column")
+          cols.foreach { case (c, _) =>
+            val d = defs.find(_.name == c).getOrElse(
+              throw new DmlError(s"column $c not found in $schema"))
+            if (d.typeName == "duration")
+              throw new DmlError("Invalid param!")
+          }
+          if (dupCols)
+            throw new DmlError("duplicate index on the same columns")
+          g.indexDefs(index) = (isTag, schema, cols, withOpts, comment)
+          // stale-index visibility: rows already stored are NOT in the
+          // new index until REBUILD (Index.feature rebuild scenarios)
+          g.indexVisible.getOrElseUpdate((isTag, schema),
+            scala.collection.mutable.Set.empty[Any])
+          emptyOk(spark)
         }
-        g.indexDefs(index) = (isTag, schema, cols, withOpts, comment)
+      case DescIndex(isTag, index) =>
+        val g = cat(g0)
+        val (kindTag, schema0, cols, _, _) = g.indexDefs.getOrElse(index,
+          throw new DmlError(s"unknown index $index"))
+        if (kindTag != isTag) throw new DmlError("index kind mismatch")
+        val defs = (if (isTag) g.tagDefs else g.edgeDefs)(schema0)
+        val schema2 = StructType(Seq(StructField("Field", StringType),
+          StructField("Type", StringType)))
+        val rows = cols.map { case (c, _) =>
+          Row(c, describeTypeName(
+            defs.find(_.name == c).map(_.typeName).getOrElse("string")))
+        }
+        spark.createDataFrame(rows.asJava, schema2)
+      case DropIndex(isTag, index, ifExists) =>
+        val g = cat(g0)
+        g.indexDefs.get(index) match {
+          case Some((kindTag, schema0, _, _, _)) if kindTag == isTag =>
+            g.indexDefs -= index
+            if (!g.indexDefs.values.exists(v =>
+                  v._1 == isTag && v._2 == schema0))
+              g.indexVisible -= ((isTag, schema0))
+          case Some(_) =>
+            throw new DmlError("index kind mismatch")
+          case None if ifExists => ()
+          case None => throw new DmlError(s"unknown index $index")
+        }
         emptyOk(spark)
+      case RebuildIndex(isTag, names) =>
+        val g = cat(g0)
+        names.foreach { n =>
+          if (!g.indexDefs.get(n).exists(_._1 == isTag))
+            throw new DmlError(s"unknown index $n")
+        }
+        // bare REBUILD TAG/EDGE INDEX; backfills every index of the
+        // kind; a name list backfills just those indexes' schemas
+        val schemas =
+          if (names.isEmpty)
+            g.indexDefs.values.collect {
+              case (t, s, _, _, _) if t == isTag => s }.toSet
+          else names.flatMap(n => g.indexDefs.get(n).map(_._2)).toSet
+        schemas.foreach { s =>
+          val all: Iterable[Any] =
+            if (isTag) g.tagRows.get(s).map(_.keys).getOrElse(Nil)
+            else g.edgeRows.get(s).map(_.keys).getOrElse(Nil)
+          g.indexVisible((isTag, s)) =
+            scala.collection.mutable.Set.empty[Any] ++ all
+        }
+        // a bare rebuild reports under the meta job's catch-all name
+        val jobName =
+          if (names.nonEmpty) names.mkString(",")
+          else if (isTag) "all_tag_indexes" else "all_edge_indexes"
+        g.rebuiltJobs += (isTag -> jobName)
+        emptyOk(spark)
+      case ShowIndexStatus(isTag) =>
+        val g = cat(g0)
+        val schema2 = StructType(Seq(StructField("Name", StringType),
+          StructField("Index Status", StringType)))
+        val rows = g.rebuiltJobs.filter(_._1 == isTag)
+          .map { case (_, n) => Row(n, "FINISHED") }
+        spark.createDataFrame(rows.asJava, schema2)
+      case ShowIndexes(isTag, by) =>
+        val g = cat(g0)
+        val withBy = by.isEmpty
+        val fields =
+          (if (withBy) Seq(StructField("Index Name", StringType),
+            StructField(s"By ${if (isTag) "Tag" else "Edge"}", StringType))
+           else Seq(StructField("Index Name", StringType))) :+
+            StructField("Columns", ArrayType(StringType))
+        val rows = g.indexDefs.toSeq.collect {
+          case (n, (t, s, cs, _, _))
+              if t == isTag && by.forall(_ == s) =>
+            if (withBy) Row(n, s, cs.map(_._1))
+            else Row(n, cs.map(_._1))
+        }
+        spark.createDataFrame(rows.asJava, StructType(fields))
       case ShowCreateIndex(isTag, index) =>
         val g = cat(g0)
         val (_, schema0, cols, withOpts, comment) =
@@ -1721,7 +1881,10 @@ object Dml {
           }
           staged.foreach { case (t, arr) =>
             val m = g.tagRows(t)
-            if (!(ifNotExists && m.contains(vid))) m(vid) = arr
+            if (!(ifNotExists && m.contains(vid))) {
+              m(vid) = arr
+              g.noteWrite(isTag = true, t, vid) // index sees new writes
+            }
           }
         }
         emptyOk(spark)
@@ -1734,7 +1897,10 @@ object Dml {
           val arr = buildRow(defs, names, vals0.map(evalConst))
           val m = g.edgeRows(etype)
           val key = (src, dst, rank)
-          if (!(ifNotExists && m.contains(key))) m(key) = arr
+          if (!(ifNotExists && m.contains(key))) {
+            m(key) = arr
+            g.noteWrite(isTag = false, etype, key)
+          }
         }
         emptyOk(spark)
       case UpdateVertex(tag, vidEs, sets, when, yields, upsert) =>
@@ -1745,7 +1911,8 @@ object Dml {
           val vid = evalVid(g, vidE)
           applyUpdate(spark, defs, m.get(vid), sets, when, yields, upsert,
             what = s"vertex $vid on tag $tag") match {
-            case (Some(work), out) => m(vid) = work; out
+            case (Some(work), out) =>
+              m(vid) = work; g.noteWrite(isTag = true, tag, vid); out
             case (None, out) => out
           }
         }
@@ -1761,7 +1928,8 @@ object Dml {
           val key = (evalVid(g, srcE), evalVid(g, dstE), rank)
           applyUpdate(spark, defs, m.get(key), sets, when, yields, upsert,
             what = s"edge $key on $etype") match {
-            case (Some(work), out) => m(key) = work; out
+            case (Some(work), out) =>
+              m(key) = work; g.noteWrite(isTag = false, etype, key); out
             case (None, out) => out
           }
         }

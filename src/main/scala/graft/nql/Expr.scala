@@ -425,6 +425,25 @@ object Expr {
         p.expectSym("]")
       }
       ListLit(items.toList)
+    case Some(Word(w)) if w.equalsIgnoreCase("map") &&
+        p.peek2.contains(Sym("{")) =>
+      // `MAP{k: v, ...}` prefix form (basic/data.feature)
+      p.next(); p.next()
+      val entries = scala.collection.mutable.ListBuffer.empty[(String, E)]
+      if (!p.sym("}")) {
+        var go = true
+        while (go) {
+          val k = p.peek match {
+            case Some(Str(s)) => p.next(); s
+            case _ => p.word()
+          }
+          p.expectSym(":")
+          entries += (k -> parse(p))
+          if (p.sym(",")) () else go = false
+        }
+        p.expectSym("}")
+      }
+      MapLit(entries.toList)
     case Some(Sym("*")) => p.next(); Star
     case Some(Sym("$")) => p.next(); param(p)
     case Some(Word(w)) if w.equalsIgnoreCase("true") => p.next(); Lit(true)
@@ -626,6 +645,17 @@ object Expr {
       case Bin("contains", a, b) => c(a).contains(c(b))
       case Bin("in", a, ListLit(items)) if items.forall(_.isInstanceOf[Lit]) =>
         c(a).isin(items.collect { case Lit(v) => v }: _*)
+      // membership over container literals (basic/data.feature):
+      // `x IN SET{...}` tests the distinct elements, `x IN MAP{...}`
+      // tests the KEYS (Value.cpp: map containment is key lookup)
+      case Bin("in", a, SetLit(items)) if items.forall(_.isInstanceOf[Lit]) =>
+        if (items.isEmpty) lit(false)
+        else c(a).isin(items.collect { case Lit(v) => v }.distinct: _*)
+      case Bin("in", a, s @ SetLit(_)) =>
+        array_contains(c(s).getField("__set"), c(a))
+      case Bin("in", a, MapLit(entries)) =>
+        if (entries.isEmpty) lit(false)
+        else c(a).isin(entries.map(_._1): _*)
       case Bin("in", a, b) => array_contains(c(b), c(a))
       case Un("not", x) => !c(x)
       case Un("neg", x) => negate(c(x))
@@ -659,7 +689,14 @@ object Expr {
           array(items.map(x => c(x).cast("string")): _*)
         else array(items.map(c): _*)
       case SetLit(items) =>
-        array_distinct(array(items.map(c): _*))
+        // marked single-field struct so the renderer can distinguish a
+        // SET value (braced, unordered) from a LIST ([...], ordered)
+        struct(array_distinct(array(items.map(c): _*)).as("__set"))
+      case MapLit(Nil) =>
+        // empty struct() is unusable downstream (size/IN); a typed
+        // empty map keeps both well-defined
+        map_from_arrays(array().cast("array<string>"),
+          array().cast("array<string>"))
       case MapLit(entries) =>
         struct(entries.map { case (k, v2) => c(v2).as(k) }: _*)
       // lambda forms → Spark higher-order functions; the bound var
@@ -688,6 +725,10 @@ object Expr {
       case ReduceE(acc, init, v, list, step) =>
         aggregate(c(list), c(init),
           (a2, x) => compile(step, bindVar(acc, a2, bindVar(v, x, r))))
+      // string subscript over a map literal → key lookup on the
+      // backing struct (MAP{...}["b"], basic/data.feature)
+      case Subscript(m: MapLit, Lit(k: String)) =>
+        m.entries.find(_._1 == k).map(kv => c(kv._2)).getOrElse(lit(null))
       case Subscript(x, i) =>
         val ec = c(x)
         val ic = c(i).cast("int")
@@ -725,6 +766,14 @@ object Expr {
           // map key — both via UnresolvedExtractValue
           c(x).getItem(name)
       }
+      // size() over container literals: a MAP literal compiles to a
+      // struct (heterogeneous values), so count its entries statically;
+      // a SET literal counts its distinct elements
+      case FnCall(n, List(m: MapLit), _)
+          if n.equalsIgnoreCase("size") && m.entries.nonEmpty =>
+        lit(m.entries.map(_._1).distinct.size.toLong)
+      case FnCall(n, List(s: SetLit), _) if n.equalsIgnoreCase("size") =>
+        size(c(s).getField("__set")).cast("long")
       case FnCall(name, args, distinct) => fnCol(name, args, distinct, c)
       case other =>
         throw new IllegalArgumentException(s"unresolvable expression ${text(other)}")

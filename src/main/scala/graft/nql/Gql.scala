@@ -111,6 +111,12 @@ object Gql {
         out += Num(raw.toDouble, raw); i = j
       } else if (c == '.' && i + 1 < q.length && q(i + 1) == '.') {
         out += Sym(".."); i += 2
+      } else if (c == '`') {
+        // backquoted identifier (scanner.lex LABEL_FULL_WIDTH):
+        // escapes reserved words as identifiers/function names
+        val j = q.indexOf('`', i + 1)
+        require(j > i, s"unterminated backquote at $i")
+        out += Word(q.substring(i + 1, j)); i = j + 1
       } else if (c.isLetter || c == '_') {
         val j = q.indexWhere(ch => !(ch.isLetterOrDigit || ch == '_'), i)
         val end = if (j < 0) q.length else j
@@ -760,9 +766,39 @@ object Gql {
       case Lookup(tag, where, ys, dist) =>
         // LOOKUP targets a tag OR an edge type (LookupEdge TCK)
         where.foreach(validateGeoIndexFilter)
-        val (tbl, isEdge) =
+        val (tbl0, isEdge) =
           try (g.vertexTable(tag), false)
           catch { case _: IllegalArgumentException => (g.edgesByType(tag), true) }
+        // stale-index reads (scenario spaces): rows stored before
+        // CREATE INDEX are invisible to LOOKUP until REBUILD
+        val tbl = g match {
+          case sc: graft.graph.ScenarioCatalog =>
+            sc.lookupVisible(!isEdge, tag) match {
+              case Some(vis) if !isEdge =>
+                val keys = vis.toSeq
+                if (keys.isEmpty) tbl0.limit(0)
+                else tbl0.filter(col("vid").isin(keys: _*))
+              case Some(vis) =>
+                val keys = vis.toSeq.collect {
+                  case (s: Any, d: Any, r: Long) => (s, d, r) }
+                if (keys.isEmpty) tbl0.limit(0)
+                else {
+                  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+                  import scala.jdk.CollectionConverters._
+                  val kdf = spark.createDataFrame(keys.map {
+                    case (s, d, r) =>
+                      org.apache.spark.sql.Row(s, d, r) }.asJava,
+                    StructType(Seq(
+                      StructField("src", tbl0.schema("src").dataType),
+                      StructField("dst", tbl0.schema("dst").dataType),
+                      StructField("rank", LongType))))
+                  tbl0.join(broadcast(kdf), Seq("src", "dst", "rank"),
+                    "left_semi")
+                }
+              case None => tbl0
+            }
+          case _ => tbl0
+        }
         val resolver: Expr.Resolver = {
           case Expr.Ref(List(c)) => Some(col(c))
           case Expr.Ref(List(t, prop)) if t == tag => Some(col(prop))

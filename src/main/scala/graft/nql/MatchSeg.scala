@@ -953,6 +953,16 @@ object MatchSeg {
         else raw)
       case Expr.Ref(List(ev, prop)) if st.edgeVars.contains(ev) =>
         e(s"${ev}_$prop")
+      // bare edge var inside an expression (count(e), coalesce(e, ...)):
+      // rendered text in RETURN position, key struct elsewhere; NULL
+      // when an OPTIONAL MATCH left the edge unbound so count() skips it
+      case Expr.Ref(List(ev)) if st.edgeVars.contains(ev) =>
+        val bound = col(s"${ev}_src").isNotNull
+        Some(if (render)
+          when(bound, Gql.renderEdge(col(s"${ev}_etype"), col(s"${ev}_src"),
+            col(s"${ev}_dst"), col(s"${ev}_rank"), strVid))
+        else when(bound, struct(col(s"${ev}_etype"), col(s"${ev}_src"),
+          col(s"${ev}_dst"), col(s"${ev}_rank"))))
       case Expr.FnCall("id", List(Expr.Ref(List(v))), _)
           if st.vertexVars.contains(v) => Some(col(v))
       case Expr.FnCall("type", List(Expr.Ref(List(ev))), _)

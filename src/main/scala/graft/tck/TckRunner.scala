@@ -51,7 +51,10 @@ object TckRunner {
   case class SQuery(query: String, expect: Expect,
                     tryMode: Boolean) extends SStep
   sealed trait Expect
-  case class ETable(golden: Seq[Seq[String]], hashed: Set[Int]) extends Expect
+  /** `subset` — `Then the result should contain`: every golden row
+    * must appear in the result, extra result rows are allowed. */
+  case class ETable(golden: Seq[Seq[String]], hashed: Set[Int],
+                    subset: Boolean = false) extends Expect
   case object ESuccess extends Expect
   /** `Then a XxxError should be raised` — the reference rejects this
     * statement; our engine should too (or the scenario diverges).
@@ -157,6 +160,7 @@ object TckRunner {
         // convergence retry — irrelevant here, same step semantics
         if (t.startsWith("When executing query") ||
             t == "When profiling query:" ||
+            t == "When submit a job:" || // REBUILD INDEX job blocks
             t.startsWith("When try to execute query")) {
           val tryMode = t.startsWith("When try")
           queryBlock(lines, i) match {
@@ -164,7 +168,10 @@ object TckRunner {
               var j = next
               while (j < until && lines(j).trim.isEmpty) j += 1
               val thenLine = if (j < until) lines(j).trim else ""
-              if (thenLine.startsWith("Then the result should be")) {
+              if (thenLine.startsWith("Then the result should be") ||
+                  thenLine.startsWith("Then the result should contain")) {
+                val subset =
+                  thenLine.startsWith("Then the result should contain")
                 val hashedRe = "columns ([0-9, ]+) should be hashed".r
                 val hashed = hashedRe.findFirstMatchIn(thenLine).map(m =>
                   m.group(1).split(",").map(_.trim.toInt).toSet)
@@ -177,7 +184,8 @@ object TckRunner {
                   k += 1
                 }
                 // header row dropped; empty golden = assert 0 rows
-                steps += SQuery(q, ETable(rows.toSeq.drop(1), hashed), tryMode)
+                steps += SQuery(q,
+                  ETable(rows.toSeq.drop(1), hashed, subset), tryMode)
                 i = k - 1
               } else if (thenLine.startsWith("Then the execution should be successful")) {
                 steps += SQuery(q, ESuccess, tryMode)
@@ -378,7 +386,7 @@ object TckRunner {
         case _ => true // wait/clone steps imply scenario-local state
       }) Nil
       else sc.steps.collect {
-        case SQuery(q, ETable(golden, hashed), _) if golden.nonEmpty =>
+        case SQuery(q, ETable(golden, hashed, false), _) if golden.nonEmpty =>
           Case(q, golden, hashed)
       }
     }
@@ -419,6 +427,25 @@ object TckRunner {
         case s: String => "\"" + s + "\""
         case other => norm(other)
       }.mkString("[", ", ", "]")
+    case r: org.apache.spark.sql.Row if r.schema != null &&
+        r.schema.fieldNames.sameElements(Array("__set")) =>
+      // SET value (marked struct) → braced, canonically sorted — set
+      // iteration order is unspecified on both engines, so compare in
+      // a canonical order (goldens are canonicalized the same way)
+      val elems = Option(r.getSeq[Any](0)).getOrElse(Nil).map {
+        case s: String => "\"" + s + "\""
+        case other => norm(other)
+      }
+      elems.sorted.mkString("{", ", ", "}")
+    case m: scala.collection.Map[_, _] =>
+      // true MapType value (empty MAP{} literal) → `{}` / `{k: v}`
+      m.toSeq.map { case (k, v2) =>
+        val rendered = v2 match {
+          case s: String => "\"" + s + "\""
+          case other => norm(other)
+        }
+        s"$k: $rendered"
+      }.sorted.mkString("{", ", ", "}")
     case r: org.apache.spark.sql.Row if r.schema != null =>
       // struct (map literal) → `{k: v, ...}` like the reference's Map
       r.schema.fieldNames.zip(r.toSeq).map { case (n, v2) =>
@@ -522,7 +549,54 @@ object TckRunner {
         .replaceAll("@0(?=\\])", "")
         .replaceAll("\\(\\s+", "(").replaceAll("\\s+\\)", ")")
         .replaceAll("<\\s+", "<")
+    else if (c.startsWith("{") || c.startsWith("["))
+      canonSets(c) // container cell: SET groups compare order-free
     else c
+  }
+
+  /** Sort the elements of colon-free `{...}` groups — SET iteration
+    * order is unspecified in the reference (hash set), so goldens
+    * record an arbitrary order (`{2, 1}`); the engine renders sets
+    * canonically sorted and goldens are canonicalized the same way.
+    * Groups with a top-level `:` (map literals) are left in place. */
+  private[tck] def canonSets(s0: String): String = {
+    var s = s0
+    val done = '\u0001' -> '\u0002' // placeholder braces for processed groups
+    var changed = true
+    while (changed) {
+      changed = false
+      "\\{[^{}\\[\\]]*\\}".r.findFirstMatchIn(s).foreach { m =>
+        val inner = m.matched.substring(1, m.matched.length - 1)
+        val body =
+          if (inner.contains(":"))
+            // map group: normalize `k:v` → `k: v` (goldens write both)
+            normColons(inner)
+          else if (inner.trim.isEmpty) ""
+          else inner.split(",").map(_.trim).sorted.mkString(", ")
+        s = s.substring(0, m.start) + done._1 + body + done._2 +
+          s.substring(m.end)
+        changed = true
+      }
+    }
+    s.replace(done._1, '{').replace(done._2, '}')
+  }
+
+  /** `k:v` → `k: v` outside quoted strings (map-literal golden cells
+    * are written with both spacings across the corpus). */
+  private def normColons(s: String): String = {
+    val sb = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s(i)
+      if (ch == '"') { inQ = !inQ; sb.append(ch); i += 1 }
+      else if (ch == ':' && !inQ) {
+        sb.append(": ")
+        i += 1
+        while (i < s.length && s(i) == ' ') i += 1
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
   }
 
   /** `[:type "src"->"dst" @rank]` (either arrow; endpoints maybe
@@ -642,7 +716,16 @@ object TckRunner {
   private def cellMatch(got: String, want: String): Boolean =
     cellMatch(got, want, false)
 
-  private def cellMatch(got: String, want: String, intVid: Boolean): Boolean =
+  private def cellMatch(got0: String, want: String, intVid: Boolean): Boolean = {
+    // the want side was canonicalized in normGolden (inner SET groups
+    // sorted); container got cells must canonicalize the same way
+    val got =
+      if (got0.startsWith("{") || got0.startsWith("[")) canonSets(got0)
+      else got0
+    cellMatch0(got, want, intVid)
+  }
+
+  private def cellMatch0(got: String, want: String, intVid: Boolean): Boolean =
     if (want.length >= 2 && want.startsWith("/") && want.endsWith("/"))
       // the reference comparator uses Python re.match: anchored at the
       // start, UNANCHORED at the end (tests/common/comparator.py:92)
@@ -677,11 +760,13 @@ object TckRunner {
   /** Unordered row matching with backtracking (regex cells make plain
     * sorting unreliable); golden tables are small. */
   private def multisetMatch(got: Seq[Seq[String]], want: Seq[Seq[String]],
-                            intVid: Boolean = false): Boolean = {
-    if (got.size != want.size) return false
+                            intVid: Boolean = false,
+                            subset: Boolean = false): Boolean = {
+    if (!subset && got.size != want.size) return false
+    if (subset && got.size < want.size) return false
     def solve(ws: List[Seq[String]], remaining: Vector[Seq[String]]): Boolean =
       ws match {
-        case Nil => remaining.isEmpty
+        case Nil => subset || remaining.isEmpty
         case w :: rest =>
           // identical remaining rows are interchangeable: retrying a
           // duplicate can never change the outcome, and skipping them
@@ -757,6 +842,10 @@ object TckRunner {
     src.edgeRows.foreach { case (k, m) =>
       c.edgeRows(k) = m.map { case (ek, arr) => ek -> arr.clone() }
     }
+    src.indexVisible.foreach { case (k, v) =>
+      c.indexVisible(k) = scala.collection.mutable.Set.empty[Any] ++ v
+    }
+    src.rebuiltJobs.foreach(c.rebuiltJobs += _)
     c
   }
 
@@ -764,9 +853,31 @@ object TckRunner {
                             space: String): graft.graph.ScenarioCatalog = {
     val proto = snapshotCache.getOrElseUpdate(
       (System.identityHashCode(g), space),
-      graft.graph.ScenarioCatalog.fromCatalog(
-        g.allVertices.sparkSession, g,
-        space.toLowerCase.contains("int_vid")))
+      {
+        val c = graft.graph.ScenarioCatalog.fromCatalog(
+          g.allVertices.sparkSession, g,
+          space.toLowerCase.contains("int_vid"))
+        // the nba fixture space pre-declares indexes in its importer
+        // schema (tests/data/nba/config.yaml) — register them so
+        // DROP/DESC/SHOW INDEX scenarios see them; no indexVisible
+        // entry = fully built (importer builds indexes before load)
+        if (space.toLowerCase.startsWith("nba")) {
+          c.indexDefs("player_name_index") =
+            (true, "player", Vector("name" -> Some(64L)), Vector(), None)
+          c.indexDefs("player_age_index") =
+            (true, "player", Vector("age" -> None), Vector(), None)
+          c.indexDefs("team_name_index") =
+            (true, "team", Vector("name" -> Some(64L)), Vector(), None)
+          c.indexDefs("bachelor_index") =
+            (true, "bachelor", Vector(), Vector(), None)
+          c.indexDefs("serve_start_end_index") =
+            (false, "serve",
+              Vector("start_year" -> None, "end_year" -> None), Vector(), None)
+          c.indexDefs("like_likeness_index") =
+            (false, "like", Vector("likeness" -> None), Vector(), None)
+        }
+        c
+      })
     cloneCatalog(proto)
   }
 
@@ -894,6 +1005,8 @@ object TckRunner {
                   // accepted a statement the reference rejects →
                   // divergence: state unreliable, rest is skips
                   dead = true; skipped += 1
+                  if (debug) System.err.println(
+                    s"[tck-skip] (accepted, wanted $kind) ${q.take(140)}")
                 } catch {
                   case _: graft.nql.DmlError => executed += 1; passed += 1
                   case _: org.apache.spark.sql.AnalysisException =>
@@ -919,7 +1032,7 @@ object TckRunner {
                     }
                   case _: Throwable => executed += 1; passed += 1
                 }
-              case ETable(golden, hashedCols) =>
+              case ETable(golden, hashedCols, subset) =>
                 // A LIMIT/OFFSET window over an ORDER BY whose keys tie
                 // across more rows than the window admits ANY valid row
                 // subset — the golden records the reference's internal
@@ -927,12 +1040,17 @@ object TckRunner {
                 // the spec (GO.feature "Go and Limit").
                 val tieWindow = q.contains("ORDER BY $-.src,$-.like_src") &&
                   q.contains("OFFSET")
+                var parseWhy: String = null
                 val parsed =
                   if (tieWindow) None
                   else try Some(Gql.parseScript(q))
-                  catch { case _: Exception => None }
+                  catch { case ex: Exception =>
+                    parseWhy = String.valueOf(ex.getMessage); None }
                 parsed match {
-                  case None => skipped += 1
+                  case None =>
+                    skipped += 1
+                    if (debug && parseWhy != null) System.err.println(
+                      s"[tck-skip] (parse) ${q.take(120)} -> ${parseWhy.take(140)}")
                   case Some(_) =>
                     try {
                       val df = Gql.runScript(cat, q)
@@ -946,7 +1064,8 @@ object TckRunner {
                             graft.functions.NebulaHash.hash64(n).toString
                           else n
                       })
-                      if (multisetMatch(got, want, scIntVid)) passed += 1
+                      if (multisetMatch(got, want, scIntVid, subset))
+                        passed += 1
                       else failures += q ->
                         s"got=${got.take(12)} want=${want.take(12)} (${got.size}/${want.size} rows)"
                     } catch {

@@ -227,7 +227,56 @@ class TckRunnerSpec extends SparkSpec {
     s"$root/expression/Depth.feature",
     s"$root/expression/FixedString.feature",
     s"$root/expression/TimeComparison.feature",
-    s"$root/expression/TimeComputation.feature")
+    s"$root/expression/TimeComputation.feature",
+    // round 7: the optimizer/ directory. These features assert result
+    // tables AND reference execution plans; the plan tables describe
+    // the reference's own operator DAG, which has no counterpart in a
+    // Catalyst plan, so the runner checks the result halves (the
+    // Spark-side plan discipline is asserted separately in PlanSpec).
+    // CasesUsingTestSpace + PushFilterDownBugFixes excluded: they need
+    // the ngdata fixture space (1 scenario each).
+    // PushLimitDownExpandAllRule / PushLimitDownScanEdgesRule /
+    // PushLimitDownScanVerticesRule / PushSampleDownRule excluded like
+    // LookUpTopN: `... | LIMIT n` / `LIMIT [n]` without ORDER BY keeps
+    // a storage-order-defined subset of rows, so ANY reimplementation's
+    // row choice is valid but cannot match the recorded golden rows.
+    s"$root/optimizer/CollapseProjectRule.feature",
+    s"$root/optimizer/CombineFilterRule.feature",
+    s"$root/optimizer/EliminateAppendVerticesRule.feature",
+    s"$root/optimizer/ElimintateInvalidProp.feature",
+    s"$root/optimizer/EmbedEdgeAllPredIntoTraverseRule.feature",
+    s"$root/optimizer/IndexScanRule.feature",
+    s"$root/optimizer/MergeGetNbrsDedupProjectRule.feature",
+    s"$root/optimizer/MergeGetVerticesDedupProjectRule.feature",
+    s"$root/optimizer/PrunePropertiesRule.feature",
+    s"$root/optimizer/PushEFilterDownRule.feature",
+    s"$root/optimizer/PushFilterDownAggregateRule.feature",
+    s"$root/optimizer/PushFilterDownCrossJoinRule.feature",
+    s"$root/optimizer/PushFilterDownExpandAllRule.feature",
+    s"$root/optimizer/PushFilterDownHashInnerJoinRule.feature",
+    s"$root/optimizer/PushFilterDownHashLeftJoinRule.feature",
+    s"$root/optimizer/PushFilterDownNodeRule.feature",
+    s"$root/optimizer/PushFilterDownProjectRule.feature",
+    s"$root/optimizer/PushFilterDownTraverseRule.feature",
+    s"$root/optimizer/PushLimitDownProjectRule.feature",
+    s"$root/optimizer/RemoveAppendVerticesBelowJoinRule.feature",
+    s"$root/optimizer/RemoveUselessProjectRule.feature",
+    s"$root/optimizer/TopNRule.feature",
+    // round 7: second breadth wave — remaining small dirs
+    s"$root/go/SampleLimit.feature",
+    s"$root/yield/join.feature",
+    s"$root/yield/parameter.feature",
+    s"$root/yield/NoSpaceChosen.feature",
+    s"$root/basic/data.feature",
+    s"$root/mutate/InsertWithTimeType.feature",
+    s"$root/mutate/InsertDurationType.feature",
+    s"$root/mutate/ClearSpace.feature",
+    s"$root/insert/BoundCheck.feature",
+    s"$root/insert/InsertEdgeOnDiffParts.feature",
+    s"$root/index/Index.feature",
+    s"$root/index/TagEdgeIndex.feature",
+    s"$root/ddl/Ddl.feature",
+    s"$root/fetch/FetchEmpty.feature")
   private def have = features.forall(f => new java.io.File(f).exists())
 
   private def strCatalog = MapCatalog(
