@@ -72,6 +72,7 @@ object Dml {
   case class RebuildIndex(isTag: Boolean, names: Vector[String]) extends DStmt
   case class ShowIndexes(isTag: Boolean, by: Option[String]) extends DStmt
   case class ShowIndexStatus(isTag: Boolean) extends DStmt
+  case object ShowSpaces extends DStmt
   /** CREATE SPACE / USE / CREATE INDEX / REBUILD / SHOW ... — parsed
     * and ignored (no cluster to administer; LOOKUP needs no index). */
   case class AdminNoop(kind: String) extends DStmt
@@ -136,15 +137,43 @@ object Dml {
     dyn
   }
 
+  /** Unreserved keywords (parser.yy:477 unreserved_keyword): usable as
+    * identifiers, but the grammar yields their canonical LOWERCASE
+    * spelling — `CREATE TAG t(ACCOUNT string)` stores prop `account`
+    * (Schema.feature `unreserved keyword`). */
+  private val unreservedKw: Set[String] = Set(
+    "space", "value", "values", "host", "hosts", "spaces", "user",
+    "users", "password", "role", "roles", "god", "admin", "dba",
+    "guest", "group", "data", "leader", "uuid", "job", "jobs",
+    "bidirect", "force", "part", "parts", "default", "configs",
+    "account", "hdfs", "partition_num", "replica_factor", "charset",
+    "collate", "collation", "atomic_edge", "ttl_duration", "ttl_col",
+    "snapshot", "snapshots", "graph", "meta", "storage", "agent",
+    "all", "any", "single", "none", "reduce", "shortest",
+    "shortestpath", "allshortestpaths", "noloop", "contains",
+    "starts", "ends", "vid_type", "limit", "skip", "optional",
+    "offset", "format", "profile", "both", "out", "subgraph", "then",
+    "else", "end", "into", "new", "groups", "zone", "zones",
+    "listener", "elasticsearch", "fulltext", "stats", "status",
+    "auto", "es_query", "text", "search", "clients", "sign",
+    "service", "text_search", "reset", "plan", "comment",
+    "s2_max_level", "s2_max_cells", "session", "sessions", "local",
+    "sample", "queries", "query", "kill", "top", "point",
+    "linestring", "polygon", "http", "https", "merge", "divide",
+    "rename", "clear", "analyzer")
+  private def foldKw(n: String): String =
+    if (unreservedKw(n.toLowerCase)) n.toLowerCase else n
+
   private def parsePropDefs(p: P): Vector[PropSpec] = {
     val out = mutable.ListBuffer.empty[PropSpec]
     if (p.sym("(")) {
       var go = !p.sym(")")
       while (go) {
-        val name = p.word()
+        val name = foldKw(p.word())
         var tpe = p.word().toLowerCase
         if (tpe == "fixed_string" && p.sym("(")) {
           val n = p.intLit(); p.expectSym(")")
+          require(n > 0, "fixed_string length must be positive")
           tpe = s"fixed_string($n)"
         }
         if (tpe == "geography" && p.sym("(")) {
@@ -232,6 +261,7 @@ object Dml {
           if (p.kw("IF")) { p.expectKw("NOT"); p.expectKw("EXISTS"); true }
           else false
         val name = p.word()
+        require(!name.contains('.'), s"bad schema name $name")
         val props = parsePropDefs(p)
         val (ttlDur, ttlCol, comment) = parseSchemaOptions(p)
         CreateSchema(isTag, name, props, ifNotExists, ttlDur, ttlCol, comment)
@@ -403,6 +433,12 @@ object Dml {
           if (p.kw("INDEX")) ShowCreateIndex(isTag, p.word())
           else ShowCreate(isTag, p.word())
         }
+      } else if (p.ts.lift(1).exists {
+            case Word(w) => w.equalsIgnoreCase("spaces")
+            case _ => false
+          }) {
+        p.next(); p.next()
+        ShowSpaces
       } else if (p.ts.lift(1).exists {
             case Word(w) => w.equalsIgnoreCase("tag") ||
               w.equalsIgnoreCase("edge")
@@ -647,7 +683,7 @@ object Dml {
 
   private def constVid(p: P): Any = p.next() match {
     case Str(s) => s
-    case Num(v, _) => v.toLong
+    case Num(v, raw) => raw.toLongOption.getOrElse(v.toLong)
     case Sym("-") => p.next() match {
       case Num(v, _) => -v.toLong
       case t => throw new IllegalArgumentException(s"bad vid $t")
@@ -667,6 +703,15 @@ object Dml {
     * string so geography-typed props reject strings and vice versa
     * (Geography.h:39-43 shape kinds; storage is canonical WKT). */
   final case class GeoVal(wkt: String, kind: String)
+
+  /** A SET-literal value — distinct from a plain Seq (list literal) so
+    * container-typed inserts enforce the declared collection kind
+    * (Insert.feature: a LIST value into a Set<> column is a storage
+    * type error). Unwrapped to its element Seq at coercion. */
+  final case class SetVal(items: Seq[Any])
+  /** A LIST-literal value — the dual marker (see SetVal). Function
+    * results and stored values stay plain Seqs: kind-agnostic. */
+  final case class ListVal(items: Seq[Any])
 
   /** A TIME value — distinct from a plain string so time-typed props
     * reject raw strings the way the reference's storage does
@@ -788,8 +833,8 @@ object Dml {
     * DmlError for semantic violations (unknown prop). */
   def eval(e: Expr.E, env: String => Option[Any]): Any = e match {
     case Expr.Lit(v) => v
-    case Expr.ListLit(items) => items.map(eval(_, env))
-    case Expr.SetLit(items) => items.map(eval(_, env)).distinct
+    case Expr.ListLit(items) => ListVal(items.map(eval(_, env)))
+    case Expr.SetLit(items) => SetVal(items.map(eval(_, env)).distinct)
     case Expr.Ref(parts) =>
       env(parts.last).getOrElse(
         throw new DmlError(s"unknown prop ${parts.mkString(".")}"))
@@ -806,13 +851,14 @@ object Dml {
       case null => null
       case other => throw new DmlError(s"cannot NOT $other")
     }
-    case Expr.Bin(op, a, b) => binop(op, eval(a, env), eval(b, env))
+    case Expr.Bin(op, a, b) =>
+      binop(op, unTag(eval(a, env)), unTag(eval(b, env)))
     case Expr.CaseW(None, branches, els) =>
       branches.collectFirst {
         case (c, v) if eval(c, env) == true => eval(v, env)
       }.getOrElse(els.map(eval(_, env)).orNull)
     case Expr.FnCall(name, args, _) => fncall(name.toLowerCase,
-      args.map(eval(_, env)))
+      args.map(e2 => unTag(eval(e2, env))))
     case Expr.MapLit(entries) =>
       scala.collection.immutable.ListMap(
         entries.map { case (k, v) => k -> eval(v, env) }: _*)
@@ -837,6 +883,14 @@ object Dml {
       case (Some((a, ai)), Some((b, bi))) => Some((a, b, ai && bi))
       case _ => None
     }
+  }
+
+  /** Container-literal kind tags only matter at prop coercion; every
+    * other consumer sees the plain element Seq. */
+  private def unTag(v: Any): Any = v match {
+    case SetVal(xs) => xs
+    case ListVal(xs) => xs
+    case other => other
   }
 
   private def binop(op: String, x: Any, y: Any): Any = op match {
@@ -909,8 +963,14 @@ object Dml {
     case "timestamp" => args match {
       case Nil => System.currentTimeMillis() / 1000
       case List(s: String) =>
-        java.time.LocalDateTime.parse(s)
+        val ts = java.time.LocalDateTime.parse(s)
           .toEpochSecond(java.time.ZoneOffset.UTC)
+        // TimeUtils::isValidTimestamp: [0, max_int64 / 1e9]
+        if (ts < 0 || ts > 9223372036L)
+          throw new DmlError(
+            "Storage Error: The data type does not meet the requirements. " +
+              "Use the correct type of data.")
+        ts
       case List(n: Long) => n
       case _ => throw new DmlError(s"timestamp($args)")
     }
@@ -1208,11 +1268,37 @@ object Dml {
     case (b: Boolean, BooleanType) => b
     case (d: java.sql.Date, DateType) => d
     case (t: java.sql.Timestamp, TimestampType) => t
+    // collection kind must match the declared container: set props
+    // store ArrayType(containsNull = false), list props true; a plain
+    // Seq (function result, stored value) is kind-agnostic. Inside
+    // LITERAL containers the element type is STRICT (no float→int
+    // rounding) — Insert.feature rejects {40.5} into Set<int>.
+    case (SetVal(xs), ArrayType(et, false)) =>
+      xs.map(x => coerceElem(x, et, prop))
+    case (ListVal(xs), ArrayType(et, true)) =>
+      xs.map(x => coerceElem(x, et, prop))
+    case (SetVal(_), ArrayType(_, true)) |
+         (ListVal(_), ArrayType(_, false)) =>
+      throw new DmlError(
+        "Storage Error: The data type does not meet the requirements. " +
+          "Use the correct type of data.")
     case (xs: Seq[_], ArrayType(et, _)) =>
       xs.map(x => coerce(x, et, prop))
     case (other, _) =>
       throw new DmlError(s"wrong type for $prop: $other is not $dt")
   }
+
+  /** Element coercion inside containers: like `coerce` but strict on
+    * numeric narrowing (a Double into an int element is a type error,
+    * not a round). */
+  private def coerceElem(v: Any, dt: DataType, prop: String): Any =
+    (v, dt) match {
+      case (_: Double, LongType) =>
+        throw new DmlError(
+          "Storage Error: The data type does not meet the requirements. " +
+            "Use the correct type of data.")
+      case _ => coerce(v, dt, prop)
+    }
 
   private def propDefs(g: ScenarioCatalog, isTag: Boolean, name: String) =
     (if (isTag) g.tagDefs else g.edgeDefs).getOrElse(name,
@@ -1272,7 +1358,7 @@ object Dml {
   /** One-row result frame for UPDATE ... YIELD. */
   private def yieldFrame(spark: SparkSession, items: Seq[Item],
                          env: String => Option[Any]): DataFrame = {
-    val vals = items.map(i => i.alias -> eval(i.e, env))
+    val vals = items.map(i => i.alias -> unTag(eval(i.e, env)))
     def dtOf(v: Any): DataType = v match {
       case _: Long => LongType
       case _: Int => LongType
@@ -1528,6 +1614,9 @@ object Dml {
       case CreateSchema(isTag, name, props, ifNotExists, ttlDur, ttlCol,
           comment) =>
         val g = cat(g0)
+        // repeated prop name is a conflict (meta SchemaUtil check)
+        if (props.map(_.name).distinct.size != props.size)
+          throw new DmlError(s"duplicate prop in $name")
         val defs = props.map { spec =>
           val dt = dataTypeOf(spec.tpe)
           val tn = describeTypeName(spec.tpe)
@@ -1633,11 +1722,18 @@ object Dml {
           if (dupName) throw new DmlError(s"index $index existed")
           if (cols.map(_._1).distinct.size != cols.size)
             throw new DmlError("duplicate column")
-          cols.foreach { case (c, _) =>
+          // (the inverse — ALTER configuring TTL on an indexed schema —
+          // rejects; creating an index on a TTL schema is allowed,
+          // TTL2.feature `ttl base`)
+          cols.foreach { case (c, len) =>
             val d = defs.find(_.name == c).getOrElse(
               throw new DmlError(s"column $c not found in $schema"))
             if (d.typeName == "duration")
               throw new DmlError("Invalid param!")
+            // a variable-length string index needs an explicit prefix
+            // length (IndexProcessor: string col without length)
+            if (d.typeName == "string" && len.isEmpty)
+              throw new DmlError(s"string column $c needs a length")
           }
           if (dupCols)
             throw new DmlError("duplicate index on the same columns")
@@ -1701,6 +1797,15 @@ object Dml {
           else if (isTag) "all_tag_indexes" else "all_edge_indexes"
         g.rebuiltJobs += (isTag -> jobName)
         emptyOk(spark)
+      case ShowSpaces =>
+        // fixture spaces have no registry; the scenario catalog lists
+        // its CREATE SPACE entries (listing only — success assertion)
+        val names = g0 match {
+          case sc: ScenarioCatalog => sc.spaceDefs.keys.toSeq
+          case _ => Seq("nba")
+        }
+        val schema2 = StructType(Seq(StructField("Name", StringType)))
+        spark.createDataFrame(names.map(Row(_)).asJava, schema2)
       case ShowIndexStatus(isTag) =>
         val g = cat(g0)
         val schema2 = StructType(Seq(StructField("Name", StringType),
@@ -1725,9 +1830,10 @@ object Dml {
         spark.createDataFrame(rows.asJava, StructType(fields))
       case ShowCreateIndex(isTag, index) =>
         val g = cat(g0)
-        val (_, schema0, cols, withOpts, comment) =
+        val (kindTag0, schema0, cols, withOpts, comment) =
           g.indexDefs.getOrElse(index,
             throw new DmlError(s"unknown index $index"))
+        if (kindTag0 != isTag) throw new DmlError("index kind mismatch")
         val kind = if (isTag) "TAG" else "EDGE"
         val colList = cols.map { case (c, len) =>
           s" `$c`" + len.map(n => s"($n)").getOrElse("")
@@ -1789,6 +1895,20 @@ object Dml {
         val ttlMap = if (isTag) g.tagTtl else g.edgeTtl
         val cur0 = defsMap.getOrElse(name, throw new DmlError(s"unknown $name"))
         val curTtl = ttlMap.get(name)
+        // ADD of an existing prop is a conflict; a NOT NULL column
+        // without a default cannot backfill existing rows (meta
+        // AlterSchema checks); TTL cannot be configured while the
+        // schema has an index (index/TTL mutual exclusion)
+        adds.foreach { spec =>
+          if (cur0.exists(_.name == spec.name))
+            throw new DmlError(s"prop ${spec.name} already exists")
+          if (spec.notNull && spec.default.isEmpty)
+            throw new DmlError(
+              s"NOT NULL column ${spec.name} needs a default")
+        }
+        if ((ttlDur.isDefined || ttlCol.exists(_.nonEmpty)) &&
+            g.indexDefs.values.exists(v => v._1 == isTag && v._2 == name))
+          throw new DmlError(s"$name has an index; TTL not allowed")
         // CHANGE: the ttl column is immutable while configured, and a
         // prop cannot change its data type (meta AlterSchema checks);
         // same-type CHANGE updates nullability/default/comment
@@ -1905,6 +2025,15 @@ object Dml {
         emptyOk(spark)
       case UpdateVertex(tag, vidEs, sets, when, yields, upsert) =>
         val g = cat(g0)
+        // $$ (destination) is a GO-pipeline reference; invalid in
+        // UPDATE VERTEX ($^ legally names the updated vertex itself)
+        (sets.map(_._2) ++ when.toList ++
+            yields.toList.flatten.map(_.e)).foreach { e =>
+          Expr.collect(e) {
+            case Expr.Param("dst", _, _) =>
+              throw new DmlError("$$ reference not allowed in UPDATE")
+          }
+        }
         val defs = propDefs(g, isTag = true, tag)
         val m = g.tagRows(tag)
         val outs = vidEs.map { vidE =>

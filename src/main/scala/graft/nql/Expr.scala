@@ -322,7 +322,8 @@ object Expr {
     case Some(Num(v, raw)) =>
       p.next()
       Lit(if (raw.exists(ch => ch == '.' || ch == 'e' || ch == 'E')) v
-          else v.toLong)
+          else raw.toLongOption.getOrElse(throw new IllegalArgumentException(
+            s"integer literal out of range: $raw")))
     case Some(Str(s)) => p.next(); Lit(s)
     case Some(Sym("(")) =>
       p.next()

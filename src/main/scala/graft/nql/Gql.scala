@@ -50,7 +50,9 @@ object Gql {
     var i = 0
     while (i < q.length) {
       val c = q(i)
-      if (c.isWhitespace) i += 1
+      // isSpaceChar catches U+00A0/U+2007/... which isWhitespace does
+      // not (basic/Parser.feature "special white space character")
+      if (c.isWhitespace || Character.isSpaceChar(c)) i += 1
       else if (c == '"' || c == '\'') {
         val sb = new StringBuilder
         var j = i + 1
@@ -81,6 +83,16 @@ object Gql {
         }
         require(closed, s"unterminated string at $i")
         out += Str(sb.toString); i = j
+      } else if (c == '0' && i + 1 < q.length &&
+          (q(i + 1) == 'x' || q(i + 1) == 'X') && i + 2 < q.length &&
+          Character.digit(q(i + 2), 16) >= 0) {
+        // hex integer literal (scanner.lex 0[xX][0-9a-fA-F]+); parses
+        // as unsigned 64-bit, wrapping like the C++ scanner
+        var j = i + 2
+        while (j < q.length && Character.digit(q(j), 16) >= 0) j += 1
+        val raw = q.substring(i, j)
+        val v = java.lang.Long.parseUnsignedLong(raw.substring(2), 16)
+        out += Num(v.toDouble, v.toString); i = j
       } else if (c.isDigit ||
           (c == '.' && i + 1 < q.length && q(i + 1).isDigit)) {
         // number: digits [ '.' digits* ] [ (e|E) [+|-] digits ] — the
@@ -170,7 +182,7 @@ object Gql {
       while (go) {
         next() match {
           case Str(s) => out += s
-          case Num(v, _) => out += v.toLong
+          case Num(v, raw) => out += raw.toLongOption.getOrElse(v.toLong)
           case Sym("-") => out += -intLit().toLong
           case Word(w) if w.equalsIgnoreCase("hash") =>
             // int-vid seed form `hash("Tim Duncan")` (GO.IntVid.feature)
@@ -185,6 +197,21 @@ object Gql {
       }
       out.toSeq
     }
+  }
+
+  /** One literal vid: string, [-]int, or `hash("...")` (int-vid
+    * fixture convention). */
+  private def oneVid(p: P): Any = p.next() match {
+    case Str(s) => s
+    case Num(v, raw) => raw.toLongOption.getOrElse(v.toLong)
+    case Sym("-") => -p.intLit().toLong
+    case Word(w) if w.equalsIgnoreCase("hash") =>
+      p.expectSym("("); val x = p.next() match {
+        case Str(x0) => x0
+        case t => throw new IllegalArgumentException(s"hash() vid arg $t")
+      }; p.expectSym(")")
+      graft.functions.NebulaHash.hash64(x)
+    case t => throw new IllegalArgumentException(s"expected vid, got $t")
   }
 
   // ---------- AST ----------
@@ -266,6 +293,27 @@ object Gql {
   /** Parse a `;`-separated script with optional `$var =` assignments;
     * returns (varName?, stmt) in order. */
   def parseScript(q: String): Seq[(Option[String], Stmt)] = {
+    // EXPLAIN/PROFILE prefix (parser.yy explain_sentence): validate
+    // the FORMAT option and execute the underlying sentence(s) — the
+    // plan rendering itself is Catalyst's (`df.explain`), so the
+    // sentence's execution IS the assertion (ExplainAndProfile TCK)
+    val expl = "(?is)^\\s*(EXPLAIN|PROFILE)\\b(.*)$".r
+    q match {
+      case expl(_, rest0) =>
+        var rest = rest0.trim
+        val fmt = "(?is)^FORMAT\\s*=\\s*\"([^\"]*)\"(.*)$".r
+        rest match {
+          case fmt(f, r2) =>
+            require(Set("row", "dot", "dot:struct", "tck")
+              .contains(f.toLowerCase), s"unknown explain format $f")
+            rest = r2.trim
+          case _ => ()
+        }
+        if (rest.startsWith("{") && rest.endsWith("}"))
+          rest = rest.substring(1, rest.length - 1)
+        return parseScript(rest)
+      case _ => ()
+    }
     val p = new P(tokenize(q))
     val out = scala.collection.mutable.ListBuffer.empty[(Option[String], Stmt)]
     var go = true
@@ -548,30 +596,18 @@ object Gql {
         }
       } else {
         // literal vid forms: edge `"s" -> "d" [@rank], ...` or vid list
-        val firstVid = p.next() match {
-          case Str(s) => s
-          case Num(v, _) => v.toLong
-          case t => throw new IllegalArgumentException(s"expected vid, got $t")
-        }
+        val firstVid = oneVid(p)
         if (p.peek.contains(Sym("-")) && p.peek2.contains(Sym(">"))) {
           val keys = scala.collection.mutable.ListBuffer.empty[(Any, Any, Option[Long])]
           var src: Any = firstVid
           var go = true
           while (go) {
             p.expectSym("-"); p.expectSym(">")
-            val dst = p.next() match {
-              case Str(s) => s
-              case Num(v, _) => v.toLong
-              case t => throw new IllegalArgumentException(s"expected dst, got $t")
-            }
+            val dst = oneVid(p)
             val rank = if (p.sym("@")) Some(p.intLit().toLong) else None
             keys += ((src, dst, rank))
             if (p.sym(",")) {
-              src = p.next() match {
-                case Str(s) => s
-                case Num(v, _) => v.toLong
-                case t => throw new IllegalArgumentException(s"expected src, got $t")
-              }
+              src = oneVid(p)
             } else go = false
           }
           val (ys, dist) = if (p.kw("YIELD")) {
@@ -582,11 +618,7 @@ object Gql {
         } else {
           val vids = scala.collection.mutable.ListBuffer[Any](firstVid)
           while (p.sym(",")) {
-            vids += (p.next() match {
-              case Str(s) => s
-              case Num(v, _) => v.toLong
-              case t => throw new IllegalArgumentException(s"expected vid, got $t")
-            })
+            vids += oneVid(p)
           }
           val (ys, dist) = if (p.kw("YIELD")) {
             val d = p.kw("DISTINCT")
@@ -810,6 +842,15 @@ object Gql {
             Some(col("dst"))
           case Expr.FnCall("rank", List(Expr.Ref(List("edge"))), _) if isEdge =>
             Some(col("rank"))
+          // properties(vertex|edge): all schema props in declaration
+          // order (Schema.feature LOOKUP yields)
+          case Expr.FnCall("properties", List(Expr.Ref(List(k))), _)
+              if (!isEdge && k.equalsIgnoreCase("vertex")) ||
+                (isEdge && k.equalsIgnoreCase("edge")) =>
+            val exclude =
+              if (isEdge) Set("src", "dst", "rank") else Set("vid")
+            val cs = tbl.columns.filterNot(exclude.contains)
+            Some(struct(cs.map(c0 => col(c0).as(c0)).toSeq: _*))
           case _ => None
         }
         val filtered = where match {

@@ -1079,10 +1079,17 @@ object MatchSeg {
         binding = execClauses(g, st, clauses, binding)
       case UnwindStage(e, alias) =>
         // UNWIND as a clause: one row per list element (empty/null
-        // lists eliminate the row — plain explode)
+        // lists eliminate the row — plain explode). A SCALAR operand
+        // unwinds to itself, null to zero rows (UnwindExecutor.cpp) —
+        // wrap it as a 1-element array so explode types check
         binding = ensureTags(g, st, base(), Seq(e))
-        binding = binding.withColumn(alias,
-          explode(Expr.compile(e, resolver(st, binding))))
+        val uc = Expr.compile(e, resolver(st, binding))
+        val udt = binding.select(uc.as("__u")).schema.head.dataType
+        val uarr = udt match {
+          case _: org.apache.spark.sql.types.ArrayType => uc
+          case _ => when(uc.isNotNull, array(uc))
+        }
+        binding = binding.withColumn(alias, explode(uarr))
         st.addPlain(alias)
       case w: Proj =>
         val (b2, s2) = applyWith(g, st, base(), w)

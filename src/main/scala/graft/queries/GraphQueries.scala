@@ -233,6 +233,29 @@ object GraphQueries {
           |      $^.account.balance AS balance""".stripMargin)
     }),
 
+    // index DDL lifecycle (round 7): CREATE INDEX, stale-index read
+    // visibility (rows stored before the index exist only after
+    // REBUILD backfills), LOOKUP through the index
+    // (meta IndexProcessor + RebuildIndexJob semantics)
+    "q_nql_index_flow" -> ((s, dir) => {
+      val cat = new graft.graph.ScenarioCatalog(s)
+      graft.nql.Gql.runScript(cat,
+        """CREATE TAG acct(owner string, score int);
+          |INSERT VERTEX acct(owner, score) VALUES "a":("Ann", 7), "b":("Bob", 9);
+          |CREATE TAG INDEX acct_score ON acct(score);
+          |INSERT VERTEX acct(owner, score) VALUES "c":("Cy", 9);""".stripMargin)
+      val before = graft.nql.Gql.run(cat,
+        "LOOKUP ON acct WHERE acct.score == 9 " +
+          "YIELD id(vertex) AS vid, acct.owner AS owner")
+        .withColumn("phase", lit("before"))
+      graft.nql.Gql.runScript(cat, "REBUILD TAG INDEX acct_score;")
+      val after = graft.nql.Gql.run(cat,
+        "LOOKUP ON acct WHERE acct.score == 9 " +
+          "YIELD id(vertex) AS vid, acct.owner AS owner")
+        .withColumn("phase", lit("after"))
+      before.unionByName(after)
+    }),
+
     // MATCH shortestPath()/allShortestPaths() text surface (round 5):
     // customer → region is exactly customer -in_nation-> nation
     // -in_region-> region, so every shortest path has length 2
@@ -485,6 +508,12 @@ object GraphQueries {
     "q_nql_dml" ->
       """SELECT 'a' AS src, 'b' AS dst, CAST(20 AS BIGINT) AS amount,
         |       CAST(100 AS BIGINT) AS balance""".stripMargin,
+    // net effect of q_nql_index_flow: before REBUILD only the
+    // post-index insert ("c") is index-visible; after, "b" joins it
+    "q_nql_index_flow" ->
+      """SELECT * FROM (VALUES ('before', 'c', 'Cy'),
+        |  ('after', 'b', 'Bob'), ('after', 'c', 'Cy'))
+        |  t(phase, vid, owner)""".stripMargin,
     "q_match_shortest" ->
       """SELECT 'c:1' AS a, 'r:' || n_regionkey AS b, CAST(2 AS BIGINT) AS len
         |FROM customer JOIN nation ON n_nationkey = c_nationkey

@@ -464,8 +464,11 @@ object TckRunner {
     * stripped, the only quoted strings left inside node/edge/path
     * literal cells are vids → hash them. */
   private def hashVidsInCell(s: String): String = {
-    // goldens write either `hash("key")` or a bare quoted key
-    val unwrapped = "hash\\(\"([^\"]*)\"\\)".r.replaceAllIn(s, m =>
+    // goldens write `hash("key")` / `hash('key')` or a bare quoted key
+    val unwrapped0 = "hash\\('([^']*)'\\)".r.replaceAllIn(s, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        graft.functions.NebulaHash.hash64(m.group(1)).toString))
+    val unwrapped = "hash\\(\"([^\"]*)\"\\)".r.replaceAllIn(unwrapped0, m =>
       scala.util.matching.Regex.quoteReplacement(
         graft.functions.NebulaHash.hash64(m.group(1)).toString))
     "\"([^\"]*)\"".r.replaceAllIn(unwrapped, m =>

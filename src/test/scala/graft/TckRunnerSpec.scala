@@ -276,7 +276,22 @@ class TckRunnerSpec extends SparkSpec {
     s"$root/index/Index.feature",
     s"$root/index/TagEdgeIndex.feature",
     s"$root/ddl/Ddl.feature",
-    s"$root/fetch/FetchEmpty.feature")
+    s"$root/fetch/FetchEmpty.feature",
+    // round 7 third wave. Not wired, with reasons:
+    //  - verify_client_version, admin/{Authentication,Sessions,Hosts},
+    //    user/User, parser/nebula: every scenario needs connection/
+    //    login/SHOW-cluster steps the engine has no counterpart for
+    //    (zero executable scenarios)
+    //  - go/GroupbyLimit[.IntVid]: LIMIT over an all-NULL ORDER key —
+    //    order-ambiguous goldens (same reason as LookUpTopN)
+    //  - lookup/LookupEdge2, fulltext_index/*: Elasticsearch fulltext
+    //    surface, out of scope (SURVEY §2.10)
+    //  - match/Path: all queries are openCypher CASE paths the parser
+    //    rejects whole (zero executable)
+    s"$root/explain/ExplainAndProfile.feature",
+    s"$root/basic/Parser.feature",
+    s"$root/parser/Example.feature",
+    s"$root/go/SampleLimit.intVid.feature")
   private def have = features.forall(f => new java.io.File(f).exists())
 
   private def strCatalog = MapCatalog(
