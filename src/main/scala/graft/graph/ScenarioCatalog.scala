@@ -59,9 +59,51 @@ final class ScenarioCatalog(val spark: SparkSession,
     * rebuild scenarios). Keys: vid (tags), (src,dst,rank) (edges). */
   val indexVisible = mutable.Map.empty[(Boolean, String), mutable.Set[Any]]
 
+  /** Prop names DROPPED from a schema — the reference keeps them in
+    * schema history and rejects re-ADD ("Schema exisited before!",
+    * Ddl.feature:311). */
+  val droppedProps = mutable.Map.empty[(Boolean, String), mutable.Set[String]]
+
   /** Record a write in every live index of the schema. */
   def noteWrite(isTag: Boolean, schema: String, key: Any): Unit =
     indexVisible.get((isTag, schema)).foreach(_ += key)
+
+  /** Index entries orphaned by INSERT ... IGNORE_EXISTED_INDEX (write
+    * data, skip index maintenance): key → the PRE-insert prop values
+    * that entry still carries. LOOKUP surfaces these alongside live
+    * rows until REBUILD/DROP INDEX repairs the index
+    * (Insert.feature:608-653). */
+  val staleIndexRows = mutable.Map.empty[(Boolean, String),
+    mutable.ArrayBuffer[(Any, Array[Any])]]
+
+  /** Snapshot `old` as a stale entry iff the key is currently in the
+    * schema's index (an un-indexed row leaves nothing behind). */
+  def noteStale(isTag: Boolean, schema: String, key: Any,
+                old: Array[Any]): Unit =
+    if (indexVisible.get((isTag, schema)).exists(_.contains(key)))
+      staleIndexRows.getOrElseUpdate((isTag, schema),
+        mutable.ArrayBuffer.empty) += (key -> old.clone())
+
+  /** Stale entries rendered in the table's row shape (vid+props /
+    * src,dst,rank+props) for LOOKUP to union in. */
+  def staleFrame(isTag: Boolean, schema: String): Option[DataFrame] =
+    staleIndexRows.get((isTag, schema)).filter(_.nonEmpty).map { buf =>
+      if (isTag) {
+        val defs = tagDefs(schema)
+        val schemaT = StructType(StructField("vid", vidType) +:
+          defs.map(d => StructField(d.name, d.dt)))
+        frame(schemaT, buf.toSeq.map { case (vid, ps) =>
+          Row.fromSeq(vid +: ps.toSeq) })
+      } else {
+        val defs = edgeDefs(schema)
+        val schemaT = StructType(
+          StructField("src", vidType) +: StructField("dst", vidType) +:
+            StructField("rank", LongType) +:
+            defs.map(d => StructField(d.name, d.dt)))
+        frame(schemaT, buf.toSeq.map { case ((s, d, r), ps) =>
+          Row.fromSeq(s +: d +: r.asInstanceOf[Any] +: ps.toSeq) })
+      }
+    }
 
   /** LOOKUP visibility set: None = no index tracked, scan freely. */
   def lookupVisible(isTag: Boolean,
@@ -159,14 +201,20 @@ final class ScenarioCatalog(val spark: SparkSession,
     pruneExpired()
     val defs = edgeDefs.getOrElse(etype,
       throw new IllegalArgumentException(s"unknown edge $etype"))
+    // a user prop named `rank` shadows the built-in ranking column
+    // (`E.rank` means the prop — InsertEdgeOnDiffParts.feature); the
+    // key rank stays in the row key for mutations
+    val keyRank =
+      if (defs.exists(_.name == "rank")) Nil
+      else Seq(StructField("rank", LongType))
     val schema = StructType(
       StructField("src", vidType) +: StructField("dst", vidType) +:
-        StructField("rank", LongType) +:
-        defs.map(d => StructField(d.name, d.dt)))
+        (keyRank ++ defs.map(d => StructField(d.name, d.dt))))
     val alive = ttlAlive(defs, edgeTtl.get(etype))
     frame(schema, edgeRows(etype).iterator
       .filter { case (_, ps) => alive(ps) }
-      .map { case ((s, d, r), ps) => Row.fromSeq(s +: d +: r +: ps.toSeq) }
+      .map { case ((s, d, r), ps) => Row.fromSeq(s +: d +:
+        (if (keyRank.isEmpty) ps.toSeq else r +: ps.toSeq)) }
       .toSeq)
   }
 

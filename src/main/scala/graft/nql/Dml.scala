@@ -78,10 +78,12 @@ object Dml {
   case class AdminNoop(kind: String) extends DStmt
   case class InsertVertex(tags: Vector[(String, Option[Vector[String]])],
                           rows: Vector[(Any, Vector[Expr.E])],
-                          ifNotExists: Boolean) extends DStmt
+                          ifNotExists: Boolean,
+                          ignoreIndex: Boolean = false) extends DStmt
   case class InsertEdge(etype: String, props: Option[Vector[String]],
                         rows: Vector[(Any, Any, Long, Vector[Expr.E])],
-                        ifNotExists: Boolean) extends DStmt
+                        ifNotExists: Boolean,
+                        ignoreIndex: Boolean = false) extends DStmt
   case class UpdateVertex(tag: String, vids: Seq[Any],
                           sets: Vector[(String, Expr.E)],
                           when: Option[Expr.E], yields: Option[Seq[Item]],
@@ -471,11 +473,10 @@ object Dml {
     val ifNotExists =
       if (p.kw("IF")) { p.expectKw("NOT"); p.expectKw("EXISTS"); true }
       else false
-    // IGNORE_EXISTED_INDEX asserts STALE-index reads (insert without
-    // index maintenance) — no index exists here to leave stale, so
-    // those scenarios' goldens are unreachable by design: unsupported
-    if (p.kwPeek("IGNORE_EXISTED_INDEX"))
-      throw new IllegalArgumentException("IGNORE_EXISTED_INDEX unsupported")
+    // IGNORE_EXISTED_INDEX = write data without index maintenance:
+    // a pre-existing index entry for the key keeps its OLD prop
+    // values (ScenarioCatalog.staleIndexRows; Insert.feature:608-653)
+    val ignoreIndex = p.kw("IGNORE_EXISTED_INDEX")
     val tags = mutable.ListBuffer.empty[(String, Option[Vector[String]])]
     var go = true
     while (go) {
@@ -508,15 +509,14 @@ object Dml {
       rows += (vid -> vals.toVector)
       if (!p.sym(",")) go = false
     }
-    InsertVertex(tags.toVector, rows.toVector, ifNotExists)
+    InsertVertex(tags.toVector, rows.toVector, ifNotExists, ignoreIndex)
   }
 
   private def parseInsertEdge(p: P): InsertEdge = {
     val ifNotExists =
       if (p.kw("IF")) { p.expectKw("NOT"); p.expectKw("EXISTS"); true }
       else false
-    if (p.kwPeek("IGNORE_EXISTED_INDEX"))
-      throw new IllegalArgumentException("IGNORE_EXISTED_INDEX unsupported")
+    val ignoreIndex = p.kw("IGNORE_EXISTED_INDEX")
     val etype = p.word()
     val props = if (p.sym("(")) {
       val ps = mutable.ListBuffer.empty[String]
@@ -546,7 +546,7 @@ object Dml {
       rows += ((src, dst, rank, vals.toVector))
       if (!p.sym(",")) go = false
     }
-    InsertEdge(etype, props, rows.toVector, ifNotExists)
+    InsertEdge(etype, props, rows.toVector, ifNotExists, ignoreIndex)
   }
 
   private def parseRank(p: P): Long = {
@@ -1414,7 +1414,17 @@ object Dml {
     existing match {
       case Some(arr) =>
         val work = arr.clone()
-        val pass = when.forall(w => eval(w, envOf(arr)) == true)
+        // WHEN must be boolean-typed — the reference raises
+        // SemanticError "expected Boolean, but was `INT'" for e.g.
+        // `WHEN 123` / `WHEN credits` (Update.feature:241-255)
+        val pass = when.forall { w =>
+          eval(w, envOf(arr)) match {
+            case b: java.lang.Boolean => b.booleanValue
+            case null => false
+            case other => throw new DmlError(
+              s"`${Expr.text(w)}', expected Boolean, but was ${other.getClass.getSimpleName}")
+          }
+        }
         if (pass) applySets(work)
         val out = yields.map(items => yieldFrame(spark, items, envOf(work)))
           .getOrElse(emptyOk(spark))
@@ -1495,7 +1505,7 @@ object Dml {
           if (!ifNotExists) throw new DmlError(s"Existed schema $name")
         } else m(name) = defs
         emptyOk(spark)
-      case InsertVertex(tags, rows, ifNotExists) =>
+      case InsertVertex(tags, rows, ifNotExists, _) =>
         require(tags.size == 1,
           "unsupported multi-tag INSERT on a table space")
         val (t, names) = tags.head
@@ -1508,7 +1518,7 @@ object Dml {
         if (ifNotExists) tc.tagTable(t).insertIfNotExists(df)
         else tc.tagTable(t).insert(df)
         emptyOk(spark)
-      case InsertEdge(etype, names, rows, ifNotExists) =>
+      case InsertEdge(etype, names, rows, ifNotExists, _) =>
         val defs = tc.edgeDefs.getOrElse(etype,
           throw new DmlError(s"unknown edge $etype"))
         val data = rows.map { case (s, d2, r, vals) =>
@@ -1728,7 +1738,10 @@ object Dml {
           cols.foreach { case (c, len) =>
             val d = defs.find(_.name == c).getOrElse(
               throw new DmlError(s"column $c not found in $schema"))
-            if (d.typeName == "duration")
+            if (d.typeName == "duration" ||
+                d.typeName.startsWith("list") ||
+                d.typeName.startsWith("set") ||
+                d.typeName.startsWith("map"))
               throw new DmlError("Invalid param!")
             // a variable-length string index needs an explicit prefix
             // length (IndexProcessor: string col without length)
@@ -1763,8 +1776,10 @@ object Dml {
           case Some((kindTag, schema0, _, _, _)) if kindTag == isTag =>
             g.indexDefs -= index
             if (!g.indexDefs.values.exists(v =>
-                  v._1 == isTag && v._2 == schema0))
+                  v._1 == isTag && v._2 == schema0)) {
               g.indexVisible -= ((isTag, schema0))
+              g.staleIndexRows -= ((isTag, schema0))
+            }
           case Some(_) =>
             throw new DmlError("index kind mismatch")
           case None if ifExists => ()
@@ -1790,6 +1805,7 @@ object Dml {
             else g.edgeRows.get(s).map(_.keys).getOrElse(Nil)
           g.indexVisible((isTag, s)) =
             scala.collection.mutable.Set.empty[Any] ++ all
+          g.staleIndexRows -= ((isTag, s)) // rebuild repairs the index
         }
         // a bare rebuild reports under the meta job's catch-all name
         val jobName =
@@ -1902,6 +1918,10 @@ object Dml {
         adds.foreach { spec =>
           if (cur0.exists(_.name == spec.name))
             throw new DmlError(s"prop ${spec.name} already exists")
+          // a DROPPED prop name stays reserved in the schema history —
+          // re-ADD is "Schema exisited before!" (Ddl.feature:311)
+          if (g.droppedProps.get((isTag, name)).exists(_.contains(spec.name)))
+            throw new DmlError("Schema exisited before!")
           if (spec.notNull && spec.default.isEmpty)
             throw new DmlError(
               s"NOT NULL column ${spec.name} needs a default")
@@ -1948,6 +1968,9 @@ object Dml {
         }
         val keepIdx = cur.zipWithIndex.filterNot { case (d2, _) =>
           drops.contains(d2.name) }.map(_._2)
+        if (drops.nonEmpty)
+          g.droppedProps.getOrElseUpdate((isTag, name),
+            mutable.Set.empty) ++= drops
         val next = keepIdx.map(cur) ++ added
         comment.foreach { c =>
           (if (isTag) g.tagComment else g.edgeComment)(name) = c
@@ -1978,7 +2001,7 @@ object Dml {
               else null)
           }
         emptyOk(spark)
-      case InsertVertex(tags, rows, ifNotExists) =>
+      case InsertVertex(tags, rows, ifNotExists, ignoreIdx) =>
         val g = cat(g0)
         // per-tag prop slices: values are flattened across tags
         val perTag = tags.map { case (t, names) =>
@@ -2002,13 +2025,18 @@ object Dml {
           staged.foreach { case (t, arr) =>
             val m = g.tagRows(t)
             if (!(ifNotExists && m.contains(vid))) {
+              // IGNORE_EXISTED_INDEX: the overwritten row's index
+              // entry is left behind with its old values
+              if (ignoreIdx)
+                m.get(vid).foreach(old =>
+                  g.noteStale(isTag = true, t, vid, old))
               m(vid) = arr
               g.noteWrite(isTag = true, t, vid) // index sees new writes
             }
           }
         }
         emptyOk(spark)
-      case InsertEdge(etype, names, rows, ifNotExists) =>
+      case InsertEdge(etype, names, rows, ifNotExists, ignoreIdx) =>
         val g = cat(g0)
         val defs = propDefs(g, isTag = false, etype)
         rows.foreach { case (srcE, dstE, rank, vals0) =>
@@ -2018,6 +2046,9 @@ object Dml {
           val m = g.edgeRows(etype)
           val key = (src, dst, rank)
           if (!(ifNotExists && m.contains(key))) {
+            if (ignoreIdx)
+              m.get(key).foreach(old =>
+                g.noteStale(isTag = false, etype, key, old))
             m(key) = arr
             g.noteWrite(isTag = false, etype, key)
           }
@@ -2051,6 +2082,16 @@ object Dml {
           else a.unionByName(b))
       case UpdateEdge(etype, keyEs, sets, when, yields, upsert) =>
         val g = cat(g0)
+        // vertex-prop refs ($^ / $$) are invalid anywhere in UPDATE
+        // EDGE — storage updates one edge row and has no vertex at
+        // hand (Update.IntVid.feature:393 "Has wrong expr")
+        (sets.map(_._2) ++ when.toList ++
+            yields.toList.flatten.map(_.e)).foreach { e =>
+          Expr.collect(e) {
+            case p @ Expr.Param("src" | "dst", _, _) =>
+              throw new DmlError(s"Has wrong expr in `${Expr.text(p)}'")
+          }
+        }
         val defs = propDefs(g, isTag = false, etype)
         val m = g.edgeRows(etype)
         val outs = keyEs.map { case (srcE, dstE, rank) =>
@@ -2078,16 +2119,7 @@ object Dml {
               s"undefined $$$v")).select(c).collect().map(_.get(0)).toSeq
           case None => vids
         }
-        targets.foreach { v =>
-          val vid = (v, g.vidIsInt) match {
-            case (s: String, false) => s
-            case (n: Long, true) => n
-            case (n: Int, true) => n.toLong
-            case (other, _) =>
-              throw new DmlError(s"vid $other type mismatch")
-          }
-          g.deleteVertex(vid, withEdge)
-        }
+        targets.foreach(v => g.deleteVertex(evalVid(g, v), withEdge))
         emptyOk(spark)
       case DeleteEdge(etype, keys, refKeys) =>
         val g = cat(g0)
@@ -2112,6 +2144,11 @@ object Dml {
               (r.get(0), r.get(1), rank)
             }
           case None => keys
+        }
+        // endpoint vids go through the same storage-side validation
+        // as inserts (overlong FIXED_STRING vid → ExecutionError)
+        resolved.foreach { case (s2, d2, _) =>
+          evalVid(g, s2); evalVid(g, d2)
         }
         resolved.foreach(m -= _)
         emptyOk(spark)

@@ -159,12 +159,22 @@ object Expr {
   }
 
   // ---------- parser ----------
-  def parse(p: P): E = orE(p)
+  def parse(p: P): E = {
+    // conditional `c ? t : f` — lowest precedence, right-assoc
+    // (parser.yy expression_conditional; Case.feature ternaries)
+    val c = orE(p)
+    if (p.sym("?")) {
+      val t = parse(p)
+      p.expectSym(":")
+      val f = parse(p)
+      CaseW(None, List((c, t)), Some(f))
+    } else c
+  }
 
   /** Parse a standalone expression string (tests, library callers). */
   def parseText(s: String): E = {
     val p = new P(Gql.tokenize(s))
-    val e = orE(p)
+    val e = parse(p)
     require(p.ts.isEmpty, s"trailing tokens: ${p.ts.take(3)}")
     e
   }
@@ -261,7 +271,15 @@ object Expr {
   }
 
   private def unE(p: P): E = p.peek match {
-    case Some(Sym("-")) => p.next(); Un("neg", unE(p))
+    case Some(Sym("-")) =>
+      p.next()
+      // a 2^63-magnitude literal is valid ONLY when a unary minus
+      // folds it to Long.MinValue (GraphScanner.h setIsIntMin)
+      p.peek match {
+        case Some(Num(_, raw)) if raw == "9223372036854775808" =>
+          p.next(); Lit(Long.MinValue)
+        case _ => Un("neg", unE(p))
+      }
     case Some(Sym("+")) => p.next(); unE(p)
     case _ => postfix(p, atom(p))
   }
@@ -548,6 +566,19 @@ object Expr {
     def c(e: E): Column = r(e).getOrElse(e match {
       case Lit(null) => lit(null)
       case Lit(v) => lit(v)
+      // int-literal arithmetic folds with an overflow check — the
+      // reference's constant folder rejects 9223372036854775807+1
+      // as a SemanticError, not a silent wrap (GO.feature)
+      case Bin(op @ ("+" | "-" | "*"), Lit(a: Long), Lit(b: Long)) =>
+        try lit(op match {
+          case "+" => Math.addExact(a, b)
+          case "-" => Math.subtractExact(a, b)
+          case _ => Math.multiplyExact(a, b)
+        })
+        catch { case _: ArithmeticException =>
+          throw new IllegalArgumentException(
+            s"result of ($a$op$b) cannot be represented as an integer")
+        }
       case Ref(one :: Nil) => col(one)
       case Bin("and", a, b) => c(a) && c(b)
       case Bin("or", a, b) => c(a) || c(b)
@@ -663,8 +694,14 @@ object Expr {
       case Un("isnull", x) => c(x).isNull
       case Un("isnotnull", x) => c(x).isNotNull
       case CaseW(None, branches, els) =>
-        val base = branches.tail.foldLeft(when(c(branches.head._1), c(branches.head._2))) {
-          case (acc, (cond, v)) => acc.when(c(cond), c(v))
+        // a NULL-literal condition is falsy, not a type error
+        // (`CASE WHEN null THEN 0 ELSE 1 END` → 1, Case.feature)
+        def cond(e2: E): Column = e2 match {
+          case Lit(null) => lit(false)
+          case other => c(other)
+        }
+        val base = branches.tail.foldLeft(when(cond(branches.head._1), c(branches.head._2))) {
+          case (acc, (cv, v)) => acc.when(cond(cv), c(v))
         }
         els.map(e2 => base.otherwise(c(e2))).getOrElse(base)
       case CaseW(Some(subj), branches, els) =>
@@ -775,6 +812,18 @@ object Expr {
         lit(m.entries.map(_._1).distinct.size.toLong)
       case FnCall(n, List(s: SetLit), _) if n.equalsIgnoreCase("size") =>
         size(c(s).getField("__set")).cast("long")
+      // size(<string>): nebula size() is generic (container size OR
+      // string length, Value.h). Spark's size() is container-only, so
+      // dispatch statically where the arg is knowably a string —
+      // an element of a string-array producer (GO.feature
+      // `size(labels($$)[0])`) or a string literal
+      case FnCall(n, List(sub @ Subscript(FnCall(inner, _, _), _)), _)
+          if n.equalsIgnoreCase("size") &&
+            Set("labels", "tags", "split").contains(inner.toLowerCase) =>
+        length(c(sub)).cast("long")
+      case FnCall(n, List(s @ Lit(_: String)), _)
+          if n.equalsIgnoreCase("size") =>
+        length(c(s)).cast("long")
       case FnCall(name, args, distinct) => fnCol(name, args, distinct, c)
       case other =>
         throw new IllegalArgumentException(s"unresolvable expression ${text(other)}")
@@ -889,6 +938,9 @@ object Expr {
       case "max" => max(a(0))
       case "std" => stddev_pop(a(0))
       case "collect" => if (distinct) collect_set(a(0)) else collect_list(a(0))
+      // internal: per-group value of a non-agg subtree inside an
+      // agg-bearing item (Gql.firstWrapNonAgg)
+      case "__first" => first(a(0))
       case "collect_set" => collect_set(a(0))
       // math
       case "abs" => abs(a(0))

@@ -45,6 +45,9 @@ object Gql {
   case class Num(v: Double, raw: String) extends Tok
   case class Sym(s: String) extends Tok        // punctuation / operators
 
+  /** 2^63 — max literal magnitude (GraphScanner.h MAX_ABS_INTEGER). */
+  val MaxAbsInteger: BigInt = BigInt("9223372036854775808")
+
   def tokenize(q: String): List[Tok] = {
     val out = scala.collection.mutable.ListBuffer.empty[Tok]
     var i = 0
@@ -86,13 +89,37 @@ object Gql {
       } else if (c == '0' && i + 1 < q.length &&
           (q(i + 1) == 'x' || q(i + 1) == 'X') && i + 2 < q.length &&
           Character.digit(q(i + 2), 16) >= 0) {
-        // hex integer literal (scanner.lex 0[xX][0-9a-fA-F]+); parses
-        // as unsigned 64-bit, wrapping like the C++ scanner
+        // hex integer literal (scanner.lex 0[xX][0-9a-fA-F]+).
+        // GraphScanner.h parseHex: magnitude > 2^63 is "Out of range";
+        // exactly 2^63 survives only under a folding unary minus — the
+        // raw decimal magnitude is emitted and the parser's unE/atom
+        // enforce the sign rule (BoundCheck.feature)
         var j = i + 2
         while (j < q.length && Character.digit(q(j), 16) >= 0) j += 1
         val raw = q.substring(i, j)
-        val v = java.lang.Long.parseUnsignedLong(raw.substring(2), 16)
-        out += Num(v.toDouble, v.toString); i = j
+        val mag = BigInt(raw.substring(2), 16)
+        require(mag <= MaxAbsInteger,
+          s"integer literal out of range: $raw")
+        out += Num(mag.toDouble, mag.toString); i = j
+      } else if (c == '0' && i + 1 < q.length && q(i + 1) >= '0' &&
+          q(i + 1) <= '7' && {
+            // octal literal (scanner.lex 0{OCT}+) — only when the whole
+            // digit run is octal and it isn't the head of a double
+            var j = i + 1
+            while (j < q.length && q(j) >= '0' && q(j) <= '7') j += 1
+            val allOct = !(j < q.length && (q(j) == '8' || q(j) == '9'))
+            val isDouble = j < q.length && ((q(j) == '.' &&
+              !(j + 1 < q.length && q(j + 1) == '.')) ||
+              q(j) == 'e' || q(j) == 'E')
+            allOct && !isDouble
+          }) {
+        var j = i + 1
+        while (j < q.length && q(j) >= '0' && q(j) <= '7') j += 1
+        val raw = q.substring(i, j)
+        val mag = BigInt(raw.substring(1), 8)
+        require(mag <= MaxAbsInteger,
+          s"integer literal out of range: $raw")
+        out += Num(mag.toDouble, mag.toString); i = j
       } else if (c.isDigit ||
           (c == '.' && i + 1 < q.length && q(i + 1).isDigit)) {
         // number: digits [ '.' digits* ] [ (e|E) [+|-] digits ] — the
@@ -175,6 +202,14 @@ object Gql {
       case Num(v, _) => v.toInt
       case t => throw new IllegalArgumentException(s"expected int, got $t")
     }
+    /** Bracketed int list `[n, n, ...]` (GO step sample/limit). */
+    def intList(): Seq[Int] = {
+      expectSym("[")
+      val out = scala.collection.mutable.ListBuffer(intLit())
+      while (sym(",")) out += intLit()
+      expectSym("]")
+      out.toSeq
+    }
     /** Comma list of vids — string or int (int-vid spaces). */
     def vidList(): Seq[Any] = {
       val out = scala.collection.mutable.ListBuffer.empty[Any]
@@ -242,7 +277,8 @@ object Gql {
   case class Go(m: Int, n: Int, seeds: Seq[Any], seedsCol: Option[String],
                 seedsVar: Option[(String, String)], etypes: Seq[String],
                 dir: Direction, where: Option[Expr.E],
-                yields: Option[Seq[Item]], distinct: Boolean) extends Stmt
+                yields: Option[Seq[Item]], distinct: Boolean,
+                stepCaps: Option[(String, Seq[Int])] = None) extends Stmt
   case class Lookup(tag: String, where: Option[Expr.E], yields: Seq[Item],
                     distinct: Boolean) extends Stmt
   /** Input ref for FETCH seeds: $-.col (pipe) or $var.col. */
@@ -253,7 +289,8 @@ object Gql {
     * or ref form `$-.src->$-.dst`. */
   case class FetchEdge(etype: String, keys: Seq[(Any, Any, Option[Long])],
                        keysRef: Option[(InRef, InRef)],
-                       yields: Seq[Item], distinct: Boolean) extends Stmt
+                       yields: Seq[Item], distinct: Boolean,
+                       rankRef: Option[InRef] = None) extends Stmt
   /** mode ∈ shortest | all | noloop. `yieldPath` = Some(alias) for the
     * `YIELD path AS p` form (whole-path rows); None keeps the library
     * (src, dst, path, hops) shape. Endpoint sets come from literal vid
@@ -343,7 +380,9 @@ object Gql {
           p.peek2.exists { case Word(w) =>
             Set("go", "fetch", "lookup", "find", "get", "yield",
               "unwind").contains(w.toLowerCase); case _ => false }) {
-        p.next(); val inner = parsePiped(p); p.expectSym(")"); inner
+        p.next(); val inner = parseSet(p); p.expectSym(")")
+        val tail = parsePipeTail(p)
+        if (tail.isEmpty) inner else Piped(inner, tail)
       } else parsePiped(p)
     var go = true
     while (go) {
@@ -359,6 +398,14 @@ object Gql {
 
   private def parsePiped(p: P): Stmt = {
     val head = parseSentence(p)
+    val pipes = parsePipeTail(p)
+    if (pipes.isEmpty) head else Piped(head, pipes)
+  }
+
+  /** `| <sentence-or-clause>`* — the pipe continuation after a head
+    * statement (also used after a parenthesized set operation:
+    * `(GO ... UNION GO ...) | YIELD ...`, InsertEdgeOnDiffParts). */
+  private def parsePipeTail(p: P): Seq[Pipe] = {
     val pipes = scala.collection.mutable.ListBuffer.empty[Pipe]
     var parenDepth = 0
     while (p.peek.contains(Sym("|")) || parenDepth > 0) {
@@ -448,7 +495,7 @@ object Gql {
       require(parenDepth == 0 || p.peek.contains(Sym("|")),
         s"unbalanced pipe parens at ${p.ts.take(3)}")
     }
-    if (pipes.isEmpty) head else Piped(head, pipes.toSeq)
+    pipes.toSeq
   }
 
   private[nql] def parseItems(p: P): Seq[Item] = {
@@ -542,7 +589,20 @@ object Gql {
         val d = p.kw("DISTINCT")
         (Some(parseItems(p)), d)
       } else (None, false)
-      Go(m, n, seeds, seedsCol, seedsVar, etypes, dir, where, ys, dist)
+      // per-step caps: `SAMPLE [n1,..]` (random pick) / `LIMIT [n1,..]`
+      // (first-n) — one entry per step (parser.yy go_sentence
+      // sample_clause/limit_clause; GO.feature "go step sample/limit")
+      val caps =
+        if (p.kw("SAMPLE")) Some("sample" -> p.intList())
+        else if (p.kwPeek("LIMIT") && p.peek2.contains(Sym("["))) {
+          p.kw("LIMIT"); Some("limit" -> p.intList())
+        } else None
+      caps.foreach { case (_, ns) =>
+        require(ns.size == math.max(n, 1) - math.min(math.max(m, 1), math.max(n, 1)) + 1 ||
+            ns.size == math.max(n, 1),
+          "Invalid sample/limit clause: size must match the step count")
+      }
+      Go(m, n, seeds, seedsCol, seedsVar, etypes, dir, where, ys, dist, caps)
     } else if (p.kw("LOOKUP")) {
       p.expectKw("ON")
       val tag = p.word()
@@ -586,12 +646,16 @@ object Gql {
           p.expectSym("-"); p.expectSym(">")
           Some(first -> inRef())
         } else None
+        // `@$-.rank` — rank from the pipe too (GO.feature max-rank
+        // pipeline: FETCH PROP ON like $-.src -> $-.dst@$-.maxRank)
+        val rankRef =
+          if (edgeForm && p.sym("@")) Some(inRef()) else None
         val (ys, dist) = if (p.kw("YIELD")) {
           val d = p.kw("DISTINCT")
           (parseItems(p), d)
         } else (Seq.empty[Item], false)
         keysRef match {
-          case Some(kr) => FetchEdge(tag, Seq.empty, Some(kr), ys, dist)
+          case Some(kr) => FetchEdge(tag, Seq.empty, Some(kr), ys, dist, rankRef)
           case None => Fetch(tags, Seq.empty, Some(first), ys, dist)
         }
       } else {
@@ -762,8 +826,17 @@ object Gql {
       case m: MatchSeg.MStmt => MatchSeg.exec(g, m)
       case d: Dml.DStmt => Dml.exec(g, d, env, None)
       case Piped(head, pipes) =>
-        pipes.foldLeft(exec(g, head, env))((df, pp) =>
-          applyPipe(g, df, pp, env))
+        pipes.foldLeft {
+          val df = exec(g, head, env)
+          // duplicate aliases are legal in OUTPUT but not as pipe
+          // input — $-.col would be ambiguous (GO.feature `AS year,
+          // ... AS year | GO FROM $-.id` SemanticError)
+          val dup = df.columns.groupBy(identity).collectFirst {
+            case (a, cs) if cs.length > 1 => a }
+          dup.foreach(a => throw new IllegalArgumentException(
+            s"Duplicate columns: $a"))
+          df
+        }((df, pp) => applyPipe(g, df, pp, env))
       case SetOp(op, all, l, r) =>
         val (a, b) = (exec(g, l, env), exec(g, r, env))
         // set sentences align columns positionally (the reference
@@ -777,7 +850,7 @@ object Gql {
         }
       case go: Go =>
         val (seeds, input) = go match {
-          case Go(_, _, _, _, Some((v, c0)), _, _, _, _, _) =>
+          case Go(_, _, _, _, Some((v, c0)), _, _, _, _, _, _) =>
             val src = env.getOrElse(v,
               throw new IllegalArgumentException(s"undefined $$$v"))
             // `id($var.vertices_)` names the reference's implicit
@@ -787,7 +860,7 @@ object Gql {
                 (c0 == "vertices_" || c0 == "__vid_vertices_") &&
                 src.columns.contains("vid")) "vid" else c0
             (src.select(colByName(c).as("vid")), Some((src, c)))
-          case Go(_, _, s, None, None, _, _, _, _, _) =>
+          case Go(_, _, s, None, None, _, _, _, _, _, _) =>
             // the reference treats the FROM vid list as a set (dup
             // seeds yield once — GO.feature); piped GO keeps bag rows
             (seedsDf(spark, s.distinct), None)
@@ -831,6 +904,17 @@ object Gql {
             }
           case _ => tbl0
         }
+        // stale index entries (IGNORE_EXISTED_INDEX) still surface
+        // through LOOKUP with their pre-overwrite prop values; exact
+        // duplicates of live rows collapse (one index entry each)
+        val tblS = g match {
+          case sc: graft.graph.ScenarioCatalog =>
+            sc.staleFrame(!isEdge, tag) match {
+              case Some(st) => tbl.unionByName(st).distinct()
+              case None => tbl
+            }
+          case _ => tbl
+        }
         val resolver: Expr.Resolver = {
           case Expr.Ref(List(c)) => Some(col(c))
           case Expr.Ref(List(t, prop)) if t == tag => Some(col(prop))
@@ -854,8 +938,8 @@ object Gql {
           case _ => None
         }
         val filtered = where match {
-          case Some(w) => tbl.filter(Expr.compile(w, resolver))
-          case None => tbl
+          case Some(w) => tblS.filter(Expr.compile(w, resolver))
+          case None => tblS
         }
         val out =
           if (ys.isEmpty) filtered
@@ -873,11 +957,15 @@ object Gql {
           case None => seedsDf(spark, vids)
         }
         execFetch(g, f, bag)
-      case fe @ FetchEdge(_, keys, keysRef, _, _) =>
+      case fe @ FetchEdge(_, keys, keysRef, _, _, rankRef) =>
         val pairs = keysRef match {
           case Some((InRef(Some(v), sc), InRef(_, dc))) =>
+            val rc = rankRef match {
+              case Some(rr) => col(rr.colName).cast("long").as("__r")
+              case None => lit(0L).as("__r")
+            }
             env.getOrElse(v, throw new IllegalArgumentException(s"undefined $$$v"))
-              .select(col(sc).as("__s"), col(dc).as("__d"), lit(0L).as("__r"))
+              .select(col(sc).as("__s"), col(dc).as("__d"), rc)
           case Some((InRef(None, _), _)) =>
             throw new IllegalArgumentException("FETCH $-. needs a pipe")
           case None => edgeKeysDf(spark, keys)
@@ -1159,6 +1247,8 @@ object Gql {
 
   private def execFetch(g: GraphCatalog, f: Fetch, bag: DataFrame): DataFrame = {
     val Fetch(tags0, _, _, ys0, dist) = f
+    rejectBareLabels(ys0)
+    rejectUnaliasedEntity(ys0)
     val ys = withVidTwins(ys0)
     val star = tags0 == Seq("*")
     val tags = if (star) g.tagNames else tags0
@@ -1304,7 +1394,9 @@ object Gql {
 
   private def execFetchEdge(g: GraphCatalog, fe: FetchEdge,
                             pairs: DataFrame): DataFrame = {
-    val FetchEdge(etype, _, _, ys, dist) = fe
+    val FetchEdge(etype, _, _, ys, dist, _) = fe
+    rejectBareLabels(ys)
+    rejectUnaliasedEntity(ys)
     val e = g.edgesByType(etype)
     // rank is part of edge identity (NebulaKeyUtils.h:61); an
     // unranked fetch matches rank 0, the insert default
@@ -1388,7 +1480,7 @@ object Gql {
     else {
       val keys = items.filter(i => !Expr.hasAgg(i.e))
       val aggs = items.filter(i => Expr.hasAgg(i.e))
-        .map(i => Expr.compile(i.e, resolver).as(i.alias))
+        .map(i => Expr.compile(firstWrapNonAgg(i.e), resolver).as(i.alias))
       val grouped =
         if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
         else df.groupBy(keys.map(i => Expr.compile(i.e, resolver).as(i.alias)): _*)
@@ -1402,9 +1494,108 @@ object Gql {
     * multiplicity, for a chained `| GO FROM $-.col`). `input` carries
     * the full source frame when seeds came from a pipe/$var, so items
     * can reference its columns ($-.col / $var.col yields). */
+  /** Inside an aggregate-bearing item, naked column subtrees outside
+    * any aggregate call (e.g. `{name1: m.p.name, name2: collect(..)}`,
+    * Agg.feature collect-in-map) compile as `first(...)` — the
+    * reference's per-group evaluation of the non-agg parts. Only used
+    * on items where hasAgg holds, so pure-agg items are unchanged. */
+  private def isAggCall(e: Expr.E): Boolean = e match {
+    case Expr.FnCall(n, args, _) =>
+      Expr.aggNames(n.toLowerCase) &&
+        !(n.toLowerCase.startsWith("bit_") && args.size == 2)
+    case _ => false
+  }
+  private[nql] def firstWrapNonAgg(e: Expr.E): Expr.E =
+    if (!Expr.hasAgg(e)) {
+      var hasRef = false
+      Expr.collect(e) {
+        case Expr.Ref(_) => hasRef = true
+        case Expr.Param(_, _, _) => hasRef = true
+      }
+      if (hasRef) Expr.FnCall("__first", List(e)) else e
+    } else e match {
+      case f if isAggCall(f) => f
+      case Expr.FnCall(n, args, d) =>
+        Expr.FnCall(n, args.map(firstWrapNonAgg), d)
+      case Expr.Bin(op, l, r) =>
+        Expr.Bin(op, firstWrapNonAgg(l), firstWrapNonAgg(r))
+      case Expr.Un(op, x) => Expr.Un(op, firstWrapNonAgg(x))
+      case Expr.CaseW(sj, bs, els) =>
+        Expr.CaseW(sj.map(firstWrapNonAgg),
+          bs.map { case (a, b) => (firstWrapNonAgg(a), firstWrapNonAgg(b)) },
+          els.map(firstWrapNonAgg))
+      case Expr.ListLit(xs) => Expr.ListLit(xs.map(firstWrapNonAgg))
+      case Expr.MapLit(es) =>
+        Expr.MapLit(es.map { case (k, v) => (k, firstWrapNonAgg(v)) })
+      case Expr.Subscript(x, i) =>
+        Expr.Subscript(firstWrapNonAgg(x), firstWrapNonAgg(i))
+      case Expr.Attr(x, n) => Expr.Attr(firstWrapNonAgg(x), n)
+      case Expr.Slice(x, f2, t2) =>
+        Expr.Slice(firstWrapNonAgg(x), f2.map(firstWrapNonAgg),
+          t2.map(firstWrapNonAgg))
+      case other => other
+    }
+
+  /** GO/FETCH YIELD items must qualify props (tag.prop / etype.prop /
+    * $^.tag.prop) — a bare single-word ref is "Invalid label
+    * identifiers" (reference YieldValidator; LabelExpr.feature).
+    * Entity words (vertex/edge/path, incl. as function args) and
+    * lambda-bound vars stay legal. */
+  private[nql] def rejectBareLabels(items: Seq[Item]): Unit = {
+    // vertex/edge/path: entity words; origin/vid/step: this library's
+    // frontier-column extension (documented; no TCK golden names them)
+    val entity = Set("vertex", "edge", "path", "edges",
+      "origin", "vid", "step")
+    def walk(e: Expr.E, bound: Set[String]): Unit = e match {
+      case Expr.Ref(List(w))
+          if !entity.contains(w.toLowerCase) && !bound.contains(w) =>
+        throw new IllegalArgumentException(s"Invalid label identifiers: $w")
+      case Expr.Ref(_) => ()
+      case Expr.FnCall(_, args, _) =>
+        args.foreach {
+          case Expr.Ref(List(_)) => () // entity / label arg to a fn
+          case a => walk(a, bound)
+        }
+      case Expr.Bin(_, l, r) => walk(l, bound); walk(r, bound)
+      case Expr.Un(_, x) => walk(x, bound)
+      case Expr.CaseW(s, bs, els) =>
+        s.foreach(walk(_, bound))
+        bs.foreach { case (a, b) => walk(a, bound); walk(b, bound) }
+        els.foreach(walk(_, bound))
+      case Expr.ListLit(xs) => xs.foreach(walk(_, bound))
+      case Expr.SetLit(xs) => xs.foreach(walk(_, bound))
+      case Expr.MapLit(es) => es.foreach(kv => walk(kv._2, bound))
+      case Expr.Quant(_, v, list, pred) =>
+        walk(list, bound); walk(pred, bound + v)
+      case Expr.Compr(v, list, pred, map) =>
+        walk(list, bound)
+        pred.foreach(walk(_, bound + v)); map.foreach(walk(_, bound + v))
+      case Expr.ReduceE(acc, init, v, list, step) =>
+        walk(init, bound); walk(list, bound)
+        walk(step, bound + acc + v)
+      case Expr.Subscript(x, i) => walk(x, bound); walk(i, bound)
+      case Expr.Attr(x, _) => walk(x, bound)
+      case Expr.Slice(x, f2, t2) =>
+        walk(x, bound); f2.foreach(walk(_, bound)); t2.foreach(walk(_, bound))
+      case _ => ()
+    }
+    items.foreach(i => walk(i.e, Set.empty))
+  }
+
+  /** `YIELD vertex` / `YIELD edge` must carry an alias — the bare form
+    * is a parse reject in the reference (FetchVertices "YIELD vertex"
+    * SyntaxError golden: "please add alias when using vertex."). */
+  private def rejectUnaliasedEntity(items: Seq[Item]): Unit =
+    items.foreach { i =>
+      if (i.e == Expr.Ref(List(i.alias)) &&
+          Set("vertex", "edge", "path").contains(i.alias.toLowerCase))
+        throw new IllegalArgumentException(
+          s"please add alias when using ${i.alias}.")
+    }
+
   private def execGo(g: GraphCatalog, goAst: Go, seedsDF: DataFrame,
                      input: Option[(DataFrame, String)]): DataFrame = {
-    val Go(m0, n, _, _, _, rawEtypes, dir, where, yieldsOpt, dist) = goAst
+    val Go(m0, n, _, _, _, rawEtypes, dir, where, yieldsOpt, dist, stepCaps) = goAst
     // GO 0 STEPS is empty; GO 0 TO n behaves as 1 TO n (GO.feature)
     val m = math.max(m0, 1)
     val zeroOnly = n == 0
@@ -1416,6 +1607,7 @@ object Gql {
     // (GoValidator default yield columns)
     val items: Seq[Item] = yieldsOpt.getOrElse(
       etypes.map(et => Item(Expr.Ref(List(et, "_dst")), s"${et}._dst")))
+    yieldsOpt.foreach(rejectBareLabels)
     val exprs = items.map(_.e) ++ where.toList
 
     // classify references to pick the plan shape
@@ -1448,7 +1640,7 @@ object Gql {
         inputRefs = true
     })
     val simple = !needsEdge && dstTags.isEmpty && srcTags.isEmpty &&
-      frontierOnly && !inputRefs
+      frontierOnly && !inputRefs && stepCaps.isEmpty
 
     def finish(df: DataFrame): DataFrame = if (zeroOnly) df.limit(0) else df
 
@@ -1471,7 +1663,8 @@ object Gql {
       val strVid = eframe.schema("src").dataType ==
         org.apache.spark.sql.types.StringType
       var out =
-        if (!inputRefs) Traverse.goYield(seedsDF, eframe, m, nEff, dir)
+        if (!inputRefs) Traverse.goYield(seedsDF, eframe, m, nEff, dir,
+          stepCaps.map(_._2).getOrElse(Nil))
         else {
           // items reference the source frame's columns: expand from the
           // DISTINCT seed set, then join back on origin — restores the
@@ -1659,6 +1852,10 @@ object Gql {
         case other => resolver(other)
       }
       val filtered = where match {
+        // a container literal is not a boolean — truthiness filters
+        // everything (BAD_TYPE; GO.feature `WHERE [like._dst == ...]`)
+        case Some(Expr.ListLit(_) | Expr.SetLit(_) | Expr.MapLit(_)) =>
+          out.limit(0)
         case Some(w) => out.filter(Expr.compile(rwEmpty(w), fullResolver))
         case None => out
       }
@@ -1684,8 +1881,12 @@ object Gql {
       execFetch(g, f, df.select(colByName(f.vidsRef.get.colName).as("vid")))
     case PFetch(fe: FetchEdge) =>
       val (s, d) = fe.keysRef.get
+      val rankCol = fe.rankRef match {
+        case Some(rr) => colByName(rr.colName).cast("long").as("__r")
+        case None => lit(0L).as("__r")
+      }
       execFetchEdge(g, fe, df.select(colByName(s.colName).as("__s"),
-        colByName(d.colName).as("__d"), lit(0L).as("__r")))
+        colByName(d.colName).as("__d"), rankCol))
     case PFetch(other) =>
       throw new IllegalArgumentException(s"bad piped FETCH $other")
     case PLimit(off, nn) =>
@@ -1723,11 +1924,43 @@ object Gql {
       // get hidden aliases so an item alias matching an input column
       // name is never ambiguous in the output select.
       val resolver = pipeResolverFor(df)
+      // a yield item must be a group key or aggregate-bearing — the
+      // reference's GroupByValidator rejects a dangling column
+      // (Agg.feature: GROUP BY $-.age YIELD ..., $-.dst AS dst)
+      items.foreach { i =>
+        val bareRef = i.e match {
+          case Expr.Param("input" | "var", _, _) => true
+          case Expr.Ref(_) => true
+          case _ => false
+        }
+        if (bareRef && !Expr.hasAgg(i.e) && !keys.contains(i.e))
+          throw new IllegalArgumentException(
+            s"Yield non-agg expression must be functionally dependent" +
+              s" on items in GROUP BY clause: ${Expr.text(i.e)}")
+      }
       val keyCols = keys.zipWithIndex.map { case (k, i2) =>
         Expr.compile(k, resolver).as(s"__gk$i2") }
+      // BIT_AND/OR/XOR over a non-integral input is BAD_TYPE → NULL
+      // (AggData::bitOp; the golden cell folds BAD_TYPE to NULL)
+      def bitBadType(e: Expr.E): Boolean = e match {
+        case Expr.FnCall(n, List(arg), _)
+            if Set("bit_and", "bit_or", "bit_xor")(n.toLowerCase) &&
+              !Expr.hasAgg(arg) =>
+          try {
+            import org.apache.spark.sql.types._
+            df.select(Expr.compile(arg, resolver)).schema.head.dataType match {
+              case LongType | IntegerType | ShortType | ByteType |
+                  NullType => false
+              case _ => true
+            }
+          } catch { case _: Exception => false }
+        case _ => false
+      }
       val aggs = items.map { i =>
-        val c = Expr.compile(i.e, resolver)
-        (if (Expr.hasAgg(i.e)) c else first(c)).as(i.alias)
+        if (bitBadType(i.e)) first(lit(null).cast("long")).as(i.alias)
+        else if (Expr.hasAgg(i.e))
+          Expr.compile(firstWrapNonAgg(i.e), resolver).as(i.alias)
+        else first(Expr.compile(i.e, resolver)).as(i.alias)
       }
       val out = df.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
         .select(items.map(i => colByName(i.alias)): _*)

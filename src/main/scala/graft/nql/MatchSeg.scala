@@ -1301,7 +1301,8 @@ object MatchSeg {
                 st2.nodeListCols += i.alias
               case _ => ()
             }
-            aggCols += Expr.compile(i.e, res).as(i.alias)
+            aggCols += Expr.compile(Gql.firstWrapNonAgg(i.e), res)
+              .as(i.alias)
             outNames += i.alias
           }
         }
@@ -1375,7 +1376,7 @@ object MatchSeg {
       else {
         val keys = items.filter(i => !Expr.hasAgg(i.e))
         val aggs = items.filter(i => Expr.hasAgg(i.e))
-          .map(i => Expr.compile(i.e, res).as(i.alias))
+          .map(i => Expr.compile(Gql.firstWrapNonAgg(i.e), res).as(i.alias))
         val grouped =
           if (keys.isEmpty) binding.agg(aggs.head, aggs.tail: _*)
           else binding.groupBy(keys.map(compiled): _*).agg(aggs.head, aggs.tail: _*)

@@ -183,7 +183,7 @@ object Traverse {
     * STEPS FROM "Tim Duncan" OVER like | YIELD COUNT(*) == 5
     * (tests/tck/features/aggregate/Agg.feature). */
   def goYield(seeds: DataFrame, edges: DataFrame, m: Int, n: Int,
-              dir: Direction = Out): DataFrame = {
+              dir: Direction = Out, stepCaps: Seq[Int] = Nil): DataFrame = {
     require(m >= 1 && n >= m, s"bad step range $m..$n")
     // persisted but NOT unpersisted here: the yielded rows reference e
     // lazily until the caller materializes them (LRU eviction reclaims)
@@ -201,15 +201,21 @@ object Traverse {
     var acc: DataFrame = null
     var step = 1
     while (step <= n && cnt > 0) {
-      val hop = maybeBroadcast(frontier, cnt)
+      var hop = maybeBroadcast(frontier, cnt)
         .join(e, frontier("vid") === e("src"))
         .drop(frontier("vid"))
+      // per-step edge cap (GO ... SAMPLE [n,..] / LIMIT [n,..]):
+      // materialized so the yielded rows and the next frontier see the
+      // SAME capped pick (a deterministic first-n is a valid sample)
+      stepCaps.lift(step - 1).foreach { cap =>
+        hop = materialize(hop.limit(math.max(cap, 0)))._1
+      }
       if (step >= m) {
         val stamped = hop.withColumn("step", lit(step))
         acc = if (acc == null) stamped else acc.unionByName(stamped)
       }
       val (mat, c) = materialize(
-        hop.select(col("origin"), e("dst").as("vid")).distinct())
+        hop.select(col("origin"), col("dst").as("vid")).distinct())
       frontier = mat; cnt = c
       step += 1
     }

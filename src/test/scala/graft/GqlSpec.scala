@@ -9,34 +9,34 @@ import graft.traverse.Traverse.{Both, In, Out}
 class GqlSpec extends SparkSpec {
 
   test("GO defaults: 1 step, Out, default (etype._dst) yields") {
-    val Go(m, n, seeds, _, _, ets, dir, where, ys, dist) =
+    val Go(m, n, seeds, _, _, ets, dir, where, ys, dist, _) =
       Gql.parse("""GO FROM "a" OVER like"""): @unchecked
     assert(m == 1 && n == 1 && seeds == Seq("a") && ets == Seq("like") && dir == Out)
     assert(ys.isEmpty && !dist && where.isEmpty)
   }
 
   test("GO m TO n STEPS with direction and aliased yields") {
-    val Go(m, n, seeds, _, _, ets, dir, _, Some(ys), _) =
+    val Go(m, n, seeds, _, _, ets, dir, _, Some(ys), _, _) =
       Gql.parse("""GO 2 TO 3 STEPS FROM "a", "b" OVER * REVERSELY YIELD vid AS v, step"""): @unchecked
     assert(m == 2 && n == 3 && seeds == Seq("a", "b") && ets == Seq("*") && dir == In)
     assert(ys.map(_.alias) == Seq("v", "step"))
   }
 
   test("GO over multi-edge list with boolean WHERE tree") {
-    val Go(_, _, _, _, _, ets, _, Some(w), _, _) = Gql.parse(
+    val Go(_, _, _, _, _, ets, _, Some(w), _, _, _) = Gql.parse(
       """GO FROM "a" OVER like, serve WHERE like.likeness > 80 AND serve.start_year < 2000 OR NOT (step == 1) YIELD vid"""): @unchecked
     assert(ets == Seq("like", "serve"))
     val Expr.Bin("or", _, _) = w: @unchecked
   }
 
   test("GO N STEPS (no TO) fixes both ends of the range") {
-    val Go(m, n, _, _, _, _, dir, _, _, _) =
+    val Go(m, n, _, _, _, _, dir, _, _, _, _) =
       Gql.parse("""GO 3 STEPS FROM "x" OVER e BIDIRECT"""): @unchecked
     assert(m == 3 && n == 3 && dir == Both)
   }
 
   test("GO seeds from $var.col and from $-.col") {
-    val Go(_, _, _, _, sv, _, _, _, _, _) =
+    val Go(_, _, _, _, sv, _, _, _, _, _, _) =
       Gql.parse("""GO FROM $a.dst OVER like"""): @unchecked
     assert(sv.contains("a" -> "dst"))
     val Piped(_, pipes) = Gql.parse(
@@ -61,7 +61,7 @@ class GqlSpec extends SparkSpec {
       Gql.parse("""FETCH PROP ON part "p:1", "p:2""""): @unchecked
     assert(tag == Seq("part") && vids == Seq("p:1", "p:2"))
     assert(ys.isEmpty && !dist)
-    val FetchEdge(et, keys, _, _, _) = Gql.parse(
+    val FetchEdge(et, keys, _, _, _, _) = Gql.parse(
       """FETCH PROP ON serve "a" -> "b" @0, "c" -> "d" YIELD serve.start_year"""): @unchecked
     assert(et == "serve" &&
       keys == Seq(("a", "b", Some(0L)), ("c", "d", None)))
