@@ -64,6 +64,13 @@ final class ScenarioCatalog(val spark: SparkSession,
     * Ddl.feature:311). */
   val droppedProps = mutable.Map.empty[(Boolean, String), mutable.Set[String]]
 
+  /** USE-statement space scoping for SHOW listings: the space active
+    * when each schema was created (None = the scenario's background
+    * space). Data maps stay global — the TCK's multi-space scenarios
+    * only assert listings per space (Schema.feature "multi spaces"). */
+  var currentSpace: Option[String] = None
+  val schemaSpace = mutable.Map.empty[(Boolean, String), Option[String]]
+
   /** Record a write in every live index of the schema. */
   def noteWrite(isTag: Boolean, schema: String, key: Any): Unit =
     indexVisible.get((isTag, schema)).foreach(_ += key)
@@ -164,7 +171,10 @@ final class ScenarioCatalog(val spark: SparkSession,
     if (tagDefs.contains(name)) {
       if (!ifNotExists)
         throw new graft.nql.DmlError(s"Existed tag $name")
-    } else { tagDefs(name) = props; tagRows(name) = mutable.LinkedHashMap() }
+    } else {
+      tagDefs(name) = props; tagRows(name) = mutable.LinkedHashMap()
+      schemaSpace((true, name)) = currentSpace
+    }
   }
 
   def createEdge(name: String, props: Vector[PropDef],
@@ -172,7 +182,10 @@ final class ScenarioCatalog(val spark: SparkSession,
     if (edgeDefs.contains(name)) {
       if (!ifNotExists)
         throw new graft.nql.DmlError(s"Existed edge $name")
-    } else { edgeDefs(name) = props; edgeRows(name) = mutable.LinkedHashMap() }
+    } else {
+      edgeDefs(name) = props; edgeRows(name) = mutable.LinkedHashMap()
+      schemaSpace((false, name)) = currentSpace
+    }
   }
 
   def dropTag(name: String): Unit = {

@@ -62,6 +62,15 @@ object Dml {
                          comment: Option[String],
                          ifNotExists: Boolean = false) extends DStmt
   case class ShowCreateIndex(isTag: Boolean, index: String) extends DStmt
+  /** SHOW TAGS / SHOW EDGES — one Name row per schema. */
+  case class ShowSchemas(isTag: Boolean) extends DStmt
+  /** USE <space> — switches the SHOW-listing scope. */
+  case class UseSpace(name: String) extends DStmt
+  case class DropSpace(name: String, ifExists: Boolean) extends DStmt
+  /** CLEAR SPACE [IF EXISTS] — drop the data, keep the schema. */
+  case class ClearSpace(name: String, ifExists: Boolean) extends DStmt
+  /** SHOW STATS — per-schema + space row counts (stats job output). */
+  case object ShowStats extends DStmt
   /** DESC TAG/EDGE INDEX — (Field, Type) listing of indexed columns. */
   case class DescIndex(isTag: Boolean, index: String) extends DStmt
   case class DropIndex(isTag: Boolean, index: String,
@@ -106,7 +115,7 @@ object Dml {
   // ---------- parser ----------
   private val dmlHeads = Set("insert", "update", "upsert", "delete",
     "create", "drop", "alter", "rebuild", "use", "show", "describe", "desc",
-    "grant", "revoke")
+    "grant", "revoke", "clear", "submit")
 
   def startsDml(p: P): Boolean = p.peek match {
     case Some(Word(w)) => dmlHeads.contains(w.toLowerCase)
@@ -219,9 +228,17 @@ object Dml {
     while (go && p.ts.nonEmpty && !p.peek.contains(Sym(";"))) {
       if (p.kw("TTL_DURATION")) {
         p.expectSym("=")
-        val neg = p.sym("-")
-        val n = p.intLit()
-        dur = Some(if (neg) -n else n)
+        // grammar: unsigned_integer only — `-1` is "syntax error near
+        // `-1'", and 2^63 is the scanner's "Out of range" (TTL2)
+        if (p.sym("-")) throw new IllegalArgumentException(
+          "syntax error near `-': ttl_duration is unsigned")
+        val n = p.next() match {
+          case Num(_, raw) => raw.toLongOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"integer literal out of range: $raw"))
+          case t => throw new IllegalArgumentException(s"ttl_duration = $t")
+        }
+        dur = Some(n)
       } else if (p.kw("TTL_COL")) {
         p.expectSym("=")
         col = Some(p.next() match {
@@ -255,6 +272,17 @@ object Dml {
     } else if (p.kw("UPDATE")) parseUpdate(p, upsert = false)
     else if (p.kw("UPSERT")) parseUpdate(p, upsert = true)
     else if (p.kw("DELETE")) parseDelete(p)
+    else if (p.kw("SUBMIT")) {
+      // SUBMIT JOB STATS — counts are always current here (no async
+      // meta job), so submitting is a no-op success
+      p.expectKw("JOB"); skipStatement(p); AdminNoop("submit job")
+    }
+    else if (p.kw("CLEAR")) {
+      p.expectKw("SPACE")
+      val ifExists =
+        if (p.kw("IF")) { p.expectKw("EXISTS"); true } else false
+      ClearSpace(p.word(), ifExists)
+    }
     else if (p.kw("CREATE")) {
       val isTag = p.kw("TAG")
       val isEdge = !isTag && p.kw("EDGE")
@@ -371,8 +399,12 @@ object Dml {
         // DropRootUser.feature #4879)
         if (u == "root") throw new DmlError("Can't drop root user.")
         AdminNoop("drop user")
+      } else if (p.kw("SPACE")) {
+        val ifExists =
+          if (p.kw("IF")) { p.expectKw("EXISTS"); true } else false
+        DropSpace(p.word(), ifExists)
       } else {
-        require(p.kwPeek("INDEX") || p.kwPeek("SPACE") ||
+        require(p.kwPeek("INDEX") ||
           p.kwPeek("SNAPSHOT") || p.kwPeek("FULLTEXT"),
           s"unknown DROP object at ${p.ts.take(2)}")
         skipStatement(p); AdminNoop("drop")
@@ -422,7 +454,7 @@ object Dml {
         RebuildIndex(isTag, names.toVector)
       } else { skipStatement(p); AdminNoop("admin") }
     } else if (p.kw("USE")) {
-      skipStatement(p); AdminNoop("admin")
+      UseSpace(p.word())
     } else if (p.kwPeek("SHOW")) {
       if (p.ts.lift(1).contains(Word("CREATE")) ||
           p.ts.lift(1).exists { case Word(w) =>
@@ -441,6 +473,23 @@ object Dml {
           }) {
         p.next(); p.next()
         ShowSpaces
+      } else if (p.ts.lift(1).exists {
+            case Word(w) => w.equalsIgnoreCase("stats")
+            case _ => false
+          }) {
+        p.next(); p.next()
+        ShowStats
+      } else if (p.ts.lift(1).exists {
+            case Word(w) => w.equalsIgnoreCase("tags") ||
+              w.equalsIgnoreCase("edges")
+            case _ => false
+          }) {
+        p.next()
+        val isTag = p.next() match {
+          case Word(w) => w.equalsIgnoreCase("tags")
+          case _ => false
+        }
+        ShowSchemas(isTag)
       } else if (p.ts.lift(1).exists {
             case Word(w) => w.equalsIgnoreCase("tag") ||
               w.equalsIgnoreCase("edge")
@@ -1738,6 +1787,9 @@ object Dml {
           cols.foreach { case (c, len) =>
             val d = defs.find(_.name == c).getOrElse(
               throw new DmlError(s"column $c not found in $schema"))
+            if (len.exists(_ <= 0))
+              throw new IllegalArgumentException(
+                "syntax error: string prefix length must be positive")
             if (d.typeName == "duration" ||
                 d.typeName.startsWith("list") ||
                 d.typeName.startsWith("set") ||
@@ -1812,6 +1864,65 @@ object Dml {
           if (names.nonEmpty) names.mkString(",")
           else if (isTag) "all_tag_indexes" else "all_edge_indexes"
         g.rebuiltJobs += (isTag -> jobName)
+        emptyOk(spark)
+      case ShowSchemas(isTag) =>
+        val names = g0 match {
+          case sc: ScenarioCatalog =>
+            (if (isTag) sc.tagDefs else sc.edgeDefs).keys.toSeq.filter {
+              n => sc.schemaSpace.getOrElse((isTag, n), None) ==
+                sc.currentSpace
+            }
+          case other =>
+            if (isTag) other.tagNames else other.edgeTypeNames
+        }
+        val schema2 = StructType(Seq(StructField("Name", StringType)))
+        spark.createDataFrame(names.map(Row(_)).asJava, schema2)
+      case UseSpace(name) =>
+        g0 match {
+          case sc: ScenarioCatalog => sc.currentSpace = Some(name)
+          case _ => ()
+        }
+        emptyOk(spark)
+      case ShowStats =>
+        val g = cat(g0)
+        val schema2 = StructType(Seq(StructField("Type", StringType),
+          StructField("Name", StringType), StructField("Count", LongType)))
+        val tagRows2 = g.tagDefs.keys.toSeq.map(t =>
+          Row("Tag", t, g.tagRows.get(t).map(_.size.toLong).getOrElse(0L)))
+        val edgeRows2 = g.edgeDefs.keys.toSeq.map(e2 =>
+          Row("Edge", e2,
+            g.edgeRows.get(e2).map(_.size.toLong).getOrElse(0L)))
+        val verts = g.tagRows.values.flatMap(_.keys).toSet.size.toLong
+        val edges2 = g.edgeRows.values.map(_.size.toLong).sum
+        val spaceRows = Seq(Row("Space", "vertices", verts),
+          Row("Space", "edges", edges2))
+        spark.createDataFrame(
+          (tagRows2 ++ edgeRows2 ++ spaceRows).asJava, schema2)
+      case ClearSpace(name, ifExists) =>
+        val g = cat(g0)
+        if (!g.spaceDefs.contains(name)) {
+          if (!ifExists)
+            throw new DmlError("SpaceNotFound: Space not existed!")
+        } else {
+          g.tagRows.values.foreach(_.clear())
+          g.edgeRows.values.foreach(_.clear())
+          g.indexVisible.values.foreach(_.clear())
+          g.staleIndexRows.clear()
+        }
+        emptyOk(spark)
+      case DropSpace(name, _) =>
+        // lenient on unknown names: the scenario's background space is
+        // registry-less, and no golden asserts a DROP SPACE error
+        val g = cat(g0)
+        g.spaceDefs -= name
+        // the space's schemas leave the listings with it
+        val gone = g.schemaSpace.collect {
+          case (k, Some(sp)) if sp == name => k }.toSeq
+        gone.foreach { case (isTag2, n) =>
+          if (isTag2) g.dropTag(n) else g.dropEdge(n)
+          g.schemaSpace -= ((isTag2, n))
+        }
+        if (g.currentSpace.contains(name)) g.currentSpace = None
         emptyOk(spark)
       case ShowSpaces =>
         // fixture spaces have no registry; the scenario catalog lists
@@ -1926,15 +2037,26 @@ object Dml {
             throw new DmlError(
               s"NOT NULL column ${spec.name} needs a default")
         }
-        if ((ttlDur.isDefined || ttlCol.exists(_.nonEmpty)) &&
+        if ((ttlDur.isDefined || ttlCol.isDefined) &&
             g.indexDefs.values.exists(v => v._1 == isTag && v._2 == name))
           throw new DmlError(s"$name has an index; TTL not allowed")
+        // DROP of a prop the schema doesn't carry is an error
+        // ("Not existed!", Schema.feature:133 re-drop of gender)
+        drops.foreach { d2 =>
+          if (!cur0.exists(_.name == d2))
+            throw new DmlError(s"prop $d2 not existed")
+        }
         // CHANGE: the ttl column is immutable while configured, and a
         // prop cannot change its data type (meta AlterSchema checks);
         // same-type CHANGE updates nullability/default/comment
         changes.foreach { spec =>
           if (curTtl.exists(_._1 == spec.name))
             throw new DmlError(s"ttl column ${spec.name} cannot be changed")
+          // CHANGE to NOT NULL needs a default, same as ADD
+          // (Schema.feature:517 "must have a default value")
+          if (spec.notNull && spec.default.isEmpty)
+            throw new DmlError(s"Column `${spec.name}' must have a " +
+              "default value if it's not nullable")
           val old = cur0.find(_.name == spec.name).getOrElse(
             throw new DmlError(s"unknown prop ${spec.name}"))
           if (old.dt != dataTypeOf(spec.tpe))
@@ -1956,9 +2078,39 @@ object Dml {
           val dt = dataTypeOf(spec.tpe)
           spec.default match {
             case Some(e) =>
+              // ALTER ADD validates the default STRICTLY against the
+              // declared type — no int→float promotion, and timestamps
+              // are epoch-seconds >= 0 ("Invalid param!",
+              // Schema.feature:657-662 / :517)
+              if (!isDynDefault(e)) {
+                val raw = evalConst(e)
+                val tn = describeTypeName(spec.tpe)
+                val bad = (raw, tn) match {
+                  case (n: Long, "timestamp") => n < 0
+                  case (n: Long, "int8") => n < -128 || n > 127
+                  case (n: Long, "int16") => n < -32768 || n > 32767
+                  case (n: Long, "int32") =>
+                    n < Int.MinValue || n > Int.MaxValue
+                  case (_: Long | _: Int, "float" | "double") => true
+                  case (_: Double, "int64" | "int32" | "int16" | "int8" |
+                      "timestamp") => true
+                  case (_: Boolean, t) => t != "bool"
+                  case (_: String, t) =>
+                    !(t == "string" || t.startsWith("fixed_string"))
+                  case _ => false
+                }
+                if (bad) throw new DmlError("Invalid param!")
+              }
               val dv =
-                if (isDynDefault(e)) DynDefault(Expr.text(e), e)
-                else coerce(evalConst(e), dt, spec.name)
+                (if (isDynDefault(e)) DynDefault(Expr.text(e), e)
+                 else coerce(evalConst(e), dt, spec.name)) match {
+                  // fixed_string(N) truncates the default on write
+                  case s2: String =>
+                    "fixed_string\\((\\d+)\\)".r
+                      .findFirstMatchIn(describeTypeName(spec.tpe))
+                      .map(m => s2.take(m.group(1).toInt)).getOrElse(s2)
+                  case other => other
+                }
               ScenarioCatalog.PropDef(spec.name, dt, spec.notNull,
                 hasDefault = true, default = dv,
                 typeName = describeTypeName(spec.tpe), comment = spec.comment)

@@ -278,7 +278,13 @@ object Expr {
       p.peek match {
         case Some(Num(_, raw)) if raw == "9223372036854775808" =>
           p.next(); Lit(Long.MinValue)
-        case _ => Un("neg", unE(p))
+        case _ => unE(p) match {
+          // fold the sign into numeric literals so constant arithmetic
+          // range checks see them (-9223372036854775807-2 overflow)
+          case Lit(n: Long) => Lit(-n)
+          case Lit(d: Double) => Lit(-d)
+          case other => Un("neg", other)
+        }
       }
     case Some(Sym("+")) => p.next(); unE(p)
     case _ => postfix(p, atom(p))
@@ -501,7 +507,15 @@ object Expr {
         while (p.sym(",")) args += parse(p)
         p.expectSym(")")
       }
-      FnCall(w.toLowerCase, args.toList, distinct)
+      // entity-word args are case-insensitive: properties(Vertex)
+      // ≡ properties(vertex) (PipeAndVariable.feature)
+      val normArgs = args.toList.map {
+        case Ref(List(one))
+            if Set("vertex", "edge").contains(one.toLowerCase) =>
+          Ref(List(one.toLowerCase))
+        case other => other
+      }
+      FnCall(w.toLowerCase, normArgs, distinct)
     case Some(Word(w)) if !reserved(w.toLowerCase) =>
       p.next()
       val parts = scala.collection.mutable.ListBuffer(w)
@@ -824,6 +838,11 @@ object Expr {
       case FnCall(n, List(s @ Lit(_: String)), _)
           if n.equalsIgnoreCase("size") =>
         length(c(s)).cast("long")
+      // exists() takes a property locator, not a literal
+      // (Predicate.feature `EXISTS("abc")` SyntaxError)
+      case FnCall(n, List(Lit(_)), _) if n.equalsIgnoreCase("exists") =>
+        throw new IllegalArgumentException(
+          "syntax error: exists() requires a property reference")
       case FnCall(name, args, distinct) => fnCol(name, args, distinct, c)
       case other =>
         throw new IllegalArgumentException(s"unresolvable expression ${text(other)}")
@@ -1116,7 +1135,10 @@ object Expr {
       }
       // uuid() returns an int64 per call (FunctionManager.cpp uuid —
       // random per evaluation); hash a per-row random UUID string
-      case "uuid" => xxhash64(expr("uuid()"))
+      // uuid() was removed from the reference surface (issue #4280:
+      // "SemanticError: not supported") — match the reject
+      case "uuid" => throw new IllegalArgumentException(
+        "uuid() is not supported")
       case other =>
         throw new IllegalArgumentException(s"unsupported function $other")
     }
@@ -1124,7 +1146,7 @@ object Expr {
 
   /** Driver-side evaluation of a constant expression (literals, unary
     * neg/not, arithmetic) — None when any input is non-constant. */
-  private def tryConst(e: E): Option[Any] = e match {
+  private[nql] def tryConst(e: E): Option[Any] = e match {
     case Lit(v) => Some(v)
     case Un("neg", x) => tryConst(x).collect {
       case n: Long => -n

@@ -217,7 +217,11 @@ object Gql {
       while (go) {
         next() match {
           case Str(s) => out += s
-          case Num(v, raw) => out += raw.toLongOption.getOrElse(v.toLong)
+          case Num(v, raw) =>
+            // a float vid is a parse reject (vid is int64 or string)
+            require(!raw.exists(ch => ch == '.' || ch == 'e' || ch == 'E'),
+              s"syntax error: float vid $raw")
+            out += raw.toLongOption.getOrElse(v.toLong)
           case Sym("-") => out += -intLit().toLong
           case Word(w) if w.equalsIgnoreCase("hash") =>
             // int-vid seed form `hash("Tim Duncan")` (GO.IntVid.feature)
@@ -260,9 +264,13 @@ object Gql {
     * group even when no item aggregates (GroupByValidator.cpp). */
   case class PGroup(keys: Seq[Expr.E], items: Seq[Item],
                     distinct: Boolean) extends Pipe
-  case class POrderBy(keys: Seq[(Expr.E, Boolean)]) extends Pipe
+  case class POrderBy(keys: Seq[(Expr.E, Boolean)],
+                      tiebreak: Boolean = false) extends Pipe
   case class PLimit(offset: Int, n: Int) extends Pipe
   case class PGo(go: Go) extends Pipe
+  /** `| UNWIND $-.col AS a` — explode a list column (scalars pass
+    * through, cypher UNWIND semantics), keeping the input columns. */
+  case class PUnwind(e: Expr.E, alias: String) extends Pipe
   /** Piped FETCH seeded from $-.col (Output.feature). */
   case class PFetch(f: Stmt) extends Pipe
   /** Piped DML (`GO ... | DELETE VERTEX $-.id WITH EDGE`). */
@@ -299,7 +307,8 @@ object Gql {
                       etypes: Seq[String], dir: Direction, upto: Int,
                       yieldPath: Option[String] = None,
                       srcRef: Option[InRef] = None,
-                      dstRef: Option[InRef] = None) extends Stmt
+                      dstRef: Option[InRef] = None,
+                      where: Option[Expr.E] = None) extends Stmt
   case class Subgraph(steps: Int, seeds: Seq[Any], etypes: Seq[String],
                       dir: Direction, yieldEdges: Boolean) extends Stmt
   /** GET SUBGRAPH with an explicit YIELD — the reference's step-row
@@ -314,6 +323,12 @@ object Gql {
                        where: Option[Expr.E] = None) extends Stmt
   case class GroupStmt(keys: Seq[Expr.E], items: Seq[Item],
                        distinct: Boolean) extends Stmt
+  /** `YIELD ... FROM $a INNER JOIN $b ON cond` (joins: kind, var,
+    * condition — only one inner join is executable, matching the
+    * reference's validator). */
+  case class YieldFrom(items: Seq[Item], distinct: Boolean,
+                       where: Option[Expr.E], base: String,
+                       joins: Seq[(String, String, Expr.E)]) extends Stmt
   case class YieldStmt(items: Seq[Item], distinct: Boolean,
                        where: Option[Expr.E]) extends Stmt
   case class Unwind(e: Expr.E, alias: String) extends Stmt
@@ -386,19 +401,42 @@ object Gql {
       } else parsePiped(p)
     var go = true
     while (go) {
+      def operand(): Stmt =
+        if (p.peek.contains(Sym("("))) {
+          p.next(); val inner = parseSet(p); p.expectSym(")")
+          val tail = parsePipeTail(p)
+          if (tail.isEmpty) inner else Piped(inner, tail)
+        } else parsePiped(p)
       if (p.kw("UNION")) {
         val all = p.kw("ALL") || { p.kw("DISTINCT"); false }
-        l = SetOp("union", all, l, parsePiped(p))
-      } else if (p.kw("INTERSECT")) l = SetOp("intersect", false, l, parsePiped(p))
-      else if (p.kw("MINUS")) l = SetOp("minus", false, l, parsePiped(p))
+        l = SetOp("union", all, l, operand())
+      } else if (p.kw("INTERSECT")) l = SetOp("intersect", false, l, operand())
+      else if (p.kw("MINUS")) l = SetOp("minus", false, l, operand())
       else go = false
     }
     l
   }
 
+  /** Constant integer position (LIMIT/SKIP/OFFSET): a literal OR a
+    * foldable constant expression (`LIMIT 1+1`, MultiQueryParts). */
+  private[nql] def constInt(p: P): Int = {
+    val e = Expr.parse(p)
+    Expr.tryConst(e) match {
+      case Some(n: Long) => n.toInt
+      case Some(n: Int) => n
+      case other => throw new IllegalArgumentException(
+        s"expected a constant integer, got ${Expr.text(e)}")
+    }
+  }
+
   private def parsePiped(p: P): Stmt = {
     val head = parseSentence(p)
     val pipes = parsePipeTail(p)
+    // MATCH output cannot feed a pipe — the reference grammar has no
+    // `match_sentence PIPE` production (PipeAndVariable SyntaxError)
+    if (pipes.nonEmpty && head.isInstanceOf[MatchSeg.MStmt])
+      throw new IllegalArgumentException(
+        "syntax error: MATCH cannot be piped")
     if (pipes.isEmpty) head else Piped(head, pipes)
   }
 
@@ -454,6 +492,10 @@ object Gql {
           case _ => throw new IllegalArgumentException(
             "piped DELETE must seed from $-.")
         }
+      } else if (p.kw("UNWIND")) {
+        val e2 = Expr.parse(p)
+        p.expectKw("AS")
+        pipes += PUnwind(e2, p.word())
       } else if (p.kw("YIELD")) {
         val distinct = p.kw("DISTINCT")
         val items = parseItems(p)
@@ -478,18 +520,18 @@ object Gql {
         }
         pipes += POrderBy(keys.toSeq)
         if (p.kw("LIMIT")) {
-          val a = p.intLit()
-          if (p.sym(",")) pipes += PLimit(a, p.intLit())
-          else if (p.kw("OFFSET")) pipes += PLimit(p.intLit(), a)
+          val a = constInt(p)
+          if (p.sym(",")) pipes += PLimit(a, constInt(p))
+          else if (p.kw("OFFSET")) pipes += PLimit(constInt(p), a)
           else pipes += PLimit(0, a)
         }
       } else if (p.kw("LIMIT")) {
-        val a = p.intLit()
-        if (p.sym(",")) pipes += PLimit(a, p.intLit())
-        else if (p.kw("OFFSET")) pipes += PLimit(p.intLit(), a)
+        val a = constInt(p)
+        if (p.sym(",")) pipes += PLimit(a, constInt(p))
+        else if (p.kw("OFFSET")) pipes += PLimit(constInt(p), a)
         else pipes += PLimit(0, a)
       } else if (p.kw("OFFSET")) {
-        pipes += PLimit(p.intLit(), Int.MaxValue)
+        pipes += PLimit(constInt(p), Int.MaxValue)
       } else throw new IllegalArgumentException(s"bad pipe at ${p.ts.take(3)}")
       while (parenDepth > 0 && p.sym(")")) parenDepth -= 1
       require(parenDepth == 0 || p.peek.contains(Sym("|")),
@@ -693,7 +735,8 @@ object Gql {
       }
     } else if (p.kw("FIND")) {
       val mode =
-        if (p.kw("SHORTEST")) "shortest"
+        if (p.kw("SINGLE")) { p.expectKw("SHORTEST"); "single" }
+        else if (p.kw("SHORTEST")) "shortest"
         else if (p.kw("NOLOOP")) "noloop"
         else { p.expectKw("ALL"); "all" }
       p.expectKw("PATH")
@@ -705,13 +748,15 @@ object Gql {
       val etypes = if (p.kw("OVER")) parseEtypes(p) else Seq("*")
       val dir = if (p.kw("REVERSELY")) In
         else if (p.kw("BIDIRECT")) Both else Out
+      val fpWhere = if (p.kw("WHERE")) Some(Expr.parse(p)) else None
       val upto = if (p.kw("UPTO")) { val k = p.intLit(); expectSteps(p); k }
         else 5
       val yieldPath = if (p.kw("YIELD")) {
         p.expectKw("PATH")
         Some(if (p.kw("AS")) p.word() else "PATH")
       } else None
-      FindPath(mode, srcs, dsts, etypes, dir, upto, yieldPath, srcRef, dstRef)
+      FindPath(mode, srcs, dsts, etypes, dir, upto, yieldPath, srcRef,
+        dstRef, fpWhere)
     } else if (p.kw("GET")) {
       p.expectKw("SUBGRAPH")
       if (p.kw("WITH")) p.expectKw("PROP")
@@ -773,7 +818,39 @@ object Gql {
       val distinct = p.kw("DISTINCT")
       val items = parseItems(p)
       val where = if (p.kw("WHERE")) Some(Expr.parse(p)) else None
-      YieldStmt(items, distinct, where)
+      if (p.kw("FROM")) {
+        // `YIELD ... FROM $a INNER JOIN $b ON $a.x == $b.y`
+        // (parser.yy yield_sentence join_clause; yield/join.feature)
+        def joinVar(): String = {
+          p.expectSym("$")
+          p.next() match {
+            case Word(w) => w
+            case t => throw new IllegalArgumentException(
+              s"syntax error near `$$' join variable, got $t")
+          }
+        }
+        val base = joinVar()
+        val joins = scala.collection.mutable.ListBuffer
+          .empty[(String, String, Expr.E)]
+        var go2 = true
+        while (go2) {
+          val kind =
+            if (p.kw("INNER")) "inner"
+            else if (p.kw("LEFT")) "left"
+            else if (p.kw("RIGHT")) "right"
+            else if (p.kw("OUTER")) "outer"
+            else if (p.kw("SEMI")) "semi"
+            else ""
+          if (kind.isEmpty) go2 = false
+          else {
+            p.expectKw("JOIN")
+            val other = joinVar()
+            p.expectKw("ON")
+            joins += ((kind, other, Expr.parse(p)))
+          }
+        }
+        YieldFrom(items, distinct, where, base, joins.toSeq)
+      } else YieldStmt(items, distinct, where)
     } else if (p.kw("GROUP")) {
       // GROUP BY sentence over one $var source (GroupByValidator)
       p.expectKw("BY")
@@ -810,6 +887,10 @@ object Gql {
     val env = scala.collection.mutable.Map.empty[String, DataFrame]
     var last: DataFrame = null
     parseScript(query).foreach { case (varName, stmt) =>
+      // a $var is single-assignment (reference SymbolTable:
+      // "variable ... already exists", PipeAndVariable.feature)
+      varName.filter(env.contains).foreach(v =>
+        throw new IllegalArgumentException(s"variable `$v' already exists"))
       val df = exec(g, stmt, env.toMap)
       varName.foreach(env(_) = df)
       last = df
@@ -825,7 +906,12 @@ object Gql {
     stmt match {
       case m: MatchSeg.MStmt => MatchSeg.exec(g, m)
       case d: Dml.DStmt => Dml.exec(g, d, env, None)
-      case Piped(head, pipes) =>
+      case Piped(head, pipes0) =>
+        // ORDER BY immediately followed by LIMIT: tiebreak the cut
+        val pipes = pipes0.zip(pipes0.drop(1) ++ Seq(null)).map {
+          case (ob: POrderBy, _: PLimit) => ob.copy(tiebreak = true)
+          case (pp, _) => pp
+        }
         pipes.foldLeft {
           val df = exec(g, head, env)
           // duplicate aliases are legal in OUTPUT but not as pipe
@@ -839,8 +925,13 @@ object Gql {
         }((df, pp) => applyPipe(g, df, pp, env))
       case SetOp(op, all, l, r) =>
         val (a, b) = (exec(g, l, env), exec(g, r, env))
-        // set sentences align columns positionally (the reference
-        // requires equal column lists, SetValidator.cpp)
+        // set sentences require IDENTICAL column-name lists
+        // (SetValidator.cpp; Set.feature SemanticError goldens)
+        if (a.columns.toSeq != b.columns.toSeq)
+          throw new IllegalArgumentException(
+            s"different column names to UNION/INTERSECT/MINUS are not " +
+              s"supported: ${a.columns.mkString(",")} vs " +
+              b.columns.mkString(","))
         val bAligned = b.toDF(a.columns: _*)
         op match {
           case "union" => if (all) a.unionByName(bAligned)
@@ -874,6 +965,82 @@ object Gql {
         val (tbl0, isEdge) =
           try (g.vertexTable(tag), false)
           catch { case _: IllegalArgumentException => (g.edgesByType(tag), true) }
+        // the reference is an INDEX scan: a scenario space with no
+        // index on the schema can't LOOKUP at all, and the predicate
+        // must be index-usable — reference a prop, compare prop vs
+        // CONSTANT (not prop vs prop), with bool props only against
+        // bool literals (LookUp.feature validator scenarios)
+        g match {
+          case sc: graft.graph.ScenarioCatalog =>
+            // fulltext search is out of scope (SURVEY §2.10) — skip
+            // BEFORE the no-index reject so ES_QUERY goldens stay
+            // skips, not errors
+            where.foreach(w => Expr.collect(w) {
+              case Expr.FnCall("es_query", _, _) =>
+                throw new IllegalArgumentException(
+                  "unsupported fulltext ES_QUERY")
+            })
+            if (!sc.indexDefs.values.exists(v =>
+                  v._1 == !isEdge && v._2 == tag))
+              throw new graft.nql.DmlError(
+                "There is no index to use at runtime")
+            val entity = Set("vertex", "edge")
+            def hasProp(x: Expr.E): Boolean = {
+              var f = false
+              Expr.collect(x) {
+                case Expr.Ref(parts)
+                    if !entity(parts.last.toLowerCase) => f = true
+              }
+              f
+            }
+            val cmps = Set("==", "!=", "<", ">", "<=", ">=")
+            def boolProp(parts: List[String]): Boolean =
+              tbl0.columns.contains(parts.last) &&
+                tbl0.schema(parts.last).dataType ==
+                  org.apache.spark.sql.types.BooleanType
+            where.foreach { w =>
+              if (!hasProp(w))
+                throw new IllegalArgumentException(
+                  "LOOKUP filter must reference an indexed property")
+              Expr.collect(w) {
+                case Expr.Bin(op, l2, r2)
+                    if cmps(op) && hasProp(l2) && hasProp(r2) =>
+                  throw new IllegalArgumentException(
+                    s"Expression ${Expr.text(l2)} $op ${Expr.text(r2)}" +
+                      " not supported yet")
+                // index scans have no regex / suffix / infix matching,
+                // and STARTS WITH needs a string CONSTANT prefix
+                // (TagIndexFullScan SemanticError goldens)
+                case Expr.Bin("=~", _, _) =>
+                  throw new IllegalArgumentException(
+                    "Expression =~ not supported yet")
+                case Expr.Bin(op2 @ ("ends" | "contains"), _, _) =>
+                  throw new IllegalArgumentException(
+                    s"Expression $op2 with not supported yet")
+                case Expr.Bin("starts", _, r2) if (r2 match {
+                      case Expr.Lit(_: String) => false
+                      case _ => true
+                    }) =>
+                  throw new IllegalArgumentException(
+                    "Expression starts with a non-constant prefix" +
+                      " not supported yet")
+                case Expr.Un("not", Expr.Bin("in", _, _)) =>
+                  throw new IllegalArgumentException(
+                    "Expression NOT IN not supported yet")
+                case Expr.Bin(op, Expr.Ref(parts), Expr.Lit(v))
+                    if cmps(op) && boolProp(parts) &&
+                      v != null && !v.isInstanceOf[Boolean] =>
+                  throw new IllegalArgumentException(
+                    "Column type of BOOL does not match the literal")
+                case Expr.Bin(op, Expr.Lit(v), Expr.Ref(parts))
+                    if cmps(op) && boolProp(parts) &&
+                      v != null && !v.isInstanceOf[Boolean] =>
+                  throw new IllegalArgumentException(
+                    "Column type of BOOL does not match the literal")
+              }
+            }
+          case _ => ()
+        }
         // stale-index reads (scenario spaces): rows stored before
         // CREATE INDEX are invisible to LOOKUP until REBUILD
         val tbl = g match {
@@ -915,7 +1082,16 @@ object Gql {
             }
           case _ => tbl
         }
+        val lkStrVid = tbl0.schema(if (isEdge) "src" else "vid")
+          .dataType == org.apache.spark.sql.types.StringType
         val resolver: Expr.Resolver = {
+          // whole-entity yields (`YIELD vertex AS node` / `YIELD edge
+          // AS e`) render the serialized node/edge value
+          case Expr.Ref(List(k)) if !isEdge && k.equalsIgnoreCase("vertex") =>
+            Some(renderNode(col("vid"), lkStrVid))
+          case Expr.Ref(List(k)) if isEdge && k.equalsIgnoreCase("edge") =>
+            Some(renderEdge(lit(tag), col("src"), col("dst"), col("rank"),
+              lkStrVid))
           case Expr.Ref(List(c)) => Some(col(c))
           case Expr.Ref(List(t, prop)) if t == tag => Some(col(prop))
           case Expr.FnCall("id", List(Expr.Ref(List("vertex"))), _) if !isEdge =>
@@ -1001,6 +1177,65 @@ object Gql {
         }
         val out = base.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
           .select(items.map(i => colByName(i.alias)): _*)
+        if (distinct) out.distinct() else out
+      case YieldFrom(items, distinct, where, base, joins) =>
+        // validator parity (yield/join.feature error goldens)
+        items.foreach { i =>
+          if (Expr.hasAgg(i.e)) throw new IllegalArgumentException(
+            "Invalid use of aggregating function in yield clause.")
+        }
+        joins.foreach { case (kind, other, _) =>
+          if (kind != "inner")
+            throw new IllegalArgumentException("only support inner join.")
+          if (other == base)
+            throw new IllegalArgumentException("do not support self-join.")
+        }
+        def frame(v: String): DataFrame = env.getOrElse(v,
+          throw new IllegalArgumentException(s"variable: `$v' not exist"))
+        val frames = (base +: joins.map(_._2)).map(v => v -> frame(v))
+        // duplicate column names across join inputs are ambiguous
+        frames.combinations(2).foreach { case Seq((_, fa), (_, fb)) =>
+          fa.columns.toSet.intersect(fb.columns.toSet).headOption
+            .filterNot(_.startsWith("__")).foreach { c2 =>
+              throw new IllegalArgumentException(
+                s"column name `$c2' duplicated across join inputs, " +
+                  "please rename it to a non-duplicate column name.")
+            }
+        }
+        def prefixed(v: String, df: DataFrame): DataFrame =
+          df.columns.foldLeft(df)((d, c2) =>
+            d.withColumnRenamed(c2, s"__jv_${v}_$c2"))
+        val jres: Expr.Resolver = {
+          case Expr.Param("var", v, List(c2)) =>
+            Some(colByName(s"__jv_${v}_$c2"))
+          case _ => None
+        }
+        var joined = prefixed(base, frames.head._2)
+        joins.foreach { case (_, other, cond) =>
+          // the condition must bind exactly the joined variables and
+          // existing props (SemanticError parity)
+          var vars = Set.empty[String]
+          Expr.collect(cond) {
+            case Expr.Param("var", v, List(c2)) =>
+              vars += v
+              val f2 = frames.find(_._1 == v).getOrElse(
+                throw new IllegalArgumentException(
+                  s"variable: `$v' not exist"))._2
+              if (!f2.columns.contains(c2))
+                throw new IllegalArgumentException(
+                  s"`$$$v.$c2', not exist prop `$c2'")
+          }
+          if (!vars.contains(other))
+            throw new IllegalArgumentException(
+              s"`$other' should be consistent with join condition variable")
+          joined = joined.join(prefixed(other, frame(other)),
+            Expr.compile(cond, jres), "inner")
+        }
+        val filtered = where match {
+          case Some(w) => joined.filter(Expr.compile(w, jres))
+          case None => joined
+        }
+        val out = selectItems(filtered, items, jres)
         if (distinct) out.distinct() else out
       case YieldStmt(items, distinct, where) =>
         // standalone YIELD: constants, or projections over one $var
@@ -1155,7 +1390,7 @@ object Gql {
                            env: Map[String, DataFrame]): DataFrame = {
     val spark = g.allVertices.sparkSession
     val FindPath(mode, srcs, dsts, etypes, dir, upto, yieldPath,
-      srcRef, dstRef) = fp
+      srcRef, dstRef, fpWhere) = fp
     def seedSet(vids: Seq[Any], ref: Option[InRef]): DataFrame = ref match {
       case Some(InRef(None, c)) =>
         input.getOrElse(throw new IllegalArgumentException(
@@ -1167,13 +1402,60 @@ object Gql {
       case None => seedsDf(spark, vids)
     }
     val (sSet, dSet) = (seedSet(srcs, srcRef), seedSet(dsts, dstRef))
+    // WHERE = an edge filter: only edges whose props satisfy it are
+    // walkable (FindPathValidator edge filter; path WHERE scenarios).
+    // Filter the keyed prop frame once, then restrict the walk frames
+    // to the surviving (src,dst,etype,rank) keys.
+    val allowed: Option[DataFrame] = fpWhere.map { w =>
+      val names = if (etypes == Seq("*")) g.edgeTypeNames else etypes
+      val ep = g.edgesWithProps(names)
+      val resolver: Expr.Resolver = {
+        case Expr.Ref(List(et, prop))
+            if names.contains(et) && ep.columns.contains(prop) =>
+          Some(when(col("__etype") === et, col(prop)))
+        case Expr.Ref(List(et, _)) if names.contains(et) =>
+          Some(lit(null))
+        case _ => None
+      }
+      w match {
+        // container literal in boolean position: truthiness false
+        case Expr.ListLit(_) | Expr.SetLit(_) | Expr.MapLit(_) =>
+          ep.limit(0)
+        case _ => ep.filter(Expr.compile(w, resolver) === lit(true))
+      }
+    }
     yieldPath match {
       case Some(alias) =>
-        val te = if (etypes == Seq("*")) g.allEdges
+        val te0 = if (etypes == Seq("*")) g.allEdges
           else g.allEdges.filter(col("etype").isin(etypes: _*))
-        PathFinder.typedPaths(sSet, dSet, te, upto, mode, dir, alias)
+        val te = allowed match {
+          case Some(ok) => te0.join(
+            ok.select(col("src"), col("dst"),
+              col("__etype").as("etype")).distinct(),
+            Seq("src", "dst", "etype"), "left_semi")
+          case None => te0
+        }
+        val df0 = PathFinder.typedPaths(sSet, dSet, te, upto,
+          if (mode == "single") "shortest" else mode, dir, alias)
+        if (mode != "single") df0
+        else {
+          // SINGLE SHORTEST: one path per (src,dst) pair — a
+          // deterministic min-by-rendering pick (any shortest path is
+          // a valid answer; goldens relax-compare)
+          import org.apache.spark.sql.expressions.Window
+          val tw = col(s"__path_$alias")
+          val w2 = Window.partitionBy(
+            element_at(tw("vids"), 1), element_at(tw("vids"), -1))
+            .orderBy(colByName(alias))
+          df0.withColumn("__rn", row_number().over(w2))
+            .filter(col("__rn") === 1).drop("__rn")
+        }
       case None =>
-        val e = Traverse.orient(simpleEdges(g, etypes), dir)
+        val base = allowed match {
+          case Some(ok) => ok.select(col("src"), col("dst")).distinct()
+          case None => simpleEdges(g, etypes)
+        }
+        val e = Traverse.orient(base, dir)
         if (mode == "shortest")
           PathFinder.shortestPaths(sSet, dSet, e, upto)
         else // all/noloop both traverse vertex-unique paths (module doc)
@@ -1436,6 +1718,18 @@ object Gql {
     if (vids.nonEmpty && vids.forall(_.isInstanceOf[Long]))
       vids.map(_.asInstanceOf[Long]).toDF("vid")
     else vids.map(_.toString).toDF("vid")
+  }
+
+  /** Sortable as an ORDER BY tiebreaker (atomic, not map/struct). */
+  private[nql] def orderableType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | BooleanType | DateType | TimestampType |
+          TimestampNTZType => true
+      case _: NumericType => true
+      case _ => false
+    }
   }
 
   /** col() by EXACT name — default aliases like `count(vid)` or
@@ -1892,7 +2186,7 @@ object Gql {
     case PLimit(off, nn) =>
       if (off == 0) df.limit(nn)
       else df.offset(off).limit(nn)
-    case POrderBy(keys) =>
+    case POrderBy(keys, tiebreak) =>
       val resolver = pipeResolverFor(df)
       // NULL sorts as the largest value (OrderByExecutor comparator);
       // a path column sorts by its structured twin: src vertex, then
@@ -1909,7 +2203,18 @@ object Gql {
           case None => Expr.compile(e, resolver)
         }
         if (desc) c.desc_nulls_first else c.asc_nulls_last
-      }: _*)
+      } ++ (if (!tiebreak) Nil
+            else df.schema.fields.toSeq.filter(f =>
+              !f.name.startsWith("__") && orderableType(f.dataType))
+              .map(f => colByName(f.name).asc_nulls_last)): _*)
+    case PUnwind(e, alias) =>
+      val resolver = pipeResolverFor(df)
+      val c = Expr.compile(e, resolver)
+      df.select(c).schema.head.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType =>
+          df.withColumn(alias, explode(c))
+        case _ => df.withColumn(alias, c)
+      }
     case PYield(items, distinct, where) =>
       val resolver = pipeResolverFor(df)
       val filtered = where match {
@@ -2039,7 +2344,15 @@ object Gql {
         Some(transform(twin(arg).get("steps"), st =>
           renderEdge(st("t"), st("s"), st("d"), st("r"), s)))
       case Expr.Param("input", _, parts) if parts.nonEmpty =>
-        Some(colByName(parts.mkString(".")))
+        // a literally-dotted column name (`like._dst`) wins; when only
+        // the head exists, descend struct fields (`$-.a.b` over a
+        // map-literal column — PipeAndVariable.feature)
+        if (cols(parts.mkString("."))) Some(colByName(parts.mkString(".")))
+        else parts match {
+          case a :: rest if rest.nonEmpty && cols(a) =>
+            Some(rest.foldLeft(colByName(a))(_.getField(_)))
+          case _ => Some(colByName(parts.mkString(".")))
+        }
       case Expr.Ref(parts) if parts.nonEmpty =>
         Some(colByName(parts.mkString(".")))
       case _ => None

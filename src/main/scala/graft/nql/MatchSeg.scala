@@ -128,8 +128,8 @@ object MatchSeg {
           if (p.sym(",")) () else go2 = false
         }
         orderBy = keys.toSeq
-      } else if (p.kw("SKIP")) skip = p.intLit()
-      else if (p.kw("LIMIT")) limit = p.intLit()
+      } else if (p.kw("SKIP")) skip = Gql.constInt(p)
+      else if (p.kw("LIMIT")) limit = Gql.constInt(p)
       else go = false
     }
     Proj(distinct, star, items, where, orderBy, skip, limit)
@@ -139,6 +139,11 @@ object MatchSeg {
     val parts = scala.collection.mutable.ListBuffer(parsePart(p))
     while (p.sym(",")) parts += parsePart(p)
     val where = if (p.kw("WHERE")) Some(Expr.parse(p)) else None
+    // grammar: OPTIONAL MATCH carries no WHERE (parser.yy;
+    // MatchById "Where clause in optional match is not supported")
+    if (optional && where.isDefined)
+      throw new IllegalArgumentException(
+        "syntax error: Where clause in optional match is not supported.")
     Clause(optional, parts.toList, where)
   }
 
@@ -826,6 +831,25 @@ object MatchSeg {
             !st.boundTags.contains((v, tag)) =>
         binding = binding.join(tagFrame(g, tag, v), Seq(v), "left_outer")
         st.boundTags += (v -> tag)
+      // properties(v)[.p] needs every tag's props AND the membership
+      // flags (EMPTY-rank ordering) joined for the var
+      case Expr.FnCall("properties", List(Expr.Ref(List(v))), _)
+          if st.vertexVars.contains(v) =>
+        g.tagNames.foreach { t =>
+          if (st.knownTag(t) && !st.boundTags.contains((v, t))) {
+            binding = binding.join(tagFrame(g, t, v), Seq(v), "left_outer")
+            st.boundTags += (v -> t)
+          }
+        }
+        if (!st.labelsBound.contains(v)) {
+          g.tagNames.foreach { t =>
+            binding = binding.join(
+              g.vertexTable(t).select(col("vid").as(v),
+                lit(true).as(s"__lbl_${v}_$t")),
+              Seq(v), "left_outer")
+          }
+          st.labelsBound += v
+        }
       case Expr.FnCall("labels" | "tags", List(Expr.Ref(List(v))), _)
           if st.vertexVars.contains(v) && !st.labelsBound.contains(v) =>
         // per-tag membership flags feed the labels() array
@@ -941,6 +965,36 @@ object MatchSeg {
         val r = Gql.renderEdge(col(s"${ev}_etype"), col(s"${ev}_src"),
           col(s"${ev}_dst"), col(s"${ev}_rank"), strVid)
         Some(if (fn == "collect") collect_list(r) else collect_set(r))
+      // dotted access over a WITH-bound map/struct column:
+      // `WITH {a:1, b:{c:3}} AS x ... x.b.c` — descend fields, a
+      // missing key is NULL (exists() sees false) (With.feature)
+      case Expr.Ref(x :: rest)
+          if rest.nonEmpty && cols(x) && !st.vertexVars.contains(x) &&
+            !st.edgeVars.contains(x) && !st.vlEdgeVars.contains(x) &&
+            binding.schema(x).dataType
+              .isInstanceOf[org.apache.spark.sql.types.StructType] =>
+        var cur = col(x)
+        var dt: org.apache.spark.sql.types.DataType = binding.schema(x).dataType
+        var ok = true
+        rest.foreach { fld =>
+          dt match {
+            case st2: org.apache.spark.sql.types.StructType
+                if ok && st2.fieldNames.contains(fld) =>
+              cur = cur.getField(fld); dt = st2(fld).dataType
+            case _ => ok = false
+          }
+        }
+        Some(if (ok) cur else lit(null))
+      // `n['name']` subscript prop access on bound vars (Predicate
+      // EXISTS scenarios) — same lookup as properties(n).name
+      case Expr.Subscript(Expr.Ref(List(v)), Expr.Lit(key: String))
+          if st.vertexVars.contains(v) =>
+        val having = st.tags.sorted.map(t => s"${v}_${t}_$key").filter(cols)
+        Some(if (having.isEmpty) lit(null)
+             else coalesce(having.map(col): _*))
+      case Expr.Subscript(Expr.Ref(List(ev)), Expr.Lit(key: String))
+          if st.edgeVars.contains(ev) =>
+        e(s"${ev}_$key")
       case Expr.Ref(List(v, tag, prop)) if st.vertexVars.contains(v) =>
         e(s"${v}_${tag}_$prop")
       case Expr.Ref(List(v)) if st.vertexVars.contains(v) => Some(col(v))
@@ -998,6 +1052,57 @@ object MatchSeg {
           case "src" => "__s"; case _ => "__d"
         }
         Some(elem.getField(field))
+      // properties(v).prop / properties(v): merged tag-prop view of a
+      // bound vertex var (PrunePropertiesRule.feature)
+      case Expr.Attr(Expr.FnCall("properties",
+          List(Expr.Ref(List(v))), _), prop)
+          if st.vertexVars.contains(v) =>
+        val having = st.tags.sorted
+          .map(t => s"${v}_${t}_$prop").filter(cols)
+        Some(if (having.isEmpty) lit(null)
+             else coalesce(having.map(col): _*))
+      case Expr.FnCall("properties", List(Expr.Ref(List(v))), _)
+          if st.vertexVars.contains(v) =>
+        val m = scala.collection.mutable.LinkedHashMap
+          .empty[String, (List[Column], org.apache.spark.sql.types.DataType)]
+        st.tags.sorted.foreach { t =>
+          val pre = s"${v}_${t}_"
+          binding.schema.fields.filter(f2 => f2.name.startsWith(pre))
+            .foreach { f2 =>
+              val pn = f2.name.stripPrefix(pre)
+              if (!pn.startsWith("__")) {
+                val cur = m.getOrElse(pn, (Nil, f2.dataType))
+                m(pn) = (cur._1 :+ col(f2.name), cur._2)
+              }
+            }
+        }
+        Some(Gql.renderPropsMap(m.toSeq.map { case (pn, (cs2, dt)) =>
+          (pn, coalesce(cs2: _*), dt) }))
+      // properties(e).prop / properties(e) on a single edge var
+      case Expr.Attr(Expr.FnCall("properties",
+          List(Expr.Ref(List(ev))), _), prop)
+          if st.edgeVars.contains(ev) =>
+        e(s"${ev}_$prop")
+      case Expr.FnCall("properties", List(Expr.Ref(List(ev))), _)
+          if st.edgeVars.contains(ev) =>
+        val meta = Set("src", "dst", "rank", "etype")
+        val pre = s"${ev}_"
+        val fields = binding.schema.fields.filter { f2 =>
+          val pn = f2.name.stripPrefix(pre)
+          f2.name.startsWith(pre) && !meta.contains(pn) &&
+            !pn.startsWith("__")
+        }.map(f2 => (f2.name.stripPrefix(pre), col(f2.name), f2.dataType))
+          .toSeq
+        Some(Gql.renderPropsMap(fields))
+      // properties(e[i]).prop on a var-length edge list
+      case Expr.Attr(Expr.FnCall("properties",
+          List(Expr.Subscript(Expr.Ref(List(ev)), idx)), _), prop)
+          if st.vlEdgeVars.contains(ev) && cols(s"${ev}__vl") =>
+        val raw = col(s"${ev}__vl")
+        val ic = Expr.compile(idx, resolver(st, binding)).cast("int")
+        val elem = when(ic >= 0, try_element_at(raw, ic + lit(1)))
+          .otherwise(try_element_at(raw, ic))
+        Some(elem.getField(prop))
       case Expr.FnCall("labels" | "tags", List(Expr.Ref(List(v))), _)
           if st.vertexVars.contains(v) =>
         Some(array_compact(array(st.tags.sorted.map(t =>
@@ -1371,8 +1476,51 @@ object MatchSeg {
     require(items.nonEmpty, "RETURN needs items")
 
     val hasAgg = items.exists(i => Expr.hasAgg(i.e))
+    // EMPTY (tag not bound on the row) sorts SMALLEST while NULL
+    // sorts LARGEST (Value.h type order: __EMPTY__=1, NULLVALUE=2^63).
+    // At an ORDER BY+LIMIT cut the distinction decides membership, so
+    // vertex-prop sort keys get a hidden (rank, value) twin computed
+    // from the binding's __lbl_ markers (PrunePropertiesRule.feature).
+    val cutP = ret.skip > 0 || ret.limit >= 0
+    val ordTwins: Map[String, Column] =
+      if (!cutP || hasAgg || ret.distinct || ret.orderBy.isEmpty) Map.empty
+      else {
+        val bcols = binding.columns.toSet
+        def twin(v: String, contributingTags: Seq[String],
+                 value: Column): Column = {
+          val marks = contributingTags.map(t => s"__lbl_${v}_$t")
+            .filter(bcols).map(col)
+          val bound =
+            if (marks.isEmpty) lit(true)
+            else marks.reduce(_ || _)
+          struct(when(!coalesce(bound, lit(false)), 0)
+            .when(value.isNull, 2).otherwise(1).as("r"), value.as("v"))
+        }
+        ret.orderBy.flatMap { case (k, _) =>
+          val alias = k match {
+            case Expr.Ref(List(a)) => Some(a)
+            case other => Some(Expr.text(other))
+          }
+          alias.flatMap(a => items.find(_.alias == a)).flatMap { it =>
+            it.e match {
+              case Expr.Ref(List(v, t, prop2))
+                  if st.vertexVars.contains(v) =>
+                Some(it.alias -> twin(v, Seq(t),
+                  Expr.compile(it.e, res)))
+              case Expr.Attr(Expr.FnCall("properties",
+                  List(Expr.Ref(List(v))), _), prop2)
+                  if st.vertexVars.contains(v) =>
+                val tags2 = st.tags.sorted.filter(t =>
+                  bcols(s"${v}_${t}_$prop2"))
+                Some(it.alias -> twin(v, tags2, Expr.compile(it.e, res)))
+              case _ => None
+            }
+          }
+        }.toMap
+      }
     var out =
-      if (!hasAgg) binding.select(items.map(compiled): _*)
+      if (!hasAgg) binding.select(items.map(compiled) ++
+        ordTwins.toSeq.map { case (a, c2) => c2.as(s"__ord_$a") }: _*)
       else {
         val keys = items.filter(i => !Expr.hasAgg(i.e))
         val aggs = items.filter(i => Expr.hasAgg(i.e))
@@ -1385,9 +1533,32 @@ object MatchSeg {
     if (ret.distinct) out = out.distinct()
     ret.where.foreach(pred =>
       out = out.filter(Expr.compile(pred, resolver(st, out))))
-    if (ret.orderBy.nonEmpty) out = out.orderBy(orderKeys(ret.orderBy): _*)
+    if (ret.orderBy.nonEmpty) {
+      // a LIMIT/SKIP cut after ORDER BY resolves sort-key ties by the
+      // remaining (orderable) output columns ascending — a
+      // deterministic pick where the reference's is storage-defined
+      val cut = ret.skip > 0 || ret.limit >= 0
+      val keys = ret.orderBy.map { case (e2, desc) =>
+        val name = e2 match {
+          case Expr.Ref(List(one)) => one
+          case other => Expr.text(other)
+        }
+        val c =
+          if (ordTwins.contains(name)) Gql.colByName(s"__ord_$name")
+          else Gql.colByName(name)
+        if (desc) c.desc_nulls_first else c.asc_nulls_last
+      }
+      val ties =
+        if (!cut) Nil
+        else out.schema.fields.toSeq.filter(f =>
+          !f.name.startsWith("__") && Gql.orderableType(f.dataType))
+          .map(f => Gql.colByName(f.name).asc_nulls_last)
+      out = out.orderBy(keys ++ ties: _*)
+    }
     if (ret.skip > 0) out = out.offset(ret.skip)
     if (ret.limit >= 0) out = out.limit(ret.limit)
+    if (ordTwins.nonEmpty)
+      out = out.drop(ordTwins.keys.toSeq.map(a => s"__ord_$a"): _*)
     out
   }
 

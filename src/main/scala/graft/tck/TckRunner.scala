@@ -75,7 +75,11 @@ object TckRunner {
                            * (mutations expected; always clone). */
                          fresh: Boolean = false,
                          /** `vid_type FIXED_STRING(N)` length cap. */
-                         vidLen: Option[Int] = None)
+                         vidLen: Option[Int] = None,
+                         /** `name` row of the create-space options
+                           * table — registered so CLEAR/DESC SPACE
+                           * see it (ClearSpace.feature). */
+                         spaceName: Option[String] = None)
 
   private val spaceGivenRe = "Given a graph with space named \"([^\"]+)\"".r
   private val spaceLoadRe =
@@ -101,7 +105,7 @@ object TckRunner {
     case class Section(steps: Vector[SStep], fixtureSpace: Option[String],
                        ownSpace: Boolean, vidInt: Option[Boolean],
                        fresh: Boolean, params: Map[String, String],
-                       vidLen: Option[Int])
+                       vidLen: Option[Int], spaceName: Option[String])
     def parseSection(lines: Vector[String]): Section = {
       val from = 0; val until = lines.length
       val steps = scala.collection.mutable.ListBuffer.empty[SStep]
@@ -111,6 +115,7 @@ object TckRunner {
       var fresh = false
       var params = Map.empty[String, String]
       var vidLen: Option[Int] = None
+      var spaceName: Option[String] = None
       var i = from
       while (i < until) {
         val t = lines(i).trim
@@ -135,6 +140,8 @@ object TckRunner {
           while (k < until && lines(k).trim.startsWith("|")) {
             val cells = lines(k).trim.stripPrefix("|").stripSuffix("|")
               .split("\\|").map(_.trim)
+            if (cells.headOption.contains("name"))
+              spaceName = cells.lift(1)
             if (cells.headOption.contains("vid_type")) {
               vidInt = Some(cells.lift(1).exists(_.toLowerCase.startsWith("int")))
               vidLen = cells.lift(1).flatMap(v2 =>
@@ -206,7 +213,7 @@ object TckRunner {
         i += 1
       }
       Section(steps.toVector, fixtureSpace, ownSpace, vidInt, fresh, params,
-        vidLen)
+        vidLen, spaceName)
     }
 
     /** Substitute `$param` references from a `Given parameters:` map
@@ -312,7 +319,7 @@ object TckRunner {
           TckScenario(skip, sec.fixtureSpace, sec.ownSpace,
             sec.vidInt.getOrElse(false),
             sec.steps.map(applyParams(_, params)), fresh = sec.fresh,
-            vidLen = sec.vidLen)
+            vidLen = sec.vidLen, spaceName = sec.spaceName)
         else
           TckScenario(
             skip = skip,
@@ -322,7 +329,8 @@ object TckRunner {
             vidInt = bg.vidInt.getOrElse(false),
             steps = (bg.steps ++ sec.steps).map(applyParams(_, params)),
             fresh = bg.fresh,
-            vidLen = bg.vidLen.orElse(sec.vidLen))
+            vidLen = bg.vidLen.orElse(sec.vidLen),
+            spaceName = bg.spaceName.orElse(sec.spaceName))
       }
     }
   }
@@ -980,7 +988,18 @@ object TckRunner {
           if (!needsMutable) fixture.get
           else if (fixture.isDefined) // incl. `load ... to a new space`
             scenarioClone(fixture.get, sc.fixtureSpace.get)
-          else new graft.graph.ScenarioCatalog(spark, sc.vidInt, sc.vidLen)
+          else {
+            val c = new graft.graph.ScenarioCatalog(spark, sc.vidInt,
+              sc.vidLen)
+            // a named create-space options table registers the space
+            // (CLEAR SPACE / DESC SPACE see it)
+            sc.spaceName.foreach { n =>
+              c.spaceDefs(n) =
+                ((if (sc.vidInt) "INT64"
+                  else s"FIXED_STRING(${sc.vidLen.getOrElse(32)})"), None)
+            }
+            c
+          }
         val scIntVid = sc.vidInt ||
           sc.fixtureSpace.exists(_.toLowerCase.contains("int_vid"))
 

@@ -71,11 +71,11 @@ class GqlSpec extends SparkSpec {
   }
 
   test("FIND PATH honors OVER list, direction, NOLOOP, UPTO") {
-    val FindPath(m1, srcs, dsts, ets, dir, k, _, _, _) =
+    val FindPath(m1, srcs, dsts, ets, dir, k, _, _, _, _) =
       Gql.parse("""FIND SHORTEST PATH FROM "a" TO "b", "c" OVER like REVERSELY UPTO 4 STEPS"""): @unchecked
     assert(m1 == "shortest" && srcs == Seq("a") && dsts == Seq("b", "c"))
     assert(ets == Seq("like") && dir == In && k == 4)
-    val FindPath(m2, _, _, ets2, _, k2, _, _, _) =
+    val FindPath(m2, _, _, ets2, _, k2, _, _, _, _) =
       Gql.parse("""FIND NOLOOP PATH FROM "a" TO "b""""): @unchecked
     assert(m2 == "noloop" && ets2 == Seq("*") && k2 == 5)
   }

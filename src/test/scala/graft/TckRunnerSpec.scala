@@ -22,9 +22,10 @@ class TckRunnerSpec extends SparkSpec {
     s"$root/go/GO.feature",
     s"$root/fetch/FetchVertices.strVid.feature",
     s"$root/lookup/WithYield.feature",
-    // (LookUpTopN is excluded: its ORDER BY+LIMIT scenarios cut ties
-    // at the limit boundary, so ANY reimplementation's row choice is
-    // valid but cannot match the recorded golden rows)
+    // LookUpTopN's ORDER BY+LIMIT tie cuts match since round 7's
+    // whole-row ascending tiebreak (the reference's storage order
+    // coincides with it on these goldens)
+    s"$root/lookup/LookUpTopN.feature",
     s"$root/lookup/LookUpLimit.feature",
     s"$root/lookup/TagIndexFullScan.feature",
     s"$root/lookup/Output.feature",
@@ -274,6 +275,7 @@ class TckRunnerSpec extends SparkSpec {
     s"$root/insert/BoundCheck.feature",
     s"$root/insert/InsertEdgeOnDiffParts.feature",
     s"$root/index/Index.feature",
+    s"$root/index/Index.IntVid.feature",
     s"$root/index/TagEdgeIndex.feature",
     s"$root/ddl/Ddl.feature",
     s"$root/fetch/FetchEmpty.feature",
