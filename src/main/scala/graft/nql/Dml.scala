@@ -1790,6 +1790,8 @@ object Dml {
             if (len.exists(_ <= 0))
               throw new IllegalArgumentException(
                 "syntax error: string prefix length must be positive")
+            if (len.exists(_ > 256))
+              throw new DmlError("Invalid param!") // MAX_INDEX_TYPE_LENGTH
             if (d.typeName == "duration" ||
                 d.typeName.startsWith("list") ||
                 d.typeName.startsWith("set") ||
@@ -2045,6 +2047,11 @@ object Dml {
         drops.foreach { d2 =>
           if (!cur0.exists(_.name == d2))
             throw new DmlError(s"prop $d2 not existed")
+          // an indexed prop cannot be dropped while the index lives
+          // (Index.feature: DROP (age) with person_ttl_2_index_age)
+          if (g.indexDefs.values.exists { case (t2, sch, cs2, _, _) =>
+                t2 == isTag && sch == name && cs2.exists(_._1 == d2) })
+            throw new DmlError(s"prop $d2 is attached to an index")
         }
         // CHANGE: the ttl column is immutable while configured, and a
         // prop cannot change its data type (meta AlterSchema checks);

@@ -965,81 +965,81 @@ object Gql {
         val (tbl0, isEdge) =
           try (g.vertexTable(tag), false)
           catch { case _: IllegalArgumentException => (g.edgesByType(tag), true) }
-        // the reference is an INDEX scan: a scenario space with no
-        // index on the schema can't LOOKUP at all, and the predicate
-        // must be index-usable — reference a prop, compare prop vs
-        // CONSTANT (not prop vs prop), with bool props only against
-        // bool literals (LookUp.feature validator scenarios)
+        // the reference is an INDEX scan: the predicate must be
+        // index-usable — reference a prop, compare prop vs CONSTANT
+        // (not prop vs prop), bool props only against bool literals,
+        // no regex/suffix/infix/NOT-IN forms (LookUp/TagIndexFullScan
+        // validator scenarios). ES_QUERY (fulltext) is out of scope
+        // and skips first.
+        where.foreach(w => Expr.collect(w) {
+          case Expr.FnCall("es_query", _, _) =>
+            throw new IllegalArgumentException(
+              "unsupported fulltext ES_QUERY")
+        })
+        // a scenario space with no index on the schema can't LOOKUP
         g match {
           case sc: graft.graph.ScenarioCatalog =>
-            // fulltext search is out of scope (SURVEY §2.10) — skip
-            // BEFORE the no-index reject so ES_QUERY goldens stay
-            // skips, not errors
-            where.foreach(w => Expr.collect(w) {
-              case Expr.FnCall("es_query", _, _) =>
-                throw new IllegalArgumentException(
-                  "unsupported fulltext ES_QUERY")
-            })
             if (!sc.indexDefs.values.exists(v =>
                   v._1 == !isEdge && v._2 == tag))
               throw new graft.nql.DmlError(
                 "There is no index to use at runtime")
-            val entity = Set("vertex", "edge")
-            def hasProp(x: Expr.E): Boolean = {
-              var f = false
-              Expr.collect(x) {
-                case Expr.Ref(parts)
-                    if !entity(parts.last.toLowerCase) => f = true
-              }
-              f
-            }
-            val cmps = Set("==", "!=", "<", ">", "<=", ">=")
-            def boolProp(parts: List[String]): Boolean =
-              tbl0.columns.contains(parts.last) &&
-                tbl0.schema(parts.last).dataType ==
-                  org.apache.spark.sql.types.BooleanType
-            where.foreach { w =>
-              if (!hasProp(w))
-                throw new IllegalArgumentException(
-                  "LOOKUP filter must reference an indexed property")
-              Expr.collect(w) {
-                case Expr.Bin(op, l2, r2)
-                    if cmps(op) && hasProp(l2) && hasProp(r2) =>
-                  throw new IllegalArgumentException(
-                    s"Expression ${Expr.text(l2)} $op ${Expr.text(r2)}" +
-                      " not supported yet")
-                // index scans have no regex / suffix / infix matching,
-                // and STARTS WITH needs a string CONSTANT prefix
-                // (TagIndexFullScan SemanticError goldens)
-                case Expr.Bin("=~", _, _) =>
-                  throw new IllegalArgumentException(
-                    "Expression =~ not supported yet")
-                case Expr.Bin(op2 @ ("ends" | "contains"), _, _) =>
-                  throw new IllegalArgumentException(
-                    s"Expression $op2 with not supported yet")
-                case Expr.Bin("starts", _, r2) if (r2 match {
-                      case Expr.Lit(_: String) => false
-                      case _ => true
-                    }) =>
-                  throw new IllegalArgumentException(
-                    "Expression starts with a non-constant prefix" +
-                      " not supported yet")
-                case Expr.Un("not", Expr.Bin("in", _, _)) =>
-                  throw new IllegalArgumentException(
-                    "Expression NOT IN not supported yet")
-                case Expr.Bin(op, Expr.Ref(parts), Expr.Lit(v))
-                    if cmps(op) && boolProp(parts) &&
-                      v != null && !v.isInstanceOf[Boolean] =>
-                  throw new IllegalArgumentException(
-                    "Column type of BOOL does not match the literal")
-                case Expr.Bin(op, Expr.Lit(v), Expr.Ref(parts))
-                    if cmps(op) && boolProp(parts) &&
-                      v != null && !v.isInstanceOf[Boolean] =>
-                  throw new IllegalArgumentException(
-                    "Column type of BOOL does not match the literal")
-              }
-            }
           case _ => ()
+        }
+        locally {
+          val entity = Set("vertex", "edge")
+          def hasProp(x: Expr.E): Boolean = {
+            var f = false
+            Expr.collect(x) {
+              case Expr.Ref(parts)
+                  if !entity(parts.last.toLowerCase) => f = true
+            }
+            f
+          }
+          val cmps = Set("==", "!=", "<", ">", "<=", ">=")
+          def boolProp(parts: List[String]): Boolean =
+            tbl0.columns.contains(parts.last) &&
+              tbl0.schema(parts.last).dataType ==
+                org.apache.spark.sql.types.BooleanType
+          where.foreach { w =>
+            if (!hasProp(w))
+              throw new IllegalArgumentException(
+                "LOOKUP filter must reference an indexed property")
+            Expr.collect(w) {
+              case Expr.Bin(op, l2, r2)
+                  if cmps(op) && hasProp(l2) && hasProp(r2) =>
+                throw new IllegalArgumentException(
+                  s"Expression ${Expr.text(l2)} $op ${Expr.text(r2)}" +
+                    " not supported yet")
+              // no regex / suffix / infix matching on an index scan;
+              // STARTS WITH needs a string CONSTANT prefix
+              case Expr.Bin("=~", _, _) =>
+                throw new IllegalArgumentException(
+                  "Expression =~ not supported yet")
+              case Expr.Bin(op2 @ ("ends" | "contains"), _, _) =>
+                throw new IllegalArgumentException(
+                  s"Expression $op2 with not supported yet")
+              case Expr.Bin("starts", _, r2) if (r2 match {
+                    case Expr.Lit(_: String) => false
+                    case _ => true
+                  }) =>
+                throw new IllegalArgumentException(
+                  "Expression starts with a non-constant prefix" +
+                    " not supported yet")
+              case Expr.Un("not", Expr.Bin("in", _, _)) =>
+                throw new IllegalArgumentException(
+                  "Expression NOT IN not supported yet")
+              case Expr.Bin(op, Expr.Ref(parts), Expr.Lit(v))
+                  if cmps(op) && boolProp(parts) &&
+                    v != null && !v.isInstanceOf[Boolean] =>
+                throw new IllegalArgumentException(
+                  "Column type of BOOL does not match the literal")
+              case Expr.Bin(op, Expr.Lit(v), Expr.Ref(parts))
+                  if cmps(op) && boolProp(parts) &&
+                    v != null && !v.isInstanceOf[Boolean] =>
+                throw new IllegalArgumentException(
+                  "Column type of BOOL does not match the literal")
+            }
+          }
         }
         // stale-index reads (scenario spaces): rows stored before
         // CREATE INDEX are invisible to LOOKUP until REBUILD

@@ -831,6 +831,20 @@ object MatchSeg {
             !st.boundTags.contains((v, tag)) =>
         binding = binding.join(tagFrame(g, tag, v), Seq(v), "left_outer")
         st.boundTags += (v -> tag)
+      // whole-tag access `v.player` needs that tag joined AND the
+      // membership flag (NULL when the vertex lacks the tag)
+      case Expr.Ref(List(v, sub)) if st.vertexVars.contains(v) &&
+          st.knownTag(sub) =>
+        if (!st.boundTags.contains((v, sub))) {
+          binding = binding.join(tagFrame(g, sub, v), Seq(v), "left_outer")
+          st.boundTags += (v -> sub)
+        }
+        if (!binding.columns.contains(s"__lbl_${v}_$sub")) {
+          binding = binding.join(
+            g.vertexTable(sub).select(col("vid").as(v),
+              lit(true).as(s"__lbl_${v}_$sub")),
+            Seq(v), "left_outer")
+        }
       // properties(v)[.p] needs every tag's props AND the membership
       // flags (EMPTY-rank ordering) joined for the var
       case Expr.FnCall("properties", List(Expr.Ref(List(v))), _)
@@ -997,6 +1011,23 @@ object MatchSeg {
         e(s"${ev}_$key")
       case Expr.Ref(List(v, tag, prop)) if st.vertexVars.contains(v) =>
         e(s"${v}_${tag}_$prop")
+      // `v.player` = that tag's prop map (NULL when the vertex lacks
+      // the tag); `v.notATag` = NULL (Base.feature:1442-1462)
+      case Expr.Ref(List(v, sub)) if st.vertexVars.contains(v) &&
+          st.knownTag(sub) =>
+        val pre = s"${v}_${sub}_"
+        val fields = binding.schema.fields.filter { f2 =>
+          val pn = f2.name.stripPrefix(pre)
+          f2.name.startsWith(pre) && !pn.startsWith("__")
+        }.map(f2 => (f2.name.stripPrefix(pre), col(f2.name), f2.dataType))
+          .toSeq
+        val mark = s"__lbl_${v}_$sub"
+        val rendered =
+          if (fields.isEmpty) lit(null)
+          else Gql.renderPropsMap(fields)
+        Some(if (cols(mark)) when(col(mark), rendered) else rendered)
+      case Expr.Ref(List(v, _)) if st.vertexVars.contains(v) =>
+        Some(lit(null))
       case Expr.Ref(List(v)) if st.vertexVars.contains(v) => Some(col(v))
       // var-length edge list: rendered edge values in RETURN position,
       // raw structs in WHERE/WITH (subscript + lambda prop access)
