@@ -640,9 +640,12 @@ object Gql {
           p.kw("LIMIT"); Some("limit" -> p.intList())
         } else None
       caps.foreach { case (_, ns) =>
-        require(ns.size == math.max(n, 1) - math.min(math.max(m, 1), math.max(n, 1)) + 1 ||
-            ns.size == math.max(n, 1),
-          "Invalid sample/limit clause: size must match the step count")
+        // GoValidator::validateTruncate: the list length must equal the
+        // GO step size n (even for `m TO n`), and elements are >= 0
+        require(ns.size == math.max(n, 1),
+          "Invalid sample/limit clause: length must be equal to GO step size")
+        require(ns.forall(_ >= 0),
+          "Invalid sample/limit clause: Limit/Sample element must be nonnegative")
       }
       Go(m, n, seeds, seedsCol, seedsVar, etypes, dir, where, ys, dist, caps)
     } else if (p.kw("LOOKUP")) {
@@ -1967,7 +1970,8 @@ object Gql {
           val renamed = in.columns.foldLeft(in)((d, c2) =>
             d.withColumnRenamed(c2, s"__in_$c2"))
           val expanded = Traverse.goYield(
-            seedsDF.select(col("vid")).distinct(), eframe, m, nEff, dir)
+            seedsDF.select(col("vid")).distinct(), eframe, m, nEff, dir,
+            stepCaps.map(_._2).getOrElse(Nil))
           renamed.join(expanded,
             col(s"__in_$seedCol") === col("origin"))
         }
@@ -2208,13 +2212,19 @@ object Gql {
               !f.name.startsWith("__") && orderableType(f.dataType))
               .map(f => colByName(f.name).asc_nulls_last)): _*)
     case PUnwind(e, alias) =>
+      // UnwindValidator: aggregates are illegal in UNWIND, and the
+      // pipe's output schema is {alias} ONLY — downstream `$-.col`
+      // may not reach through to the input's columns
+      if (Expr.hasAgg(e)) throw new IllegalArgumentException(
+        "SemanticError: can't use aggregating function in unwind clause")
       val resolver = pipeResolverFor(df)
       val c = Expr.compile(e, resolver)
-      df.select(c).schema.head.dataType match {
+      val unwound = df.select(c).schema.head.dataType match {
         case _: org.apache.spark.sql.types.ArrayType =>
           df.withColumn(alias, explode(c))
         case _ => df.withColumn(alias, c)
       }
+      unwound.select(col(alias))
     case PYield(items, distinct, where) =>
       val resolver = pipeResolverFor(df)
       val filtered = where match {

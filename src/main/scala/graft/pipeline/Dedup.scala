@@ -45,10 +45,37 @@ object Dedup {
     * CollapseProject re-inlines it into every one of the `numHashes`
     * min-computations and the tokenize/shingle work runs numHashes×
     * per row (measured 100s → 8s at sf0.1 for 16 hashes). */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { k =>
-      array_min(transform(shingleArr, s => md5(concat(lit(k + ":"), s))))
-    }: _*)
+  /** Mersenne prime 2^31-1: the modulus of the permutation family.
+    * All products stay < 2^62, so 64-bit arithmetic never overflows in
+    * either engine (DuckDB checks BIGINT overflow; Spark wraps). */
+  val MinhashP = 2147483647L
+
+  /** Multiplier / offset of permutation k: fixed odd-multiplier
+    * constants (Knuth 2654435761) reduced mod P — deterministic, so
+    * the DuckDB oracle embeds the same literals. */
+  def permA(k: Int): Long = ((2L * k + 1L) * 2654435761L) % MinhashP
+  def permB(k: Int): Long = ((k.toLong + 1L) * 40503L * 65537L + 12345L) % MinhashP
+
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column = {
+    // Broder-style universal-hash MinHash: ONE md5 per shingle (the
+    // dominant cost — the old form hashed each shingle numHashes×),
+    // base h = top 60 bits of the md5 reduced mod P, and permutation
+    // k's value = (A_k·h + B_k) mod P. One aggregate traversal keeps
+    // all numHashes running minima at once (the simhash16 pattern).
+    val base = transform(shingleArr, s =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinhashP)
+    aggregate(
+      base,
+      array_repeat(lit(MinhashP), numHashes),
+      (acc, h) => zip_with(acc,
+        array((0 until numHashes).map(k =>
+          (lit(permA(k)) * h + lit(permB(k))) % MinhashP): _*),
+        (a, v) => least(a, v)),
+      // empty shingle array → all-null signature (matches the old
+      // array_min(empty) = NULL behavior); P itself is unreachable
+      // since every real value is strictly < P
+      acc => transform(acc, x => when(x =!= MinhashP, x)))
+  }
 
   /** LSH banding: signature rows → (id, band, band_hash) rows, one per
     * band; band_hash = md5 of the band's slice of the signature. Docs
@@ -67,7 +94,9 @@ object Dedup {
       .select(col("id"), explode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
-            md5(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), "|"))
+            md5(array_join(transform(
+                slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+                _.cast("string")), "|"))
               .as("band_hash")))).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
   }
@@ -128,7 +157,9 @@ object Dedup {
       .select(col("id"), explode(
         transform(sequence(lit(0), lit(bands - 1)),
           bd => struct(bd.as("band"),
-            md5(array_join(slice(col("sig"), bd * rowsPerBand + 1, lit(rowsPerBand)), "|"))
+            md5(array_join(transform(
+                slice(col("sig"), bd * rowsPerBand + 1, lit(rowsPerBand)),
+                _.cast("string")), "|"))
               .as("band_hash")))).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash")),
       Seq("band", "band_hash"), maxBucket)

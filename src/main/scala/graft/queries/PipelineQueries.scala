@@ -134,6 +134,14 @@ object PipelineQueries {
       s"(CASE WHEN list_dot_product($v, ${signsLiteral(p, dims)}) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("CAST(", " + ", " AS BIGINT)")
 
+  /** MinHash permutation constants as DuckDB list literals — emitted
+    * from the SAME Dedup.permA/permB the Spark plan uses, so the two
+    * engines can never drift. */
+  private val permALiteral: String =
+    (0 until 16).map(Dedup.permA).mkString("[", ", ", "]")
+  private val permBLiteral: String =
+    (0 until 16).map(Dedup.permB).mkString("[", ", ", "]")
+
   private def cosExpr(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
@@ -172,7 +180,7 @@ object PipelineQueries {
       s"""WITH $tkCte,
          |sh AS (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS s FROM tk),
          |sig AS (SELECT doc_id, s,
-         |          list_transform(range(0, 16), k -> list_aggregate(list_transform(s, x -> md5(k || ':' || x)), 'min')) AS sig
+         |          list_transform(range(0, 16), k -> list_aggregate(list_transform(s, x -> ((${permALiteral})[k + 1] * (('0x' || substr(md5(x), 1, 15))::BIGINT % ${Dedup.MinhashP}) + (${permBLiteral})[k + 1]) % ${Dedup.MinhashP}), 'min')) AS sig
          |        FROM sh),
          |bands AS (SELECT doc_id, b.band AS band,
          |            md5(array_to_string(sig[b.band * 4 + 1:b.band * 4 + 4], '|')) AS band_hash

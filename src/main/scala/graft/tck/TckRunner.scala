@@ -798,6 +798,13 @@ object TckRunner {
           if (ch == '\\' && i + 1 < inner.length) { sb.append(inner(i + 1)); i += 1 }
           else if (ch == '"') inStr = false
         } else ch match {
+          // edge/path arrows `->` / `<-` are atoms, NOT angle brackets:
+          // rendered edges like [:like "a"->"b" @0] must not drive
+          // depth negative (would hide top-level commas)
+          case '-' if i + 1 < inner.length && inner(i + 1) == '>' =>
+            sb.append("->"); i += 1
+          case '<' if i + 1 < inner.length && inner(i + 1) == '-' =>
+            sb.append("<-"); i += 1
           case '"' => inStr = true; sb.append(ch)
           case '[' | '{' | '(' | '<' => depth += 1; sb.append(ch)
           case ']' | '}' | ')' | '>' => depth -= 1; sb.append(ch)
@@ -816,6 +823,8 @@ object TckRunner {
         if (inStr) {
           if (ch == '\\') i += 1 else if (ch == '"') inStr = false
         } else ch match {
+          case '-' if i + 1 < ent.length && ent(i + 1) == '>' => i += 1
+          case '<' if i + 1 < ent.length && ent(i + 1) == '-' => i += 1
           case '"' => inStr = true
           case '[' | '{' | '(' | '<' => depth += 1
           case ']' | '}' | ')' | '>' => depth -= 1
