@@ -1357,6 +1357,19 @@ object Dml {
   /** Build the full prop-value array for one insert row: named props
     * from values, the rest from defaults / NULL; strict arity and
     * name checks (SemanticError), type checks (ExecutionError). */
+  /** One prop row built entirely from schema defaults / NULLs — an
+    * UPSERT seeding a missing key (reference UpdateExecutor
+    * insertable path). */
+  private def defaultRow(defs: Vector[ScenarioCatalog.PropDef]): Seq[Any] =
+    defs.map { d =>
+      if (d.hasDefault) d.default match {
+        case DynDefault(_, e) => coerceDef(evalConst(e), d)
+        case v => v
+      }
+      else if (!d.notNull) null
+      else throw new DmlError(s"prop ${d.name} has no default")
+    }
+
   private def buildRow(defs: Vector[ScenarioCatalog.PropDef],
                        names: Option[Vector[String]],
                        vals: Vector[Any]): Array[Any] = {
@@ -1544,10 +1557,18 @@ object Dml {
         require(ttlDur.isEmpty && ttlCol.isEmpty,
           "unsupported TTL on a table space")
         val defs = props.map { spec =>
-          require(spec.default.isEmpty,
-            "unsupported DEFAULT on a table space")
-          ScenarioCatalog.PropDef(spec.name, dataTypeOf(spec.tpe),
+          val dt = dataTypeOf(spec.tpe)
+          val proto = ScenarioCatalog.PropDef(spec.name, dt,
             spec.notNull, typeName = describeTypeName(spec.tpe))
+          spec.default match {
+            case Some(e) if isDynDefault(e) =>
+              proto.copy(hasDefault = true,
+                default = DynDefault(Expr.text(e), e))
+            case Some(e) =>
+              proto.copy(hasDefault = true,
+                default = coerceDef(evalConst(e), proto))
+            case None => proto
+          }
         }
         val m = if (isTag) tc.tagDefs else tc.edgeDefs
         if (m.contains(name)) {
@@ -1578,18 +1599,24 @@ object Dml {
         else tc.edgeTable(etype).insert(df)
         emptyOk(spark)
       case UpdateVertex(tag, vids, sets, when, yields, upsert) =>
-        require(!upsert, "unsupported UPSERT on a table space")
         require(yields.forall(_.isEmpty),
           "unsupported UPDATE...YIELD on a table space")
         require(tc.tagDefs.contains(tag), s"unknown tag $tag")
         val cond = col("vid").isin(vids.map(vid): _*) &&
           when.map(w => Expr.compile(w, setResolver(tag))).getOrElse(lit(true))
-        tc.tagTable(tag).update(cond,
-          sets.map { case (p, e) =>
-            p -> Expr.compile(e, setResolver(tag)) }: _*)
+        val assigns = sets.map { case (p, e) =>
+          p -> Expr.compile(e, setResolver(tag)) }
+        if (upsert) {
+          // UPSERT: seed missing vids with schema defaults, then the
+          // SET applies over the merged frame — one staged write
+          val defs = tc.tagDefs(tag)
+          val seedProps = defaultRow(defs).map(plain)
+          val data = vids.map(v => Row.fromSeq(vid(v) +: seedProps))
+          val seed = spark.createDataFrame(data.asJava, tc.tagSchema(tag))
+          tc.tagTable(tag).upsertWith(seed, cond, assigns: _*)
+        } else tc.tagTable(tag).update(cond, assigns: _*)
         emptyOk(spark)
       case UpdateEdge(etype, keys, sets, when, yields, upsert) =>
-        require(!upsert, "unsupported UPSERT on a table space")
         require(yields.forall(_.isEmpty),
           "unsupported UPDATE...YIELD on a table space")
         require(tc.edgeDefs.contains(etype), s"unknown edge $etype")
@@ -1599,9 +1626,17 @@ object Dml {
         }.reduce(_ || _)
         val cond = keyCond && when.map(w =>
           Expr.compile(w, setResolver(etype))).getOrElse(lit(true))
-        tc.edgeTable(etype).update(cond,
-          sets.map { case (p, e) =>
-            p -> Expr.compile(e, setResolver(etype)) }: _*)
+        val assigns = sets.map { case (p, e) =>
+          p -> Expr.compile(e, setResolver(etype)) }
+        if (upsert) {
+          val defs = tc.edgeDefs(etype)
+          val seedProps = defaultRow(defs).map(plain)
+          val data = keys.map { case (s, d2, r) =>
+            Row.fromSeq(Seq(vid(s), vid(d2), r) ++ seedProps)
+          }
+          val seed = spark.createDataFrame(data.asJava, tc.edgeSchema(etype))
+          tc.edgeTable(etype).upsertWith(seed, cond, assigns: _*)
+        } else tc.edgeTable(etype).update(cond, assigns: _*)
         emptyOk(spark)
       case DeleteVertex(vids, ref, withEdge) =>
         // a piped id set is MATERIALIZED (block-store checkpoint, not

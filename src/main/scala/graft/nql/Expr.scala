@@ -44,6 +44,14 @@ object Expr {
   final case class Compr(v: String, list: E, pred: Option[E], map: Option[E]) extends E
   /** reduce(acc = init, v IN list | step). */
   final case class ReduceE(acc: String, init: E, v: String, list: E, step: E) extends E
+  /** Pattern expression as a VALUE — `(v)-[:like]->()` in RETURN /
+    * WITH / aggregate / comprehension position, evaluating to the list
+    * of matching paths (reference: MatchPathPatternExpression.h,
+    * rewritten to RollUpApply in SegmentsConnector.cpp:71-92). Parsed
+    * here; validated + rewritten to a prepared rollup column by
+    * MatchSeg before compile — reaching compile unrewritten means the
+    * surface (GO/LOOKUP/...) doesn't support pattern expressions. */
+  final case class PatternE(part: MatchSeg.Part) extends E
   final case class Subscript(e: E, idx: E) extends E
   /** Postfix attribute access on a non-Ref base: properties(e).age,
     * date("...").month, {k: 1}.k (AttributeExpression.cpp). */
@@ -129,6 +137,7 @@ object Expr {
     case Lit(s: String) => "\"" + s + "\""
     case Lit(v) => v.toString
     case Ref(parts) => parts.mkString(".")
+    case PatternE(_) => "(pattern expression)"
     case Param("input", _, parts) => "$-." + parts.mkString(".")
     case Param("var", n, parts) => "$" + (n +: parts).mkString(".")
     case Param("src", _, parts) => ("$^" +: parts).mkString(".")
@@ -349,30 +358,17 @@ object Expr {
           else raw.toLongOption.getOrElse(throw new IllegalArgumentException(
             s"integer literal out of range: $raw")))
     case Some(Str(s)) => p.next(); Lit(s)
-    case Some(Sym("(")) =>
-      p.next()
-      // type-cast prefix `(INT)expr` (parser.yy type_cast): a known
-      // type word immediately closed by `)` and followed by an
-      // expression start is a cast, not a parenthesized column ref
-      val castFn = p.peek match {
-        case Some(Word(w)) if castTypes.contains(w.toLowerCase) &&
-            p.peek2.contains(Sym(")")) && p.ts.drop(2).headOption.exists {
-              case Word(x) => !reserved(x.toLowerCase) || x.equalsIgnoreCase("true") ||
-                x.equalsIgnoreCase("false") || x.equalsIgnoreCase("null")
-              case Str(_) | Num(_, _) => true
-              case Sym("(") | Sym("$") | Sym("-") | Sym("[") => true
-              case _ => false
-            } =>
-          Some(castTypes(w.toLowerCase))
-        case _ => None
+    case Some(Sym("(")) if patternAhead(p) =>
+      // pattern expression `(v)-[:like]->()` in value position: try a
+      // full pattern parse, backtracking to an ordinary parenthesized
+      // expression when the pattern shape doesn't hold (e.g. `(a)<-b`
+      // is a comparison against a negation)
+      val saved = p.ts
+      try PatternE(MatchSeg.parsePatternExprPart(p))
+      catch {
+        case scala.util.control.NonFatal(_) => p.ts = saved; parenAtom(p)
       }
-      castFn match {
-        case Some(fn) =>
-          p.next(); p.next() // type )
-          FnCall(fn, List(unE(p)))
-        case None =>
-          val e = parse(p); p.expectSym(")"); e
-      }
+    case Some(Sym("(")) => parenAtom(p)
     case Some(Sym("[")) =>
       p.next()
       // list comprehension: `[v IN list ...]`
@@ -396,6 +392,69 @@ object Expr {
         }
         ListLit(items.toList)
       }
+    case other => atomRest(p, other)
+  }
+
+  /** A `(` heads a pattern expression when the parenthesized group
+    * looks like a pattern NODE and the token after its matching `)`
+    * starts a relationship (`-[`, `--`, `<-`). Cheap token lookahead;
+    * the actual parse still backtracks on failure. */
+  private def patternAhead(p: P): Boolean = {
+    p.ts.drop(1) match {
+      case Sym(")") :: _ => ()
+      case Word(_) :: (Sym(")") | Sym(":") | Sym("{")) :: _ => ()
+      case Sym(":") :: Word(_) :: _ => ()
+      case Sym("{") :: _ => ()
+      case _ => return false
+    }
+    var depth = 0
+    var rest = p.ts
+    while (rest.nonEmpty) {
+      rest.head match {
+        case Sym("(") => depth += 1
+        case Sym(")") =>
+          depth -= 1
+          if (depth == 0)
+            return rest.tail match {
+              case Sym("-") :: Sym("[") :: _ => true
+              case Sym("-") :: Sym("-") :: _ => true
+              case Sym("<") :: Sym("-") :: _ => true
+              case _ => false
+            }
+        case _ => ()
+      }
+      rest = rest.tail
+    }
+    false
+  }
+
+  private def parenAtom(p: P): E = {
+      p.next()
+      // type-cast prefix `(INT)expr` (parser.yy type_cast): a known
+      // type word immediately closed by `)` and followed by an
+      // expression start is a cast, not a parenthesized column ref
+      val castFn = p.peek match {
+        case Some(Word(w)) if castTypes.contains(w.toLowerCase) &&
+            p.peek2.contains(Sym(")")) && p.ts.drop(2).headOption.exists {
+              case Word(x) => !reserved(x.toLowerCase) || x.equalsIgnoreCase("true") ||
+                x.equalsIgnoreCase("false") || x.equalsIgnoreCase("null")
+              case Str(_) | Num(_, _) => true
+              case Sym("(") | Sym("$") | Sym("-") | Sym("[") => true
+              case _ => false
+            } =>
+          Some(castTypes(w.toLowerCase))
+        case _ => None
+      }
+      castFn match {
+        case Some(fn) =>
+          p.next(); p.next() // type )
+          FnCall(fn, List(unE(p)))
+        case None =>
+          val e = parse(p); p.expectSym(")"); e
+      }
+  }
+
+  private def atomRest(p: P, head: Option[Gql.Tok]): E = head match {
     case Some(Sym("{")) =>
       p.next()
       // `{k: v, ...}` is a map literal; `{e1, e2, ...}` is a SET
@@ -690,7 +749,41 @@ object Expr {
       case Bin("ends", a, b) => c(a).endsWith(c(b))
       case Bin("contains", a, b) => c(a).contains(c(b))
       case Bin("in", a, ListLit(items)) if items.forall(_.isInstanceOf[Lit]) =>
-        c(a).isin(items.collect { case Lit(v) => v }: _*)
+        val vals = items.collect { case Lit(v) => v }
+        def famOf(v: Any): String = v match {
+          case _: Long | _: Int | _: Double | _: Float => "n"
+          case _: Boolean => "b"
+          case _ => "s"
+        }
+        val nonNull = vals.filter(_ != null)
+        if (nonNull.map(famOf).distinct.size <= 1) c(a).isin(vals: _*)
+        else {
+          // heterogeneous literal list: the reference compares
+          // Value-wise — equal only within a type family, numerics
+          // numerically ('Tony Parker' IN ['Tony Parker', 123] is
+          // true). A typeof-guarded key comparison; a plain isin()
+          // would ANSI-cast the operand to BIGINT and throw.
+          val ac = c(a)
+          val tf = call_function("typeof", ac)
+          val isNum = tf.isin("tinyint", "smallint", "int", "bigint",
+            "float", "double") || tf.startsWith("decimal")
+          val akey = when(isNum,
+              concat(lit("n:"), ac.cast("double").cast("string")))
+            .when(tf === "boolean", concat(lit("b:"), ac.cast("string")))
+            .otherwise(concat(lit("s:"), ac.cast("string")))
+          val keys = nonNull.map {
+            case v: Long => "n:" + v.toDouble.toString
+            case v: Int => "n:" + v.toDouble.toString
+            case v: Float => "n:" + v.toDouble.toString
+            case v: Double => "n:" + v.toString
+            case v: Boolean => "b:" + v.toString
+            case v => "s:" + String.valueOf(v)
+          }
+          val matched = akey.isin(keys: _*)
+          // a NULL list element keeps openCypher 3-valued IN: no
+          // match → NULL, not false
+          if (vals.contains(null)) when(matched, lit(true)) else matched
+        }
       // membership over container literals (basic/data.feature):
       // `x IN SET{...}` tests the distinct elements, `x IN MAP{...}`
       // tests the KEYS (Value.cpp: map containment is key lookup)
@@ -753,8 +846,17 @@ object Expr {
         struct(entries.map { case (k, v2) => c(v2).as(k) }: _*)
       // lambda forms → Spark higher-order functions; the bound var
       // shadows the outer resolver inside the body
+      case PatternE(_) =>
+        throw new IllegalArgumentException(
+          "SemanticError: pattern expression not allowed in this context")
+      // lambdas whose body reads FIELDS of the bound var compile the
+      // list through a `__rawlist` wrapper: a domain resolver (MATCH)
+      // can then supply raw edge STRUCTS where the plain reference
+      // would render display strings ([i in e | i.likeness] over a
+      // var-length edge list). Resolvers that don't intercept it see
+      // the unchanged list (the generic __rawlist case below).
       case Quant(kind, v, list, pred) =>
-        val lc = c(list)
+        val lc = c(rawIfFieldAccess(v, List(pred), list))
         val lam: Column => Column = x => compile(pred, bindVar(v, x, r))
         kind match {
           case "all" => forall(lc, lam)
@@ -770,10 +872,11 @@ object Expr {
               .otherwise(trueCnt === 1)
         }
       case Compr(v, list, pred, map) =>
-        var lc = c(list)
+        var lc = c(rawIfFieldAccess(v, pred.toList ++ map.toList, list))
         pred.foreach(p2 => lc = filter(lc, x => compile(p2, bindVar(v, x, r))))
         map.foreach(m2 => lc = transform(lc, x => compile(m2, bindVar(v, x, r))))
         lc
+      case FnCall("__rawlist", List(x), _) => c(x)
       case ReduceE(acc, init, v, list, step) =>
         aggregate(c(list), c(init),
           (a2, x) => compile(step, bindVar(acc, a2, bindVar(v, x, r))))
@@ -869,6 +972,16 @@ object Expr {
       case ("time", "microsec") => substring(base, 10, 6).cast("long")
       case _ => lit(null)
     }
+
+  /** Wrap a lambda's list in `__rawlist` when any body expression
+    * dereferences fields of the bound variable (`i.likeness`). */
+  private def rawIfFieldAccess(v: String, bodies: List[E], list: E): E = {
+    var found = false
+    bodies.foreach(collect(_) {
+      case Ref(n :: rest) if n == v && rest.nonEmpty => found = true
+    })
+    if (found) FnCall("__rawlist", List(list)) else list
+  }
 
   private def bindVar(name: String, x: Column, r: Resolver): Resolver = {
     case Ref(List(n)) if n == name => Some(x)

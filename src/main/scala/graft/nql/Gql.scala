@@ -531,7 +531,11 @@ object Gql {
         else if (p.kw("OFFSET")) pipes += PLimit(constInt(p), a)
         else pipes += PLimit(0, a)
       } else if (p.kw("OFFSET")) {
-        pipes += PLimit(constInt(p), Int.MaxValue)
+        // `| OFFSET m [LIMIT n]` (parser.yy limit_sentence accepts
+        // both orders; GO.feature:1848)
+        val m = constInt(p)
+        if (p.kw("LIMIT")) pipes += PLimit(m, constInt(p))
+        else pipes += PLimit(m, Int.MaxValue)
       } else throw new IllegalArgumentException(s"bad pipe at ${p.ts.take(3)}")
       while (parenDepth > 0 && p.sym(")")) parenDepth -= 1
       require(parenDepth == 0 || p.peek.contains(Sym("|")),

@@ -321,6 +321,34 @@ object MatchSeg {
     Rel(v, etypes, dir, range, props)
   }
 
+  /** Parse the `node (rel node)+` body of a pattern EXPRESSION
+    * (`(v)-[:like]->()` in value position — Expr.PatternE). No path
+    * variable, no shortestPath wrapper, at least one relationship;
+    * each additional hop backtracks cleanly so `(v)-[:x]->() - 3`
+    * stops after the pattern and leaves `- 3` to the caller. */
+  private[nql] def parsePatternExprPart(p: P): Part = {
+    val nodes = scala.collection.mutable.ListBuffer(parseNode(p))
+    val rels = scala.collection.mutable.ListBuffer.empty[Rel]
+    var go = true
+    while (go) {
+      val more = p.peek match {
+        case Some(Sym("-")) => true
+        case Some(Sym("<")) => p.peek2.contains(Sym("-"))
+        case _ => false
+      }
+      if (!more) go = false
+      else {
+        val saved = p.ts
+        try { rels += parseRel(p); nodes += parseNode(p) }
+        catch {
+          case scala.util.control.NonFatal(_) => p.ts = saved; go = false
+        }
+      }
+    }
+    require(rels.nonEmpty, "not a pattern expression")
+    Part(None, nodes.toList, rels.toList)
+  }
+
   // ---------- executor ----------
   private class BState(g: GraphCatalog) {
     val vertexVars = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -536,6 +564,19 @@ object MatchSeg {
                         idHints: Map[String, Seq[Any]] = Map.empty)
       : DataFrame = {
     if (part.sp.isDefined) return buildShortestPart(g, st, part, idHints)
+    // a property map on an UNTAGGED pattern node has no schema to
+    // resolve against (MatchValidator: "No tag found for property")
+    part.nodes.foreach { nd =>
+      if (nd.tags.isEmpty && nd.props.nonEmpty) {
+        val (k, pv0) = nd.props.head
+        val rendered = pv0 match {
+          case s: String => "\"" + s + "\""
+          case other => String.valueOf(other)
+        }
+        throw new IllegalArgumentException(
+          s"SemanticError: `$k:$rendered': No tag found for property.")
+      }
+    }
     val n0 = part.nodes.head
     val v0 = n0.v.getOrElse(st.freshVar())
     var binding =
@@ -939,6 +980,278 @@ object MatchSeg {
     * position): collect() over bare node/edge vars gathers RENDERED
     * values for display; `render=false` (WITH / WHERE positions):
     * raw vids, so the list can feed UNWIND back into patterns. */
+  // ---------- pattern expressions as values ----------
+  // `(v)-[:like]->()` in RETURN/WITH/UNWIND/aggregate position is the
+  // reference's MatchPathPatternExpression, planned as a RollUpApply
+  // (SegmentsConnector.cpp:71-92): expand the pattern once as its own
+  // frame, group the rendered paths by the bound-variable anchors, and
+  // LEFT-join the lists onto the binding table (missing → []). The
+  // expansion is pruned with a left-semi join on the live anchor
+  // values, so at scale the rollup only enumerates paths the binding
+  // can actually reference — never the whole graph.
+
+  /** Element kind of a comprehension/quantifier list — decides how a
+    * pattern expression referencing the lambda variable anchors to it. */
+  private sealed trait LKind
+  private case object LNodeVid extends LKind
+  private case object LNodeRendered extends LKind
+  private case class LEdgeFields(prefix: String) extends LKind
+  private case object LEdgeVl extends LKind
+  private case object LEdgeRendered extends LKind
+  private case object LOther extends LKind
+
+  private def listKind(st: BState, e: Expr.E, render: Boolean): LKind = e match {
+    case Expr.ListLit(items) if items.nonEmpty && items.forall {
+        case Expr.Ref(List(v)) => st.vertexVars.contains(v)
+        case _ => false } =>
+      // RETURN-position list literals render their node elements
+      // (resolver ListLit case), so the anchor must render too
+      if (render) LNodeRendered else LNodeVid
+    case Expr.ListLit(Expr.Ref(List(ev)) :: _)
+        if st.edgeVars.contains(ev) =>
+      if (render) LEdgeRendered else LEdgeFields(ev)
+    case Expr.FnCall("relationships", List(Expr.Ref(List(pv))), _)
+        if st.pathVars.contains(pv) => LEdgeRendered
+    case Expr.FnCall("nodes", List(Expr.Ref(List(pv))), _)
+        if st.pathVars.contains(pv) => LNodeRendered
+    case Expr.Ref(List(ev)) if st.vlEdgeVars.contains(ev) =>
+      if (render) LEdgeRendered else LEdgeVl
+    case Expr.Ref(List(c0)) if st.nodeListCols.contains(c0) => LNodeVid
+    case _ => LOther
+  }
+
+  private val peCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private class PeCtx(val g: GraphCatalog, val st: BState,
+                      var binding: DataFrame, val render: Boolean)
+
+  /** Rewrite every PatternE in `exprs` into a reference to a prepared
+    * rollup column on the (returned) extended binding. `bool` marks
+    * boolean position: there a pattern/list value becomes its
+    * non-emptiness (nebula truthiness of LIST). */
+  private def preparePatternExprs(
+      g: GraphCatalog, st: BState, binding0: DataFrame,
+      exprs: Seq[Expr.E], bool: Boolean, render: Boolean)
+    : (DataFrame, Seq[Expr.E]) = {
+    def hasPe(e: Expr.E): Boolean = {
+      var f = false
+      Expr.collect(e) { case Expr.PatternE(_) => f = true }
+      f
+    }
+    if (!exprs.exists(hasPe)) return (binding0, exprs)
+    val ctx = new PeCtx(g, st, binding0, render)
+    val out = exprs.map(rewritePe(ctx, _, bool, Map.empty))
+    (ctx.binding, out)
+  }
+
+  private def rewritePe(ctx: PeCtx, e: Expr.E, bool: Boolean,
+                        lambdas: Map[String, LKind]): Expr.E = {
+    def rw(x: Expr.E, b: Boolean) = rewritePe(ctx, x, b, lambdas)
+    def truthyList(x: Expr.E): Expr.E = x match {
+      case _: Expr.Compr | _: Expr.ListLit | _: Expr.SetLit if bool =>
+        Expr.Bin(">", Expr.FnCall("size", List(x)), Expr.Lit(0L))
+      case other => other
+    }
+    e match {
+      case pe: Expr.PatternE => compilePatternE(ctx, pe, bool, lambdas)
+      case Expr.Bin(op @ ("and" | "or" | "xor"), a, b) =>
+        Expr.Bin(op, rw(a, bool), rw(b, bool))
+      case Expr.Un("not", x) => Expr.Un("not", rw(x, true))
+      case Expr.Un(op, x) => Expr.Un(op, rw(x, false))
+      case Expr.Bin(op, a, b) => Expr.Bin(op, rw(a, false), rw(b, false))
+      case Expr.FnCall(n2, args, d) =>
+        Expr.FnCall(n2, args.map(rw(_, false)), d)
+      case Expr.CaseW(s, brs, els) =>
+        Expr.CaseW(s.map(rw(_, false)),
+          brs.map { case (c0, v0) => (rw(c0, s.isEmpty), rw(v0, false)) },
+          els.map(rw(_, false)))
+      case Expr.Quant(k, v, list, pred) =>
+        val kinds = lambdas + (v -> listKind(ctx.st, list, ctx.render))
+        Expr.Quant(k, v, rw(list, false),
+          rewritePe(ctx, pred, true, kinds))
+      case Expr.Compr(v, list, pred, map) =>
+        val kinds = lambdas + (v -> listKind(ctx.st, list, ctx.render))
+        truthyList(Expr.Compr(v, rw(list, false),
+          pred.map(rewritePe(ctx, _, true, kinds)),
+          map.map(rewritePe(ctx, _, false, kinds))))
+      case Expr.ReduceE(acc, init, v, list, step) =>
+        val kinds = lambdas +
+          (v -> listKind(ctx.st, list, ctx.render)) + (acc -> LOther)
+        Expr.ReduceE(acc, rw(init, false), v, rw(list, false),
+          rewritePe(ctx, step, false, kinds))
+      case Expr.ListLit(xs) => truthyList(Expr.ListLit(xs.map(rw(_, false))))
+      case Expr.SetLit(xs) => truthyList(Expr.SetLit(xs.map(rw(_, false))))
+      case Expr.MapLit(es) =>
+        Expr.MapLit(es.map { case (k, v0) => (k, rw(v0, false)) })
+      case Expr.Subscript(x, i) => Expr.Subscript(rw(x, false), rw(i, false))
+      case Expr.Attr(x, n2) => Expr.Attr(rw(x, false), n2)
+      case Expr.Slice(x, f2, t2) =>
+        Expr.Slice(rw(x, false), f2.map(rw(_, false)), t2.map(rw(_, false)))
+      case other => other
+    }
+  }
+
+  /** Validate one pattern expression's variables against the current
+    * scope (reference MatchValidator::validatePathInExpr messages) and
+    * attach its rollup column; returns the replacement expression. */
+  private def compilePatternE(ctx: PeCtx, pe: Expr.PatternE, bool: Boolean,
+                              lambdas: Map[String, LKind]): Expr.E = {
+    val st = ctx.st; val g = ctx.g
+    val part = pe.part
+    val bcols = ctx.binding.columns.toSet
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException("SemanticError: " + msg)
+    // (name, isEdge, localKind)
+    case class Anchor(name: String, isEdge: Boolean, local: Option[LKind])
+    val anchors = scala.collection.mutable.LinkedHashMap.empty[String, Anchor]
+    part.nodes.foreach(_.v.foreach { a =>
+      if (lambdas.contains(a)) lambdas(a) match {
+        case LNodeVid | LNodeRendered | LOther =>
+          anchors.getOrElseUpdate(a, Anchor(a, false, Some(lambdas(a))))
+        case _ =>
+          fail(s"`$a' is defined with type Edge, but referenced with type Node")
+      }
+      else if (st.vertexVars.contains(a))
+        anchors.getOrElseUpdate(a, Anchor(a, false, None))
+      else if (st.edgeVars.contains(a))
+        fail(s"`$a' is defined with type Edge, but referenced with type Node")
+      else if (st.vlEdgeVars.contains(a))
+        fail(s"`$a' is defined with type EdgeList, but referenced with type Node")
+      else if (st.pathVars.contains(a))
+        fail(s"`$a' is defined with type Path, but referenced with type Node")
+      else if (bcols.contains(a))
+        anchors.getOrElseUpdate(a, Anchor(a, false, Some(LOther)))
+      else fail(s"PatternExpression are not allowed to introduce new variables: `$a'.")
+    })
+    part.rels.foreach { rl => rl.v.foreach { a =>
+      if (rl.range.isEmpty) {
+        if (lambdas.contains(a)) lambdas(a) match {
+          case LNodeVid | LNodeRendered =>
+            fail(s"`$a' is defined with type Node, but referenced with type Edge")
+          case k => anchors.getOrElseUpdate(a, Anchor(a, true, Some(k)))
+        }
+        else if (st.edgeVars.contains(a))
+          anchors.getOrElseUpdate(a, Anchor(a, true, None))
+        else if (st.vertexVars.contains(a))
+          fail(s"`$a' is defined with type Node, but referenced with type Edge")
+        else if (st.vlEdgeVars.contains(a))
+          fail(s"`$a' is defined with type EdgeList, but referenced with type Edge")
+        else fail(s"PatternExpression are not allowed to introduce new variables: `$a'.")
+      } else {
+        if (st.edgeVars.contains(a))
+          fail(s"`$a' is defined with type Edge, but referenced with type EdgeList")
+        else if (st.vertexVars.contains(a))
+          fail(s"`$a' is defined with type Node, but referenced with type EdgeList")
+        else if (st.vlEdgeVars.contains(a) || lambdas.contains(a) ||
+            bcols.contains(a))
+          fail(s"Unsupported type of variable '$a` used in multiple patterns: list of edges.")
+        else fail(s"PatternExpression are not allowed to introduce new variables: `$a'.")
+      }
+    }}
+
+    // expand the pattern on its own fresh state; the forced path var
+    // materializes every hop's edge columns for rendering
+    val pv = "__pep"
+    val st2 = new BState(g)
+    val frame0 = buildPart(g, st2, part.copy(pathVar = Some(pv)))
+    val info = st2.pathVars(pv)
+    val strVid = frame0.schema(info.nodes.head).dataType ==
+      org.apache.spark.sql.types.StringType
+    var frame = frame0
+    // prune the expansion to anchor values the binding can see
+    val outerNodes = anchors.values.filter(a => a.local.isEmpty && !a.isEdge)
+      .map(_.name).toSeq
+    val outerEdges = anchors.values.filter(a => a.local.isEmpty && a.isEdge)
+      .map(_.name).toSeq
+    outerNodes.foreach { a =>
+      frame = frame.join(ctx.binding.select(col(a)).distinct(),
+        Seq(a), "left_semi")
+    }
+    val locals = anchors.values.filter(_.local.isDefined).toSeq
+
+    val pathC = renderPath(st2, info, strVid)
+    def edgeRendered(a: String): Column =
+      Gql.renderEdge(col(s"${a}_etype"), col(s"${a}_src"),
+        col(s"${a}_dst"), col(s"${a}_rank"), strVid)
+    val elem = struct((pathC.as("__path") +: locals.map { la =>
+      (if (la.isEdge) la.local.get match {
+        case LEdgeRendered => edgeRendered(la.name)
+        case _ => struct(col(s"${la.name}_etype").as("t"),
+          col(s"${la.name}_src").as("s"), col(s"${la.name}_dst").as("d"),
+          col(s"${la.name}_rank").as("r"))
+      } else la.local.get match {
+        case LNodeRendered => Gql.renderNode(col(la.name), strVid)
+        case _ => col(la.name)
+      }).as(s"__a_${la.name}")
+    }): _*)
+    val elemType = frame.select(elem).schema.head.dataType
+
+    val peCol = s"__pe${peCounter.incrementAndGet()}"
+    // (frame key col → hidden name, matching binding col)
+    val keySpecs: Seq[(Column, String, Column)] =
+      outerNodes.zipWithIndex.map { case (a, i) =>
+        (col(a), s"__pk_n$i", ctx.binding(a))
+      } ++ outerEdges.zipWithIndex.flatMap { case (a, i) =>
+        Seq("etype", "src", "dst", "rank").map(f =>
+          (col(s"${a}_$f"), s"__pk_e${i}_$f", ctx.binding(s"${a}_$f")))
+      }
+    if (keySpecs.isEmpty) {
+      val global = frame.agg(collect_list(elem).as(peCol))
+      ctx.binding = ctx.binding.crossJoin(broadcast(global))
+    } else {
+      val grouped = frame
+        .groupBy(keySpecs.map { case (c, n2, _) => c.as(n2) }: _*)
+        .agg(collect_list(elem).as(peCol))
+      val cond = keySpecs.map { case (_, n2, bc) => bc === grouped(n2) }
+        .reduce(_ && _)
+      ctx.binding = ctx.binding.join(grouped, cond, "left")
+        .drop(keySpecs.map(_._2): _*)
+    }
+    ctx.binding = ctx.binding.withColumn(peCol,
+      coalesce(col(peCol),
+        array().cast(org.apache.spark.sql.types.ArrayType(elemType))))
+
+    // replacement AST: filter the rollup list by the lambda-local
+    // anchors, project the path; boolean position tests non-emptiness
+    val x = s"__px_$peCol"
+    val eqs: Option[Expr.E] = locals.map { la =>
+      val anchor = Expr.Attr(Expr.Ref(List(x)), s"__a_${la.name}")
+      la.local.get match {
+        case LEdgeFields(pref) =>
+          List("t" -> s"${pref}_etype", "s" -> s"${pref}_src",
+            "d" -> s"${pref}_dst", "r" -> s"${pref}_rank").map {
+            case (af, lf) =>
+              Expr.Bin("==", Expr.Attr(anchor, af),
+                Expr.Attr(Expr.Ref(List(la.name)), lf)): Expr.E
+          }.reduce(Expr.Bin("and", _, _))
+        case LEdgeVl =>
+          List("t" -> "__t", "s" -> "__s", "d" -> "__d", "r" -> "__r").map {
+            case (af, lf) =>
+              Expr.Bin("==", Expr.Attr(anchor, af),
+                Expr.Attr(Expr.Ref(List(la.name)), lf)): Expr.E
+          }.reduce(Expr.Bin("and", _, _))
+        case _ =>
+          Expr.Bin("==", anchor, Expr.Ref(List(la.name))): Expr.E
+      }
+    }.reduceOption(Expr.Bin("and", _, _))
+    val filtered = Expr.Compr(x, Expr.Ref(List(peCol)), eqs,
+      if (bool) None else Some(Expr.Attr(Expr.Ref(List(x)), "__path")))
+    if (bool) Expr.Bin(">", Expr.FnCall("size", List(filtered)), Expr.Lit(0L))
+    else filtered
+  }
+
+  /** Filter with nebula truthiness: a LIST-valued predicate passes
+    * when non-empty (PathExprRefLocalVariable `WHERE [t in [v] | ...]`
+    * keeps every row — `[[]]` is a non-empty list). */
+  private def truthyFilter(df: DataFrame, w: Expr.E,
+                           res: Expr.Resolver): DataFrame = {
+    val c = Expr.compile(w, res)
+    df.select(c.as("__t0")).schema.head.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => df.filter(size(c) > 0)
+      case _ => df.filter(c)
+    }
+  }
+
   private def resolver(st: BState, binding: DataFrame,
                        render: Boolean = false): Expr.Resolver = {
     val cols = binding.columns.toSet
@@ -948,6 +1261,27 @@ object MatchSeg {
     def e(name: String): Option[Column] =
       if (cols(name)) Some(col(name)) else Some(lit(null))
     val f: Expr.Resolver = {
+      // a lambda whose body reads fields of its variable asks for the
+      // RAW list: var-length edge vars then supply property-carrying
+      // structs even in render position ([i in e | i.likeness])
+      case Expr.FnCall("__rawlist", List(Expr.Ref(List(ev))), _)
+          if st.vlEdgeVars.contains(ev) && cols(s"${ev}__vl") =>
+        Some(col(s"${ev}__vl"))
+      // a RETURN-position list literal renders its bare node/edge
+      // elements (`RETURN [v]` → [("Tim Duncan")], BoolCheckingInExpr)
+      case Expr.ListLit(items) if render && items.exists {
+          case Expr.Ref(List(n2)) =>
+            st.vertexVars.contains(n2) || st.edgeVars.contains(n2)
+          case _ => false } =>
+        val r2 = resolver(st, binding, render)
+        Some(array(items.map {
+          case Expr.Ref(List(v)) if st.vertexVars.contains(v) =>
+            Gql.renderNode(col(v), strVid)
+          case Expr.Ref(List(ev)) if st.edgeVars.contains(ev) =>
+            Gql.renderEdge(col(s"${ev}_etype"), col(s"${ev}_src"),
+              col(s"${ev}_dst"), col(s"${ev}_rank"), strVid)
+          case other => Expr.compile(other, r2)
+        }: _*))
       // duration arithmetic/comparison (TimeComputation.feature).
       // Durations travel as (__dmon,__dsec,__dmic) structs (Expr
       // `duration` ctor); ordering them is the reference's BAD_TYPE
@@ -1213,12 +1547,16 @@ object MatchSeg {
     m.stages.foreach {
       case MatchStage(clauses) =>
         binding = execClauses(g, st, clauses, binding)
-      case UnwindStage(e, alias) =>
+      case UnwindStage(e0, alias) =>
         // UNWIND as a clause: one row per list element (empty/null
         // lists eliminate the row — plain explode). A SCALAR operand
         // unwinds to itself, null to zero rows (UnwindExecutor.cpp) —
         // wrap it as a 1-element array so explode types check
-        binding = ensureTags(g, st, base(), Seq(e))
+        binding = ensureTags(g, st, base(), Seq(e0))
+        val (bU, eU) = preparePatternExprs(g, st, binding, Seq(e0),
+          bool = false, render = false)
+        binding = bU
+        val e = eU.head
         val uc = Expr.compile(e, resolver(st, binding))
         val udt = binding.select(uc.as("__u")).schema.head.dataType
         val uarr = udt match {
@@ -1307,7 +1645,10 @@ object MatchSeg {
       val (preW, postW) = cl.where.toSeq.partition(whereResolvable(st, frame, _))
       preW.foreach { w =>
         frame = ensureTags(g, st, frame, Seq(w))
-        frame = frame.filter(Expr.compile(w, resolver(st, frame)))
+        val (f2, w2) = preparePatternExprs(g, st, frame, Seq(w),
+          bool = true, render = false)
+        frame = f2
+        frame = truthyFilter(frame, w2.head, resolver(st, frame))
       }
       binding =
         if (binding == null) frame
@@ -1316,7 +1657,10 @@ object MatchSeg {
       binding = applyPendingEdgeEq(binding)
       postW.foreach { w =>
         binding = ensureTags(g, st, binding, Seq(w))
-        binding = binding.filter(Expr.compile(w, resolver(st, binding)))
+        val (b2, w2) = preparePatternExprs(g, st, binding, Seq(w),
+          bool = true, render = false)
+        binding = b2
+        binding = truthyFilter(binding, w2.head, resolver(st, binding))
       }
     }
     binding
@@ -1334,6 +1678,12 @@ object MatchSeg {
         if (!cols(n)) ok = false
       case Expr.Ref(List(v, _, _)) =>
         if (!cols(v)) ok = false
+      // a pattern expression's anchors are its named aliases
+      case Expr.PatternE(part) =>
+        (part.nodes.flatMap(_.v) ++ part.rels.flatMap(_.v)).foreach { a =>
+          if (!cols(a) && !cols(s"${a}_src") && !cols(s"${a}__vl"))
+            ok = false
+        }
     }
     ok
   }
@@ -1342,9 +1692,16 @@ object MatchSeg {
     * node/edge variable items survive AS variables (re-seekable tags,
     * renderable at RETURN), everything else becomes a plain column. */
   private def applyWith(g: GraphCatalog, st: BState, binding0: DataFrame,
-                        w: Proj): (DataFrame, BState) = {
+                        w0: Proj): (DataFrame, BState) = {
     var binding = ensureTags(g, st, binding0,
-      w.items.map(_.e) ++ w.where.toList ++ w.orderBy.map(_._1))
+      w0.items.map(_.e) ++ w0.where.toList ++ w0.orderBy.map(_._1))
+    // pattern-expression items become prepared rollup columns first
+    val (bP, itemEs) = preparePatternExprs(g, st, binding,
+      w0.items.map(_.e), bool = false, render = false)
+    binding = bP
+    val w = w0.copy(items = w0.items.zip(itemEs).map {
+      case (i, e2) => i.copy(e = e2)
+    })
     val res = resolver(st, binding)
     val st2 = new BState(g)
     st2.anon = st.anon
@@ -1377,6 +1734,13 @@ object MatchSeg {
               val n2 = i.alias + c2.stripPrefix(ev)
               col(c2).as(n2) -> n2
             }
+        // a var-length edge var stays an EdgeList through WITH: a
+        // later `-[e]->` single-edge reuse is the reference's
+        // Edge-vs-EdgeList SemanticError, and `[x in e | ...]` keeps
+        // reading the raw structs (PathExpr alias-type scenarios)
+        case Expr.Ref(List(ev)) if st.vlEdgeVars.contains(ev) =>
+          st2.addVlEdge(i.alias)
+          Seq(col(s"${ev}__vl").as(i.alias + "__vl") -> (i.alias + "__vl"))
         case Expr.FnCall("relationships", List(Expr.Ref(List(pv))), _)
             if st.pathVars.contains(pv) =>
           // `WITH relationships(p) AS e` binds e as a relationship
@@ -1452,7 +1816,10 @@ object MatchSeg {
     if (w.distinct) binding = binding.distinct()
     w.where.foreach { pred =>
       binding = ensureTags(g, st2, binding, Seq(pred))
-      binding = binding.filter(Expr.compile(pred, resolver(st2, binding)))
+      val (b2, p2) = preparePatternExprs(g, st2, binding, Seq(pred),
+        bool = true, render = false)
+      binding = b2
+      binding = truthyFilter(binding, p2.head, resolver(st2, binding))
     }
     if (w.orderBy.nonEmpty) binding = binding.orderBy(orderKeys(w.orderBy): _*)
     if (w.skip > 0) binding = binding.offset(w.skip)
@@ -1472,10 +1839,16 @@ object MatchSeg {
     }
 
   private def applyReturn(g: GraphCatalog, st: BState, binding0: DataFrame,
-                          ret: Proj): DataFrame = {
+                          ret0: Proj): DataFrame = {
     // lazy tag joins for RETURN / ORDER BY refs
     var binding = ensureTags(g, st, binding0,
-      ret.items.map(_.e) ++ ret.orderBy.map(_._1))
+      ret0.items.map(_.e) ++ ret0.orderBy.map(_._1))
+    val (bP, itemEs) = preparePatternExprs(g, st, binding,
+      ret0.items.map(_.e), bool = false, render = true)
+    binding = bP
+    val ret = ret0.copy(items = ret0.items.zip(itemEs).map {
+      case (i, e2) => i.copy(e = e2)
+    })
     val res = resolver(st, binding, render = true)
 
     val strVid = st.vertexVars.headOption.exists(v =>

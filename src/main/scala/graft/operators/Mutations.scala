@@ -97,6 +97,25 @@ object Mutations {
       * WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT. */
     def upsert(rows: DataFrame): Unit = insert(rows)
 
+    /** nGQL `UPSERT ... SET` semantics in ONE staged write: keys
+      * missing from the table are seeded from `seed` (schema defaults
+      * / NULLs), then the SET `assignments` apply wherever `cond`
+      * holds — so an upserted-in row sees its defaults on the right-
+      * hand side (`SET age = age + 1` over a fresh row reads the
+      * default), exactly the reference's UpdateExecutor insertable
+      * path. The merge is an anti join on the (small) seed key set —
+      * never a collect. */
+    def upsertWith(seed: DataFrame, cond: org.apache.spark.sql.Column,
+                   assignments: (String, org.apache.spark.sql.Column)*): Unit = {
+      val cur = if (exists) read else seed.limit(0)
+      val fresh = seed.join(cur.select(keys.map(col): _*), keys, "left_anti")
+      val merged = cur.unionByName(fresh)
+      val updated = assignments.foldLeft(merged) { case (df, (c, v)) =>
+        df.withColumn(c, when(cond, v).otherwise(col(c)))
+      }
+      write(updated)
+    }
+
     /** UPDATE: apply column assignments to rows matching a predicate. */
     def update(cond: org.apache.spark.sql.Column,
                assignments: (String, org.apache.spark.sql.Column)*): Unit = {

@@ -94,14 +94,19 @@ object SurfaceQueries {
     "q_nql_dml_scale" -> ((s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft-tdml").toString
       val tc = new graft.graph.TableCatalog(s, root, vidIsInt = true)
-      graft.nql.Gql.runScript(tc, "CREATE TAG account(balance double);")
+      // DEFAULT columns flow through bulk ingest, partial-prop INSERT,
+      // and the UPSERT seed row (round 8)
+      graft.nql.Gql.runScript(tc,
+        "CREATE TAG account(balance double DEFAULT 0.0, tier int DEFAULT 1);")
       tc.tagTable("account").insert(
         Tables.load(s, dir, "customer").select(
           col("c_custkey").cast("long").as("vid"),
-          col("c_acctbal").cast("double").as("balance")))
+          col("c_acctbal").cast("double").as("balance"),
+          lit(1L).as("tier")))
       graft.nql.Gql.runScript(tc,
         """INSERT VERTEX account(balance) VALUES 900001:(11.0), 900002:(22.0);
           |UPDATE VERTEX ON account 1, 2, 3 SET account.balance = account.balance + 1000;
+          |UPSERT VERTEX ON account 1, 900003 SET account.balance = account.balance + 5;
           |LOOKUP ON account WHERE account.balance < 0.0 YIELD id(vertex) AS id | DELETE VERTEX $-.id;""".stripMargin)
       tc.vertexTable("account")
     }),
@@ -150,12 +155,19 @@ object SurfaceQueries {
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "q_nql_dml_scale" ->
       """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS vid,
-        |                     CAST(c_acctbal AS DOUBLE) AS balance FROM customer),
+        |                     CAST(c_acctbal AS DOUBLE) AS balance,
+        |                     CAST(1 AS BIGINT) AS tier FROM customer),
         |ins AS (SELECT * FROM base
-        |        UNION ALL SELECT * FROM (VALUES (900001, 11.0), (900002, 22.0)) t(vid, balance)),
+        |        UNION ALL SELECT CAST(vid AS BIGINT), CAST(balance AS DOUBLE), CAST(tier AS BIGINT)
+        |                  FROM (VALUES (900001, 11.0, 1), (900002, 22.0, 1)) t(vid, balance, tier)),
         |upd AS (SELECT vid, CASE WHEN vid IN (1, 2, 3) THEN balance + 1000
-        |                         ELSE balance END AS balance FROM ins)
-        |SELECT vid, balance FROM upd WHERE balance >= 0.0""".stripMargin,
+        |                         ELSE balance END AS balance, tier FROM ins),
+        |merged AS (SELECT * FROM upd
+        |           UNION ALL SELECT CAST(900003 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT)
+        |                     WHERE NOT EXISTS (SELECT 1 FROM upd WHERE vid = 900003)),
+        |ups AS (SELECT vid, CASE WHEN vid IN (1, 900003) THEN balance + 5
+        |                         ELSE balance END AS balance, tier FROM merged)
+        |SELECT vid, balance, tier FROM ups WHERE balance >= 0.0""".stripMargin,
     "q_sql_e2e" ->
       """SELECT n_name, count(*) AS order_cnt,
         |       floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue

@@ -282,7 +282,13 @@ object TckRunner {
     val bgLines = lines.slice(headerEnd, bgEnd)
     marks.zipWithIndex.flatMap { case (start, mi) =>
       val end = marks.lift(mi + 1).getOrElse(lines.length)
-      val skip = start > 0 && lines(start - 1).trim.startsWith("@skip")
+      // the @skip tag may be separated from the Scenario line by
+      // comment lines (`@skip` / `# issue link` / `Scenario:`)
+      val skip = {
+        var j = start - 1
+        while (j >= 0 && lines(j).trim.startsWith("#")) j -= 1
+        j >= 0 && lines(j).trim.startsWith("@skip")
+      }
       val isOutline = lines(start).trim.startsWith("Scenario Outline")
       val rawBody = lines.slice(start + 1, end)
       // feature-level Examples also parameterize PLAIN scenarios when

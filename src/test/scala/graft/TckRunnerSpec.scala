@@ -152,13 +152,15 @@ class TckRunnerSpec extends SparkSpec {
     s"$oc/expressions/path/Path2.feature",
     s"$oc/expressions/path/Path3.feature",
     // round 7: the bugfix/ directory — real-user regression scenarios.
-    // All 48 files triaged; the 4 with zero executable scenarios are
-    // left out with reasons:
-    //  - AggPatternExpression: pattern expression inside an aggregate
-    //    (size((v)--(:team)) + count(...)) — unsupported surface
-    //  - AliasTypeDeduce / ExtractFilter: allShortestPaths piped
-    //    through nested list comprehensions — unsupported surface
-    //  - BoolCheckingInExpr: is_edge() on a vertex alias
+    // All 48 files triaged. Round 8's pattern-expression support
+    // (Expr.PatternE → RollUpApply) revived AggPatternExpression,
+    // ExtractFilter and BoolCheckingInExpr; the one file still left
+    // out:
+    //  - AliasTypeDeduce: allShortestPaths piped through nested list
+    //    comprehensions — zero executable scenarios
+    s"$root/bugfix/AggPatternExpression.feature",
+    s"$root/bugfix/BoolCheckingInExpr.feature",
+    s"$root/bugfix/ExtractFilter.feature",
     s"$root/bugfix/ArgumentPlanNodeDep.feature",
     s"$root/bugfix/BuildPathMistake.feature",
     s"$root/bugfix/CompareDate.feature",
@@ -346,10 +348,10 @@ class TckRunnerSpec extends SparkSpec {
     selected.foreach { f =>
       val text = java.nio.file.Files.readString(java.nio.file.Paths.get(f))
       val space = spaceRe.findFirstMatchIn(text).map(_.group(1)).getOrElse("nba")
-      // Scenario-Outline features parameterize the space ("<space_name>"
-      // with nba/int-vid Examples) — run them once against nba
       // Scenario-Outline features parameterize the space
-      // ("<space_name>" with Examples) — bind them to the nba fixture
+      // ("<space_name>" with nba / nba_int_vid Examples rows): the
+      // runner expands EVERY Examples row, so both fixture spaces run;
+      // the `<...>` default below only covers the pre-expansion parse
       val fixtures =
         if (space.startsWith("<")) catalogs + (space -> strCatalog)
         else catalogs
