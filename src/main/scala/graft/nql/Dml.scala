@@ -882,6 +882,7 @@ object Dml {
     * DmlError for semantic violations (unknown prop). */
   def eval(e: Expr.E, env: String => Option[Any]): Any = e match {
     case Expr.Lit(v) => v
+    case Expr.ParamLit(_, v) => eval(v, env)
     case Expr.ListLit(items) => ListVal(items.map(eval(_, env)))
     case Expr.SetLit(items) => SetVal(items.map(eval(_, env)).distinct)
     case Expr.Ref(parts) =>

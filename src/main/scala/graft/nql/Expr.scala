@@ -27,6 +27,10 @@ object Expr {
     * src ($^.tag.prop) | dst ($$.tag.prop); src/dst with empty parts are
     * the bare $^ / $$ inside id()/properties(). */
   final case class Param(kind: String, name: String, parts: List[String]) extends E
+  /** A session parameter inlined at parse time: `value` is the parsed
+    * literal (possibly a list/map), `name` keeps the `$name` source
+    * text for default column aliases (yield/parameter.feature). */
+  final case class ParamLit(name: String, value: E) extends E
   final case class FnCall(name: String, args: List[E], distinct: Boolean = false) extends E
   final case class Bin(op: String, l: E, r: E) extends E
   /** op ∈ not | neg | isnull | isnotnull. */
@@ -97,6 +101,7 @@ object Expr {
     case ReduceE(_, init, _, list, step) =>
       hasAgg(init) || hasAgg(list) || hasAgg(step)
     case Subscript(x, i) => hasAgg(x) || hasAgg(i)
+    case ParamLit(_, v) => hasAgg(v)
     case Attr(x, _) => hasAgg(x)
     case Slice(x, f2, t2) => hasAgg(x) || f2.exists(hasAgg) || t2.exists(hasAgg)
     case _ => false
@@ -123,6 +128,7 @@ object Expr {
       case ReduceE(_, init, _, list, step) =>
         collect(init)(pf); collect(list)(pf); collect(step)(pf)
       case Subscript(x, i) => collect(x)(pf); collect(i)(pf)
+      case ParamLit(_, v) => collect(v)(pf)
       case Attr(x, _) => collect(x)(pf)
       case Slice(x, f2, t2) =>
         collect(x)(pf); f2.foreach(collect(_)(pf)); t2.foreach(collect(_)(pf))
@@ -137,6 +143,7 @@ object Expr {
     case Lit(s: String) => "\"" + s + "\""
     case Lit(v) => v.toString
     case Ref(parts) => parts.mkString(".")
+    case ParamLit(n, _) => "$" + n
     case PatternE(_) => "(pattern expression)"
     case Param("input", _, parts) => "$-." + parts.mkString(".")
     case Param("var", n, parts) => "$" + (n +: parts).mkString(".")
@@ -252,13 +259,32 @@ object Expr {
     l
   }
 
+  /** scanner.lex maximal-munches adjacent `]-` / `--` / `-[` into
+    * MATCH-pattern tokens, so unspaced arithmetic like `1--1` or
+    * `[2,3]-[3]` is a reference SyntaxError while the spaced forms
+    * parse (yield/return.feature). The glue set from Gql.lex tells us
+    * which minus signs were adjacent. */
+  private def gluedEdgeTokenGuard(p: P, binary: Boolean): Unit = {
+    if (binary && p.gluedAt(0) && p.lastConsumed == Gql.Sym("]"))
+      throw new IllegalArgumentException("syntax error near `]-'")
+    if (p.gluedAt(1)) p.peek2 match {
+      case Some(Sym("-")) =>
+        throw new IllegalArgumentException("syntax error near `--'")
+      case Some(Sym("[")) =>
+        throw new IllegalArgumentException("syntax error near `-['")
+      case _ => ()
+    }
+  }
+
   private def addE(p: P): E = {
     var l = mulE(p)
     var go = true
     while (go) {
       p.peek match {
         case Some(Sym("+")) => p.next(); l = Bin("+", l, mulE(p))
-        case Some(Sym("-")) => p.next(); l = Bin("-", l, mulE(p))
+        case Some(Sym("-")) =>
+          gluedEdgeTokenGuard(p, binary = true)
+          p.next(); l = Bin("-", l, mulE(p))
         case _ => go = false
       }
     }
@@ -281,6 +307,7 @@ object Expr {
 
   private def unE(p: P): E = p.peek match {
     case Some(Sym("-")) =>
+      gluedEdgeTokenGuard(p, binary = false)
       p.next()
       // a 2^63-magnitude literal is valid ONLY when a unary minus
       // folds it to Long.MinValue (GraphScanner.h setIsIntMin)
@@ -289,7 +316,11 @@ object Expr {
           p.next(); Lit(Long.MinValue)
         case _ => unE(p) match {
           // fold the sign into numeric literals so constant arithmetic
-          // range checks see them (-9223372036854775807-2 overflow)
+          // range checks see them (-9223372036854775807-2 overflow);
+          // negating Long.MinValue itself cannot be represented
+          case Lit(n: Long) if n == Long.MinValue =>
+            throw new IllegalArgumentException(
+              "SemanticError: result of -(-9223372036854775808) cannot be represented as an integer")
           case Lit(n: Long) => Lit(-n)
           case Lit(d: Double) => Lit(-d)
           case other => Un("neg", other)
@@ -598,6 +629,16 @@ object Expr {
       p.next(); p.expectSym(".")
       if (p.sym("*")) Param("input", "", List("*"))
       else Param("input", "", List(p.word()))
+    case Some(Word(name)) if p.params.contains(name) =>
+      // session parameter: inline the parsed literal; a dotted tail
+      // walks nested map values ($p7.a.b.c)
+      p.next()
+      var base: E = ParamLit(name, parseText(p.params(name)))
+      while (p.peek.contains(Sym(".")) &&
+          p.peek2.exists(_.isInstanceOf[Word])) {
+        p.next(); base = Attr(base, p.word())
+      }
+      base
     case Some(Word(name)) =>
       p.next()
       Param("var", name, dottedTail(p))
@@ -846,6 +887,7 @@ object Expr {
         struct(entries.map { case (k, v2) => c(v2).as(k) }: _*)
       // lambda forms → Spark higher-order functions; the bound var
       // shadows the outer resolver inside the body
+      case ParamLit(_, v2) => c(v2)
       case PatternE(_) =>
         throw new IllegalArgumentException(
           "SemanticError: pattern expression not allowed in this context")
@@ -1222,12 +1264,12 @@ object Expr {
           case (Some(x), Some(y)) =>
             lit(Dml.geogFromText(s"POINT($x $y)").wkt)
           case _ =>
-            throw new IllegalArgumentException("unsupported non-constant ST_Point")
+            throw new IllegalArgumentException("SemanticError: ST_Point requires constant coordinates")
         }
       case "st_geogfromtext" => args.head match {
         case Lit(w: String) => lit(Dml.geogFromText(w).wkt)
         case _ =>
-          throw new IllegalArgumentException("unsupported non-literal ST_GeogFromText")
+          throw new IllegalArgumentException("SemanticError: ST_GeogFromText requires a literal WKT string")
       }
       // spherical predicates (GeoFunction.cpp dispatch, S2 semantics)
       case "st_intersects" => graft.functions.GeoFn.intersects(a(0), a(1))
@@ -1261,6 +1303,22 @@ object Expr {
     * neg/not, arithmetic) — None when any input is non-constant. */
   private[nql] def tryConst(e: E): Option[Any] = e match {
     case Lit(v) => Some(v)
+    case ParamLit(_, v) => tryConst(v)
+    // nested map/list parameter access folds to the element
+    case Attr(x, name) => tryConst(x).collect {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].get(name)
+    }.flatten
+    case Subscript(x, i) =>
+      (tryConst(x), tryConst(i)) match {
+        case (Some(l: List[_]), Some(n: Long)) => l.lift(n.toInt)
+        case _ => None
+      }
+    case MapLit(entries) =>
+      val vs = entries.map { case (k, v) => tryConst(v).map(k -> _) }
+      if (vs.forall(_.isDefined)) Some(vs.flatten.toMap) else None
+    case ListLit(items) =>
+      val vs = items.map(tryConst)
+      if (vs.forall(_.isDefined)) Some(vs.flatten) else None
     case Un("neg", x) => tryConst(x).collect {
       case n: Long => -n
       case d: Double => -d

@@ -48,10 +48,24 @@ object Gql {
   /** 2^63 — max literal magnitude (GraphScanner.h MAX_ABS_INTEGER). */
   val MaxAbsInteger: BigInt = BigInt("9223372036854775808")
 
-  def tokenize(q: String): List[Tok] = {
+  /** Token list plus the indices of tokens GLUED to their predecessor
+    * (no whitespace between). scanner.lex maximal-munches adjacent
+    * `--` / `-[` / `]-` into MATCH-pattern tokens, so unspaced
+    * arithmetic like `1--1` is a reference SyntaxError while `1- -1`
+    * parses — the glue set lets the expression parser reproduce that
+    * without compound tokens (yield/return.feature). */
+  case class Lexed(toks: List[Tok], glued: Set[Int])
+
+  def tokenize(q: String): List[Tok] = lex(q).toks
+
+  def lex(q: String): Lexed = {
     val out = scala.collection.mutable.ListBuffer.empty[Tok]
+    val starts = scala.collection.mutable.ListBuffer.empty[Int]
+    val ends = scala.collection.mutable.ListBuffer.empty[Int]
     var i = 0
     while (i < q.length) {
+      val tokStart = i
+      val sizeBefore = out.length
       val c = q(i)
       // isSpaceChar catches U+00A0/U+2007/... which isWhitespace does
       // not (basic/Parser.feature "special white space character")
@@ -169,17 +183,36 @@ object Gql {
       } else if (c == '<' && i + 1 < q.length && q(i + 1) == '>') {
         out += Sym("<>"); i += 2
       } else { out += Sym(c.toString); i += 1 }
+      if (out.length > sizeBefore) { starts += tokStart; ends += i }
     }
-    out.toList
+    val glued = (1 until out.length).filter(k => starts(k) == ends(k - 1))
+    Lexed(out.toList, glued.toSet)
   }
 
   // ---------- token cursor ----------
   private[nql] class P(var ts: List[Tok]) {
+    /** Session parameters (name -> nGQL literal text) — `$name` in
+      * expression position inlines the parsed literal (Expr.ParamLit);
+      * vid/step/sample positions reject like the reference's
+      * "Parameter is not supported in ..." SemanticErrors. */
+    var params: Map[String, String] = Map.empty
+    /** Glued-token indices from [[lex]] (tokens with no whitespace
+      * before them) — empty when the caller used plain tokenize, in
+      * which case [[gluedAt]] is always false. */
+    private var glueSet: Set[Int] = Set.empty
+    private var glueTotal: Int = 0
+    /** Most recently consumed token (for `]-` adjacency checks). */
+    var lastConsumed: Tok = null
+    def setGlue(l: Lexed): Unit = { glueSet = l.glued; glueTotal = l.toks.length }
+    /** Is the token at offset k from the head glued to its source
+      * predecessor? k=0: head vs the last consumed token. */
+    def gluedAt(k: Int): Boolean = glueSet.contains(glueTotal - ts.length + k)
     def peek: Option[Tok] = ts.headOption
     def peek2: Option[Tok] = ts.drop(1).headOption
-    def next(): Tok = { val h = ts.head; ts = ts.tail; h }
+    def next(): Tok = { val h = ts.head; ts = ts.tail; lastConsumed = h; h }
     def kw(s: String): Boolean = ts.headOption match {
-      case Some(Word(w)) if w.equalsIgnoreCase(s) => ts = ts.tail; true
+      case Some(Word(w)) if w.equalsIgnoreCase(s) =>
+        lastConsumed = ts.head; ts = ts.tail; true
       case _ => false
     }
     def kwPeek(s: String): Boolean = ts.headOption match {
@@ -189,7 +222,8 @@ object Gql {
     def expectKw(s: String): Unit =
       require(kw(s), s"expected $s at ${ts.take(3)}")
     def sym(s: String): Boolean = ts.headOption match {
-      case Some(Sym(x)) if x == s => ts = ts.tail; true
+      case Some(Sym(x)) if x == s =>
+        lastConsumed = ts.head; ts = ts.tail; true
       case _ => false
     }
     def expectSym(s: String): Unit =
@@ -332,11 +366,25 @@ object Gql {
   case class YieldStmt(items: Seq[Item], distinct: Boolean,
                        where: Option[Expr.E]) extends Stmt
   case class Unwind(e: Expr.E, alias: String) extends Stmt
+  /** Standalone `ORDER BY $var.col [ASC|DESC], ...` sentence sorting a
+    * user-defined variable's frame (OrderByValidator.cpp: factors must
+    * be input/var props; anything else is a SemanticError). */
+  case class OrderByStmt(keys: Seq[(Expr.E, Boolean)]) extends Stmt
+  /** `RETURN $var IF $cond IS [NOT] NULL` — conditional EARLY RETURN
+    * from a script: when the condition holds the script stops and
+    * yields `$var`, otherwise execution continues (parser.yy
+    * return_sentence; GO.feature "return test"). */
+  case class ReturnIf(v: String, cond: String, notNull: Boolean) extends Stmt
 
   // ---------- parser ----------
   /** Parse a single statement (no trailing tokens allowed). */
-  def parse(q: String): Stmt = {
-    val p = new P(tokenize(q))
+  def parse(q: String): Stmt = parse(q, Map.empty)
+
+  def parse(q: String, params: Map[String, String]): Stmt = {
+    val lx = lex(q)
+    val p = new P(lx.toks)
+    p.setGlue(lx)
+    p.params = params
     val s = parseSet(p)
     require(p.ts.isEmpty, s"trailing tokens: ${p.ts.take(3)}")
     s
@@ -344,7 +392,11 @@ object Gql {
 
   /** Parse a `;`-separated script with optional `$var =` assignments;
     * returns (varName?, stmt) in order. */
-  def parseScript(q: String): Seq[(Option[String], Stmt)] = {
+  def parseScript(q: String): Seq[(Option[String], Stmt)] =
+    parseScript(q, Map.empty)
+
+  def parseScript(q: String,
+                  params: Map[String, String]): Seq[(Option[String], Stmt)] = {
     // EXPLAIN/PROFILE prefix (parser.yy explain_sentence): validate
     // the FORMAT option and execute the underlying sentence(s) — the
     // plan rendering itself is Catalyst's (`df.explain`), so the
@@ -363,10 +415,13 @@ object Gql {
         }
         if (rest.startsWith("{") && rest.endsWith("}"))
           rest = rest.substring(1, rest.length - 1)
-        return parseScript(rest)
+        return parseScript(rest, params)
       case _ => ()
     }
-    val p = new P(tokenize(q))
+    val lx = lex(q)
+    val p = new P(lx.toks)
+    p.setGlue(lx)
+    p.params = params
     val out = scala.collection.mutable.ListBuffer.empty[(Option[String], Stmt)]
     var go = true
     while (go) {
@@ -376,7 +431,13 @@ object Gql {
           // lookahead for `$name =` (not $var.col used as a sentence)
           p.ts.drop(2).headOption match {
             case Some(Sym("=")) =>
-              p.next(); val n = p.word(); p.next(); Some(n)
+              p.next(); val n = p.word(); p.next()
+              // assigning to a session parameter is the reference's
+              // SyntaxError (parameter names shadow nothing)
+              if (p.params.contains(n))
+                throw new IllegalArgumentException(
+                  s"syntax error: Parameter is not supported in assignment near `$$$n'")
+              Some(n)
             case _ => None
           }
         } else None
@@ -496,7 +557,10 @@ object Gql {
         val e2 = Expr.parse(p)
         p.expectKw("AS")
         pipes += PUnwind(e2, p.word())
-      } else if (p.kw("YIELD")) {
+      } else if (p.kw("YIELD") || p.kw("RETURN")) {
+        // `| RETURN ...` is the same pipe stage as `| YIELD ...`
+        // (parser.yy return_sentence over piped input;
+        // yield/return.feature base)
         val distinct = p.kw("DISTINCT")
         val items = parseItems(p)
         val where = if (p.kw("WHERE")) Some(Expr.parse(p)) else None
@@ -651,6 +715,12 @@ object Gql {
         require(ns.forall(_ >= 0),
           "Invalid sample/limit clause: Limit/Sample element must be nonnegative")
       }
+      // GoValidator: a $var in WHERE/YIELD must be the FROM variable
+      (ys.toSeq.flatten.map(_.e) ++ where.toList).foreach(Expr.collect(_) {
+        case Expr.Param("var", n2, _) if !seedsVar.exists(_._1 == n2) =>
+          throw new IllegalArgumentException(
+            "SemanticError: A variable must be referred in FROM before used in WHERE or YIELD")
+      })
       Go(m, n, seeds, seedsCol, seedsVar, etypes, dir, where, ys, dist, caps)
     } else if (p.kw("LOOKUP")) {
       p.expectKw("ON")
@@ -819,6 +889,16 @@ object Gql {
     } else if (p.kwPeek("WITH")) {
       p.kw("WITH")
       MatchSeg.parseFromWith(p)
+    } else if (p.kwPeek("RETURN") && p.peek2.contains(Sym("$")) &&
+        p.ts.drop(2).headOption.exists(_.isInstanceOf[Word]) &&
+        p.ts.drop(3).headOption.exists {
+          case Word(w) => w.equalsIgnoreCase("IF"); case _ => false }) {
+      p.kw("RETURN"); p.expectSym("$"); val v = p.word()
+      p.expectKw("IF"); p.expectSym("$"); val v2 = p.word()
+      p.expectKw("IS")
+      val notNull = p.kw("NOT")
+      p.expectKw("NULL")
+      ReturnIf(v, v2, notNull)
     } else if (p.kw("YIELD") || p.kw("RETURN")) {
       // standalone RETURN is openCypher's expression-only query form
       // (Null.feature etc) — same semantics as a YIELD sentence
@@ -858,6 +938,17 @@ object Gql {
         }
         YieldFrom(items, distinct, where, base, joins.toSeq)
       } else YieldStmt(items, distinct, where)
+    } else if (p.kwPeek("ORDER")) {
+      p.kw("ORDER"); p.expectKw("BY")
+      val keys = scala.collection.mutable.ListBuffer.empty[(Expr.E, Boolean)]
+      var go2 = true
+      while (go2) {
+        val e = Expr.parse(p)
+        val desc = if (p.kw("DESC")) true else { p.kw("ASC"); false }
+        keys += (e -> desc)
+        if (p.sym(",")) () else go2 = false
+      }
+      OrderByStmt(keys.toSeq)
     } else if (p.kw("GROUP")) {
       // GROUP BY sentence over one $var source (GroupByValidator)
       p.expectKw("BY")
@@ -876,8 +967,12 @@ object Gql {
   /** Execute a (possibly multi-statement) script; the last statement's
     * frame is the result. `$var = stmt` binds the frame in the script
     * environment (AssignmentValidator / UnionAllVersionVar). */
-  def runScript(g: GraphCatalog, query: String): DataFrame = {
-    val last = runRaw(g, query)
+  def runScript(g: GraphCatalog, query: String): DataFrame =
+    runScript(g, query, Map.empty)
+
+  def runScript(g: GraphCatalog, query: String,
+                params: Map[String, String]): DataFrame = {
+    val last = runRaw(g, query, params)
     // internal twins (`__path_*`, `__vid_*`, `__edges_*`) never
     // surface to the user
     val hidden = last.columns.filter(c2 =>
@@ -890,17 +985,34 @@ object Gql {
     * library callers that want the structured columns (e.g. the
     * subgraph edge list as (src,dst,etype,rank) structs) without
     * re-parsing the rendered strings. */
-  private[graft] def runRaw(g: GraphCatalog, query: String): DataFrame = {
+  private[graft] def runRaw(g: GraphCatalog, query: String,
+                            params: Map[String, String] = Map.empty): DataFrame = {
     val env = scala.collection.mutable.Map.empty[String, DataFrame]
     var last: DataFrame = null
-    parseScript(query).foreach { case (varName, stmt) =>
-      // a $var is single-assignment (reference SymbolTable:
-      // "variable ... already exists", PipeAndVariable.feature)
-      varName.filter(env.contains).foreach(v =>
-        throw new IllegalArgumentException(s"variable `$v' already exists"))
-      val df = exec(g, stmt, env.toMap)
-      varName.foreach(env(_) = df)
-      last = df
+    var returned = false
+    parseScript(query, params).foreach { case (varName, stmt) =>
+      if (!returned) stmt match {
+        case ReturnIf(v, c, notNull) =>
+          // conditional early return: $c IS [NOT] NULL over the var's
+          // frame (empty frame = NULL); when it fires the script
+          // stops and yields $v
+          val condFrame = env.getOrElse(c,
+            throw new IllegalArgumentException(s"undefined $$$c"))
+          val nonEmpty = !condFrame.head(1).isEmpty
+          if (nonEmpty == notNull) {
+            last = env.getOrElse(v,
+              throw new IllegalArgumentException(s"undefined $$$v"))
+            returned = true
+          }
+        case _ =>
+          // a $var is single-assignment (reference SymbolTable:
+          // "variable ... already exists", PipeAndVariable.feature)
+          varName.filter(env.contains).foreach(v =>
+            throw new IllegalArgumentException(s"variable `$v' already exists"))
+          val df = exec(g, stmt, env.toMap)
+          varName.foreach(env(_) = df)
+          last = df
+      }
     }
     require(last != null, "empty script")
     last
@@ -1163,6 +1275,35 @@ object Gql {
       case Unwind(e, alias) =>
         spark.range(1).select(
           explode(Expr.compile(e, Expr.noResolver)).as(alias))
+      case OrderByStmt(keys) =>
+        // OrderByValidator.cpp: factors must be $-.col / $var.col; a
+        // standalone sentence has no pipe input, so $-.col has no prop
+        // and only ONE user-defined var may be referenced. Output is
+        // the var's full frame, sorted.
+        keys.foreach {
+          case (Expr.Param("var", _, List(_)), _) => ()
+          case (Expr.Param("input", _, parts), _) =>
+            val c2 = parts.mkString(".")
+            throw new IllegalArgumentException(
+              s"SemanticError: `$$-.$c2', not exist prop `$c2'")
+          case (other, _) =>
+            throw new IllegalArgumentException(
+              s"SemanticError: Order by with invalid expression `${Expr.text(other)}'")
+        }
+        val ovars = keys.map(_._1).collect {
+          case Expr.Param("var", v, _) => v }.distinct
+        if (ovars.size > 1) throw new IllegalArgumentException(
+          "SemanticError: Multiple user defined vars are not supported yet.")
+        val obase = env.getOrElse(ovars.head,
+          throw new IllegalArgumentException(
+            s"variable: `${ovars.head}' not exist"))
+        val sorts = keys.map { case (Expr.Param("var", v, List(c2)), desc) =>
+          if (!obase.columns.contains(c2))
+            throw new IllegalArgumentException(
+              s"SemanticError: `$$$v.$c2', not exist prop `$c2'")
+          if (desc) colByName(c2).desc else colByName(c2).asc
+        }
+        obase.orderBy(sorts: _*)
       case GroupStmt(keys, items, distinct) =>
         // same single-$var source rule as a standalone YIELD
         var vars = Set.empty[String]
@@ -1200,14 +1341,30 @@ object Gql {
         def frame(v: String): DataFrame = env.getOrElse(v,
           throw new IllegalArgumentException(s"variable: `$v' not exist"))
         val frames = (base +: joins.map(_._2)).map(v => v -> frame(v))
-        // duplicate column names across join inputs are ambiguous
-        frames.combinations(2).foreach { case Seq((_, fa), (_, fb)) =>
-          fa.columns.toSet.intersect(fb.columns.toSet).headOption
-            .filterNot(_.startsWith("__")).foreach { c2 =>
-              throw new IllegalArgumentException(
-                s"column name `$c2' duplicated across join inputs, " +
-                  "please rename it to a non-duplicate column name.")
-            }
+        // YieldValidator::validateJoin duplicate-column rule: a name
+        // shared by both sides is an error UNLESS it is that side's
+        // join-condition column (join-key dedup — yield/join.feature
+        // "join fetch" joins $a.src == $b.src with `src' on both)
+        joins.foreach { case (_, other, cond) =>
+          cond match {
+            case Expr.Bin("==", Expr.Param("var", lv, List(lc)),
+                               Expr.Param("var", rv, List(rc))) =>
+              for ((flv, ffr) <- frames.find(_._1 == lv);
+                   (frv, ffr2) <- frames.find(_._1 == rv)
+                   if flv != frv) {
+                val dups = ffr.columns.filterNot(_.startsWith("__"))
+                  .filterNot(_ == lc).toSet
+                  .intersect(ffr2.columns.filterNot(_.startsWith("__"))
+                    .filterNot(_ == rc).toSet)
+                dups.headOption.foreach { c2 =>
+                  throw new IllegalArgumentException(
+                    s"column name `$c2' of $$$flv and column name `$c2' " +
+                      s"of $$$frv are the same, please rename it to a " +
+                      "non-duplicate column name.")
+                }
+              }
+            case _ => ()
+          }
         }
         def prefixed(v: String, df: DataFrame): DataFrame =
           df.columns.foldLeft(df)((d, c2) =>
@@ -1251,6 +1408,19 @@ object Gql {
           case Expr.Param("var", n, _) => vars += n
         })
         require(vars.size <= 1, "YIELD supports at most one $var source")
+        // YieldValidator parity: CONSTANT integer division/modulo by
+        // zero and integer negation overflow fold to validation-time
+        // errors (runtime NULL-on-zero is unchanged)
+        (items.map(_.e) ++ where.toList).foreach(Expr.collect(_) {
+          case Expr.Bin("/" | "%", a2, b2)
+              if Expr.tryConst(b2).contains(0L) &&
+                Expr.tryConst(a2).isDefined =>
+            throw new IllegalArgumentException("SemanticError: Divide by 0")
+          case Expr.Un("neg", x2)
+              if Expr.tryConst(x2).contains(Long.MinValue) =>
+            throw new IllegalArgumentException(
+              "SemanticError: result of -(-9223372036854775808) cannot be represented as an integer")
+        })
         val base = vars.headOption match {
           case Some(v) => env.getOrElse(v,
             throw new IllegalArgumentException(s"undefined $$$v"))
@@ -1964,9 +2134,24 @@ object Gql {
       val strVid = eframe.schema("src").dataType ==
         org.apache.spark.sql.types.StringType
       var out =
-        if (!inputRefs) Traverse.goYield(seedsDF, eframe, m, nEff, dir,
-          stepCaps.map(_._2).getOrElse(Nil))
-        else {
+        if (!inputRefs) {
+          val base = Traverse.goYield(
+            if (input.isDefined) seedsDF.select(col("vid")).distinct()
+            else seedsDF,
+            eframe, m, nEff, dir, stepCaps.map(_._2).getOrElse(Nil))
+          input match {
+            case Some((in, seedCol)) if in.columns.contains(seedCol) =>
+              // runtime-var / piped seeds are a BAG: a vid appearing
+              // twice in the source frame expands twice
+              // (yield/join.feature "multiple join" GO 4 STEPS FROM
+              // $b.vid — every output row ×|seed rows|). Expand from
+              // the distinct set, then join back on the seed column.
+              in.select(colByName(seedCol).as("__seedbag"))
+                .join(base, col("__seedbag") === col("origin"))
+                .drop("__seedbag")
+            case _ => base
+          }
+        } else {
           // items reference the source frame's columns: expand from the
           // DISTINCT seed set, then join back on origin — restores the
           // input's bag multiplicity AND carries its columns (prefixed)
@@ -2161,7 +2346,18 @@ object Gql {
         case Some(w) => out.filter(Expr.compile(rwEmpty(w), fullResolver))
         case None => out
       }
-      val sel = selectItems(filtered, items, fullResolver)
+      // `$-.*` / `$var.*` in a piped GO expands to the SOURCE frame's
+      // columns minus the seed column (the goldens show the seed —
+      // already consumed as the expansion's FROM — is not re-yielded)
+      val items2 = items.flatMap { i => i.e match {
+        case Expr.Param(k @ ("input" | "var"), nm, List("*"))
+            if inputRefs && input.isDefined =>
+          input.get._1.columns.filterNot(_.startsWith("__"))
+            .filterNot(_ == input.get._2).toSeq
+            .map(c2 => Item(Expr.Param(k, nm, List(c2)), i.alias))
+        case _ => Seq(i)
+      } }
+      val sel = selectItems(filtered, items2, fullResolver)
       finish(if (dist) sel.distinct() else sel)
     }
   }
@@ -2347,6 +2543,16 @@ object Gql {
       case Expr.FnCall("nodes", List(arg), _) if twin(arg).isDefined =>
         val s = strVidOf(twinName(arg).get)
         Some(transform(twin(arg).get("vids"), v => nodeR(v, s)))
+      // id() over a path endpoint is the raw vid, not the rendered
+      // node (yield/join.feature `id(startNode($-.p)) AS src`)
+      case Expr.FnCall("id",
+          List(Expr.FnCall("startnode", List(arg), _)), _)
+          if twin(arg).isDefined =>
+        Some(element_at(twin(arg).get("vids"), 1))
+      case Expr.FnCall("id",
+          List(Expr.FnCall("endnode", List(arg), _)), _)
+          if twin(arg).isDefined =>
+        Some(element_at(twin(arg).get("vids"), -1))
       case Expr.FnCall("startnode", List(arg), _) if twin(arg).isDefined =>
         val s = strVidOf(twinName(arg).get)
         Some(nodeR(element_at(twin(arg).get("vids"), 1), s))

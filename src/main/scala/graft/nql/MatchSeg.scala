@@ -195,6 +195,24 @@ object MatchSeg {
     * `{age: (4 * 20) + 5}` (FoldConstantExprVisitor). */
   private def constFold(e: Expr.E): Any = e match {
     case Expr.Lit(v) => v
+    case Expr.ParamLit(_, v) => constFold(v)
+    // nested parameter access ($p7.a.b.c / $p5[0]) folds element-wise
+    case Expr.Attr(x, name) => constFold(x) match {
+      case m: Map[_, _] =>
+        m.asInstanceOf[Map[String, Any]].getOrElse(name,
+          throw new IllegalArgumentException(s"no key $name"))
+      case other =>
+        throw new IllegalArgumentException(s"cannot access .$name of $other")
+    }
+    case Expr.Subscript(x, i) => (constFold(x), constFold(i)) match {
+      case (l: List[_], n: Long) => l.lift(n.toInt).getOrElse(
+        throw new IllegalArgumentException(s"index $n out of range"))
+      case (a, b) =>
+        throw new IllegalArgumentException(s"cannot subscript $a by $b")
+    }
+    case Expr.MapLit(entries) =>
+      entries.map { case (k, v) => k -> constFold(v) }.toMap
+    case Expr.ListLit(items) => items.map(constFold)
     case Expr.Un("neg", x) => constFold(x) match {
       case n: Long => -n
       case d: Double => -d

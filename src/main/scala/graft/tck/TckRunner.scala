@@ -79,7 +79,13 @@ object TckRunner {
                          /** `name` row of the create-space options
                            * table — registered so CLEAR/DESC SPACE
                            * see it (ClearSpace.feature). */
-                         spaceName: Option[String] = None)
+                         spaceName: Option[String] = None,
+                         /** `Given parameters:` map (name → nGQL
+                           * literal text) — resolved by the ENGINE's
+                           * parser (ParamLit), not by textual
+                           * substitution, so vid-position parameters
+                           * reject like the reference. */
+                         params: Map[String, String] = Map.empty)
 
   private val spaceGivenRe = "Given a graph with space named \"([^\"]+)\"".r
   private val spaceLoadRe =
@@ -324,8 +330,9 @@ object TckRunner {
         if (resets)
           TckScenario(skip, sec.fixtureSpace, sec.ownSpace,
             sec.vidInt.getOrElse(false),
-            sec.steps.map(applyParams(_, params)), fresh = sec.fresh,
-            vidLen = sec.vidLen, spaceName = sec.spaceName)
+            sec.steps, fresh = sec.fresh,
+            vidLen = sec.vidLen, spaceName = sec.spaceName,
+            params = params)
         else
           TckScenario(
             skip = skip,
@@ -333,10 +340,11 @@ object TckRunner {
               .orElse(if (bg.ownSpace) None else Some(defaultSpace)),
             ownSpace = bg.ownSpace,
             vidInt = bg.vidInt.getOrElse(false),
-            steps = (bg.steps ++ sec.steps).map(applyParams(_, params)),
+            steps = bg.steps ++ sec.steps,
             fresh = bg.fresh,
             vidLen = bg.vidLen.orElse(sec.vidLen),
-            spaceName = bg.spaceName.orElse(sec.spaceName))
+            spaceName = bg.spaceName.orElse(sec.spaceName),
+            params = params)
       }
     }
   }
@@ -991,8 +999,21 @@ object TckRunner {
       val fixture = sc.fixtureSpace.flatMap(fixtures.get)
       val relevant = sc.ownSpace || fixture.isDefined
       if (!relevant) ()
-      else if (sc.skip) skipped += goldenSteps.size
       else {
+        // an @skip scenario (the reference's own CI does not run it)
+        // is ATTEMPTED: when every step passes cleanly we count the
+        // evidence, otherwise the whole scenario rolls back to skips —
+        // its goldens are unverified upstream, so a mismatch proves
+        // nothing about parity
+        val snapE = executed; val snapP = passed; val snapS = skipped
+        val snapF = failures.length; val snapEr = errors.length
+        def rollbackToSkip(): Unit = {
+          executed = snapE; passed = snapP
+          skipped = snapS + goldenSteps.size
+          failures.remove(snapF, failures.length - snapF)
+          errors.remove(snapEr, errors.length - snapEr)
+        }
+        try {
         val needsMutable = sc.ownSpace || sc.fresh || sc.steps.exists {
           case SExec(_) => true
           case SQuery(q, _, _) => isMutating(q)
@@ -1064,7 +1085,7 @@ object TckRunner {
               c.spaceDefs(m.group(1)) = (vt, None)
               cat = c
             } else if (!dead) {
-              try { Gql.runScript(cat, script); () }
+              try { Gql.runScript(cat, script, sc.params); () }
               catch {
                 case e: IllegalArgumentException => died(script, e)
                 case e: org.apache.spark.sql.AnalysisException => died(script, e)
@@ -1085,7 +1106,7 @@ object TckRunner {
                 // a successful run of the statement IS the scenario's
                 // expectation — counted, so success-only features
                 // (most of bugfix/) contribute evidence
-                try { Gql.runScript(cat, q).count(); executed += 1; passed += 1 }
+                try { Gql.runScript(cat, q, sc.params).count(); executed += 1; passed += 1 }
                 catch {
                   // unsupported surface kills the scenario even in
                   // try-mode (the statement's EFFECT is missing);
@@ -1109,7 +1130,7 @@ object TckRunner {
                 // golden expects a SyntaxError — otherwise it just
                 // means the sentence is unsupported surface (skip).
                 try {
-                  Gql.runScript(cat, q).count()
+                  Gql.runScript(cat, q, sc.params).count()
                   // accepted a statement the reference rejects →
                   // divergence: state unreliable, rest is skips
                   dead = true; skipped += 1
@@ -1151,7 +1172,7 @@ object TckRunner {
                 var parseWhy: String = null
                 val parsed =
                   if (tieWindow) None
-                  else try Some(Gql.parseScript(q))
+                  else try Some(Gql.parseScript(q, sc.params))
                   catch { case ex: Exception =>
                     parseWhy = String.valueOf(ex.getMessage); None }
                 parsed match {
@@ -1161,7 +1182,7 @@ object TckRunner {
                       s"[tck-skip] (parse) ${q.take(120)} -> ${parseWhy.take(140)}")
                   case Some(_) =>
                     try {
-                      val df = Gql.runScript(cat, q)
+                      val df = Gql.runScript(cat, q, sc.params)
                       // collect()'s element order is storage-iteration
                       // order — unreproducible from the spec. Scoped
                       // relaxation: list cells of collect() queries
@@ -1201,6 +1222,17 @@ object TckRunner {
                     }
                 }
             }
+        }
+        // @skip scenario: keep only a CLEAN full pass (no failures,
+        // no errors, no internal skips) — anything else reverts to
+        // the skip accounting
+        if (sc.skip && !(failures.length == snapF &&
+            errors.length == snapEr && skipped == snapS &&
+            executed - snapE == passed - snapP))
+          rollbackToSkip()
+        } catch {
+          case scala.util.control.NonFatal(_) if sc.skip =>
+            rollbackToSkip()
         }
       }
     }
