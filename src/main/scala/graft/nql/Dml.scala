@@ -96,11 +96,18 @@ object Dml {
   case class UpdateVertex(tag: String, vids: Seq[Any],
                           sets: Vector[(String, Expr.E)],
                           when: Option[Expr.E], yields: Option[Seq[Item]],
-                          upsert: Boolean) extends DStmt
+                          upsert: Boolean,
+                          /** piped vid set: `UPDATE VERTEX ON t $-.id
+                            * SET ...` (lookup/LookUpUpdate.feature). */
+                          ref: Option[InRef] = None) extends DStmt
   case class UpdateEdge(etype: String, keys: Seq[(Any, Any, Long)],
                         sets: Vector[(String, Expr.E)],
                         when: Option[Expr.E], yields: Option[Seq[Item]],
-                        upsert: Boolean) extends DStmt
+                        upsert: Boolean,
+                        /** piped edge keys: `UPDATE EDGE ON e
+                          * $-.src -> $-.dst @ $-.rank SET ...`. */
+                        refKeys: Option[(InRef, InRef, Option[InRef])] =
+                          None) extends DStmt
   case class DeleteVertex(vids: Seq[Any], ref: Option[InRef],
                           withEdge: Boolean) extends DStmt
   case class DeleteEdge(etype: String,
@@ -621,16 +628,37 @@ object Dml {
     out.toVector
   }
 
+  /** `$-.col` / `$var.col` reference in a DML key position. */
+  private def inRef(p: P): InRef = {
+    p.expectSym("$")
+    p.peek match {
+      case Some(Sym("-")) =>
+        p.next(); p.expectSym("."); InRef(None, p.word())
+      case Some(Word(v)) =>
+        p.next(); p.expectSym("."); InRef(Some(v), p.word())
+      case t => throw new IllegalArgumentException(s"bad ref $t")
+    }
+  }
+
   private def parseUpdate(p: P, upsert: Boolean): DStmt = {
     if (p.kw("VERTEX")) {
       if (p.kw("ON")) {
         val tag = p.word()
+        if (p.peek.contains(Sym("$"))) {
+          // piped vid set (LookUpUpdate.feature)
+          val r = inRef(p)
+          val sets = parseSets(p)
+          val when = if (p.kw("WHEN")) Some(Expr.parse(p)) else None
+          val yields = if (p.kw("YIELD")) Some(Gql.parseItems(p)) else None
+          UpdateVertex(tag, Seq.empty, sets, when, yields, upsert, Some(r))
+        } else {
         val vids = mutable.ListBuffer[Any](vidExpr(p))
         while (p.sym(",")) vids += vidExpr(p)
         val sets = parseSets(p)
         val when = if (p.kw("WHEN")) Some(Expr.parse(p)) else None
         val yields = if (p.kw("YIELD")) Some(Gql.parseItems(p)) else None
         UpdateVertex(tag, vids.toSeq, sets, when, yields, upsert)
+        }
       } else {
         // legacy: UPDATE VERTEX "vid" SET tag.prop = ... (v1 syntax);
         // the tag comes from the SET refs
@@ -655,6 +683,18 @@ object Dml {
     } else if (p.kw("EDGE")) {
       if (p.kw("ON")) {
         val etype = p.word()
+        if (p.peek.contains(Sym("$"))) {
+          // piped edge keys: $-.src -> $-.dst [@ $-.rank]
+          val s = inRef(p)
+          p.expectSym("-"); p.expectSym(">")
+          val d2 = inRef(p)
+          val r = if (p.sym("@")) Some(inRef(p)) else None
+          val sets = parseSets(p)
+          val when = if (p.kw("WHEN")) Some(Expr.parse(p)) else None
+          val yields = if (p.kw("YIELD")) Some(Gql.parseItems(p)) else None
+          UpdateEdge(etype, Seq.empty, sets, when, yields, upsert,
+            Some((s, d2, r)))
+        } else {
         def key(): (Any, Any, Long) = {
           val src = vidExpr(p)
           p.expectSym("-"); p.expectSym(">")
@@ -668,6 +708,7 @@ object Dml {
         val when = if (p.kw("WHEN")) Some(Expr.parse(p)) else None
         val yields = if (p.kw("YIELD")) Some(Gql.parseItems(p)) else None
         UpdateEdge(etype, keys.toSeq, sets, when, yields, upsert)
+        }
       } else {
         // legacy: UPDATE EDGE "a"->"b"@r OF type SET ...
         val src = vidExpr(p)
@@ -1599,7 +1640,42 @@ object Dml {
         if (ifNotExists) tc.edgeTable(etype).insertIfNotExists(df)
         else tc.edgeTable(etype).insert(df)
         emptyOk(spark)
-      case UpdateVertex(tag, vids, sets, when, yields, upsert) =>
+      case UpdateVertex(tag, vids, sets, when, yields, upsert, Some(r)) =>
+        // piped vid set on the AT-SCALE route: the `$-`/`$var` frame
+        // stays a DataFrame — membership is a marker join inside
+        // updateByKeys, never a collect
+        require(yields.forall(_.isEmpty),
+          "unsupported UPDATE...YIELD on a table space")
+        require(tc.tagDefs.contains(tag), s"unknown tag $tag")
+        val src = r match {
+          case InRef(None, c) =>
+            input.getOrElse(throw new IllegalArgumentException(
+              "UPDATE VERTEX $-. needs a pipe")).select(col(c))
+          case InRef(Some(v), c) =>
+            env.getOrElse(v, throw new IllegalArgumentException(
+              s"undefined $$$v")).select(col(c))
+        }
+        // materialized before the table swap (may read the very
+        // parquet files the update rewrites)
+        val ids = src.select(col(src.columns.head).cast(vidDt).as("vid"))
+          .localCheckpoint(true)
+        val whenC = when.map(w => Expr.compile(w, setResolver(tag)))
+          .getOrElse(lit(true))
+        val assigns = sets.map { case (p, e) =>
+          p -> Expr.compile(e, setResolver(tag)) }
+        val seed =
+          if (!upsert) ids
+          else {
+            val schema = tc.tagSchema(tag)
+            val defVals = defaultRow(tc.tagDefs(tag)).map(plain)
+            ids.select(col("vid") +:
+              schema.fields.drop(1).zip(defVals).map { case (f2, v) =>
+                lit(v).cast(f2.dataType).as(f2.name) }.toSeq: _*)
+          }
+        tc.tagTable(tag).updateByKeys(seed, insertMissing = upsert,
+          whenC, assigns: _*)
+        emptyOk(spark)
+      case UpdateVertex(tag, vids, sets, when, yields, upsert, None) =>
         require(yields.forall(_.isEmpty),
           "unsupported UPDATE...YIELD on a table space")
         require(tc.tagDefs.contains(tag), s"unknown tag $tag")
@@ -1617,7 +1693,42 @@ object Dml {
           tc.tagTable(tag).upsertWith(seed, cond, assigns: _*)
         } else tc.tagTable(tag).update(cond, assigns: _*)
         emptyOk(spark)
-      case UpdateEdge(etype, keys, sets, when, yields, upsert) =>
+      case UpdateEdge(etype, keys, sets, when, yields, upsert,
+                      Some((sr, dr, rr))) =>
+        // piped edge-key set, join-based like the vertex form above
+        require(yields.forall(_.isEmpty),
+          "unsupported UPDATE...YIELD on a table space")
+        require(tc.edgeDefs.contains(etype), s"unknown edge $etype")
+        val src = (sr, input) match {
+          case (InRef(None, _), Some(in)) => in
+          case (InRef(Some(v), _), _) =>
+            env.getOrElse(v, throw new IllegalArgumentException(
+              s"undefined $$$v"))
+          case _ => throw new IllegalArgumentException(
+            "UPDATE EDGE $-. needs a pipe")
+        }
+        val keySet = src.select(
+          col(sr.colName).cast(vidDt).as("src"),
+          col(dr.colName).cast(vidDt).as("dst"),
+          rr.map(x => col(x.colName).cast(LongType))
+            .getOrElse(lit(0L)).as("rank")).localCheckpoint(true)
+        val whenC = when.map(w => Expr.compile(w, setResolver(etype)))
+          .getOrElse(lit(true))
+        val assigns = sets.map { case (p, e) =>
+          p -> Expr.compile(e, setResolver(etype)) }
+        val seed =
+          if (!upsert) keySet
+          else {
+            val schema = tc.edgeSchema(etype)
+            val defVals = defaultRow(tc.edgeDefs(etype)).map(plain)
+            keySet.select(Seq(col("src"), col("dst"), col("rank")) ++
+              schema.fields.drop(3).zip(defVals).map { case (f2, v) =>
+                lit(v).cast(f2.dataType).as(f2.name) }: _*)
+          }
+        tc.edgeTable(etype).updateByKeys(seed, insertMissing = upsert,
+          whenC, assigns: _*)
+        emptyOk(spark)
+      case UpdateEdge(etype, keys, sets, when, yields, upsert, None) =>
         require(yields.forall(_.isEmpty),
           "unsupported UPDATE...YIELD on a table space")
         require(tc.edgeDefs.contains(etype), s"unknown edge $etype")
@@ -2249,8 +2360,20 @@ object Dml {
           }
         }
         emptyOk(spark)
-      case UpdateVertex(tag, vidEs, sets, when, yields, upsert) =>
+      case UpdateVertex(tag, vidEs0, sets, when, yields, upsert, ref) =>
         val g = cat(g0)
+        // piped vid set: scenario spaces are driver-sized (same
+        // documented collect boundary as piped DELETE below)
+        val vidEs: Seq[Any] = ref match {
+          case Some(InRef(None, c)) =>
+            input.getOrElse(throw new IllegalArgumentException(
+              "UPDATE VERTEX $-. needs a pipe"))
+              .select(c).collect().map(_.get(0)).toSeq
+          case Some(InRef(Some(v), c)) =>
+            env.getOrElse(v, throw new IllegalArgumentException(
+              s"undefined $$$v")).select(c).collect().map(_.get(0)).toSeq
+          case None => vidEs0
+        }
         // $$ (destination) is a GO-pipeline reference; invalid in
         // UPDATE VERTEX ($^ legally names the updated vertex itself)
         (sets.map(_._2) ++ when.toList ++
@@ -2271,12 +2394,34 @@ object Dml {
             case (None, out) => out
           }
         }
-        outs.reduceLeft((a, b) =>
+        if (outs.isEmpty) emptyOk(spark)
+        else outs.reduceLeft((a, b) =>
           if (a.columns.isEmpty) b
           else if (b.columns.isEmpty) a
           else a.unionByName(b))
-      case UpdateEdge(etype, keyEs, sets, when, yields, upsert) =>
+      case UpdateEdge(etype, keyEs0, sets, when, yields, upsert, refKeys) =>
         val g = cat(g0)
+        // piped edge-key set (same scenario-scale collect boundary)
+        val keyEs: Seq[(Any, Any, Long)] = refKeys match {
+          case Some((sr, dr, rr)) =>
+            val df = (sr, input) match {
+              case (InRef(None, _), Some(in)) => in
+              case (InRef(Some(v), _), _) =>
+                env.getOrElse(v, throw new IllegalArgumentException(
+                  s"undefined $$$v"))
+              case _ => throw new IllegalArgumentException(
+                "UPDATE EDGE $-. needs a pipe")
+            }
+            val cols = Seq(sr.colName, dr.colName) ++ rr.map(_.colName)
+            df.select(cols.head, cols.tail: _*).collect().toSeq.map { r =>
+              val rank = if (rr.isDefined) r.get(2) match {
+                case l: Long => l; case i: Int => i.toLong
+                case other => other.toString.toLong
+              } else 0L
+              (r.get(0), r.get(1), rank)
+            }
+          case None => keyEs0
+        }
         // vertex-prop refs ($^ / $$) are invalid anywhere in UPDATE
         // EDGE — storage updates one edge row and has no vertex at
         // hand (Update.IntVid.feature:393 "Has wrong expr")
@@ -2298,7 +2443,8 @@ object Dml {
             case (None, out) => out
           }
         }
-        outs.reduceLeft((a, b) =>
+        if (outs.isEmpty) emptyOk(spark)
+        else outs.reduceLeft((a, b) =>
           if (a.columns.isEmpty) b
           else if (b.columns.isEmpty) a
           else a.unionByName(b))

@@ -553,6 +553,18 @@ object Gql {
           case _ => throw new IllegalArgumentException(
             "piped DELETE must seed from $-.")
         }
+      } else if (p.kwPeek("UPDATE") || p.kwPeek("UPSERT")) {
+        // LOOKUP ... | UPDATE VERTEX ON t $-.id SET ...
+        // (lookup/LookUpUpdate.feature)
+        parseSentence(p) match {
+          case d: Dml.UpdateVertex if d.ref.exists(_.varName.isEmpty) =>
+            pipes += PDml(d)
+          case d: Dml.UpdateEdge
+              if d.refKeys.exists(_._1.varName.isEmpty) =>
+            pipes += PDml(d)
+          case _ => throw new IllegalArgumentException(
+            "piped UPDATE must seed from $-.")
+        }
       } else if (p.kw("UNWIND")) {
         val e2 = Expr.parse(p)
         p.expectKw("AS")

@@ -116,6 +116,37 @@ object Mutations {
       write(updated)
     }
 
+    /** UPDATE/UPSERT driven by a key-set DataFrame: rows whose key
+      * appears in `seed` receive the assignments (AND the extra
+      * predicate); with `insertMissing` the keys absent from the
+      * table are first seeded from `seed`'s rows (schema defaults) so
+      * the SET right-hand side reads them — nGQL UPSERT over a piped
+      * `$-` id set. Membership is a marker join, never a collect, so
+      * the piped set stays a DataFrame end to end at any scale. */
+    def updateByKeys(seed: DataFrame, insertMissing: Boolean,
+                     extraCond: org.apache.spark.sql.Column,
+                     assignments: (String, org.apache.spark.sql.Column)*)
+        : Unit = {
+      val cur = if (exists) read
+                else if (insertMissing) seed.limit(0)
+                else return
+      val base = if (insertMissing) {
+        val fresh = seed.join(cur.select(keys.map(col): _*), keys,
+          "left_anti").dropDuplicates(keys)
+        cur.unionByName(fresh)
+      } else cur
+      val marked = base.join(
+        seed.select(keys.map(col): _*).distinct()
+          .withColumn("__hit", lit(true)),
+        keys, "left")
+      val cond = coalesce(col("__hit"), lit(false)) && extraCond
+      val updated = assignments.foldLeft(marked) { case (df, (c, v)) =>
+        df.withColumn(c, when(coalesce(cond, lit(false)), v)
+          .otherwise(col(c)))
+      }
+      write(updated.drop("__hit"))
+    }
+
     /** UPDATE: apply column assignments to rows matching a predicate. */
     def update(cond: org.apache.spark.sql.Column,
                assignments: (String, org.apache.spark.sql.Column)*): Unit = {

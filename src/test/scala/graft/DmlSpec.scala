@@ -116,6 +116,38 @@ class DmlSpec extends SparkSpec {
       .select("amount").head.getLong(0) == 20L)
   }
 
+  test("table space: piped UPDATE/UPSERT drive a key-set join") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-tu").toString
+    val tc = new graft.graph.TableCatalog(spark, root, vidIsInt = true)
+    Gql.runScript(tc, "CREATE TAG account(balance double);")
+    Gql.runScript(tc, "CREATE EDGE paid(amount int);")
+    tc.tagTable("account").insert(
+      spark.range(1, 6).selectExpr("id as vid",
+        "cast(id * 10 as double) as balance"))
+    Gql.runScript(tc,
+      "INSERT EDGE paid(amount) VALUES 1->2:(10), 2->3:(20);")
+    // piped UPDATE: ids with balance >= 30 get +1000
+    Gql.runScript(tc,
+      """LOOKUP ON account WHERE account.balance >= 30.0 YIELD id(vertex) AS id
+        || UPDATE VERTEX ON account $-.id SET balance = balance + 1000.0;"""
+        .stripMargin)
+    val acct = tc.vertexTable("account")
+    assert(acct.filter(col("balance") > 1000.0).count() == 3) // vids 3,4,5
+    assert(acct.filter(col("vid") === 1).select("balance")
+      .head.getDouble(0) == 10.0)
+    // piped UPDATE EDGE by (src,dst,rank) refs
+    Gql.runScript(tc,
+      """LOOKUP ON paid WHERE paid.amount > 15 YIELD src(edge) AS s, dst(edge) AS d, rank(edge) AS r
+        || UPDATE EDGE ON paid $-.s -> $-.d @ $-.r SET amount = amount + 7;"""
+        .stripMargin)
+    val paid = tc.edgesByType("paid")
+    assert(paid.filter(col("src") === 2).select("amount")
+      .head.getLong(0) == 27L)
+    assert(paid.filter(col("src") === 1).select("amount")
+      .head.getLong(0) == 10L)
+  }
+
   test("table-space piped DML never collects to the driver") {
     // guard at the source level, like PlanSpec's localCheckpoint rule:
     // the execTable region of Dml.scala (TableCatalog route) must not
