@@ -697,6 +697,38 @@ object Expr {
       case Bin("and", a, b) => c(a) && c(b)
       case Bin("or", a, b) => c(a) || c(b)
       case Bin("xor", a, b) => c(a) =!= c(b)
+      // constant relational expressions fold through the reference's
+      // Value comparator — mixed-family and list operands can't even
+      // be typed as Spark columns (RelationalExpr.feature)
+      case Bin(op @ ("==" | "!=" | "<" | "<=" | ">" | ">="), a, b)
+          if tryConst(a).exists(constCmpFoldable) &&
+             tryConst(b).exists(constCmpFoldable) &&
+             !isGeoDist(a) && !isGeoDist(b) =>
+        foldCmp(op, tryConst(a).get, tryConst(b).get) match {
+          case null => lit(null).cast("boolean")
+          case v2 => lit(v2)
+        }
+      case Bin("in", a, b)
+          if tryConst(a).exists(constCmpFoldable) &&
+             tryConst(b).exists(v2 => v2.isInstanceOf[List[_]] &&
+               constCmpFoldable(v2)) =>
+        foldIn(tryConst(a).get,
+          tryConst(b).get.asInstanceOf[List[Any]]) match {
+          case null => lit(null).cast("boolean")
+          case v2 => lit(v2)
+        }
+      // ORDERING against a constant bool/list is the reference's
+      // cross-family NULL whenever the other side is a non-bool,
+      // non-list value — schema props are always scalars, so a
+      // column side can only be bool when the constant is too
+      // (`$$.player.age >= true`, `$$.player.name < [2,3,4]` —
+      // RelationalExpr.feature "in GO clause")
+      case Bin("<" | "<=" | ">" | ">=", a, b)
+          if (tryConst(a).isEmpty &&
+              tryConst(b).exists(v2 => v2.isInstanceOf[List[_]])) ||
+             (tryConst(b).isEmpty &&
+              tryConst(a).exists(v2 => v2.isInstanceOf[List[_]])) =>
+        lit(null).cast("boolean")
       // float comparisons are epsilon-approximate (the reference's
       // Value comparator, kEpsilon 1e-8: 2.0 == 2.000000009 is true,
       // and >=/<= hold under approximate equality). EXCEPT around
@@ -741,6 +773,21 @@ object Expr {
       case Bin("<=", a, b) => c(a) <= c(b)
       case Bin(">", a, b) => c(a) > c(b)
       case Bin(">=", a, b) => c(a) >= c(b)
+      // temporal ± a plain number/bool/string is a static type error
+      // (`time("10:00:00") + 3` — FunctionCall.feature:228)
+      case Bin(op @ ("+" | "-"), a, b)
+          if (tempKind(a) != "other" &&
+              tryConst(b).exists(v2 => v2 != null)) ||
+             (tempKind(b) != "other" &&
+              tryConst(a).exists(v2 => v2 != null)) =>
+        val (t, o) = if (tempKind(a) != "other") (a, b) else (b, a)
+        throw new IllegalArgumentException(
+          s"SemanticError: `(${text(a)}$op${text(b)})' is not a valid " +
+            s"expression, can not apply `$op' to " +
+            s"`${tempKind(t).toUpperCase}' and `${tryConst(o).get match {
+              case _: Long => "INT"; case _: Double => "FLOAT"
+              case _: String => "STRING"; case _: Boolean => "BOOL"
+              case _ => "VALUE" }}'.")
       // temporal ± duration: statically-typed operands (literal
       // date()/time()/datetime() calls) dispatch here; WITH-aliased
       // operands dispatch in MatchSeg's schema-aware resolver
@@ -786,8 +833,17 @@ object Expr {
       case Bin("%", a, b) => c(a) % c(b)
       // =~ is a FULL match (std::regex_match, not search)
       case Bin("=~", a, Lit(p: String)) => c(a).rlike("^(?:" + p + ")$")
-      case Bin("starts", a, b) => c(a).startsWith(c(b))
-      case Bin("ends", a, b) => c(a).endsWith(c(b))
+      case Bin(op @ ("starts" | "ends"), a, b) =>
+        // a non-string constant operand is the reference's static
+        // type error (`123 STARTS WITH 1` — Starts/EndsWith.feature)
+        Seq(a, b).foreach(e2 => tryConst(e2) match {
+          case Some(v2) if v2 != null && !v2.isInstanceOf[String] =>
+            throw new IllegalArgumentException(
+              s"SemanticError: Type error `(${text(a)} ${op.toUpperCase} WITH ${text(b)})'")
+          case _ => ()
+        })
+        if (op == "starts") c(a).startsWith(c(b))
+        else c(a).endsWith(c(b))
       case Bin("contains", a, b) => c(a).contains(c(b))
       case Bin("in", a, ListLit(items)) if items.forall(_.isInstanceOf[Lit]) =>
         val vals = items.collect { case Lit(v) => v }
@@ -897,6 +953,15 @@ object Expr {
       // would render display strings ([i in e | i.likeness] over a
       // var-length edge list). Resolvers that don't intercept it see
       // the unchanged list (the generic __rawlist case below).
+      // a constant-NULL list short-circuits every list form to NULL
+      // (the reference's BAD_TYPE-free null propagation; Spark can't
+      // even type a lambda over an untyped NULL)
+      case Quant(_, _, list, _) if tryConst(list).contains(null) =>
+        lit(null).cast("boolean")
+      case Compr(_, list, _, _) if tryConst(list).contains(null) =>
+        lit(null)
+      case ReduceE(_, _, _, list, _) if tryConst(list).contains(null) =>
+        lit(null)
       case Quant(kind, v, list, pred) =>
         val lc = c(rawIfFieldAccess(v, List(pred), list))
         val lam: Column => Column = x => compile(pred, bindVar(v, x, r))
@@ -1087,6 +1152,137 @@ object Expr {
   private def approxEq(x: Column, y: Column): Column =
     abs(x - y) < lit(1e-8)
 
+  /** Rewrite references whose HEAD is `from` to head `to` — used to
+    * statically instantiate a lambda body once per fixed-path node
+    * (`[n IN nodes(p) | n.player.age]` → one expr per node alias).
+    * Inner binders that shadow `from` stop the substitution. */
+  private[nql] def substRefHead(e: E, from: String, to: String): E = {
+    def s(x: E): E = x match {
+      case Ref(h :: rest) if h == from => Ref(to :: rest)
+      case FnCall(n, args, d) => FnCall(n, args.map(s), d)
+      case Bin(op, l, r2) => Bin(op, s(l), s(r2))
+      case Un(op, v2) => Un(op, s(v2))
+      case CaseW(subj, branches, els) =>
+        CaseW(subj.map(s),
+          branches.map { case (a, b) => (s(a), s(b)) }, els.map(s))
+      case ListLit(items) => ListLit(items.map(s))
+      case SetLit(items) => SetLit(items.map(s))
+      case MapLit(entries) =>
+        MapLit(entries.map { case (k, v2) => (k, s(v2)) })
+      case Quant(k, v2, l, p2) =>
+        if (v2 == from) Quant(k, v2, s(l), p2)
+        else Quant(k, v2, s(l), s(p2))
+      case Compr(v2, l, p2, m2) =>
+        if (v2 == from) Compr(v2, s(l), p2, m2)
+        else Compr(v2, s(l), p2.map(s), m2.map(s))
+      case ReduceE(acc, init, v2, l, step) =>
+        if (acc == from || v2 == from) ReduceE(acc, s(init), v2, s(l), step)
+        else ReduceE(acc, s(init), v2, s(l), s(step))
+      case Subscript(x2, i2) => Subscript(s(x2), s(i2))
+      case Attr(x2, n2) => Attr(s(x2), n2)
+      case Slice(x2, f2, t2) => Slice(s(x2), f2.map(s), t2.map(s))
+      case other => other
+    }
+    s(e)
+  }
+
+  // ---- constant Value comparator (Value.cpp lessThan:1779 /
+  // equals:2719, kEpsilon 1e-8) ----
+  // Cross-family ORDERING is NULL while cross-family EQUALITY is
+  // definite false; numerics compare epsilon-approximate; lists are
+  // lexicographic with structural element equality (null==null is
+  // true INSIDE a list but poisons at top level). Folded at compile
+  // time for constant operands — RelationalExpr.feature's mixed/list
+  // tests can't even be typed as Spark columns.
+  private def cmpFamily(v: Any): Int = v match {
+    case null => 0
+    case _: Long | _: Int | _: Double | _: Float => 1
+    case _: String => 2
+    case _: Boolean => 3
+    case _: List[_] => 4
+    case _ => -1 // typed scenario values (time/geo/map): not folded
+  }
+  private[nql] def constCmpFoldable(v: Any): Boolean = v match {
+    case l: List[_] => l.forall(constCmpFoldable)
+    case other => cmpFamily(other) >= 0
+  }
+  private def toD(v: Any): Double = v match {
+    case l: Long => l.toDouble; case i: Int => i.toDouble
+    case d: Double => d; case f: Float => f.toDouble
+  }
+  private def epsNumEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long) => x == y
+    case _ => math.abs(toD(a) - toD(b)) < 1e-8
+  }
+  /** List::operator== — structural, epsilon numerics, null==null. */
+  private def structEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null) => true
+    case (null, _) | (_, null) => false
+    case (x: List[_], y: List[_]) =>
+      x.length == y.length &&
+        x.zip(y).forall { case (p, q) => structEq(p, q) }
+    case _ if cmpFamily(a) == 1 && cmpFamily(b) == 1 => epsNumEq(a, b)
+    case _ => a == b
+  }
+  /** Top-level ==: a null operand is NULL, cross-family is false. */
+  private def eqConst(a: Any, b: Any): Any =
+    if (a == null || b == null) null
+    else if (cmpFamily(a) != cmpFamily(b)) false
+    else structEq(a, b)
+  /** lessThan: NULL on null operands / non-numeric cross-family. */
+  private def ltConst(a: Any, b: Any): Any = {
+    if (a == null || b == null) return null
+    val (fa, fb) = (cmpFamily(a), cmpFamily(b))
+    if (fa != fb) return null
+    fa match {
+      case 1 => (a, b) match {
+        case (x: Long, y: Long) => x < y
+        case _ => !epsNumEq(a, b) && toD(a) < toD(b)
+      }
+      case 2 => a.asInstanceOf[String] < b.asInstanceOf[String]
+      case 3 => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
+      case 4 =>
+        val (x, y) =
+          (a.asInstanceOf[List[Any]], b.asInstanceOf[List[Any]])
+        var i = 0
+        while (i < x.length && i < y.length) {
+          if (!structEq(x(i), y(i))) return ltConst(x(i), y(i))
+          i += 1
+        }
+        x.length < y.length
+    }
+  }
+  private[nql] def foldCmp(op: String, a: Any, b: Any): Any = op match {
+    case "==" => eqConst(a, b)
+    case "!=" => eqConst(a, b) match {
+      case null => null; case x: Boolean => !x }
+    case "<" => ltConst(a, b)
+    case ">" => ltConst(b, a)
+    case "<=" => (ltConst(a, b), eqConst(a, b)) match {
+      case (true, _) => true; case (_, true) => true
+      case (null, _) => null; case (_, null) => null
+      case _ => false
+    }
+    case ">=" => (ltConst(b, a), eqConst(a, b)) match {
+      case (true, _) => true; case (_, true) => true
+      case (null, _) => null; case (_, null) => null
+      case _ => false
+    }
+  }
+  /** IN over a constant list: found → true; else NULL if any element
+    * comparison was NULL (null element or null needle). */
+  private[nql] def foldIn(x: Any, items: List[Any]): Any = {
+    var sawNull = false
+    items.foreach { el =>
+      eqConst(x, el) match {
+        case true => return true
+        case null => sawNull = true
+        case _ => ()
+      }
+    }
+    if (sawNull) null else false
+  }
+
   /** Generic function → Spark Column. Domain functions (id, type,
     * properties, src/dst/rank over graph values) are expected to be
     * intercepted by the resolver; what remains is the portable scalar /
@@ -1101,6 +1297,10 @@ object Expr {
       case "count" if args.isEmpty || args == List(Star) =>
         if (distinct) throw new IllegalArgumentException("count(distinct *)")
         else count(lit(1))
+      case "count" if args.size > 1 =>
+        // parser.yy: aggregates take exactly one argument
+        throw new IllegalArgumentException(
+          "syntax error: count() takes one argument near `count'")
       case "count" => if (distinct) count_distinct(a(0)) else count(a(0))
       // sum over an empty/all-null group is 0, not NULL
       // (AggData initial value, AggregateExpression.cpp)
@@ -1151,6 +1351,7 @@ object Expr {
       case "log10" => log10(a(0))
       case "pow" => pow(a(0), a(1))
       case "sign" => signum(a(0))
+      case "radians" => radians(a(0))
       case "sin" => sin(a(0)); case "cos" => cos(a(0)); case "tan" => tan(a(0))
       case "asin" => asin(a(0)); case "acos" => acos(a(0)); case "atan" => atan(a(0))
       case "e" => lit(math.E)
@@ -1196,7 +1397,9 @@ object Expr {
         a(0).cast("string").try_cast("double").cast("long")
       case "tostring" => a(0).cast("string")
       // collections
-      case "size" => size(a(0))
+      case "size" =>
+        // Spark's legacy size(NULL) is -1; the reference yields NULL
+        when(a(0).isNull, lit(null)).otherwise(size(a(0)))
       case "exists" => a(0).isNotNull
       case "tail" => slice(a(0), lit(2), greatest(size(a(0)) - 1, lit(0)))
       case "head" => element_at(a(0), 1)

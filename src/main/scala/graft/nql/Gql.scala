@@ -733,6 +733,19 @@ object Gql {
           throw new IllegalArgumentException(
             "SemanticError: A variable must be referred in FROM before used in WHERE or YIELD")
       })
+      // aggregates never belong in a GO's own clauses (parser.yy
+      // rejects at parse; aggregate/Agg.feature error goldens) —
+      // `GO ... | YIELD count(*)` is the supported piped form
+      ys.toSeq.flatten.foreach { i =>
+        if (Expr.hasAgg(i.e)) throw new IllegalArgumentException(
+          "syntax error: Invalid use of aggregating function in yield " +
+            s"clause. near `${Expr.text(i.e)}'")
+      }
+      where.foreach { w =>
+        if (Expr.hasAgg(w)) throw new IllegalArgumentException(
+          "syntax error: Invalid use of aggregating function in where " +
+            s"clause. near `${Expr.text(w)}'")
+      }
       Go(m, n, seeds, seedsCol, seedsVar, etypes, dir, where, ys, dist, caps)
     } else if (p.kw("LOOKUP")) {
       p.expectKw("ON")

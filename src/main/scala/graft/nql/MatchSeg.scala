@@ -884,12 +884,43 @@ object MatchSeg {
   private def ensureTags(g: GraphCatalog, st: BState, binding0: DataFrame,
                          exprs: Seq[Expr.E]): DataFrame = {
     var binding = binding0
+    // nodes(p)-derived prop access (subscript / lambda instantiation
+    // in the resolver) needs the tag joined on EVERY node alias of
+    // the fixed-length path
+    def joinTagForNodes(pv: String, tags: Iterable[String]): Unit =
+      st.pathVars(pv).nodes.foreach { nv =>
+        tags.foreach { t =>
+          if (st.knownTag(t) && !st.boundTags.contains((nv, t))) {
+            binding = binding.join(tagFrame(g, t, nv), Seq(nv),
+              "left_outer")
+            st.boundTags += (nv -> t)
+          }
+        }
+      }
     exprs.foreach(Expr.collect(_) {
       case Expr.Ref(List(v, tag, _))
           if st.vertexVars.contains(v) && st.knownTag(tag) &&
             !st.boundTags.contains((v, tag)) =>
         binding = binding.join(tagFrame(g, tag, v), Seq(v), "left_outer")
         st.boundTags += (v -> tag)
+      case Expr.Attr(Expr.Attr(Expr.Subscript(
+            Expr.FnCall("nodes", List(Expr.Ref(List(pv))), _), _),
+            tag), _)
+          if st.pathVars.get(pv).exists(!_.varLength) =>
+        joinTagForNodes(pv, Seq(tag))
+      case Expr.Compr(v2,
+            Expr.FnCall("nodes", List(Expr.Ref(List(pv))), _), pred, map)
+          if st.pathVars.get(pv).exists(!_.varLength) =>
+        var tags = Set.empty[String]
+        (pred.toList ++ map.toList).foreach(Expr.collect(_) {
+          case Expr.Ref(List(`v2`, t, _)) => tags += t })
+        joinTagForNodes(pv, tags)
+      case Expr.Quant(_, v2,
+            Expr.FnCall("nodes", List(Expr.Ref(List(pv))), _), pred)
+          if st.pathVars.get(pv).exists(!_.varLength) =>
+        var tags = Set.empty[String]
+        Expr.collect(pred) { case Expr.Ref(List(`v2`, t, _)) => tags += t }
+        joinTagForNodes(pv, tags)
       // whole-tag access `v.player` needs that tag joined AND the
       // membership flag (NULL when the vertex lacks the tag)
       case Expr.Ref(List(v, sub)) if st.vertexVars.contains(v) &&
@@ -1525,6 +1556,57 @@ object MatchSeg {
             col(s"${ev}_dst"), col(s"${ev}_rank"), strVid))
         }
         Some(if (parts2.size == 1) parts2.head else concat(parts2: _*))
+      // nodes(p)[k].tag.prop over a FIXED-length path folds to the
+      // k-th node alias statically (expression/Attribute TCK)
+      case Expr.Attr(Expr.Attr(Expr.Subscript(
+            Expr.FnCall("nodes", List(Expr.Ref(List(pv))), _), idxE),
+            tag), prop)
+          if st.pathVars.get(pv).exists(!_.varLength) &&
+            Expr.tryConst(idxE).exists(_.isInstanceOf[Long]) =>
+        val ns = st.pathVars(pv).nodes
+        val k0 = Expr.tryConst(idxE).get.asInstanceOf[Long].toInt
+        val k = if (k0 < 0) ns.length + k0 else k0
+        if (k < 0 || k >= ns.length) Some(lit(null))
+        else Some(Expr.compile(Expr.Ref(List(ns(k), tag, prop)),
+          resolver(st, binding, render)))
+      // comprehension / quantifier over nodes(p) of a fixed-length
+      // path: the node list is static, so the lambda body is
+      // instantiated once per node alias — props stay resolvable
+      // (ListComprehension / Predicate TCK over nodes(p))
+      case Expr.Compr(v2,
+            Expr.FnCall("nodes", List(Expr.Ref(List(pv))), _), pred, map)
+          if st.pathVars.get(pv).exists(!_.varLength) =>
+        val r2 = resolver(st, binding, render)
+        val elems = st.pathVars(pv).nodes.map { n2 =>
+          val keep = pred.map(p2 =>
+            Expr.compile(Expr.substRefHead(p2, v2, n2), r2))
+            .getOrElse(lit(true))
+          val value = map.map(m2 =>
+            Expr.compile(Expr.substRefHead(m2, v2, n2), r2))
+            .getOrElse(Gql.renderNode(col(n2), strVid))
+          struct(coalesce(keep, lit(false)).as("k"), value.as("v"))
+        }
+        Some(transform(filter(array(elems: _*), x => x("k")),
+          x => x("v")))
+      case Expr.Quant(kind, v2,
+            Expr.FnCall("nodes", List(Expr.Ref(List(pv))), _), pred)
+          if st.pathVars.get(pv).exists(!_.varLength) =>
+        val r2 = resolver(st, binding, render)
+        val preds = st.pathVars(pv).nodes.map(n2 =>
+          Expr.compile(Expr.substRefHead(pred, v2, n2), r2))
+        val arr = array(preds: _*)
+        Some(kind match {
+          case "all" => forall(arr, x => x)
+          case "any" => exists(arr, x => x)
+          case "none" => !exists(arr, x => x)
+          case "single" =>
+            val trueCnt =
+              size(filter(arr, x => coalesce(x, lit(false))))
+            val anyNull = exists(arr, x => x.isNull)
+            when(trueCnt >= 2, lit(false))
+              .when(anyNull, lit(null))
+              .otherwise(trueCnt === 1)
+        })
       // named-path functions over fixed-length paths
       case Expr.FnCall("length", List(Expr.Ref(List(pv))), _)
           if st.pathVars.get(pv).exists(!_.varLength) =>
