@@ -1092,6 +1092,10 @@ object Expr {
 
   private def bindVar(name: String, x: Column, r: Resolver): Resolver = {
     case Ref(List(n)) if n == name => Some(x)
+    // id() over the lambda var: node-list lambdas iterate RAW vids
+    // (`[n IN pathNodes | id(n)]`, bugfix/AliasTypeDeduce), so the
+    // id of an element is the element itself
+    case FnCall("id", List(Ref(List(n))), _) if n == name => Some(x)
     // dotted access on the lambda var: struct-element field lookup
     // (i.likeness over a var-length edge list)
     case Ref(n :: rest) if n == name && rest.nonEmpty =>

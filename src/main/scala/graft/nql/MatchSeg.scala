@@ -748,6 +748,15 @@ object MatchSeg {
           case _ => j0
         }
       case Some((m, n)) =>
+        // AliasType parity (MatchValidator.cpp:316-323): `*m..n` is
+        // EdgeList-typed only when n>m or m>1 — `*1..1` stays Edge —
+        // so re-binding an EdgeList alias with it is the reference's
+        // SemanticError (match/Path.feature:512)
+        rel.v.foreach { ev =>
+          if (st.vlEdgeVars.contains(ev) && !(n > m || m > 1))
+            throw new IllegalArgumentException(
+              s"$ev binding to different type: Edge vs EdgeList")
+        }
         val pairs = varLengthPairs(g, binding, fromVar, rel, m, n,
           withEdges = rel.v.isDefined)
         var j = binding.join(pairs, Seq(fromVar))
@@ -1061,6 +1070,11 @@ object MatchSeg {
       if (render) LEdgeRendered else LEdgeFields(ev)
     case Expr.FnCall("relationships", List(Expr.Ref(List(pv))), _)
         if st.pathVars.contains(pv) => LEdgeRendered
+    // fixed-length path: comprehensions over nodes(p) instantiate the
+    // lambda body per NODE ALIAS (resolver static-subst case), so the
+    // anchor compares against a raw vid column, not a rendering
+    case Expr.FnCall("nodes", List(Expr.Ref(List(pv))), _)
+        if st.pathVars.get(pv).exists(!_.varLength) => LNodeVid
     case Expr.FnCall("nodes", List(Expr.Ref(List(pv))), _)
         if st.pathVars.contains(pv) => LNodeRendered
     case Expr.Ref(List(ev)) if st.vlEdgeVars.contains(ev) =>
@@ -1185,6 +1199,11 @@ object MatchSeg {
           fail(s"`$a' is defined with type Node, but referenced with type Edge")
         else if (st.vlEdgeVars.contains(a))
           fail(s"`$a' is defined with type EdgeList, but referenced with type Edge")
+        else if (bcols.contains(a))
+          // WITH-projected edge VALUE (`relationships(p)[1] AS e1`
+          // then `(b)-[e1]->()`, bugfix/AliasTypeDeduce): anchor by
+          // the rendered-edge identity string
+          anchors.getOrElseUpdate(a, Anchor(a, true, Some(LEdgeRendered)))
         else fail(s"PatternExpression are not allowed to introduce new variables: `$a'.")
       } else {
         if (st.edgeVars.contains(a))
@@ -1521,6 +1540,53 @@ object MatchSeg {
           if st.vertexVars.contains(v) =>
         Some(array_compact(array(st.tags.sorted.map(t =>
           when(col(s"__lbl_${v}_$t"), lit(t))): _*)))
+      // keys(vertex): sorted distinct prop names across the tags the
+      // vertex bears (FunctionManager.cpp:2363 — std::set over tag
+      // props); keys(edge): its prop names (meta fields excluded)
+      case Expr.FnCall("keys", List(Expr.Ref(List(v))), _)
+          if st.vertexVars.contains(v) =>
+        val empty = typedLit(Seq.empty[String])
+        val perTag = st.tags.sorted.flatMap { t =>
+          val pre = s"${v}_${t}_"
+          val props = binding.schema.fieldNames.toSeq
+            .filter(_.startsWith(pre)).map(_.stripPrefix(pre))
+            .filterNot(_.startsWith("__")).sorted
+          if (props.isEmpty) None
+          else {
+            val arr = array(props.map(lit): _*)
+            val mark = s"__lbl_${v}_$t"
+            Some(if (cols(mark)) when(col(mark), arr).otherwise(empty)
+                 else arr)
+          }
+        }
+        Some(if (perTag.isEmpty) empty
+             else array_sort(array_distinct(flatten(array(perTag: _*)))))
+      case Expr.FnCall("keys", List(Expr.Ref(List(ev))), _)
+          if st.edgeVars.contains(ev) =>
+        val meta = Set("src", "dst", "rank", "etype")
+        val pre = s"${ev}_"
+        val props = binding.schema.fieldNames.toSeq
+          .filter(_.startsWith(pre)).map(_.stripPrefix(pre))
+          .filterNot(pn => meta.contains(pn) || pn.startsWith("__"))
+          .sorted
+        Some(if (props.isEmpty) typedLit(Seq.empty[String])
+             else array(props.map(lit): _*))
+      // edge accessors on a PLAIN struct var holding a var-length
+      // list element (`UNWIND e AS x ... src(x)`): the element struct
+      // carries __t/__s/__d/__r meta fields
+      case Expr.FnCall(fn2 @ ("type" | "rank" | "src" | "dst"),
+          List(Expr.Ref(List(x))), _)
+          if st.plainCols.contains(x) && cols(x) &&
+            (binding.schema(x).dataType match {
+              case s: org.apache.spark.sql.types.StructType =>
+                s.fieldNames.contains("__s")
+              case _ => false
+            }) =>
+        val field = fn2 match {
+          case "type" => "__t"; case "rank" => "__r"
+          case "src" => "__s"; case _ => "__d"
+        }
+        Some(col(x).getField(field))
       // shortestPath named-path functions (structured hidden twins)
       case Expr.FnCall("length", List(Expr.Ref(List(pv))), _)
           if st.spPaths.contains(pv) =>
@@ -1727,6 +1793,39 @@ object MatchSeg {
       }
       d
     }
+    // MatchValidator alias parity (MatchValidator.cpp:181,241,330 +
+    // match/Path.feature): the declaration map is CLAUSE-local — a
+    // later MATCH clause may redeclare (reuse = same-edge constraint,
+    // type-checked at bind time) but within one clause an edge or
+    // path alias may be declared only once ("Redefined alias"), and a
+    // node alias may not collide with an edge/path alias ("alias
+    // redefined with a different type"). Per-part order mirrors
+    // validatePath: nodes (merged at part end), then edges, then the
+    // path alias.
+    clauses.foreach { cl =>
+      val kinds = scala.collection.mutable.Map.empty[String, String]
+      cl.parts.foreach { part =>
+        val nodeAliases = part.nodes.flatMap(_.v)
+        nodeAliases.foreach { n =>
+          kinds.get(n).filter(_ != "node").foreach(_ =>
+            throw new IllegalArgumentException(
+              s"SemanticError: `$n': alias redefined with a different type"))
+        }
+        part.rels.flatMap(_.v).foreach { ev =>
+          if (kinds.contains(ev) || nodeAliases.contains(ev))
+            throw new IllegalArgumentException(
+              s"SemanticError: `$ev': Redefined alias")
+          kinds(ev) = "edge"
+        }
+        nodeAliases.foreach(n => kinds.getOrElseUpdate(n, "node"))
+        part.pathVar.foreach { pv =>
+          if (kinds.contains(pv))
+            throw new IllegalArgumentException(
+              s"SemanticError: `$pv': Redefined alias")
+          kinds(pv) = "path"
+        }
+      }
+    }
     clauses.foreach { cl =>
       val idHints = idSeedHints(cl.where)
       // frame for this clause: its parts joined on shared vars
@@ -1841,6 +1940,19 @@ object MatchSeg {
         case Expr.Ref(List(ev)) if st.vlEdgeVars.contains(ev) =>
           st2.addVlEdge(i.alias)
           Seq(col(s"${ev}__vl").as(i.alias + "__vl") -> (i.alias + "__vl"))
+        // `WITH nodes(p) AS ns` keeps the RAW vid list (a node-list
+        // column): lambdas read ids, RETURN renders element-wise,
+        // and later clauses may reuse elements in node position
+        // (bugfix/AliasTypeDeduce)
+        case Expr.FnCall("nodes", List(Expr.Ref(List(pv))), _)
+            if st.spPaths.contains(pv) =>
+          st2.addPlain(i.alias); st2.nodeListCols += i.alias
+          Seq(col(s"${pv}__spvids").as(i.alias) -> i.alias)
+        case Expr.FnCall("nodes", List(Expr.Ref(List(pv))), _)
+            if st.pathVars.get(pv).exists(!_.varLength) =>
+          st2.addPlain(i.alias); st2.nodeListCols += i.alias
+          Seq(array(st.pathVars(pv).nodes.map(col): _*).as(i.alias)
+            -> i.alias)
         case Expr.FnCall("relationships", List(Expr.Ref(List(pv))), _)
             if st.pathVars.contains(pv) =>
           // `WITH relationships(p) AS e` binds e as a relationship

@@ -30,6 +30,10 @@ object CsvFixtures {
     case "bool" | "boolean" => BooleanType
     case "timestamp" => TimestampType
     case "date" => DateType
+    // geography(...) travels as WKT text; time as "HH:mm:ss" text
+    // (tests/data/ngdata headers)
+    case g if g.startsWith("geography") => StringType
+    case "time" => StringType
     case _ => StringType
   }
 
@@ -65,15 +69,32 @@ object CsvFixtures {
     val raw = spark.read
       .option("header", true)
       .option("quote", "\"")
+      // RFC4180 doubled quotes inside quoted cells
+      // (ngdata: "ST_GeogFromText(""POLYGON(...)"")" )
+      .option("escape", "\"")
       .schema(schema)
       .csv(path)
     // empty string or a NULL marker → null (the reference importer
     // nulls any cell spelled "null"/"__null__" case-insensitively,
-    // tests/common/csv_import.py:113), then cast to the declared type
+    // tests/common/csv_import.py:113); EXPRESSION cells (ngdata:
+    // ST_GeogFromText → its WKT, date()/datetime()/time()/now() →
+    // the load-time value, 'single-quoted' strings → unquoted) are
+    // evaluated; then cast to the declared type
     val casted = cols.map { c =>
-      val base = when(col(c.name) === "" ||
-          lower(col(c.name)).isin("null", "__null__"), lit(null))
-        .otherwise(col(c.name))
+      val cell = col(c.name)
+      val base = when(cell === "" ||
+          lower(cell).isin("null", "__null__"), lit(null))
+        .when(cell.startsWith("ST_GeogFromText"),
+          regexp_extract(cell, "ST_GeogFromText\\(\"(.*)\"\\)", 1))
+        .when(cell === "date()",
+          date_format(current_date(), "yyyy-MM-dd"))
+        .when(cell === "datetime()" || cell === "now()",
+          date_format(current_timestamp(), "yyyy-MM-dd HH:mm:ss"))
+        .when(cell === "time()",
+          date_format(current_timestamp(), "HH:mm:ss"))
+        .when(cell.rlike("^'.*'$"),
+          expr(s"substring(`${c.name}`, 2, length(`${c.name}`) - 2)"))
+        .otherwise(cell)
       base.cast(c.dt).as(c.name)
     }
     val df = raw.select(casted: _*)
@@ -91,6 +112,27 @@ object CsvFixtures {
     if (shaped.columns.contains("src"))
       shaped.dropDuplicates("src", "dst", "rank")
     else shaped.dropDuplicates("vid")
+  }
+
+  /** Load every CSV of a fixture directory, classifying each file as
+    * a tag (`:VID` header) or an edge type (`:SRC_VID` header) named
+    * after the file — matches the ngdata config.yaml CREATE
+    * statements 1:1 (tests/data/ngdata). */
+  def loadDir(spark: SparkSession, dir: String)
+      : (Map[String, DataFrame], Map[String, DataFrame]) = {
+    val files = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".csv")).sortBy(_.getName)
+    val tags = scala.collection.mutable.Map.empty[String, DataFrame]
+    val edges = scala.collection.mutable.Map.empty[String, DataFrame]
+    files.foreach { f =>
+      val name = f.getName.stripSuffix(".csv")
+      val header = java.nio.file.Files
+        .lines(f.toPath).findFirst().orElse("")
+      if (header.startsWith(":VID")) tags(name) = load(spark, f.getPath)
+      else if (header.startsWith(":SRC_VID"))
+        edges(name) = load(spark, f.getPath)
+    }
+    (tags.toMap, edges.toMap)
   }
 
   /** Int-vid variant of a string-keyed fixture: every vid/src/dst →

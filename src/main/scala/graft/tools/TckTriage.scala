@@ -51,9 +51,14 @@ object TckTriage {
         "is_friend" -> CsvFixtures.load(spark, s"$stu/is_friend.csv"),
         "is_colleagues" -> CsvFixtures.load(spark, s"$stu/is_colleagues.csv")))
 
+    def ngdataCatalog = {
+      val (t, e) = CsvFixtures.loadDir(spark,
+        "/root/reference/tests/data/ngdata")
+      MapCatalog(tags = t, edges = e)
+    }
     val catalogs = Map[String, GraphCatalog](
       "nba" -> strCatalog, "nba_int_vid" -> intCatalog,
-      "student" -> studentCatalog)
+      "student" -> studentCatalog, "ngdata" -> ngdataCatalog)
 
     val spaceRe = "Given a graph with space named \"([^\"]+)\"".r
     val files = args.toSeq.flatMap { a =>

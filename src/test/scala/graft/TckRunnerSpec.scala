@@ -290,8 +290,10 @@ class TckRunnerSpec extends SparkSpec {
     //    order-ambiguous goldens (same reason as LookUpTopN)
     //  - lookup/LookupEdge2, fulltext_index/*: Elasticsearch fulltext
     //    surface, out of scope (SURVEY §2.10)
-    //  - match/Path: all queries are openCypher CASE paths the parser
-    //    rejects whole (zero executable)
+    // round 8: match/Path wired (ngdata fixture space + alias
+    // redefinition semantics + keys/src/dst on list elements); its 8
+    // remaining skips are the feature's own upstream @skip tags
+    s"$root/match/Path.feature",
     s"$root/explain/ExplainAndProfile.feature",
     s"$root/basic/Parser.feature",
     s"$root/parser/Example.feature",
@@ -317,6 +319,12 @@ class TckRunnerSpec extends SparkSpec {
       edges = s.edges.map { case (e, df) => e -> CsvFixtures.hashVids(df) })
   }
 
+  private def ngdataCatalog = {
+    val (t, e) = CsvFixtures.loadDir(spark,
+      "/root/reference/tests/data/ngdata")
+    MapCatalog(tags = t, edges = e)
+  }
+
   private val stu = "/root/reference/tests/data/student"
   private def studentCatalog = MapCatalog(
     tags = Map(
@@ -335,7 +343,7 @@ class TckRunnerSpec extends SparkSpec {
     assume(have)
     val catalogs = Map[String, GraphCatalog](
       "nba" -> strCatalog, "nba_int_vid" -> intCatalog,
-      "student" -> studentCatalog)
+      "student" -> studentCatalog, "ngdata" -> ngdataCatalog)
     var executed = 0; var passed = 0; var skipped = 0
     // SPARK_GRAFT_TCK_ONLY=substr1,substr2 → run matching features only
     // (local iteration aid; the driver runs the full list)
