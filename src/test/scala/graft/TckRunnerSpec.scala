@@ -152,12 +152,11 @@ class TckRunnerSpec extends SparkSpec {
     s"$oc/expressions/path/Path2.feature",
     s"$oc/expressions/path/Path3.feature",
     // round 7: the bugfix/ directory — real-user regression scenarios.
-    // All 48 files triaged. Round 8's pattern-expression support
-    // (Expr.PatternE → RollUpApply) revived AggPatternExpression,
-    // ExtractFilter and BoolCheckingInExpr; the one file still left
-    // out:
-    //  - AliasTypeDeduce: allShortestPaths piped through nested list
-    //    comprehensions — zero executable scenarios
+    // All 48 files triaged and wired. Round 8's pattern-expression
+    // support (Expr.PatternE → RollUpApply) revived
+    // AggPatternExpression, ExtractFilter and BoolCheckingInExpr;
+    // node-list columns + id()-on-lambda-var revived AliasTypeDeduce.
+    s"$root/bugfix/AliasTypeDeduce.feature",
     s"$root/bugfix/AggPatternExpression.feature",
     s"$root/bugfix/BoolCheckingInExpr.feature",
     s"$root/bugfix/ExtractFilter.feature",
