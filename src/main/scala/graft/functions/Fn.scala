@@ -196,12 +196,12 @@ object Fn {
   private val jsonExtractMapUdf = udf((s: String) =>
     Option(s).flatMap { str =>
       // unparsable / non-object input is BAD_DATA in the reference —
-      // a typed null, carried as plain NULL here (SURVEY §7.4)
+      // carried as an ErrVal sentinel (json_extract.feature)
       try {
         val root = jsonMapper.readTree(str)
-        if (root == null || !root.isObject) None
+        if (root == null || !root.isObject) Some(ErrVal.BadData)
         else renderJsonNode(root, 0)
-      } catch { case _: Exception => None }
+      } catch { case _: Exception => Some(ErrVal.BadData) }
     })
   def jsonExtractMap(c: Column): Column = jsonExtractMapUdf(c)
 

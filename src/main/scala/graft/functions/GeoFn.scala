@@ -28,8 +28,14 @@ object GeoFn {
     if (d == null) None
     else for { sa <- sh(a); sb <- sh(b) }
       yield Spherical.dWithin(sa, sb, d, exclusive = false))
+  // S2_CellIdFromPoint over a non-point shape is BAD_DATA (GeoBase
+  // .feature rows "102"/"103") — a per-row typed null, so the result
+  // column is a string: either the cell id's digits or the sentinel
   private val cellIdU = udf((a: String) =>
-    sh(a).collect { case SPoint(p) => Spherical.leafCellId(p) })
+    Option(a).map(w => Spherical.parseWkt(w) match {
+      case Some(SPoint(p)) => Spherical.leafCellId(p).toString
+      case _ => ErrVal.BadData
+    }))
   private val cellIdLevelU = udf((a: String, level: Int) =>
     if (level < 0 || level > 30) None
     else sh(a).collect { case SPoint(p) => Spherical.cellIdAtLevel(p, level) })

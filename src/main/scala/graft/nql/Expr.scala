@@ -845,15 +845,19 @@ object Expr {
         if (op == "starts") c(a).startsWith(c(b))
         else c(a).endsWith(c(b))
       case Bin("contains", a, b) => c(a).contains(c(b))
-      case Bin("in", a, ListLit(items)) if items.forall(_.isInstanceOf[Lit]) =>
-        val vals = items.collect { case Lit(v) => v }
+      case Bin("in", a, ListLit(items))
+          if items.forall(it => tryConst(it).isDefined) =>
+        // constant list elements (literals or bound session params)
+        val vals = items.map(it => tryConst(it).get)
         def famOf(v: Any): String = v match {
           case _: Long | _: Int | _: Double | _: Float => "n"
           case _: Boolean => "b"
+          case _: Seq[_] | _: Map[_, _] => "c" // container param value
           case _ => "s"
         }
         val nonNull = vals.filter(_ != null)
-        if (nonNull.map(famOf).distinct.size <= 1) c(a).isin(vals: _*)
+        if (nonNull.map(famOf).distinct.size <= 1 &&
+            !nonNull.exists(v => famOf(v) == "c")) c(a).isin(vals: _*)
         else {
           // heterogeneous literal list: the reference compares
           // Value-wise — equal only within a type family, numerics
@@ -868,7 +872,10 @@ object Expr {
               concat(lit("n:"), ac.cast("double").cast("string")))
             .when(tf === "boolean", concat(lit("b:"), ac.cast("string")))
             .otherwise(concat(lit("s:"), ac.cast("string")))
-          val keys = nonNull.map {
+          // container-valued elements (a list/map session param) can
+          // never equal a SCALAR operand — they contribute no keys
+          // (yield/parameter.feature `name in [$p1,...,$p5,$p6]`)
+          val keys = nonNull.filter(v => famOf(v) != "c").map {
             case v: Long => "n:" + v.toDouble.toString
             case v: Int => "n:" + v.toDouble.toString
             case v: Float => "n:" + v.toDouble.toString
@@ -1020,7 +1027,7 @@ object Expr {
         case MapLit(entries) =>
           entries.find(_._1 == name).map(kv => c(kv._2)).getOrElse(lit(null))
         // temporal attribute extraction (Date.h fields); unknown
-        // attribute → NULL (BAD_TYPE null value, not an exception)
+        // attribute → UNKNOWN_PROP typed null (not an exception)
         case FnCall(fn @ ("date" | "datetime" | "time"), _, _) =>
           temporalAttr(fn, c(x), name.toLowerCase)
         case _ =>
@@ -1077,7 +1084,7 @@ object Expr {
       case ("time", "minute") => substring(base, 4, 2).cast("long")
       case ("time", "second") => substring(base, 7, 2).cast("long")
       case ("time", "microsec") => substring(base, 10, 6).cast("long")
-      case _ => lit(null)
+      case _ => lit(graft.functions.ErrVal.UnknownProp)
     }
 
   /** Wrap a lambda's list in `__rawlist` when any body expression
@@ -1125,6 +1132,7 @@ object Expr {
   private def isStr(e: E): Boolean = e match {
     case Lit(_: String) => true
     case Bin("+", a, b) => isStr(a) || isStr(b)
+    case ParamLit(_, v) => isStr(v) // session param bound to a string
     case _ => false
   }
 
@@ -1320,7 +1328,15 @@ object Expr {
       // agg-bearing item (Gql.firstWrapNonAgg)
       case "__first" => first(a(0))
       case "collect_set" => collect_set(a(0))
-      // math
+      // math — a statically-string operand (a string literal, or a
+      // `+` that concatenated one: `abs($-.age + $p3)` with a string
+      // param) is the reference's BAD_TYPE (FunctionManager numeric
+      // fns type-check their Value argument at runtime)
+      case "abs" | "floor" | "ceil" | "ceiling" | "sqrt" | "cbrt" |
+           "exp" | "exp2" | "log" | "log2" | "log10" | "sin" | "cos" |
+           "tan" | "asin" | "acos" | "atan" | "sign"
+          if args.size == 1 && isStr(args.head) =>
+        lit(graft.functions.ErrVal.BadType)
       case "abs" => abs(a(0))
       case "floor" => floor(a(0))
       case "ceil" | "ceiling" => ceil(a(0))
@@ -1433,7 +1449,16 @@ object Expr {
           case Lit(_: Long) => a(0)
           case _ => unix_timestamp(a(0).cast("string").cast("timestamp"))
         }
-      case "json_extract" => graft.functions.Fn.jsonExtractMap(a(0))
+      case "json_extract" =>
+        // FunctionManager json_extract: STRING input only — a
+        // non-string constant is a validation-time type error
+        tryConst(args.head) match {
+          case Some(v) if v != null && !v.isInstanceOf[String] =>
+            throw new IllegalArgumentException(
+              "SemanticError: `JSON_EXTRACT(" + text(args.head) +
+                ")' is not a valid expression : Parameter's type error")
+          case _ => graft.functions.Fn.jsonExtractMap(a(0))
+        }
       // duration({years:..,months:..,days:..,...}) → a typed struct
       // (months, seconds, micros — Duration.h model). Field names are
       // the duration marker: comparison/arith special-cases key on

@@ -1433,6 +1433,10 @@ object Gql {
           case Expr.Param("var", n, _) => vars += n
         })
         require(vars.size <= 1, "YIELD supports at most one $var source")
+        // note: `YIELD COUNT(*), 1+1` aggregates over the single
+        // constant row (legal — yield.feature:553); the bare
+        // `YIELD count(*)` SemanticError scenario is @skip-tagged
+        // (a reference TODO), so no agg guard here
         // YieldValidator parity: CONSTANT integer division/modulo by
         // zero and integer negation overflow fold to validation-time
         // errors (runtime NULL-on-zero is unchanged)
@@ -2480,8 +2484,8 @@ object Gql {
       }
       val keyCols = keys.zipWithIndex.map { case (k, i2) =>
         Expr.compile(k, resolver).as(s"__gk$i2") }
-      // BIT_AND/OR/XOR over a non-integral input is BAD_TYPE → NULL
-      // (AggData::bitOp; the golden cell folds BAD_TYPE to NULL)
+      // BIT_AND/OR/XOR over a non-integral input is BAD_TYPE
+      // (AggData::bitOp) — carried as an ErrVal sentinel per group
       def bitBadType(e: Expr.E): Boolean = e match {
         case Expr.FnCall(n, List(arg), _)
             if Set("bit_and", "bit_or", "bit_xor")(n.toLowerCase) &&
@@ -2497,7 +2501,8 @@ object Gql {
         case _ => false
       }
       val aggs = items.map { i =>
-        if (bitBadType(i.e)) first(lit(null).cast("long")).as(i.alias)
+        if (bitBadType(i.e))
+          first(lit(graft.functions.ErrVal.BadType)).as(i.alias)
         else if (Expr.hasAgg(i.e))
           Expr.compile(firstWrapNonAgg(i.e), resolver).as(i.alias)
         else first(Expr.compile(i.e, resolver)).as(i.alias)

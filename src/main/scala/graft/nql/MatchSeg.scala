@@ -72,7 +72,7 @@ object MatchSeg {
   /** Entry for a WITH-headed pipeline (`WITH ... MATCH ... RETURN`). */
   def parseFromWith(p: P): MStmt =
     parseStages(p,
-      scala.collection.mutable.ListBuffer[Stage](parseProj(p)),
+      scala.collection.mutable.ListBuffer[Stage](parseProj(p, isWith = true)),
       scala.collection.mutable.ListBuffer.empty[Clause])
 
   private def parseStages(p: P,
@@ -87,7 +87,7 @@ object MatchSeg {
       } else if (p.kw("MATCH")) {
         pending += parseClause(p, optional = false)
       } else if (p.kw("WITH")) {
-        flush(); stages += parseProj(p)
+        flush(); stages += parseProj(p, isWith = true)
       } else if (p.kw("UNWIND")) {
         flush()
         val e = Expr.parse(p)
@@ -102,7 +102,7 @@ object MatchSeg {
   }
 
   /** Items [WHERE] [ORDER BY] [SKIP] [LIMIT] in any clause order. */
-  private def parseProj(p: P): Proj = {
+  private def parseProj(p: P, isWith: Boolean = false): Proj = {
     val distinct = p.kw("DISTINCT")
     var star = false
     var items = Seq.empty[Item]
@@ -110,6 +110,20 @@ object MatchSeg {
       star = true
       if (p.sym(",")) items = Gql.parseItems(p)
     } else items = Gql.parseItems(p)
+    // WithValidator: a WITH item that isn't a bare variable must carry
+    // an explicit alias (match/With.feature `WITH a, "hello"`). The
+    // default alias is the expression's own text, which a parsed AS
+    // word (a single identifier) can never equal for non-trivial
+    // expressions.
+    if (isWith) items.foreach { it =>
+      val bare = it.e match {
+        case Expr.Ref(List(_)) => true
+        case _ => false
+      }
+      if (!bare && it.alias == Expr.text(it.e))
+        throw new IllegalArgumentException(
+          "SemanticError: Expression in WITH must be aliased (use AS)")
+    }
     var where: Option[Expr.E] = None
     var orderBy = Seq.empty[(Expr.E, Boolean)]
     var skip = 0
@@ -123,7 +137,9 @@ object MatchSeg {
         var go2 = true
         while (go2) {
           val e = Expr.parse(p)
-          val desc = if (p.kw("DESC")) true else { p.kw("ASC"); false }
+          // ASC/DESC and the openCypher long forms (parser.yy ORDER BY)
+          val desc = if (p.kw("DESC") || p.kw("DESCENDING")) true
+                     else { if (!p.kw("ASC")) p.kw("ASCENDING"); false }
           keys += (e -> desc)
           if (p.sym(",")) () else go2 = false
         }
@@ -136,15 +152,45 @@ object MatchSeg {
   }
 
   private def parseClause(p: P, optional: Boolean): Clause = {
-    val parts = scala.collection.mutable.ListBuffer(parsePart(p))
-    while (p.sym(",")) parts += parsePart(p)
-    val where = if (p.kw("WHERE")) Some(Expr.parse(p)) else None
+    val parts0 = scala.collection.mutable.ListBuffer(parsePart(p))
+    while (p.sym(",")) parts0 += parsePart(p)
+    var where = if (p.kw("WHERE")) Some(Expr.parse(p)) else None
     // grammar: OPTIONAL MATCH carries no WHERE (parser.yy;
     // MatchById "Where clause in optional match is not supported")
     if (optional && where.isDefined)
       throw new IllegalArgumentException(
         "syntax error: Where clause in optional match is not supported.")
-    Clause(optional, parts.toList, where)
+    // variable-valued node props hoist into the clause WHERE:
+    // `(v:player{name: a})` ≡ `(v:player) WHERE v.player.name == a`
+    // (match/With.feature; the value column joins in from the earlier
+    // stage's frame, so only a post-join filter can see both sides)
+    var ppAnon = 0
+    val parts = parts0.toList.map { part =>
+      val nodes2 = part.nodes.map { nd =>
+        val varProps = nd.props.filter(_._2.isInstanceOf[Expr.E])
+        if (varProps.isEmpty) nd
+        else {
+          require(!optional,
+            "variable property values in OPTIONAL MATCH are unsupported")
+          if (nd.tags.isEmpty) {
+            val k = varProps.head._1
+            throw new IllegalArgumentException(
+              s"SemanticError: `$k:${Expr.text(varProps.head._2
+                .asInstanceOf[Expr.E])}': No tag found for property.")
+          }
+          val v = nd.v.getOrElse { ppAnon += 1; s"__pp$ppAnon" }
+          varProps.foreach { case (k, e) =>
+            val conj = Expr.Bin("==",
+              Expr.Ref(List(v, nd.tags.head, k)), e.asInstanceOf[Expr.E])
+            where = Some(where.fold(conj)(Expr.Bin("and", _, conj)))
+          }
+          nd.copy(v = Some(v),
+            props = nd.props.filterNot(_._2.isInstanceOf[Expr.E]))
+        }
+      }
+      part.copy(nodes = nodes2)
+    }
+    Clause(optional, parts, where)
   }
 
   private def parsePart(p: P): Part = {
@@ -189,7 +235,13 @@ object MatchSeg {
     Part(pathVar, nodes.toList, rels.toList, sp)
   }
 
-  private def litValue(p: P): Any = constFold(Expr.parse(p))
+  /** A prop-map value: a driver-foldable constant, or a bare variable
+    * reference (`{name: a}` with `a` from an earlier WITH) kept as its
+    * Expr.Ref marker for the clause-WHERE hoist in parseClause. */
+  private def litValue(p: P): Any = Expr.parse(p) match {
+    case r @ Expr.Ref(List(_)) => r
+    case e => constFold(e)
+  }
 
   /** Driver-side fold of constant expressions — inline props like
     * `{age: (4 * 20) + 5}` (FoldConstantExprVisitor). */
@@ -325,6 +377,12 @@ object MatchSeg {
         }
       }
       props = parseProps(p)
+      // edge prop maps stay literal-only (the node-side variable-prop
+      // hoist has no edge equivalent wired)
+      props.find(_._2.isInstanceOf[Expr.E]).foreach { case (_, e) =>
+        throw new IllegalArgumentException(
+          s"expected literal, got ${Expr.text(e.asInstanceOf[Expr.E])}")
+      }
       p.expectSym("]")
       p.expectSym("-")
     } else {
@@ -364,6 +422,13 @@ object MatchSeg {
       }
     }
     require(rels.nonEmpty, "not a pattern expression")
+    // the clause-WHERE hoist for variable prop values doesn't apply
+    // inside a pattern EXPRESSION — keep those literal-only
+    nodes.flatMap(_.props).find(_._2.isInstanceOf[Expr.E])
+      .foreach { case (_, e) =>
+        throw new IllegalArgumentException(
+          s"expected literal, got ${Expr.text(e.asInstanceOf[Expr.E])}")
+      }
     Part(None, nodes.toList, rels.toList)
   }
 
@@ -388,6 +453,10 @@ object MatchSeg {
     /** WITH aliases holding collect()ed node vids — raw internally
       * (UNWIND-able), rendered element-wise at RETURN. */
     val nodeListCols = scala.collection.mutable.Set.empty[String]
+    /** WITH aliases bound to scalar LITERALS — provably not vertex
+      * values, so reuse in node position is the reference's
+      * ExecutionError (`with "1" as a match (a)-...`). */
+    val scalarLitVars = scala.collection.mutable.Set.empty[String]
     /** Var-length edge vars: `e` in [e:like*m..n] — an ARRAY of edge
       * structs per row (openCypher: the relationship list). */
     val vlEdgeVars = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -1003,11 +1072,16 @@ object MatchSeg {
     def dtype(c: Column): DataType =
       binding.select(c.as("__p")).schema.head.dataType
     val lDur = durExpr(binding, l2); val rDur = durExpr(binding, r2)
+    // an ordering over durations is BAD_TYPE (months vs days are
+    // incomparable); in RETURN position the typed null renders as its
+    // sentinel, in WHERE position it stays a (falsy) boolean NULL
+    def badTypeCol: Column =
+      if (render) lit(graft.functions.ErrVal.BadType)
+      else lit(null).cast("boolean")
     if (lDur && rDur) op match {
       case "==" => Some(lc === rc)
       case "!=" => Some(lc =!= rc)
-      // ordering durations is BAD_TYPE (months vs days incomparable)
-      case _ => Some(lit(null).cast("boolean"))
+      case _ => Some(badTypeCol)
     } else {
       // one duration side: +/- applies it to a temporal value;
       // any comparison across types is definite (==false / !=true),
@@ -1018,10 +1092,11 @@ object MatchSeg {
       op match {
         case "==" => Some(lit(false))
         case "!=" => Some(lit(true))
-        case "<" | ">" | "<=" | ">=" => Some(lit(null).cast("boolean"))
+        case "<" | ">" | "<=" | ">=" => Some(badTypeCol)
         case _ if !rDur && op == "-" =>
           // duration - temporal is BAD_TYPE
-          Some(lit(null))
+          Some(if (render) lit(graft.functions.ErrVal.BadType)
+               else lit(null))
         case _ =>
           val kind = dtype(tempC) match {
             case DateType => "date"
@@ -1654,6 +1729,24 @@ object MatchSeg {
         }
         Some(transform(filter(array(elems: _*), x => x("k")),
           x => x("v")))
+      // reduce() over nodes(p) of a fixed-length path: fold the step
+      // expression statically node-by-node, threading the accumulator
+      // COLUMN through a step-local resolver (expression/Reduce TCK
+      // `reduce(totalAge = 100, n IN nodes(p) | totalAge + n.player.age)`)
+      case Expr.ReduceE(accName, init, v2,
+            Expr.FnCall("nodes", List(Expr.Ref(List(pv))), _), step)
+          if st.pathVars.get(pv).exists(!_.varLength) =>
+        val r2 = resolver(st, binding, render)
+        var acc = Expr.compile(init, r2)
+        st.pathVars(pv).nodes.foreach { n2 =>
+          val stepN = Expr.substRefHead(step, v2, n2)
+          val rAcc: Expr.Resolver = {
+            case Expr.Ref(List(a)) if a == accName => Some(acc)
+            case other => r2(other)
+          }
+          acc = Expr.compile(stepN, rAcc)
+        }
+        Some(acc)
       case Expr.Quant(kind, v2,
             Expr.FnCall("nodes", List(Expr.Ref(List(pv))), _), pred)
           if st.pathVars.get(pv).exists(!_.varLength) =>
@@ -1731,6 +1824,17 @@ object MatchSeg {
         }
         binding = binding.withColumn(alias, explode(uarr))
         st.addPlain(alias)
+        // UNWIND of a literal list binds scalar values — node-position
+        // reuse is the reference's ExecutionError (match/With.feature
+        // `with [1,2] as a unwind a as b match (b)`)
+        e0 match {
+          case Expr.Lit(_) => st.scalarLitVars += alias
+          case Expr.ListLit(items) if items.forall(_.isInstanceOf[Expr.Lit]) =>
+            st.scalarLitVars += alias
+          case Expr.Ref(List(n)) if st.scalarLitVars.contains(n) =>
+            st.scalarLitVars += alias
+          case _ => ()
+        }
       case w: Proj =>
         val (b2, s2) = applyWith(g, st, base(), w)
         binding = b2; st = s2
@@ -1768,6 +1872,14 @@ object MatchSeg {
                           clauses: List[Clause],
                           binding0: DataFrame): DataFrame = {
     var binding = binding0
+    // a WITH-bound scalar literal reused in node position is the
+    // reference's ExecutionError (match/With.feature `with "1" as a
+    // match (a)-[e:like]->(b)`) — a STRING value is not a VERTEX
+    clauses.foreach(_.parts.foreach(_.nodes.foreach(_.v.foreach { v =>
+      if (st.scalarLitVars.contains(v))
+        throw new IllegalArgumentException(
+          s"ExecutionError: `$v' is not a vertex value")
+    })))
     // apply deferred same-relationship constraints once both sides'
     // columns are present in the combined frame
     def applyPendingEdgeEq(df0: DataFrame): DataFrame = {
@@ -1915,8 +2027,10 @@ object MatchSeg {
       w.items.foreach { i =>
         binding = binding.withColumn(i.alias, Expr.compile(i.e, res))
         st2.addPlain(i.alias)
+        if (i.e.isInstanceOf[Expr.Lit]) st2.scalarLitVars += i.alias
       }
       st2.boundTags ++= st.boundTags
+      st2.scalarLitVars ++= st.scalarLitVars
     } else {
       // per-item column plan — (column, output name) pairs so the
       // aggregate branch can restore ITEM order after groupBy/agg
@@ -1991,6 +2105,15 @@ object MatchSeg {
           }
         case e2 =>
           st2.addPlain(i.alias)
+          e2 match {
+            case Expr.Lit(_) => st2.scalarLitVars += i.alias
+            case Expr.ListLit(items)
+                if items.forall(_.isInstanceOf[Expr.Lit]) =>
+              st2.scalarLitVars += i.alias
+            case Expr.Ref(List(v)) if st.scalarLitVars.contains(v) =>
+              st2.scalarLitVars += i.alias
+            case _ => ()
+          }
           Seq(Expr.compile(e2, res).as(i.alias) -> i.alias)
       }
       if (!hasAgg)
@@ -2040,7 +2163,11 @@ object MatchSeg {
   }
 
   private def orderKeys(keys: Seq[(Expr.E, Boolean)]): Seq[Column] =
-    keys.map { case (e2, desc) =>
+    // a CONSTANT sort key (a literal or bound session param — `ORDER
+    // BY v, $p3`) orders nothing; drop it rather than resolve it as a
+    // column (yield/parameter.feature param-test-004)
+    keys.filter { case (e2, _) => Expr.tryConst(e2).isEmpty }
+      .map { case (e2, desc) =>
       val c = Gql.colByName(e2 match {
         case Expr.Ref(List(one)) => one
         case other => Expr.text(other)
@@ -2081,6 +2208,49 @@ object MatchSeg {
         }
         transform(col(n), x => Gql.renderNode(x, elemStr)).as(it.alias)
       case e2 => Expr.compile(e2, res).as(it.alias)
+    }
+
+    // Attribute deref over a non-map/non-struct value: the reference
+    // evaluates to a typed null (BAD_TYPE; a NULL base propagates
+    // NULL) while Spark rejects the extraction at ANALYSIS — probe
+    // each deref-bearing item and substitute the typed-null column
+    // (`exists(m.abc)` over a list — match/With.feature;
+    // `v.player.name.test` over a string — expression/Attribute)
+    def derefBases(e: Expr.E): Seq[Expr.E] = {
+      val b = Seq.newBuilder[Expr.E]
+      Expr.collect(e) {
+        case Expr.Attr(x, _) => b += x
+        case Expr.Ref(parts) if parts.size > 1 =>
+          b += Expr.Ref(parts.dropRight(1))
+      }
+      b.result()
+    }
+    def compiledSafe(it: Item): Column = {
+      val c2 = compiled(it)
+      val bases = derefBases(it.e)
+      if (bases.isEmpty) c2
+      else try { binding.select(c2); c2 }
+      catch {
+        case ae: org.apache.spark.sql.AnalysisException =>
+          if (sys.env.contains("SPARK_GRAFT_TCK_DEBUG"))
+            System.err.println(s"[deref-probe] ${it.alias}: ${ae.getMessage.take(300)}")
+          // substitute a typed null ONLY when a deref base provably
+          // resolves to a non-complex type (string/array/numeric →
+          // BAD_TYPE; NULL literal → NULL); otherwise the failure is
+          // something else — rethrow (reduce() lambdas, etc.)
+          val baseTypes = bases.flatMap { b =>
+            try Some(binding.select(Expr.compile(b, res).as("__p"))
+              .schema.head.dataType)
+            catch { case _: Exception => None }
+          }
+          import org.apache.spark.sql.types._
+          if (baseTypes.contains(NullType)) lit(null).as(it.alias)
+          else if (baseTypes.exists {
+            case _: StructType | _: MapType => false
+            case _ => true
+          }) lit(graft.functions.ErrVal.BadType).as(it.alias)
+          else throw ae
+      }
     }
 
     val starItems: Seq[Item] =
@@ -2135,7 +2305,7 @@ object MatchSeg {
         }.toMap
       }
     var out =
-      if (!hasAgg) binding.select(items.map(compiled) ++
+      if (!hasAgg) binding.select(items.map(compiledSafe) ++
         ordTwins.toSeq.map { case (a, c2) => c2.as(s"__ord_$a") }: _*)
       else {
         val keys = items.filter(i => !Expr.hasAgg(i.e))
@@ -2154,7 +2324,10 @@ object MatchSeg {
       // remaining (orderable) output columns ascending — a
       // deterministic pick where the reference's is storage-defined
       val cut = ret.skip > 0 || ret.limit >= 0
-      val keys = ret.orderBy.map { case (e2, desc) =>
+      // constant keys (session params) order nothing — drop them
+      val keys = ret.orderBy.filter { case (e2, _) =>
+        Expr.tryConst(e2).isEmpty
+      }.map { case (e2, desc) =>
         val name = e2 match {
           case Expr.Ref(List(one)) => one
           case other => Expr.text(other)

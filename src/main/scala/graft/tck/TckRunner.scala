@@ -437,6 +437,10 @@ object TckRunner {
     * canonically, nulls as NULL. */
   def norm(v: Any): String = v match {
     case null => "NULL"
+    // typed-null sentinel (Value.h NullType kinds) → bare token so the
+    // cell compares against golden BAD_TYPE/BAD_DATA/... text
+    case s: String if graft.functions.ErrVal.isErr(s) =>
+      graft.functions.ErrVal.strip(s)
     case s: String => s
     // nebula renders datetime as ISO-T with microseconds (Date.cpp
     // toString), date as yyyy-MM-dd
@@ -552,11 +556,9 @@ object TckRunner {
       c.substring(1, c.length - 1)
     else if (c == "EMPTY" || c.isEmpty) "NULL" // relax folds EMPTY/blank/NULL
     else if (c == "null") "NULL" // openCypher TCK goldens: lowercase null
-    // typed nulls (Value.h:37-46) carry plain NULL in our value model —
-    // documented divergence (SURVEY §7.4)
-    else if (c == "BAD_TYPE" || c == "BAD_DATA" || c == "UNKNOWN_PROP" ||
-             c == "ERR_OVERFLOW" || c == "DIV_BY_ZERO" || c == "OUT_OF_RANGE" ||
-             c == "__NULL__") "NULL"
+    // typed nulls (Value.h:37-46) render verbatim — the engine carries
+    // them as ErrVal sentinels, so BAD_TYPE cells must actually match
+    else if (c == "__NULL__") "NULL"
     else if (c == "True") "true"   // goldens use Python booleans
     else if (c == "False") "false"
     else if (c.startsWith("[:") && c.endsWith("]"))
