@@ -937,7 +937,7 @@ object Dml {
       case d: Double => -d
       case other => throw new DmlError(s"cannot negate $other")
     }
-    case Expr.Un("not", x) => eval(x, env) match {
+    case Expr.Un("not" | "notrel", x) => eval(x, env) match {
       case b: Boolean => !b
       case null => null
       case other => throw new DmlError(s"cannot NOT $other")

@@ -155,6 +155,12 @@ object Expr {
     case Bin(op, l, r) => s"(${text(l)} $op ${text(r)})"
     case Un("neg", x) => s"-${text(x)}"
     case Un("not", x) => s"!(${text(x)})"
+    case Un("notrel", Bin(op, l, r)) =>
+      val w = op match {
+        case "in" => "NOT IN"; case "starts" => "NOT STARTS WITH"
+        case "ends" => "NOT ENDS WITH"; case _ => "NOT CONTAINS"
+      }
+      s"(${text(l)} $w ${text(r)})"
     case Un(op, x) => s"$op(${text(x)})"
     case CaseW(_, _, _) => "CASE"
     case ListLit(items) => items.map(text).mkString("[", ",", "]")
@@ -234,7 +240,10 @@ object Expr {
           p.next(); l = Bin("in", l, addE(p))
         case Some(Word(w)) if w.equalsIgnoreCase("NOT") &&
             p.peek2.exists { case Word(w2) => w2.equalsIgnoreCase("IN"); case _ => false } =>
-          p.next(); p.next(); l = Un("not", Bin("in", l, addE(p)))
+          // RELATIONAL `x NOT IN y` — distinct from unary `NOT (x IN
+          // y)`: LOOKUP index validation accepts the former (Index-
+          // FullScan + Filter) but rejects the latter (generic `!`)
+          p.next(); p.next(); l = Un("notrel", Bin("in", l, addE(p)))
         case Some(Word(w)) if w.equalsIgnoreCase("NOT") &&
             p.peek2.exists { case Word(w2) => w2.equalsIgnoreCase("STARTS") ||
               w2.equalsIgnoreCase("ENDS") || w2.equalsIgnoreCase("CONTAINS")
@@ -245,7 +254,7 @@ object Expr {
             case "ends" => p.expectKw("WITH"); "ends"
             case _ => "contains"
           }
-          l = Un("not", Bin(op, l, addE(p)))
+          l = Un("notrel", Bin(op, l, addE(p)))
         case Some(Word(w)) if w.equalsIgnoreCase("IS") =>
           p.next()
           val not = p.kw("NOT")
@@ -900,7 +909,7 @@ object Expr {
         if (entries.isEmpty) lit(false)
         else c(a).isin(entries.map(_._1): _*)
       case Bin("in", a, b) => array_contains(c(b), c(a))
-      case Un("not", x) => !c(x)
+      case Un("not" | "notrel", x) => !c(x)
       case Un("neg", x) => negate(c(x))
       case Un("isnull", x) => c(x).isNull
       case Un("isnotnull", x) => c(x).isNotNull
@@ -1555,7 +1564,8 @@ object Expr {
       case n: Long => -n
       case d: Double => -d
     }
-    case Un("not", x) => tryConst(x).collect { case b: Boolean => !b }
+    case Un("not" | "notrel", x) =>
+      tryConst(x).collect { case b: Boolean => !b }
     case Bin(op, a, b) =>
       (tryConst(a), tryConst(b)) match {
         case (Some(x: Long), Some(y: Long)) => op match {

@@ -612,6 +612,13 @@ object Gql {
         val m = constInt(p)
         if (p.kw("LIMIT")) pipes += PLimit(m, constInt(p))
         else pipes += PLimit(m, Int.MaxValue)
+      } else if (p.kwPeek("LOOKUP")) {
+        // LOOKUP is a start sentence: it cannot consume piped input —
+        // any `$-.x` inside it "is not an evaluable expression"
+        // (LookupValidator; lookup/LookUpLimit.feature:151-185)
+        throw new IllegalArgumentException(
+          "SemanticError: '$-' is not an evaluable expression" +
+            " in a piped LOOKUP")
       } else throw new IllegalArgumentException(s"bad pipe at ${p.ts.take(3)}")
       while (parenDepth > 0 && p.sym(")")) parenDepth -= 1
       require(parenDepth == 0 || p.peek.contains(Sym("|")),
@@ -1154,24 +1161,47 @@ object Gql {
                 throw new IllegalArgumentException(
                   s"Expression ${Expr.text(l2)} $op ${Expr.text(r2)}" +
                     " not supported yet")
+              // props must be referenced `tag.prop` — a bare column
+              // word is the reference's `(col1==200) not supported
+              // yet` SemanticError (LookupTag2.feature)
+              case Expr.Ref(List(one))
+                  if !entity(one.toLowerCase) && !one.startsWith("$") =>
+                throw new IllegalArgumentException(
+                  s"Expression ($one) not supported yet")
+              // a function call OVER a property can't drive an index
+              // scan (udf_is_in(tag.col, ...) → SemanticError); geo
+              // predicates (ST_*) are the indexed exception and are
+              // validated separately by validateGeoIndexFilter
+              case Expr.FnCall(fn, args, _)
+                  if !fn.toLowerCase.startsWith("st_") &&
+                    args.exists(hasProp) =>
+                throw new IllegalArgumentException(
+                  s"Expression $fn(...) over an indexed property" +
+                    " not supported yet")
               // no regex / suffix / infix matching on an index scan;
-              // STARTS WITH needs a string CONSTANT prefix
+              // STARTS WITH needs a CONSTANT-evaluable prefix (a
+              // prop-free expression: toUpper("r") is fine)
               case Expr.Bin("=~", _, _) =>
                 throw new IllegalArgumentException(
                   "Expression =~ not supported yet")
               case Expr.Bin(op2 @ ("ends" | "contains"), _, _) =>
                 throw new IllegalArgumentException(
                   s"Expression $op2 with not supported yet")
-              case Expr.Bin("starts", _, r2) if (r2 match {
-                    case Expr.Lit(_: String) => false
-                    case _ => true
-                  }) =>
+              case Expr.Bin("starts", _, r2) if hasProp(r2) =>
                 throw new IllegalArgumentException(
                   "Expression starts with a non-constant prefix" +
                     " not supported yet")
+              // NOT STARTS WITH has no index strategy (the reference's
+              // "please use full-text index" SemanticError); the
+              // relational NOT IN [consts] IS supported (IndexFullScan
+              // + Filter) while generic unary `NOT (...)` is not
+              case Expr.Un("not" | "notrel", Expr.Bin("starts", _, _)) =>
+                throw new IllegalArgumentException(
+                  "Expression NOT STARTS WITH not supported," +
+                    " please use full-text index as an optimal solution")
               case Expr.Un("not", Expr.Bin("in", _, _)) =>
                 throw new IllegalArgumentException(
-                  "Expression NOT IN not supported yet")
+                  "Expression !(IN) not supported yet")
               case Expr.Bin(op, Expr.Ref(parts), Expr.Lit(v))
                   if cmps(op) && boolProp(parts) &&
                     v != null && !v.isInstanceOf[Boolean] =>

@@ -959,6 +959,28 @@ object MatchSeg {
 
   /** Ensure every `v.tag.prop` referenced by `exprs` has its tag table
     * joined (LEFT — an unmatched tag yields NULL, not row loss). */
+  /** Join every tag's prop frame + membership flag for `v` (the
+    * properties(v) / map-captured-vertex prerequisite). */
+  private def joinAllTags(g: GraphCatalog, st: BState, v: String,
+                          set: DataFrame => Unit,
+                          get: () => DataFrame): Unit = {
+    g.tagNames.foreach { t =>
+      if (st.knownTag(t) && !st.boundTags.contains((v, t))) {
+        set(get().join(tagFrame(g, t, v), Seq(v), "left_outer"))
+        st.boundTags += (v -> t)
+      }
+    }
+    if (!st.labelsBound.contains(v)) {
+      g.tagNames.foreach { t =>
+        set(get().join(
+          g.vertexTable(t).select(col("vid").as(v),
+            lit(true).as(s"__lbl_${v}_$t")),
+          Seq(v), "left_outer"))
+      }
+      st.labelsBound += v
+    }
+  }
+
   private def ensureTags(g: GraphCatalog, st: BState, binding0: DataFrame,
                          exprs: Seq[Expr.E]): DataFrame = {
     var binding = binding0
@@ -1017,20 +1039,15 @@ object MatchSeg {
       // flags (EMPTY-rank ordering) joined for the var
       case Expr.FnCall("properties", List(Expr.Ref(List(v))), _)
           if st.vertexVars.contains(v) =>
-        g.tagNames.foreach { t =>
-          if (st.knownTag(t) && !st.boundTags.contains((v, t))) {
-            binding = binding.join(tagFrame(g, t, v), Seq(v), "left_outer")
-            st.boundTags += (v -> t)
-          }
-        }
-        if (!st.labelsBound.contains(v)) {
-          g.tagNames.foreach { t =>
-            binding = binding.join(
-              g.vertexTable(t).select(col("vid").as(v),
-                lit(true).as(s"__lbl_${v}_$t")),
-              Seq(v), "left_outer")
-          }
-          st.labelsBound += v
+        joinAllTags(g, st, v, b => binding = b, () => binding)
+      // a MAP literal capturing a bare vertex var compiles to a
+      // navigable per-tag struct (resolver MapLit case) — every tag's
+      // props + membership flags must be joined for that var
+      case Expr.MapLit(entries) =>
+        entries.foreach {
+          case (_, Expr.Ref(List(v))) if st.vertexVars.contains(v) =>
+            joinAllTags(g, st, v, b => binding = b, () => binding)
+          case _ => ()
         }
       case Expr.FnCall("labels" | "tags", List(Expr.Ref(List(v))), _)
           if st.vertexVars.contains(v) && !st.labelsBound.contains(v) =>
@@ -1424,6 +1441,49 @@ object MatchSeg {
             Gql.renderEdge(col(s"${ev}_etype"), col(s"${ev}_src"),
               col(s"${ev}_dst"), col(s"${ev}_rank"), strVid)
           case other => Expr.compile(other, r2)
+        }: _*))
+      // a MAP literal holding bare node/edge vars (`WITH {a: v} AS m
+      // ... m.a.player.age`, Base.feature:1571): the entry compiles to
+      // a NAVIGABLE struct — per-tag prop structs gated on the tag
+      // marker (missing tag → NULL, matching the reference's Vertex
+      // attribute semantics) — so downstream dotted access descends
+      // plain struct fields
+      case Expr.MapLit(entries) if entries.exists {
+          case (_, Expr.Ref(List(n2))) =>
+            st.vertexVars.contains(n2) || st.edgeVars.contains(n2)
+          case _ => false } =>
+        val r2 = resolver(st, binding, render)
+        def vertexNav(v: String): Column = {
+          val tagFields = st.tags.sorted.flatMap { t =>
+            val pre = s"${v}_${t}_"
+            val props = binding.schema.fields.filter { f2 =>
+              val pn = f2.name.stripPrefix(pre)
+              f2.name.startsWith(pre) && !pn.startsWith("__")
+            }.map(f2 => col(f2.name).as(f2.name.stripPrefix(pre))).toSeq
+            if (props.isEmpty) None
+            else {
+              val inner = struct(props: _*)
+              val mark = s"__lbl_${v}_$t"
+              Some((if (cols(mark)) when(col(mark), inner)
+                    else inner).as(t))
+            }
+          }
+          if (tagFields.isEmpty) col(v) else struct(tagFields: _*)
+        }
+        def edgeNav(ev: String): Column = {
+          val pre = s"${ev}_"
+          val fields = binding.schema.fields.filter { f2 =>
+            val pn = f2.name.stripPrefix(pre)
+            f2.name.startsWith(pre) && !pn.startsWith("__")
+          }.map(f2 => col(f2.name).as(f2.name.stripPrefix(pre))).toSeq
+          if (fields.isEmpty) col(s"${ev}_src") else struct(fields: _*)
+        }
+        Some(struct(entries.map {
+          case (k, Expr.Ref(List(v))) if st.vertexVars.contains(v) =>
+            vertexNav(v).as(k)
+          case (k, Expr.Ref(List(ev))) if st.edgeVars.contains(ev) =>
+            edgeNav(ev).as(k)
+          case (k, other) => Expr.compile(other, r2).as(k)
         }: _*))
       // duration arithmetic/comparison (TimeComputation.feature).
       // Durations travel as (__dmon,__dsec,__dmic) structs (Expr
@@ -1823,7 +1883,15 @@ object MatchSeg {
           case _ => when(uc.isNotNull, array(uc))
         }
         binding = binding.withColumn(alias, explode(uarr))
-        st.addPlain(alias)
+        // UNWIND of a node-list column (`WITH nodes(p) AS ns UNWIND
+        // ns AS n`) binds NODE values: register a vertex var so
+        // RETURN renders `("vid")` and prop access tag-joins lazily
+        // (match/AllShortestPaths allShortestPaths5)
+        e match {
+          case Expr.Ref(List(n2)) if st.nodeListCols.contains(n2) =>
+            st.addVertex(alias)
+          case _ => st.addPlain(alias)
+        }
         // UNWIND of a literal list binds scalar values — node-position
         // reuse is the reference's ExecutionError (match/With.feature
         // `with [1,2] as a unwind a as b match (b)`)

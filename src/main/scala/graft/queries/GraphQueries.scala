@@ -155,7 +155,7 @@ object GraphQueries {
         """GO 1 TO 2 STEPS FROM "c:1", "c:2" OVER * YIELD origin, vid, step""")),
     "q_nql_lookup" -> ((s, dir) =>
       graft.nql.Gql.run(gm(s, dir),
-        """LOOKUP ON customer WHERE acctbal > 9900 YIELD vid, name, acctbal""")),
+        """LOOKUP ON customer WHERE customer.acctbal > 9900 YIELD vid, name, acctbal""")),
     "q_nql_fetch" -> ((s, dir) =>
       graft.nql.Gql.run(gm(s, dir),
         """FETCH PROP ON part "p:1", "p:2", "p:3"""")),
