@@ -1416,14 +1416,34 @@ object Expr {
       // casts (openCypher to*): unparsable strings are NULL, not
       // errors (TypeConversion.feature: toBoolean("3.14") → NULL,
       // toInteger("1.5E4") → 15000, toInteger("3.14") → 3)
+      // numeric → bool and bool → numeric conversions are STATIC type
+      // errors in the reference validator, not runtime NULLs
+      // (TypeConversion.feature `Type error 'toBoolean(1)'`)
+      case "toboolean" if args.exists {
+          case Lit(_: Long) | Lit(_: Double) => true; case _ => false } =>
+        throw new IllegalArgumentException(
+          s"SemanticError: Type error `toBoolean(${text(args.head)})'")
       case "toboolean" =>
         val s = lower(a(0).cast("string"))
         when(s === "true", lit(true))
           .when(s === "false", lit(false))
           .otherwise(lit(null).cast("boolean"))
+      case "tofloat" | "tointeger" if args.exists {
+          case Lit(_: Boolean) => true; case _ => false } =>
+        throw new IllegalArgumentException(
+          s"SemanticError: Type error `${name}(${text(args.head)})'")
       case "tofloat" => a(0).cast("string").try_cast("double")
       case "tointeger" =>
         a(0).cast("string").try_cast("double").cast("long")
+      // toSet: list/set → deduped SET value (the marked `__set`
+      // struct); a scalar operand is a static type error
+      case "toset" => args.head match {
+        case Lit(v) if v != null =>
+          throw new IllegalArgumentException(
+            s"SemanticError: Type error `toSet(${text(args.head)})'")
+        case _: SetLit => a(0)
+        case _ => struct(array_distinct(a(0)).as("__set"))
+      }
       case "tostring" => a(0).cast("string")
       // collections
       case "size" =>

@@ -796,7 +796,11 @@ object MatchSeg {
                 if (reused.isEmpty) st.addEdge(ev)
                 Seq(col("__osrc").as(s"${ev}_src"), col("__odst").as(s"${ev}_dst"),
                   col("rank").as(s"${ev}_rank"),
-                  col("__etype").as(s"${ev}_etype")) ++
+                  col("__etype").as(s"${ev}_etype"),
+                  // traversal-orientation endpoints (the edge KEY this
+                  // hop actually read) — none_direct_src/dst
+                  col("src").as(s"${ev}__tsrc"),
+                  col("dst").as(s"${ev}__tdst")) ++
                   propCols.map(p2 => col(p2).as(s"${ev}_$p2"))
               case None => Nil
             })
@@ -1458,7 +1462,7 @@ object MatchSeg {
             val pre = s"${v}_${t}_"
             val props = binding.schema.fields.filter { f2 =>
               val pn = f2.name.stripPrefix(pre)
-              f2.name.startsWith(pre) && !pn.startsWith("__")
+              f2.name.startsWith(pre) && !pn.startsWith("_")
             }.map(f2 => col(f2.name).as(f2.name.stripPrefix(pre))).toSeq
             if (props.isEmpty) None
             else {
@@ -1474,7 +1478,7 @@ object MatchSeg {
           val pre = s"${ev}_"
           val fields = binding.schema.fields.filter { f2 =>
             val pn = f2.name.stripPrefix(pre)
-            f2.name.startsWith(pre) && !pn.startsWith("__")
+            f2.name.startsWith(pre) && !pn.startsWith("_")
           }.map(f2 => col(f2.name).as(f2.name.stripPrefix(pre))).toSeq
           if (fields.isEmpty) col(s"${ev}_src") else struct(fields: _*)
         }
@@ -1555,7 +1559,7 @@ object MatchSeg {
         val pre = s"${v}_${sub}_"
         val fields = binding.schema.fields.filter { f2 =>
           val pn = f2.name.stripPrefix(pre)
-          f2.name.startsWith(pre) && !pn.startsWith("__")
+          f2.name.startsWith(pre) && !pn.startsWith("_")
         }.map(f2 => (f2.name.stripPrefix(pre), col(f2.name), f2.dataType))
           .toSeq
         val mark = s"__lbl_${v}_$sub"
@@ -1587,6 +1591,27 @@ object MatchSeg {
           col(s"${ev}_dst"), col(s"${ev}_rank"))))
       case Expr.FnCall("id", List(Expr.Ref(List(v))), _)
           if st.vertexVars.contains(v) => Some(col(v))
+      // none_direct_src/dst: the endpoints of the edge KEY the hop
+      // actually read — traversal orientation, negative etype and all
+      // (FunctionManager.cpp:2152,2202; a `<-` hop reads the reverse
+      // key, so its dst is the far node). On a vertex they return its
+      // vid; on an edge list the first/last element's endpoint.
+      case Expr.FnCall(fn2 @ ("none_direct_src" | "none_direct_dst"),
+          Expr.Ref(List(x)) :: _, _)
+          if st.edgeVars.contains(x) || st.vertexVars.contains(x) ||
+            st.vlEdgeVars.contains(x) =>
+        val dstSide = fn2.endsWith("dst")
+        Some(
+          if (st.vertexVars.contains(x)) col(x)
+          else if (st.edgeVars.contains(x)) {
+            val t = if (dstSide) s"${x}__tdst" else s"${x}__tsrc"
+            if (cols(t)) col(t)
+            else col(if (dstSide) s"${x}_dst" else s"${x}_src")
+          } else {
+            val l2 = col(s"${x}__vl")
+            if (dstSide) element_at(l2, -1).getField("__d")
+            else element_at(l2, 1).getField("__s")
+          })
       case Expr.FnCall("type", List(Expr.Ref(List(ev))), _)
           if st.edgeVars.contains(ev) => Some(col(s"${ev}_etype"))
       case Expr.FnCall("rank", List(Expr.Ref(List(ev))), _)
@@ -1638,7 +1663,7 @@ object MatchSeg {
           binding.schema.fields.filter(f2 => f2.name.startsWith(pre))
             .foreach { f2 =>
               val pn = f2.name.stripPrefix(pre)
-              if (!pn.startsWith("__")) {
+              if (!pn.startsWith("_")) {
                 val cur = m.getOrElse(pn, (Nil, f2.dataType))
                 m(pn) = (cur._1 :+ col(f2.name), cur._2)
               }
@@ -1658,7 +1683,7 @@ object MatchSeg {
         val fields = binding.schema.fields.filter { f2 =>
           val pn = f2.name.stripPrefix(pre)
           f2.name.startsWith(pre) && !meta.contains(pn) &&
-            !pn.startsWith("__")
+            !pn.startsWith("_")
         }.map(f2 => (f2.name.stripPrefix(pre), col(f2.name), f2.dataType))
           .toSeq
         Some(Gql.renderPropsMap(fields))
@@ -1685,7 +1710,7 @@ object MatchSeg {
           val pre = s"${v}_${t}_"
           val props = binding.schema.fieldNames.toSeq
             .filter(_.startsWith(pre)).map(_.stripPrefix(pre))
-            .filterNot(_.startsWith("__")).sorted
+            .filterNot(_.startsWith("_")).sorted
           if (props.isEmpty) None
           else {
             val arr = array(props.map(lit): _*)
@@ -1702,7 +1727,7 @@ object MatchSeg {
         val pre = s"${ev}_"
         val props = binding.schema.fieldNames.toSeq
           .filter(_.startsWith(pre)).map(_.stripPrefix(pre))
-          .filterNot(pn => meta.contains(pn) || pn.startsWith("__"))
+          .filterNot(pn => meta.contains(pn) || pn.startsWith("_"))
           .sorted
         Some(if (props.isEmpty) typedLit(Seq.empty[String])
              else array(props.map(lit): _*))
@@ -1870,7 +1895,13 @@ object MatchSeg {
         // UNWIND as a clause: one row per list element (empty/null
         // lists eliminate the row — plain explode). A SCALAR operand
         // unwinds to itself, null to zero rows (UnwindExecutor.cpp) —
-        // wrap it as a 1-element array so explode types check
+        // wrap it as a 1-element array so explode types check.
+        // Aggregates can't appear in UNWIND (UnwindValidator parity,
+        // match/Unwind.feature `UNWIND collect([1,2,3])`)
+        if (Expr.hasAgg(e0))
+          throw new IllegalArgumentException(
+            "SemanticError: Can't use aggregating expressions in unwind clause `" +
+              Expr.text(e0) + "'")
         binding = ensureTags(g, st, base(), Seq(e0))
         val (bU, eU) = preparePatternExprs(g, st, binding, Seq(e0),
           bool = false, render = false)
