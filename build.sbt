@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// run suites in parallel inside the forked JVM — the TCK corpus is
+// sharded into suites (TckCorpus) and all suites share one
+// SparkSession, so concurrent scenario jobs fill the local cores
+Test / testForkedParallel := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

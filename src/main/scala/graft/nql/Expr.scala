@@ -738,17 +738,10 @@ object Expr {
              (tryConst(b).isEmpty &&
               tryConst(a).exists(v2 => v2.isInstanceOf[List[_]])) =>
         lit(null).cast("boolean")
-      // ordering a non-constant against a constant BOOL: schema props
-      // compared to true/false are cross-family → NULL (`$$.player.age
-      // >= true`, RelationalExpr.feature). Bool-vs-bool constants fold
-      // earlier; a genuine bool prop ordered against a bool literal is
-      // not exercised by the corpus and loses to this fold.
-      case Bin("<" | "<=" | ">" | ">=", a, b)
-          if (tryConst(a).isEmpty &&
-              tryConst(b).exists(v2 => v2.isInstanceOf[Boolean])) ||
-             (tryConst(b).isEmpty &&
-              tryConst(a).exists(v2 => v2.isInstanceOf[Boolean])) =>
-        lit(null).cast("boolean")
+      // NOTE: ordering vs a constant BOOL is NOT folded here — bool
+      // columns order for real (Index.feature `t1.col3 > false`); the
+      // cross-family NULL for `age >= true` needs the schema and lives
+      // in the schema-aware resolvers (MatchSeg / Gql).
       // float comparisons are epsilon-approximate (the reference's
       // Value comparator, kEpsilon 1e-8: 2.0 == 2.000000009 is true,
       // and >=/<= hold under approximate equality). EXCEPT around
@@ -1128,6 +1121,9 @@ object Expr {
     var found = false
     bodies.foreach(collect(_) {
       case Ref(n :: rest) if n == v && rest.nonEmpty => found = true
+      case Subscript(Ref(List(n)), Lit(_: String)) if n == v => found = true
+      case FnCall("rank" | "src" | "dst" | "type",
+          List(Ref(List(n))), _) if n == v => found = true
     })
     if (found) FnCall("__rawlist", List(list)) else list
   }
@@ -1142,6 +1138,11 @@ object Expr {
     // (i.likeness over a var-length edge list)
     case Ref(n :: rest) if n == name && rest.nonEmpty =>
       Some(rest.foldLeft(x)(_.getItem(_)))
+    // string subscript on the lambda var: struct-field lookup, same
+    // as dotted access (`ALL(e IN e WHERE EXISTS(e['likeness']))` —
+    // expression/Predicate); positional try_element_at would not type
+    case Subscript(Ref(List(n)), Lit(k: String)) if n == name =>
+      Some(x.getItem(k))
     // edge-meta functions over the lambda var iterate edge STRUCTS
     // (`all(i in e where rank(i)==0)` — MultiQueryParts); fields per
     // the __vl edge-struct convention

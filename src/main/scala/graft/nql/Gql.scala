@@ -2283,7 +2283,42 @@ object Gql {
       def tagList(side: String, joined: Set[String]): Column =
         array_compact(array(joined.toSeq.sorted.map(t =>
           when(col(s"__${side}_${t}___has").isNotNull, lit(t))): _*))
+      // ordering a schema prop against a cross-family literal is the
+      // reference's NULL (`$$.player.age >= true`, RelationalExpr
+      // "in GO clause") — same-family orderings (bool prop vs bool
+      // literal, Index.feature) stay real comparisons
+      def propFam(x: Expr.E): Option[String] = {
+        def famOf(d: org.apache.spark.sql.types.DataType): String = d match {
+          case _: org.apache.spark.sql.types.NumericType => "n"
+          case org.apache.spark.sql.types.StringType => "s"
+          case org.apache.spark.sql.types.BooleanType => "b"
+          case _ => "?"
+        }
+        (x match {
+          case Expr.Param("dst" | "src", _, List(tag, prop))
+              if g.tagNames.contains(tag) =>
+            g.vertexTable(tag).schema.find(_.name == prop).map(_.dataType)
+          case Expr.Ref(List(et, p)) if etypes.contains(et) &&
+              !p.startsWith("_") =>
+            g.edgesByType(et).schema.find(_.name == p).map(_.dataType)
+          case _ => None
+        }).map(famOf)
+      }
+      def litFam2(x: Expr.E): Option[String] = x match {
+        case Expr.Lit(_: String) => Some("s")
+        case Expr.Lit(_: Boolean) => Some("b")
+        case Expr.Lit(_: Long) | Expr.Lit(_: Double) => Some("n")
+        case _ => None
+      }
+      def famMism(a: Expr.E, b: Expr.E): Boolean =
+        (propFam(a), litFam2(b)) match {
+          case (Some(fa), Some(fb)) => fa != "?" && fa != fb
+          case _ => false
+        }
       val resolver: Expr.Resolver = {
+        case Expr.Bin("<" | "<=" | ">" | ">=", l, r)
+            if famMism(l, r) || famMism(r, l) =>
+          Some(lit(null).cast("boolean"))
         case Expr.Ref(List("origin")) => Some(col("origin"))
         // GO context: `vid` is the hop destination (GO default output)
         case Expr.Ref(List("vid")) => Some(col("dst"))

@@ -471,6 +471,10 @@ object MatchSeg {
     /** Path aliases that survived a WITH as a rendered string plus a
       * hidden `${alias}__plen` hop-count twin (length(p) post-WITH). */
     val pathLenCols = scala.collection.mutable.Set.empty[String]
+    /** UNWIND aliases over a HETEROGENEOUS literal list (scalars mixed
+      * with sublists): struct<__mx_s: scalar, __mx_l: array> — exactly
+      * one side non-null per row (match/Unwind `[1, [2,3,NULL,4], 5]`). */
+    val mixedValCols = scala.collection.mutable.Set.empty[String]
     /** shortestPath()/allShortestPaths() named paths: rendered string
       * bound as a plain column, structure in `${pv}__spvids/__spsteps`
       * hidden columns. */
@@ -1476,6 +1480,39 @@ object MatchSeg {
     def arrayCol(x: String): Boolean = plainCol(x) &&
       binding.schema(x).dataType
         .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    def caseEdgeMap(cw: Expr.CaseW): Option[Column] = {
+      val vals = cw.branches.map(_._2) ++ cw.els.toList
+      def isEdge(e2: Expr.E) = e2 match {
+        case Expr.Ref(List(ev)) => st.edgeVars.contains(ev)
+        case _ => false
+      }
+      if (cw.subject.isDefined || !vals.exists(isEdge) ||
+          !vals.forall(e2 => isEdge(e2) || e2.isInstanceOf[Expr.MapLit]))
+        None
+      else {
+        val rr = resolver(st, binding, render)
+        val meta = Set("src", "dst", "rank", "etype")
+        def valMap(e2: Expr.E): Column = e2 match {
+          case Expr.Ref(List(ev)) =>
+            val pre = s"${ev}_"
+            val fields = binding.schema.fields.filter { f2 =>
+              val pn = f2.name.stripPrefix(pre)
+              f2.name.startsWith(pre) && !meta.contains(pn) &&
+                !pn.startsWith("_")
+            }.toSeq
+            map(fields.flatMap(f2 =>
+              Seq(lit(f2.name.stripPrefix(pre)), col(f2.name))): _*)
+          case Expr.MapLit(entries) =>
+            map(entries.flatMap { case (k, v) =>
+              Seq(lit(k), Expr.compile(v, rr)) }: _*)
+          case _ => lit(null)
+        }
+        val elsC = cw.els.map(valMap).getOrElse(lit(null))
+        Some(cw.branches.foldRight(elsC) { case ((cond, v), acc) =>
+          when(Expr.compile(cond, rr), valMap(v)).otherwise(acc)
+        })
+      }
+    }
     val f: Expr.Resolver = {
       // IN over a non-list binding column (`x IN names` where WITH
       // bound names to a scalar / missing prop) is the reference's
@@ -1492,11 +1529,12 @@ object MatchSeg {
              !(l match {
                case Expr.FnCall("id", _, _) => true; case _ => false })) =>
         Some(lit(null).cast("boolean"))
-      // ordering a NUMERIC prop against a STRING literal is the
-      // reference's cross-family NULL (`e.likeness >= "12"`,
-      // RelationalExpr.feature) — Spark would cast the string and
-      // compare numerically. String props ordered against string
-      // literals stay real comparisons (`n.player.name <= "2010.0"`).
+      // ordering a prop against a cross-family literal is the
+      // reference's NULL (`e.likeness >= "12"`, `$$.player.age >=
+      // true` — RelationalExpr.feature) — Spark would cast and
+      // compare. Same-family comparisons stay real: string props vs
+      // string literals (`n.player.name <= "2010.0"`) and BOOL props
+      // vs bool literals (Index.feature `t1.col3 > false`).
       case Expr.Bin("<" | "<=" | ">" | ">=", l, r)
           if {
             def pt(x: Expr.E): Option[org.apache.spark.sql.types.DataType] =
@@ -1508,12 +1546,24 @@ object MatchSeg {
                   Some(s"${ev}_$p")
                 case _ => None
               }).map(binding.schema(_).dataType)
-            def num(x: Expr.E) = pt(x).exists(
-              _.isInstanceOf[org.apache.spark.sql.types.NumericType])
-            def strLit(x: Expr.E) = x match {
-              case Expr.Lit(_: String) => true; case _ => false
+            def fam(d: org.apache.spark.sql.types.DataType): String =
+              d match {
+                case _: org.apache.spark.sql.types.NumericType => "n"
+                case org.apache.spark.sql.types.StringType => "s"
+                case org.apache.spark.sql.types.BooleanType => "b"
+                case _ => "?"
+              }
+            def litFam(x: Expr.E): Option[String] = x match {
+              case Expr.Lit(_: String) => Some("s")
+              case Expr.Lit(_: Boolean) => Some("b")
+              case Expr.Lit(_: Long) | Expr.Lit(_: Double) => Some("n")
+              case _ => None
             }
-            (num(l) && strLit(r)) || (strLit(l) && num(r))
+            def mism(a: Expr.E, b: Expr.E) = (pt(a).map(fam), litFam(b)) match {
+              case (Some(fa), Some(fb)) => fa != "?" && fa != fb
+              case _ => false
+            }
+            mism(l, r) || mism(r, l)
           } =>
         Some(lit(null).cast("boolean"))
       // ==/!= between a scalar-shaped side and an ARRAY binding column
@@ -1540,6 +1590,26 @@ object MatchSeg {
         val (cl, cr) = (Expr.compile(l, rr), Expr.compile(r, rr))
         Some(when(cl.isNull || cr.isNull, lit(null).cast("boolean"))
           .otherwise(lit(op == "!=")))
+      // a mixed-value UNWIND alias renders its active side: sublists
+      // in the reference's `[a, b, c]` list form, scalars bare
+      case Expr.Ref(List(a2)) if st.mixedValCols.contains(a2) && render =>
+        val s = col(a2).getField("__mx_s")
+        val l = col(a2).getField("__mx_l")
+        Some(when(l.isNotNull,
+            concat(lit("["), array_join(
+              transform(l, x => coalesce(x.cast("string"), lit("NULL"))),
+              ", "), lit("]")))
+          .otherwise(s.cast("string")))
+      // CASE mixing a bare edge var with map literals evaluates to a
+      // VALUE that downstream treats as a property map (`case when
+      // e.likeness > 90 then e else {likeness:13} end` — Case.feature
+      // :311,:398); both branch shapes compile to a real Spark MAP so
+      // `n.likeness` and properties(...) read through uniformly
+      case Expr.FnCall("properties", List(cw: Expr.CaseW), _)
+          if caseEdgeMap(cw).isDefined =>
+        caseEdgeMap(cw)
+      case cw: Expr.CaseW if caseEdgeMap(cw).isDefined =>
+        caseEdgeMap(cw)
       // a lambda whose body reads fields of its variable asks for the
       // RAW list: var-length edge vars then supply property-carrying
       // structs even in render position ([i in e | i.likeness])
@@ -1736,6 +1806,17 @@ object MatchSeg {
             if (dstSide) element_at(l2, -1).getField("__d")
             else element_at(l2, 1).getField("__s")
           })
+      // none_direct_* over anything that isn't a vertex/edge value is
+      // the validator's static type error (yield/return.feature:38)
+      case Expr.FnCall(fn2 @ ("none_direct_src" | "none_direct_dst"),
+          List(arg), _)
+          if !(arg match {
+            case Expr.Ref(List(x)) => cols(x) || st.edgeVars.contains(x) ||
+              st.vlEdgeVars.contains(x) || st.vertexVars.contains(x)
+            case _ => false
+          }) =>
+        throw new IllegalArgumentException(
+          s"SemanticError: Type error `$fn2(${Expr.text(arg)})'")
       case Expr.FnCall("type", List(Expr.Ref(List(ev))), _)
           if st.edgeVars.contains(ev) => Some(col(s"${ev}_etype"))
       case Expr.FnCall("rank", List(Expr.Ref(List(ev))), _)
@@ -2061,13 +2142,49 @@ object MatchSeg {
           bool = false, render = false)
         binding = bU
         val e = eU.head
-        val uc = Expr.compile(e, resolver(st, binding))
-        val udt = binding.select(uc.as("__u")).schema.head.dataType
-        val uarr = udt match {
-          case _: org.apache.spark.sql.types.ArrayType => uc
-          case _ => when(uc.isNotNull, array(uc))
+        val res0 = resolver(st, binding)
+        e match {
+          // heterogeneous literal list (scalars + sublists): encode
+          // elements as a tagged struct so both shapes survive the
+          // explode with their types
+          case Expr.ListLit(items) if items.nonEmpty &&
+              items.exists(_.isInstanceOf[Expr.ListLit]) &&
+              items.exists(i => !i.isInstanceOf[Expr.ListLit]) =>
+            val lstT = binding.select(
+              Expr.compile(items.find(_.isInstanceOf[Expr.ListLit]).get,
+                res0).as("__t")).schema.head.dataType.sql
+            val sclT = binding.select(
+              Expr.compile(items.find(!_.isInstanceOf[Expr.ListLit]).get,
+                res0).as("__t")).schema.head.dataType.sql
+            val structs = items.map {
+              case l2 @ Expr.ListLit(_) =>
+                struct(lit(null).cast(sclT).as("__mx_s"),
+                  Expr.compile(l2, res0).as("__mx_l"))
+              case s2 =>
+                struct(Expr.compile(s2, res0).as("__mx_s"),
+                  lit(null).cast(lstT).as("__mx_l"))
+            }
+            binding = binding.withColumn(alias,
+              explode(array(structs: _*)))
+            st.mixedValCols += alias
+          // UNWIND of a mixed-value alias: sublists explode, scalars
+          // pass through (UnwindExecutor scalar-to-itself), nulls
+          // vanish with the row
+          case Expr.Ref(List(n)) if st.mixedValCols.contains(n) =>
+            val s = col(n).getField("__mx_s")
+            val l = col(n).getField("__mx_l")
+            binding = binding.withColumn(alias,
+              explode(when(l.isNotNull, l)
+                .otherwise(when(s.isNotNull, array(s)))))
+          case _ =>
+            val uc = Expr.compile(e, res0)
+            val udt = binding.select(uc.as("__u")).schema.head.dataType
+            val uarr = udt match {
+              case _: org.apache.spark.sql.types.ArrayType => uc
+              case _ => when(uc.isNotNull, array(uc))
+            }
+            binding = binding.withColumn(alias, explode(uarr))
         }
-        binding = binding.withColumn(alias, explode(uarr))
         // UNWIND of a node-list column (`WITH nodes(p) AS ns UNWIND
         // ns AS n`) binds NODE values: register a vertex var so
         // RETURN renders `("vid")` and prop access tag-joins lazily

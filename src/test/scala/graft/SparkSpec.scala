@@ -4,10 +4,14 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-/** Shared local SparkSession for all suites (one JVM via Test/fork). */
+/** Shared local SparkSession for all suites (one JVM via Test/fork).
+  * Suites run CONCURRENTLY (Test/testForkedParallel): 8 cores serve
+  * the parallel suites' jobs while shuffle.partitions stays at 2 —
+  * the fixtures are tiny, so per-query task count matters more than
+  * per-query parallelism. */
 object SparkSpec {
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
+    .master("local[8]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")

@@ -13,12 +13,14 @@ import graft.tck.TckRunner
   * the matching catalog ("nba" string-vid, "nba_int_vid" = same CSVs
   * with MurmurHash2 vids, the importer's `function: hash` convention —
   * tests/data/nba_int_vid/config.yaml). */
-class TckRunnerSpec extends SparkSpec {
-
-  private val nba = "/root/reference/tests/data/nba"
+/** The wired TCK corpus, partitioned into shards so sbt runs them as
+  * PARALLEL suites (Test/testForkedParallel + a shared SparkSession):
+  * the single-suite serial walk crossed the 30-minute gate line as the
+  * corpus grew past ~5800 scenarios. */
+object TckCorpus {
   private val root = "/root/reference/tests/tck/features"
   private val oc = "/root/reference/tests/tck/openCypher/features"
-  private val features = Seq(
+  val features = Seq(
     s"$root/go/GO.feature",
     s"$root/fetch/FetchVertices.strVid.feature",
     s"$root/lookup/WithYield.feature",
@@ -296,8 +298,33 @@ class TckRunnerSpec extends SparkSpec {
     s"$root/explain/ExplainAndProfile.feature",
     s"$root/basic/Parser.feature",
     s"$root/parser/Example.feature",
-    s"$root/go/SampleLimit.intVid.feature")
-  private def have = features.forall(f => new java.io.File(f).exists())
+    s"$root/go/SampleLimit.intVid.feature",
+    // round 8: the ngdata-fixture files execute now that the fixture
+    // space exists (Attribute1 stays unwired: still zero executable —
+    // both scenarios are parse-reject goldens)
+    s"$root/optimizer/CasesUsingTestSpace.feature",
+    s"$root/optimizer/PushFilterDownBugFixes.feature",
+    s"$root/expression/BugFixWithngdata.feature")
+
+  private def dirOf(f: String) = f.split('/').dropRight(1).last
+  // shard assignment by TCK directory, sized so the slowest shard
+  // (own-space DML) stays well under the old serial wall:
+  //   1 = match, 2 = go/yield/lookup/fetch + sentence dirs,
+  //   3 = own-space DML/DDL dirs, 4 = the two big index files,
+  //   0 = everything else (expression/path/bugfix/optimizer/oc/...)
+  private val shardByDir: Map[String, Int] = Map(
+    "match" -> 1,
+    "go" -> 2, "yield" -> 2, "lookup" -> 2, "fetch" -> 2, "set" -> 2,
+    "explain" -> 2, "basic" -> 2, "parser" -> 2,
+    "insert" -> 3, "update" -> 3, "delete" -> 3, "schema" -> 3,
+    "ttl" -> 3, "mutate" -> 3, "ddl" -> 3, "geo" -> 3,
+    "index" -> 4)
+  def shard(n: Int): Seq[String] =
+    features.filter(f => shardByDir.getOrElse(dirOf(f), 0) == n)
+}
+
+trait TckSuiteBase extends SparkSpec {
+  private val nba = "/root/reference/tests/data/nba"
 
   private def strCatalog = MapCatalog(
     tags = Map(
@@ -338,8 +365,8 @@ class TckRunnerSpec extends SparkSpec {
 
   private val spaceRe = "Given a graph with space named \"([^\"]+)\"".r
 
-  test("reference TCK features: every executable scenario matches its golden") {
-    assume(have)
+  protected def runFeatures(fs: Seq[String]): Unit = {
+    assume(fs.forall(f => new java.io.File(f).exists()))
     val catalogs = Map[String, GraphCatalog](
       "nba" -> strCatalog, "nba_int_vid" -> intCatalog,
       "student" -> studentCatalog, "ngdata" -> ngdataCatalog)
@@ -349,8 +376,8 @@ class TckRunnerSpec extends SparkSpec {
     val only = sys.env.get("SPARK_GRAFT_TCK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty))
     val selected = only match {
-      case Some(pats) => features.filter(f => pats.exists(f.contains))
-      case None => features
+      case Some(pats) => fs.filter(f => pats.exists(f.contains))
+      case None => fs
     }
     selected.foreach { f =>
       val text = java.nio.file.Files.readString(java.nio.file.Paths.get(f))
@@ -378,15 +405,53 @@ class TckRunnerSpec extends SparkSpec {
       skipped += report.skipped
     }
     info(s"TOTAL executed=$executed passed=$passed skipped=$skipped")
-    assert(executed >= 30, "too few scenarios executed to be meaningful")
+    if (only.isEmpty)
+      assert(executed >= 30, "too few scenarios executed to be meaningful")
     assert(passed == executed)
+  }
+}
+
+/** Shard 0: expression / aggregate / function / path / subgraph /
+  * bugfix / optimizer / openCypher — plus the corpus-parse check. */
+class TckRunnerSpec extends TckSuiteBase {
+  test("reference TCK features (expr/path/bugfix shard): every " +
+      "executable scenario matches its golden") {
+    runFeatures(TckCorpus.shard(0))
   }
 
   test("feature parsing finds a substantial scenario corpus") {
-    assume(have)
-    val text = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(features.head))
+    val go = TckCorpus.features.head
+    assume(new java.io.File(go).exists())
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(go))
     val cases = TckRunner.parseFeature(text)
     assert(cases.size >= 50, s"only ${cases.size} cases parsed from GO.feature")
+  }
+}
+
+class TckMatchSuite extends TckSuiteBase {
+  test("reference TCK features (match shard): every executable " +
+      "scenario matches its golden") {
+    runFeatures(TckCorpus.shard(1))
+  }
+}
+
+class TckSentenceSuite extends TckSuiteBase {
+  test("reference TCK features (go/yield/lookup/fetch shard): every " +
+      "executable scenario matches its golden") {
+    runFeatures(TckCorpus.shard(2))
+  }
+}
+
+class TckDmlSuite extends TckSuiteBase {
+  test("reference TCK features (DML/DDL shard): every executable " +
+      "scenario matches its golden") {
+    runFeatures(TckCorpus.shard(3))
+  }
+}
+
+class TckIndexSuite extends TckSuiteBase {
+  test("reference TCK features (index shard): every executable " +
+      "scenario matches its golden") {
+    runFeatures(TckCorpus.shard(4))
   }
 }
