@@ -1420,6 +1420,41 @@ object MatchSeg {
     else filtered
   }
 
+  /** RAW traversal vid sequence of a named path, when derivable:
+    * shortestPath twins keep it in `__spvids`; fixed paths are the
+    * node-alias columns; var-length paths re-derive it by chaining
+    * stored-orientation endpoints (each step's far node is whichever
+    * of (__s,__d) is not the node we stand on). */
+  private def rawNodeChain(st: BState, binding: DataFrame,
+                           pv: String): Option[Column] = {
+    val cols = binding.columns.toSet
+    if (st.spPaths.contains(pv) && cols(s"${pv}__spvids"))
+      Some(col(s"${pv}__spvids"))
+    else st.pathVars.get(pv) match {
+      case Some(pi) if pi.nodes.nonEmpty && pi.nodes.forall(cols) &&
+          !pi.varLength =>
+        Some(array(pi.nodes.map(col): _*))
+      case Some(pi) if pi.nodes.nonEmpty && pi.nodes.forall(cols) &&
+          pi.rels.forall(ev => st.vlEdgeVars.contains(ev) ||
+            st.edgeVars.contains(ev)) =>
+        var seq: Column = array(col(pi.nodes.head))
+        pi.rels.zip(pi.nodes.tail).foreach { case (ev, nx) =>
+          seq =
+            if (st.vlEdgeVars.contains(ev)) {
+              val chain = aggregate(col(s"${ev}__vl"),
+                slice(seq, lit(-1), lit(1)),
+                (acc, e) => concat(acc, array(
+                  when(e("__s") === element_at(acc, -1), e("__d"))
+                    .otherwise(e("__s")))))
+              concat(seq, slice(chain, lit(2),
+                greatest(size(chain) - 1, lit(0))))
+            } else concat(seq, array(col(nx)))
+        }
+        Some(seq)
+      case _ => None
+    }
+  }
+
   /** Filter with nebula truthiness: a LIST-valued predicate passes
     * when non-empty (PathExprRefLocalVariable `WHERE [t in [v] | ...]`
     * keeps every row — `[[]]` is a non-empty list). */
@@ -1997,26 +2032,9 @@ object MatchSeg {
       // endpoints — each step's far node is whichever of (__s,__d)
       // is not the node we stand on (match/Unwind UNWIND nodes(p))
       case Expr.FnCall("nodes", List(Expr.Ref(List(pv))), _)
-          if st.pathVars.get(pv).exists(_.varLength) &&
-            st.pathVars(pv).rels.forall(ev =>
-              st.vlEdgeVars.contains(ev) || st.edgeVars.contains(ev)) &&
-            st.pathVars(pv).nodes.nonEmpty &&
-            st.pathVars(pv).nodes.forall(cols) =>
-        val pi = st.pathVars(pv)
-        var seq: Column = array(col(pi.nodes.head))
-        pi.rels.zip(pi.nodes.tail).foreach { case (ev, nx) =>
-          seq =
-            if (st.vlEdgeVars.contains(ev)) {
-              val chain = aggregate(col(s"${ev}__vl"),
-                slice(seq, lit(-1), lit(1)),
-                (acc, e) => concat(acc, array(
-                  when(e("__s") === element_at(acc, -1), e("__d"))
-                    .otherwise(e("__s")))))
-              concat(seq, slice(chain, lit(2),
-                greatest(size(chain) - 1, lit(0))))
-            } else concat(seq, array(col(nx)))
-        }
-        Some(transform(seq, x => Gql.renderNode(x, strVid)))
+          if rawNodeChain(st, binding, pv).isDefined =>
+        Some(transform(rawNodeChain(st, binding, pv).get,
+          x => Gql.renderNode(x, strVid)))
       // nodes(p)[k].tag.prop over a FIXED-length path folds to the
       // k-th node alias statically (expression/Attribute TCK)
       case Expr.Attr(Expr.Attr(Expr.Subscript(
@@ -2176,6 +2194,14 @@ object MatchSeg {
             binding = binding.withColumn(alias,
               explode(when(l.isNotNull, l)
                 .otherwise(when(s.isNotNull, array(s)))))
+          // UNWIND nodes(p): bind RAW vids so the alias acts as a
+          // vertex var — prop access tag-joins lazily and RETURN
+          // renders `("vid")` (expression/Attribute1 `UNWIND
+          // nodes(p0) AS ua0 ... ua0.Label_5.prop`)
+          case Expr.FnCall("nodes", List(Expr.Ref(List(pv))), _)
+              if rawNodeChain(st, binding, pv).isDefined =>
+            binding = binding.withColumn(alias,
+              explode(rawNodeChain(st, binding, pv).get))
           case _ =>
             val uc = Expr.compile(e, res0)
             val udt = binding.select(uc.as("__u")).schema.head.dataType
@@ -2191,6 +2217,9 @@ object MatchSeg {
         // (match/AllShortestPaths allShortestPaths5)
         e match {
           case Expr.Ref(List(n2)) if st.nodeListCols.contains(n2) =>
+            st.addVertex(alias)
+          case Expr.FnCall("nodes", List(Expr.Ref(List(pv))), _)
+              if st.pathVars.contains(pv) || st.spPaths.contains(pv) =>
             st.addVertex(alias)
           case _ => st.addPlain(alias)
         }

@@ -300,11 +300,12 @@ object TckCorpus {
     s"$root/parser/Example.feature",
     s"$root/go/SampleLimit.intVid.feature",
     // round 8: the ngdata-fixture files execute now that the fixture
-    // space exists (Attribute1 stays unwired: still zero executable —
-    // both scenarios are parse-reject goldens)
+    // space exists; Attribute1 executes once UNWIND nodes(p) binds raw
+    // vids (the alias acts as a vertex var for lazy tag-prop access)
     s"$root/optimizer/CasesUsingTestSpace.feature",
     s"$root/optimizer/PushFilterDownBugFixes.feature",
-    s"$root/expression/BugFixWithngdata.feature")
+    s"$root/expression/BugFixWithngdata.feature",
+    s"$root/expression/Attribute1.feature")
 
   private def dirOf(f: String) = f.split('/').dropRight(1).last
   // shard assignment by TCK directory, sized so the slowest shard
