@@ -52,6 +52,11 @@ final class ScenarioCatalog(val spark: SparkSession,
   /** (isTag, comma-joined names) of REBUILD INDEX jobs, for
     * SHOW TAG/EDGE INDEX STATUS (always FINISHED — nothing async). */
   val rebuiltJobs = mutable.ListBuffer.empty[(Boolean, String)]
+  /** CREATE FULLTEXT TAG|EDGE INDEX registry: index name → (isTag,
+    * schema, analyzed fields). The "index" itself is virtual — LOOKUP
+    * ES_QUERY scores the schema's live rows with graft.nql.Fulltext. */
+  val fulltextDefs =
+    mutable.LinkedHashMap.empty[String, (Boolean, String, Vector[String])]
   /** (isTag, schema) → keys visible through that schema's index(es).
     * Present only while ≥1 index exists on the schema. Rows stored
     * BEFORE index creation stay out until REBUILD backfills them —

@@ -81,6 +81,12 @@ object Dml {
   case class RebuildIndex(isTag: Boolean, names: Vector[String]) extends DStmt
   case class ShowIndexes(isTag: Boolean, by: Option[String]) extends DStmt
   case class ShowIndexStatus(isTag: Boolean) extends DStmt
+  /** CREATE FULLTEXT TAG|EDGE INDEX name ON schema(cols) — native
+    * fulltext (graft.nql.Fulltext), no external search cluster. */
+  case class CreateFulltext(isTag: Boolean, index: String, schema: String,
+                            cols: Vector[String]) extends DStmt
+  case class DropFulltext(index: String) extends DStmt
+  case object ShowFulltext extends DStmt
   case object ShowSpaces extends DStmt
   /** CREATE SPACE / USE / CREATE INDEX / REBUILD / SHOW ... — parsed
     * and ignored (no cluster to administer; LOOKUP needs no index). */
@@ -291,6 +297,26 @@ object Dml {
       ClearSpace(p.word(), ifExists)
     }
     else if (p.kw("CREATE")) {
+      if (p.kw("FULLTEXT")) {
+        // CREATE FULLTEXT TAG|EDGE INDEX name ON schema(col, ...)
+        val ftTag = p.kw("TAG")
+        if (!ftTag) p.expectKw("EDGE")
+        p.expectKw("INDEX")
+        val idx = p.word()
+        p.expectKw("ON")
+        val schema = p.word()
+        val cols = mutable.ListBuffer.empty[String]
+        p.expectSym("(")
+        var go = true
+        while (go) {
+          cols += p.word()
+          if (!p.sym(",")) { p.expectSym(")"); go = false }
+        }
+        // optional ANALYZER="..." suffix accepted and ignored (the
+        // native analyzer is the default standard one)
+        if (p.kw("ANALYZER")) { p.sym("="); p.next() }
+        CreateFulltext(ftTag, idx, schema, cols.toVector)
+      } else {
       val isTag = p.kw("TAG")
       val isEdge = !isTag && p.kw("EDGE")
       if ((isTag || isEdge) && !p.kwPeek("INDEX")) {
@@ -384,11 +410,16 @@ object Dml {
         // only real nGQL CREATE objects are admin no-ops; anything
         // else (CREATE TABLE ...) is a syntax error like the reference
         require(
-          p.kwPeek("USER") || p.kwPeek("SNAPSHOT") || p.kwPeek("FULLTEXT"),
+          p.kwPeek("USER") || p.kwPeek("SNAPSHOT"),
           s"unknown CREATE object at ${p.ts.take(2)}")
         skipStatement(p); AdminNoop("create")
       }
+      }
     } else if (p.kw("DROP")) {
+      if (p.kw("FULLTEXT")) {
+        p.expectKw("INDEX")
+        DropFulltext(p.word())
+      } else {
       val isTag = p.kw("TAG")
       val isEdge = !isTag && p.kw("EDGE")
       if ((isTag || isEdge) && p.kw("INDEX")) {
@@ -411,10 +442,10 @@ object Dml {
           if (p.kw("IF")) { p.expectKw("EXISTS"); true } else false
         DropSpace(p.word(), ifExists)
       } else {
-        require(p.kwPeek("INDEX") ||
-          p.kwPeek("SNAPSHOT") || p.kwPeek("FULLTEXT"),
+        require(p.kwPeek("INDEX") || p.kwPeek("SNAPSHOT"),
           s"unknown DROP object at ${p.ts.take(2)}")
         skipStatement(p); AdminNoop("drop")
+      }
       }
     } else if (p.kw("ALTER")) {
       val isTag = p.kw("TAG")
@@ -516,6 +547,13 @@ object Dml {
           p.expectKw("INDEX"); p.expectKw("STATUS")
           ShowIndexStatus(isTag)
         }
+      } else if (p.ts.lift(1).exists {
+            case Word(w) => w.equalsIgnoreCase("fulltext")
+            case _ => false
+          }) {
+        p.next(); p.next()
+        p.expectKw("INDEXES")
+        ShowFulltext
       } else
         // other SHOW output shapes (meta listings) are out of surface —
         // unsupported, so golden-bearing SHOW steps skip instead of
@@ -2154,12 +2192,52 @@ object Dml {
           StructField(s"Create $title", StringType)))
         spark.createDataFrame(
           java.util.List.of(Row(name, stmt)), schema2)
+      case CreateFulltext(isTag, index, schema, cols) =>
+        val g = cat(g0)
+        val defs = (if (isTag) g.tagDefs else g.edgeDefs).getOrElse(schema,
+          throw new DmlError(s"unknown ${if (isTag) "tag" else "edge"} $schema"))
+        if (g.fulltextDefs.contains(index))
+          throw new DmlError(s"fulltext index $index existed")
+        // only text props are analyzable — anything else is the
+        // reference's "Unsupported!" ExecutionError
+        // (FultextIndexDDL.feature prop3 int)
+        cols.foreach { c =>
+          val d = defs.find(_.name == c).getOrElse(
+            throw new DmlError(s"column $c not found in $schema"))
+          if (!(d.typeName == "string" || d.typeName.startsWith("fixed_string") ||
+                d.dt == StringType))
+            throw new DmlError("Unsupported!")
+        }
+        g.fulltextDefs(index) = (isTag, schema, cols)
+        emptyOk(spark)
+      case DropFulltext(index) =>
+        val g = cat(g0)
+        if (!g.fulltextDefs.contains(index))
+          throw new DmlError(s"unknown fulltext index $index")
+        g.fulltextDefs -= index
+        emptyOk(spark)
+      case ShowFulltext =>
+        val g = cat(g0)
+        val schema2 = StructType(Seq(StructField("Name", StringType),
+          StructField("Schema Type", StringType),
+          StructField("Schema Name", StringType),
+          StructField("Fields", StringType),
+          StructField("Analyzer", StringType)))
+        val rows = g.fulltextDefs.toSeq.map { case (n, (t, s, cs)) =>
+          Row(n, if (t) "Tag" else "Edge", s, cs.mkString(", "), "default")
+        }
+        spark.createDataFrame(rows.asJava, schema2)
       case DropSchema(isTag, name, ifExists) =>
         val g = cat(g0)
         val known =
           if (isTag) g.tagDefs.contains(name) else g.edgeDefs.contains(name)
         if (!known && !ifExists)
           throw new DmlError(s"not existed ${if (isTag) "tag" else "edge"}")
+        // a schema with a live fulltext index is undroppable
+        // (FultextIndexDDL.feature "Related index exists")
+        if (g.fulltextDefs.values.exists(v => v._1 == isTag && v._2 == name))
+          throw new DmlError(
+            "Related index exists, please drop index first")
         if (isTag) g.dropTag(name) else g.dropEdge(name)
         emptyOk(spark)
       case AlterAdd(isTag, name, adds, drops, changes, ttlDur, ttlCol,
@@ -2199,6 +2277,10 @@ object Dml {
           if (g.indexDefs.values.exists { case (t2, sch, cs2, _, _) =>
                 t2 == isTag && sch == name && cs2.exists(_._1 == d2) })
             throw new DmlError(s"prop $d2 is attached to an index")
+          if (g.fulltextDefs.values.exists { case (t2, sch, cs2) =>
+                t2 == isTag && sch == name && cs2.contains(d2) })
+            throw new DmlError(
+              "Related fulltext index exists, please drop it first")
         }
         // CHANGE: the ttl column is immutable while configured, and a
         // prop cannot change its data type (meta AlterSchema checks);
@@ -2206,6 +2288,10 @@ object Dml {
         changes.foreach { spec =>
           if (curTtl.exists(_._1 == spec.name))
             throw new DmlError(s"ttl column ${spec.name} cannot be changed")
+          if (g.fulltextDefs.values.exists { case (t2, sch, cs2) =>
+                t2 == isTag && sch == name && cs2.contains(spec.name) })
+            throw new DmlError(
+              "Related fulltext index exists, please drop it first")
           // CHANGE to NOT NULL needs a default, same as ADD
           // (Schema.feature:517 "must have a default value")
           if (spec.notNull && spec.default.isEmpty)

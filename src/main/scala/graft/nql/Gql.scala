@@ -1110,6 +1110,8 @@ object Gql {
             throw new IllegalArgumentException("top-level GO needs literal seeds")
         }
         execGo(g, go, seeds, input)
+      case Lookup(tag, Some(Expr.FnCall("es_query", esArgs, _)), ys, dist) =>
+        execEsLookup(g, tag, esArgs, ys, dist)
       case Lookup(tag, where, ys, dist) =>
         // LOOKUP targets a tag OR an edge type (LookupEdge TCK)
         where.foreach(validateGeoIndexFilter)
@@ -1994,6 +1996,119 @@ object Gql {
   /** Compile+select items; aggregate-bearing items trigger the
     * reference's implicit grouping (AggregateExecutor.cpp:12-99):
     * aggregate-free items become the group keys. */
+  /** LOOKUP ... WHERE ES_QUERY(index, "query") — the reference's
+    * FulltextIndexScan (LookupValidator routes a fulltext WHERE to
+    * its ES adapter; tests/tck/features/fulltext_index/). Native: the
+    * schema's live rows are scored with graft.nql.Fulltext (BM25) and
+    * come back score-desc then insertion order — the order ES returns
+    * and the `| LIMIT` goldens cut. `score()` in YIELD reads the
+    * match score. Scenario-space surface; the at-scale DataFrame twin
+    * is graft.pipeline.FulltextSearch. */
+  private def execEsLookup(g: GraphCatalog, tag: String,
+                           esArgs: List[Expr.E], ys: Seq[Item],
+                           dist: Boolean): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{FloatType, LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val sc = g match {
+      case s: graft.graph.ScenarioCatalog => s
+      case _ => throw new DmlError(
+        "fulltext LOOKUP runs on a scenario space; use " +
+          "graft.pipeline.FulltextSearch for table spaces")
+    }
+    val (idxName, query) = esArgs match {
+      case List(Expr.Ref(List(n)), Expr.Lit(q: String)) => (n, q)
+      case _ => throw new IllegalArgumentException(
+        "ES_QUERY takes (index_name, \"query\")")
+    }
+    val spark = sc.spark
+    val (isTag, schema, fields) = sc.fulltextDefs.getOrElse(idxName,
+      throw new DmlError(s"unknown fulltext index $idxName"))
+    if (schema != tag)
+      throw new DmlError(
+        s"fulltext index $idxName is not on ${if (isTag) "tag" else "edge"} $tag")
+    val defs = if (isTag) sc.tagDefs(schema) else sc.edgeDefs(schema)
+    val fieldIdx = fields.map { f =>
+      val i = defs.indexWhere(_.name == f)
+      if (i < 0) throw new DmlError(s"column $f not found in $schema")
+      i
+    }
+    if (isTag) {
+      val docsSeq = sc.tagRows(schema).toVector
+      val docs = docsSeq.map { case (_, ps) =>
+        fieldIdx.map(i => Option(ps(i)).map(_.toString)) }
+      val matches = Fulltext.search(docs, query)
+      val schemaT = StructType((StructField("vid", sc.vidType) +:
+        defs.map(d => StructField(d.name, d.dt))) :+
+        StructField("__ft_score", FloatType))
+      val rows = matches.map { case (d, s) =>
+        val (vid, ps) = docsSeq(d)
+        Row.fromSeq((vid +: ps.toSeq) :+ s)
+      }
+      finishEsLookup(spark.createDataFrame(rows.asJava, schemaT),
+        tag, isEdge = false, ys, dist)
+    } else {
+      val docsSeq = sc.edgeRows(schema).toVector
+      val docs = docsSeq.map { case (_, ps) =>
+        fieldIdx.map(i => Option(ps(i)).map(_.toString)) }
+      val matches = Fulltext.search(docs, query)
+      // a user prop named `rank` shadows the built-in ranking column
+      // (same convention as ScenarioCatalog.edgesByType)
+      val keyRank =
+        if (defs.exists(_.name == "rank")) Nil
+        else Seq(StructField("rank", LongType))
+      val schemaT = StructType((StructField("src", sc.vidType) +:
+        StructField("dst", sc.vidType) +:
+        (keyRank ++ defs.map(d => StructField(d.name, d.dt)))) :+
+        StructField("__ft_score", FloatType))
+      val rows = matches.map { case (d, s) =>
+        val ((src, dst, rank), ps) = docsSeq(d)
+        Row.fromSeq((src +: dst +:
+          (if (keyRank.isEmpty) ps.toSeq
+           else rank.asInstanceOf[Any] +: ps.toSeq)) :+ s)
+      }
+      finishEsLookup(spark.createDataFrame(rows.asJava, schemaT),
+        tag, isEdge = true, ys, dist)
+    }
+  }
+
+  private def finishEsLookup(frame: DataFrame, tag: String, isEdge: Boolean,
+                             ys: Seq[Item], dist: Boolean): DataFrame = {
+    val strVid = frame.schema(if (isEdge) "src" else "vid")
+      .dataType == org.apache.spark.sql.types.StringType
+    val resolver: Expr.Resolver = {
+      case Expr.FnCall("score", Nil, _) => Some(col("__ft_score"))
+      case Expr.Ref(List(k)) if !isEdge && k.equalsIgnoreCase("vertex") =>
+        Some(renderNode(col("vid"), strVid))
+      case Expr.Ref(List(k)) if isEdge && k.equalsIgnoreCase("edge") =>
+        Some(renderEdge(lit(tag), col("src"), col("dst"), col("rank"),
+          strVid))
+      case Expr.Ref(List(c)) => Some(col(c))
+      case Expr.Ref(List(t, prop)) if t == tag => Some(col(prop))
+      case Expr.FnCall("id", List(Expr.Ref(List("vertex"))), _) if !isEdge =>
+        Some(col("vid"))
+      case Expr.FnCall("src", List(Expr.Ref(List("edge"))), _) if isEdge =>
+        Some(col("src"))
+      case Expr.FnCall("dst", List(Expr.Ref(List("edge"))), _) if isEdge =>
+        Some(col("dst"))
+      case Expr.FnCall("rank", List(Expr.Ref(List("edge"))), _) if isEdge =>
+        Some(col("rank"))
+      case Expr.FnCall("properties", List(Expr.Ref(List(k))), _)
+          if (!isEdge && k.equalsIgnoreCase("vertex")) ||
+            (isEdge && k.equalsIgnoreCase("edge")) =>
+        val exclude =
+          if (isEdge) Set("src", "dst", "rank", "__ft_score")
+          else Set("vid", "__ft_score")
+        val cs = frame.columns.filterNot(exclude.contains)
+        Some(struct(cs.map(c0 => col(c0).as(c0)).toSeq: _*))
+      case _ => None
+    }
+    val out =
+      if (ys.isEmpty) frame.drop("__ft_score")
+      else selectItems(frame, ys, resolver)
+    if (dist) out.distinct() else out
+  }
+
   private[nql] def selectItems(df: DataFrame, items0: Seq[Item],
                           resolver: Expr.Resolver): DataFrame = {
     // `$-.*` / `$var.*` expand to every visible input column, aliased

@@ -204,4 +204,26 @@ object Dedup {
   /** Hamming distance between two long-encoded sketches (for simhash
     * bucketing / near-dup by bit distance). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** End-to-end near-dup DEDUP — the step a training-data pipeline
+    * actually ships (candidate pairs alone don't dedup anything):
+    * MinHash-LSH verified pairs → connected components over the pair
+    * graph (transitive closure: A≈B≈C collapse together even when
+    * A,C never paired) → survivor = min doc_id per cluster. Output
+    * (doc_id, keep_id); keep rows where doc_id == keep_id.
+    *
+    * `ccIters` label-propagation rounds bound the cluster diameter
+    * handled; near-dup chains are short, and the oracle replays the
+    * same fixed round count so unconverged labels still compare
+    * equal. One shuffle per round on doc_id — same scale posture as
+    * GraphAlgos.connectedComponents. */
+  def dedupClusters(docs: DataFrame, threshold: Double,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    ccIters: Int = 4): DataFrame = {
+    val pairs = nearDupPairs(docs, threshold, idCol, textCol)
+    val verts = docs.select(col(idCol).as("vid"))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+    graft.algo.GraphAlgos.connectedComponents(verts, edges, ccIters)
+      .select(col("vid").as(idCol), col("label").as("keep_id"))
+  }
 }

@@ -104,6 +104,63 @@ object Similarity {
     joined.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** IVF "train" step, deterministic for oracle replay: the model is
+    * the `nlist` lowest-id corpus vectors (a production deployment
+    * plugs a k-means fit here — the SERVE plan below is identical
+    * either way). Collects exactly nlist small rows: model
+    * materialization (kilobytes), not a data-plane collect. */
+  def ivfFitDeterministic(corpus: DataFrame, nlist: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): Seq[Seq[Double]] =
+    corpus.filter(col(idCol) < nlist).orderBy(col(idCol))
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue).toSeq)
+      .toSeq
+
+  /** (sim, cell) scores of a vector against the centroid model — the
+    * model rides as ONE literal, so this is a codegen'd fold like
+    * `lshBucket`: no shuffle, no join, constant plan size. */
+  private def cellScores(vec: Column, cents: Seq[Seq[Double]]): Column =
+    zip_with(typedLit(cents), sequence(lit(0), lit(cents.size - 1)),
+      (c, i) => struct(cosine(vec, c).as("sim"), i.as("cell")))
+
+  /** IVF cell assignment: argmax-cosine centroid (ties → lowest id). */
+  def ivfCell(vec: Column, cents: Seq[Seq[Double]]): Column =
+    aggregate(cellScores(vec, cents),
+      struct(lit(-2.0).as("sim"), lit(-1).as("cell")),
+      (acc, s) => when(s("sim") > acc("sim"), s).otherwise(acc))("cell")
+
+  /** The query's `nprobe` nearest cells (sim desc, cell asc). */
+  def ivfProbeCells(vec: Column, cents: Seq[Seq[Double]],
+                    nprobe: Int): Column =
+    slice(transform(
+      array_sort(cellScores(vec, cents), (l, r) =>
+        when(l("sim") > r("sim"), -1).when(l("sim") < r("sim"), 1)
+          .otherwise(l("cell") - r("cell"))),
+      s => s("cell")), 1, nprobe)
+
+  /** IVF ANN top-k: corpus rows are assigned to their nearest-centroid
+    * cell by a shuffle-free literal fold; each query probes its
+    * `nprobe` nearest cells and ranks candidates there only. The
+    * inverted-file counterpart of `lshTopK` — cells track the data
+    * distribution (centroids) where LSH cuts blindly, trading a small
+    * offline model for better recall per candidate. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              cents: Seq[Seq[Double]], nprobe: Int,
+              corpusId: String = "vec_id", corpusVec: String = "embedding",
+              queryId: String = "query_id", queryVec: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = corpus.withColumn("__cell", ivfCell(col(corpusVec), cents))
+    val qb = queries.withColumn("__qcell",
+      explode(ivfProbeCells(col(queryVec), cents, nprobe)))
+    val joined = cb.join(broadcast(qb), col("__cell") === col("__qcell"))
+      .select(col(queryId), col(corpusId),
+        cosine(col(corpusVec), col(queryVec)).as("sim"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("sim").desc, col(corpusId))
+    joined.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Default per-bucket row cap for the bucket-local self-joins: a
     * bucket above this is pathological (e.g. all-zero embeddings all
     * hashing to one sketch) and would make one reducer quadratic —

@@ -55,6 +55,11 @@ object PipelineQueries {
       Dedup.nearDupPairs(t(s, dir, "documents"), 0.8)
         .select(col("a"), col("b"), roundPortable(col("jaccard"), 6).as("jaccard"))),
 
+    // end-to-end near-dup dedup: verified pairs → connected
+    // components → survivor = min doc_id per cluster
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(t(s, dir, "documents"), 0.8)),
+
     // 16-bit SimHash sketch per document
     "q_simhash" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -80,6 +85,18 @@ object PipelineQueries {
           roundPortable(col("sim"), 6).as("sim"), col("rnk"))
     }),
 
+    // IVF ANN top-10 (inverted-file cells; deterministic centroid
+    // model = 16 lowest-id vectors, nprobe=2)
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.ivfFitDeterministic(emb, 16)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(emb, queries, 10, cents, nprobe = 2)
+        .select(col("query_id"), col("vec_id"),
+          roundPortable(col("sim"), 6).as("sim"), col("rnk"))
+    }),
+
     // embedding-cosine near-dup pairs, LSH-bucketed (no crossJoin)
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupByEmbedding(t(s, dir, "embeddings"), 0.35,
@@ -96,7 +113,12 @@ object PipelineQueries {
       Multimodal.decodeStub(
           Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text", "image"))
         .select(col("asset_id"), col("media_type"), col("width"),
-          col("height"), col("n_frames")))
+          col("height"), col("n_frames"))),
+
+    // fulltext: BM25 match query top-k (at-scale twin of ES_QUERY)
+    "q_fulltext_search" -> ((s, dir) =>
+      graft.pipeline.FulltextSearch.bm25TopK(
+        t(s, dir, "documents"), "doc_id", "text", "hash join merge", 20))
   )
 
   // ---- oracle SQL ----
@@ -145,7 +167,22 @@ object PipelineQueries {
   private def cosExpr(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** MinHash-LSH candidate CTE chain (sh → sig → bands → cand),
+    * shared by the q_minhash_pairs and q_dedup_clusters oracles. */
+  private val minhashCandCtes: String =
+    s"""sh AS (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS s FROM tk),
+       |sig AS (SELECT doc_id, s,
+       |          list_transform(range(0, 16), k -> list_aggregate(list_transform(s, x -> ((${permALiteral})[k + 1] * (('0x' || substr(md5(x), 1, 15))::BIGINT % ${Dedup.MinhashP}) + (${permBLiteral})[k + 1]) % ${Dedup.MinhashP}), 'min')) AS sig
+       |        FROM sh),
+       |bands AS (SELECT doc_id, b.band AS band,
+       |            md5(array_to_string(sig[b.band * 4 + 1:b.band * 4 + 4], '|')) AS band_hash
+       |          FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |         FROM bands x JOIN bands y ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_fulltext_search" ->
+      graft.pipeline.FulltextSearch.oracleSql("hash join merge", 20),
     "q_dedup_exact" ->
       s"""SELECT md5($norm) AS dedup_hash, min(doc_id) AS keep_id, count(*) AS dup_count
          |FROM documents GROUP BY 1""".stripMargin,
@@ -178,19 +215,28 @@ object PipelineQueries {
          |FROM tk""".stripMargin,
     "q_minhash_pairs" ->
       s"""WITH $tkCte,
-         |sh AS (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS s FROM tk),
-         |sig AS (SELECT doc_id, s,
-         |          list_transform(range(0, 16), k -> list_aggregate(list_transform(s, x -> ((${permALiteral})[k + 1] * (('0x' || substr(md5(x), 1, 15))::BIGINT % ${Dedup.MinhashP}) + (${permBLiteral})[k + 1]) % ${Dedup.MinhashP}), 'min')) AS sig
-         |        FROM sh),
-         |bands AS (SELECT doc_id, b.band AS band,
-         |            md5(array_to_string(sig[b.band * 4 + 1:b.band * 4 + 4], '|')) AS band_hash
-         |          FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |         FROM bands x JOIN bands y ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)
+         |$minhashCandCtes
          |SELECT c.a, c.b,
          |  floor(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(list_distinct(sa.s || sb.s)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
          |FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
          |WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(list_distinct(sa.s || sb.s)) >= 0.8""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $tkCte,
+         |$minhashCandCtes,
+         |pairs AS (SELECT c.a, c.b
+         |          FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+         |          WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(list_distinct(sa.s || sb.s)) >= 0.8),
+         |UE AS (SELECT a AS src, b AS dst FROM pairs
+         |       UNION ALL SELECT b, a FROM pairs
+         |       UNION ALL SELECT doc_id, doc_id FROM documents),
+         |lp(iter, vid, label) AS (
+         |  SELECT 0, doc_id, doc_id FROM documents
+         |  UNION ALL
+         |  SELECT lp.iter + 1, ue.dst, min(lp.label)
+         |  FROM lp JOIN UE ue ON ue.src = lp.vid
+         |  WHERE lp.iter < 4
+         |  GROUP BY lp.iter + 1, ue.dst)
+         |SELECT vid AS doc_id, label AS keep_id FROM lp WHERE iter = 4""".stripMargin,
     "q_simhash" ->
       s"""WITH $tkCte,
          |v AS (SELECT doc_id, j,
@@ -215,6 +261,28 @@ object PipelineQueries {
          |      FROM embeddings),
          |sims AS (SELECT q.query_id, c.vec_id, ${cosExpr("c.cv", "q.qv")} AS sim
          |         FROM c JOIN q ON c.bucket = q.bucket),
+         |rk AS (SELECT query_id, vec_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rnk
+         |       FROM sims)
+         |SELECT query_id, vec_id, floor(sim * 1000000.0 + 0.5) / 1000000.0 AS sim, rnk FROM rk WHERE rnk <= 10""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH cent AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS tv
+         |              FROM embeddings WHERE vec_id < 16),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         |cassign AS (SELECT vec_id, cv, cell FROM (
+         |    SELECT c.vec_id, c.cv, t.cell,
+         |           row_number() OVER (PARTITION BY c.vec_id
+         |             ORDER BY ${cosExpr("c.cv", "t.tv")} DESC, t.cell) AS rn
+         |    FROM c CROSS JOIN cent t) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |      FROM embeddings WHERE vec_id < 5),
+         |qprobe AS (SELECT query_id, qv, cell FROM (
+         |    SELECT q.query_id, q.qv, t.cell,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${cosExpr("q.qv", "t.tv")} DESC, t.cell) AS rn
+         |    FROM q CROSS JOIN cent t) WHERE rn <= 2),
+         |sims AS (SELECT p.query_id, a.vec_id, ${cosExpr("a.cv", "p.qv")} AS sim
+         |         FROM cassign a JOIN qprobe p ON a.cell = p.cell),
          |rk AS (SELECT query_id, vec_id, sim,
          |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rnk
          |       FROM sims)

@@ -456,7 +456,15 @@ object TckRunner {
       else if (d == Double.NegativeInfinity) "-inf"
       else if (d == d.floor) d.toLong.toString
       else d.toString
-    case f: Float => norm(f.toDouble)
+    // float32 renders with Float.toString (shortest repr) — ES BM25
+    // scores (fulltext goldens) are float32 and widening to double
+    // would print spurious digits (1.7917595 → 1.7917594909667969)
+    case f: Float =>
+      if (f.isNaN) "nan"
+      else if (f == Float.PositiveInfinity) "inf"
+      else if (f == Float.NegativeInfinity) "-inf"
+      else if (f == f.floor) f.toLong.toString
+      else f.toString
     case seq: scala.collection.Seq[_] =>
       // golden list cells print strings quoted: ["a", "b"] — except
       // rendered node/edge values, which print bare

@@ -42,6 +42,19 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dedupClusters: transitive near-dups share one survivor, distinct docs self-survive") {
+    val m = Dedup.dedupClusters(docs, 0.5)
+      .as[(Long, Long)].collect().toMap
+    // every doc labeled; the distinct doc is its own survivor
+    assert(m.keySet == docs.select("doc_id").as[Long].collect().toSet)
+    assert(m(3L) == 3L)
+    // near-dups of doc 1 collapse onto the cluster min (doc 1)
+    val cluster = m.filter(_._2 == 1L).keySet
+    assert(cluster.contains(1L) && cluster.size >= 2)
+    // survivors are cluster minima
+    m.foreach { case (d, k) => assert(k <= d) }
+  }
+
   test("simhash16: deterministic, near-dups closer than distinct docs") {
     val sk = docs.select(col("doc_id"), Dedup.simhash16(col("text")).as("s"))
       .as[(Long, Long)].collect().toMap
@@ -88,6 +101,30 @@ class PipelineSpec extends SparkSpec {
     val r = Similarity.bruteForceTopK(vecs, q, 2)
       .orderBy("rnk").select("vec_id").as[Long].collect()
     assert(r.sameElements(Array(0L, 1L)))
+  }
+
+  test("ivfTopK: cell assignment is argmax-cosine; probe finds the true NN") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(0f, 1f, 0f)),        // centroids (nlist=2)
+      (2L, Seq(0.95f, 0.05f, 0f)), (3L, Seq(0.1f, 0.9f, 0f)),
+      (4L, Seq(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val cents = Similarity.ivfFitDeterministic(vecs, 2)
+    assert(cents.size == 2 && cents.head == Seq(1.0, 0.0, 0.0))
+    // assignment: 0,2 → cell 0; 1,3 → cell 1; 4 (orthogonal to both,
+    // tie at sim 0) → lowest cell 0
+    val cellOf = vecs.select(col("vec_id"),
+      Similarity.ivfCell(col("embedding"), cents).as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(cellOf == Map(0L -> 0, 1L -> 1, 2L -> 0, 3L -> 1, 4L -> 0))
+    val q = vecs.filter(col("vec_id") === 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // nprobe=1 searches only cell 0 → candidates {0,2,4}, NN order 2,0
+    val r = Similarity.ivfTopK(vecs, q, 2, cents, nprobe = 1)
+      .orderBy("rnk").select("vec_id").as[Long].collect()
+    assert(r.sameElements(Array(2L, 0L)))
+    // nprobe=2 widens to every cell — equals brute force here
+    val r2 = Similarity.ivfTopK(vecs, q, 5, cents, nprobe = 2)
+    assert(r2.count() == 5)
   }
 
   test("lshBucket: deterministic and stable across evaluations") {

@@ -129,4 +129,21 @@ class PlanSpec extends SparkSpec {
     assert(scan.contains("ReadSchema: struct<doc_id:bigint"),
       s"payload not pruned:\n$scan")
   }
+
+  test("fulltext BM25: no explode/keyed shuffle; stats broadcast; bounded top-k") {
+    assume(have)
+    val plan = executed("q_fulltext_search").toString
+    // the 1-row corpus stats (N, avgdl, per-term df) broadcast back;
+    // per-doc scoring is a projection — never a shuffle keyed on the
+    // corpus, never a token explode
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"fulltext stats not broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("Generate"),
+      s"fulltext plan explodes tokens:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"fulltext top-k is not TakeOrderedAndProject:\n${plan.take(3000)}")
+    // the stats aggregation must map-side combine
+    assert(plan.contains("partial_count"),
+      s"stats aggregation not partial:\n${plan.take(3000)}")
+  }
 }

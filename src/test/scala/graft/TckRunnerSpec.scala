@@ -289,8 +289,9 @@ object TckCorpus {
     //    (zero executable scenarios)
     //  - go/GroupbyLimit[.IntVid]: LIMIT over an all-NULL ORDER key —
     //    order-ambiguous goldens (same reason as LookUpTopN)
-    //  - lookup/LookupEdge2, fulltext_index/*: Elasticsearch fulltext
-    //    surface, out of scope (SURVEY §2.10)
+    //  - (round 8) lookup/LookupEdge2 + fulltext_index/* are WIRED
+    //    below: ES_QUERY/score()/fulltext DDL run natively
+    //    (graft.nql.Fulltext BM25, no external search cluster)
     // round 8: match/Path wired (ngdata fixture space + alias
     // redefinition semantics + keys/src/dst on list elements); its 8
     // remaining skips are the feature's own upstream @skip tags
@@ -305,7 +306,13 @@ object TckCorpus {
     s"$root/optimizer/CasesUsingTestSpace.feature",
     s"$root/optimizer/PushFilterDownBugFixes.feature",
     s"$root/expression/BugFixWithngdata.feature",
-    s"$root/expression/Attribute1.feature")
+    s"$root/expression/Attribute1.feature",
+    // round 8: native fulltext (ES_QUERY → graft.nql.Fulltext BM25,
+    // bit-exact vs the goldens' recorded ES scores; fulltext DDL on
+    // the scenario catalog) — the former "out of scope" gap
+    s"$root/fulltext_index/FulltextIndexScan.feature",
+    s"$root/fulltext_index/FultextIndexDDL.feature",
+    s"$root/lookup/LookupEdge2.feature")
 
   private def dirOf(f: String) = f.split('/').dropRight(1).last
   // shard assignment by TCK directory, sized so the slowest shard
