@@ -111,4 +111,228 @@ object GraphAlgos {
     try { e.unpersist(blocking = false) } catch { case _: Throwable => () }
     pr
   }
+
+  /** Per-vertex triangle count over an undirected simple-graph view of
+    * `edges` (src, dst). Degree-ordered orientation: every undirected
+    * edge points from its (degree, vid)-smaller endpoint to the larger,
+    * so the oriented graph is a DAG whose out-degrees are O(√m) — the
+    * wedge join below is the standard shuffle-optimal formulation
+    * (each triangle {x<y<z} enumerated exactly once as x→y, y→z, x→z).
+    * The ordering key is total and data-derived, so an external oracle
+    * replays it exactly. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // canonical undirected simple edges (a < b, self-loops dropped)
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("vid"))
+      .unionAll(und.select(col("b").as("vid")))
+      .groupBy("vid").agg(count(lit(1)).as("deg"))
+    // orient a→b when (deg,vid)(a) < (deg,vid)(b); broadcast-size deg
+    // frames only when Spark decides to — plain equi-joins here
+    val withDeg = und
+      .join(deg.withColumnRenamed("vid", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("vid", "b").withColumnRenamed("deg", "db"), "b")
+    val oriented = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        col("a")).otherwise(col("b")).as("u"),
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint() // reused three times below; cut the double scan
+    val d1 = oriented.select(col("u").as("x"), col("v").as("y"))
+    val d2 = oriented.select(col("u").as("y"), col("v").as("z"))
+    val d3 = oriented.select(col("u").as("x"), col("v").as("z"))
+    val tris = d1.join(d2, "y").join(d3, Seq("x", "z")) // wedge ⋈ closing edge
+    tris.select(explode(array(col("x"), col("y"), col("z"))).as("vid"))
+      .groupBy("vid").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Local clustering coefficient cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))
+    * over the undirected simple-graph view (0 when deg < 2). Degrees and
+    * triangles both come off the canonical edge set, so cc is exact and
+    * oracle-replayable (integer operands, one IEEE division). */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint() // scanned twice (degrees + triangle join tree)
+    val deg = und.select(col("a").as("vid"))
+      .unionAll(und.select(col("b").as("vid")))
+      .groupBy("vid").agg(count(lit(1)).as("deg"))
+    deg.join(triangleCounts(und.select(col("a").as("src"), col("b").as("dst"))),
+        Seq("vid"), "left_outer")
+      .select(col("vid"),
+        when(col("deg") < 2, lit(0.0)).otherwise(
+          (coalesce(col("triangles"), lit(0L)) * 2.0) /
+            (col("deg") * (col("deg") - 1))).as("cc"))
+  }
+
+  /** Canonical undirected simple-graph view: (a < b), self-loops and
+    * duplicate/reversed rows dropped. */
+  private def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+
+  /** K-core by synchronous peeling, `iters` fixed rounds: each round
+    * recomputes degrees over the surviving edge set and drops vertices
+    * with degree < k together with their edges (converged once a round
+    * changes nothing; extra rounds are no-ops). Returns the endpoints
+    * of the surviving edge set. Each round is one aggregation + two
+    * semi-joins on the edge keys, state checkpointed so plan depth
+    * stays constant — the same loop shape as WCC. */
+  def kCore(edges: DataFrame, k: Int, iters: Int): DataFrame = {
+    var und = canonicalUndirected(edges).localCheckpoint()
+    var round = 0
+    while (round < iters) {
+      val deg = und.select(col("a").as("vid"))
+        .unionAll(und.select(col("b").as("vid")))
+        .groupBy("vid").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("vid")
+      val upd = und
+        .join(keep.withColumnRenamed("vid", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("vid", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+      graft.traverse.Traverse.freeCheckpoint(und)
+      und = upd
+      round += 1
+    }
+    und.select(col("a").as("vid")).unionAll(und.select(col("b").as("vid")))
+      .distinct()
+  }
+
+  /** Synchronous label propagation, `iters` fixed rounds over the
+    * undirected neighbor view: each vertex adopts its neighbors' most
+    * frequent label, ties broken by MIN label — a total, deterministic
+    * rule, so an external oracle replays every round. Isolated
+    * vertices keep their own label. One (vid,label) count shuffle +
+    * one argmin aggregation per round (no per-vertex windows: min_by
+    * over a (−count, label) key keeps the partial-aggregation path). */
+  def labelPropagation(vertices: DataFrame, edges: DataFrame,
+                       iters: Int): DataFrame = {
+    val und = canonicalUndirected(edges)
+    val nbrs = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col("vid"), col("vid").as("label"))
+      .localCheckpoint()
+    var round = 0
+    while (round < iters) {
+      val counted = nbrs.join(labels, nbrs("src") === labels("vid"))
+        .groupBy(nbrs("dst").as("vid"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val pick = counted.groupBy("vid")
+        .agg(min_by(col("label"),
+          struct((-col("cnt")).as("nc"), col("label").as("l"))).as("nlabel"))
+      val upd = labels.join(pick, Seq("vid"), "left_outer")
+        .select(col("vid"), coalesce(col("nlabel"), col("label")).as("label"))
+        .localCheckpoint()
+      graft.traverse.Traverse.freeCheckpoint(labels)
+      labels = upd
+      round += 1
+    }
+    try { nbrs.unpersist(blocking = false) } catch { case _: Throwable => () }
+    labels
+  }
+
+  /** Neighbor-set Jaccard similarity |N(a)∩N(b)| / |N(a)∪N(b)| for
+    * vertex pairs sharing ≥1 out-neighbor. `maxNbrDeg` drops hub
+    * neighbors (in-degree > cap) BEFORE pairing — the same skew guard
+    * as the LSH buckets: without it one hub with d in-neighbors emits
+    * d² pairs. Degrees are counted over the capped edge set so the
+    * ratio is internally consistent and oracle-replayable. */
+  def jaccardSimilarity(edges: DataFrame, maxNbrDeg: Int): DataFrame = {
+    val e = edges.select("src", "dst").distinct()
+    val nbrDeg = e.groupBy("dst").agg(count(lit(1)).as("nd"))
+    val capped = e.join(nbrDeg.filter(col("nd") <= maxNbrDeg).select("dst"),
+        Seq("dst"), "left_semi")
+      .localCheckpoint() // scanned three times (deg + both pair sides)
+    val deg = capped.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    val common = capped.as("x").join(capped.as("y"),
+        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("a"), col("y.src").as("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+      .select(col("a"), col("b"),
+        (col("common") * lit(1.0) /
+          (col("da") + col("db") - col("common"))).as("jaccard"))
+  }
+
+  /** Deterministic random walks (the node2vec/DeepWalk corpus stage of
+    * the reference ecosystem's algorithm package): one walk of ≤ `len`
+    * steps per start vertex, step i moving to neighbor index
+    * md5(walker ++ "|" ++ i) mod out-degree — pseudo-random but exactly
+    * replayable by an external oracle (same md5→60-bit-int recipe as
+    * MinHash). Walks halt at dead ends. Output is exploded
+    * (walker, step, vid) rows so the result is flat-comparable.
+    *
+    * Scale: adjacency indexing is one row_number window partitioned by
+    * src (a single shuffle, reused every step); each step is two joins
+    * on the current-position key with the walker state checkpointed, so
+    * plan depth stays constant like the BFS loops. */
+  def randomWalks(edges: DataFrame, starts: DataFrame, len: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val simple = edges.select("src", "dst").distinct()
+    val adj = simple.withColumn("idx",
+        row_number().over(Window.partitionBy("src").orderBy("dst"))
+          .cast("long") - 1)
+      .localCheckpoint() // reused by every step; also caps plan depth
+    val od = adj.groupBy("src").agg(count(lit(1)).as("od"))
+    var cur = starts.select(col("vid").as("walker"), col("vid").as("cur"))
+      .localCheckpoint()
+    var out = cur.select(col("walker"), lit(0).as("step"), col("cur").as("vid"))
+    var i = 1
+    while (i <= len) {
+      val pick = cur.join(od, cur("cur") === od("src"))
+        .select(col("walker"), col("cur"),
+          pmod(conv(substring(md5(concat(col("walker"), lit(s"|$i"))), 1, 15),
+            16, 10).cast("long"), col("od")).as("pick"))
+      // NOT freed: unlike the BFS loops, every step's frame stays
+      // referenced by the accumulated output union
+      cur = pick.join(adj,
+          pick("cur") === adj("src") && pick("pick") === adj("idx"))
+        .select(col("walker"), col("dst").as("cur"))
+        .localCheckpoint()
+      out = out.unionByName(
+        cur.select(col("walker"), lit(i).as("step"), col("cur").as("vid")))
+      i += 1
+    }
+    out
+  }
+
+  /** Weighted single-source shortest distances, `iters` synchronous
+    * Bellman-Ford rounds (distance = min over ≤iters-hop path sums, so
+    * exact once iters ≥ diameter). Returns only reached vertices
+    * (vid, dist). Each round is one join on the frontier key + one
+    * min-aggregation — the same shuffle shape as the BFS loops — with
+    * the state frame checkpointed per round so plan depth stays
+    * constant. Path sums associate left-to-right, so an external
+    * oracle replays them bit-for-bit. */
+  def sssp(edges: DataFrame, source: String, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+        col("weight").cast("double").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("vid"), lit(0.0).as("dist"))
+      .localCheckpoint()
+    var round = 0
+    while (round < iters) {
+      val ext = e.join(dist, e("src") === dist("vid"))
+        .select(e("dst").as("vid"), (col("dist") + col("w")).as("dist"))
+      val upd = dist.unionByName(ext)
+        .groupBy("vid").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      graft.traverse.Traverse.freeCheckpoint(dist)
+      dist = upd
+      round += 1
+    }
+    try { e.unpersist(blocking = false) } catch { case _: Throwable => () }
+    dist
+  }
 }

@@ -622,7 +622,13 @@ object Expr {
           p.peek2.exists(_.isInstanceOf[Word])) {
         p.next(); parts += p.word()
       }
-      Ref(parts.toList)
+      // bare VERTEX/EDGE are reserved entity words, case-insensitive
+      // (`YIELD VERTEX as node` ≡ `YIELD vertex as node`)
+      parts.toList match {
+        case List(one) if Set("vertex", "edge")(one.toLowerCase) =>
+          Ref(List(one.toLowerCase))
+        case l => Ref(l)
+      }
     case t => throw new IllegalArgumentException(s"bad expression at $t")
   }
 

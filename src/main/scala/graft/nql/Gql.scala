@@ -1005,11 +1005,11 @@ object Gql {
   def runScript(g: GraphCatalog, query: String,
                 params: Map[String, String]): DataFrame = {
     val last = runRaw(g, query, params)
-    // internal twins (`__path_*`, `__vid_*`, `__edges_*`) never
-    // surface to the user
+    // internal twins (`__path_*`, `__vid_*`, `__edges_*`, `__edge_*`)
+    // never surface to the user
     val hidden = last.columns.filter(c2 =>
       c2.startsWith("__path_") || c2.startsWith("__vid_") ||
-        c2.startsWith("__edges_"))
+        c2.startsWith("__edges_") || c2.startsWith("__edge_"))
     if (hidden.isEmpty) last else last.drop(hidden: _*)
   }
 
@@ -1814,6 +1814,12 @@ object Gql {
     val resolver: Expr.Resolver = {
       case Expr.FnCall("id", List(Expr.Ref(List("vertex"))), _) =>
         Some(col("vid"))
+      // edge-entity functions over a vertex fetch are a semantic
+      // reject, not missing surface (GetPropValidator)
+      case Expr.FnCall(fnE @ ("src" | "dst" | "rank" | "type"),
+          List(Expr.Ref(List("edge"))), _) =>
+        throw new IllegalArgumentException(
+          s"Invalid expression $fnE(EDGE) over a vertex fetch")
       case Expr.Ref(List("vertex")) => Some(renderNode(col("vid"), strVid))
       case Expr.FnCall("properties", List(Expr.Ref(List("vertex"))), _) =>
         Some(renderPropsMap(fields))
@@ -1863,6 +1869,12 @@ object Gql {
     val resolver: Expr.Resolver = {
       case Expr.FnCall("id", List(Expr.Ref(List("vertex"))), _) =>
         Some(col("vid"))
+      // edge-entity functions over a vertex fetch are a semantic
+      // reject, not missing surface (GetPropValidator)
+      case Expr.FnCall(fnE @ ("src" | "dst" | "rank" | "type"),
+          List(Expr.Ref(List("edge"))), _) =>
+        throw new IllegalArgumentException(
+          s"Invalid expression $fnE(EDGE) over a vertex fetch")
       case Expr.Ref(List("vertex")) => Some(renderNode(col("vid"), strVid))
       case Expr.FnCall("properties", List(Expr.Ref(List("vertex"))), _) =>
         Some(renderPropsMap(fields))
@@ -1912,11 +1924,22 @@ object Gql {
       when(c.isNotNull, lit(n))
     }: _*))
 
+  /** Extend FETCH edge yields with a hidden `__edge_<alias>` twin for
+    * every whole-edge item — (src, dst, rank, etype, rendered props)
+    * — so piped `startNode($-.e)` / `endNode($-.e)` /
+    * `properties($-.e)` resolve without re-parsing the rendering
+    * (FetchEdges.feature pipe scenarios). */
+  private def withEdgeTwins(ys: Seq[Item]): Seq[Item] =
+    ys ++ ys.collect { case Item(Expr.Ref(List("edge")), a2) =>
+      Item(Expr.FnCall("__edge_twin", List(Expr.Ref(List("edge")))),
+        s"__edge_$a2") }
+
   private def execFetchEdge(g: GraphCatalog, fe: FetchEdge,
                             pairs: DataFrame): DataFrame = {
-    val FetchEdge(etype, _, _, ys, dist, _) = fe
-    rejectBareLabels(ys)
-    rejectUnaliasedEntity(ys)
+    val FetchEdge(etype, _, _, ys0, dist, _) = fe
+    rejectBareLabels(ys0)
+    rejectUnaliasedEntity(ys0)
+    val ys = withEdgeTwins(ys0)
     val e = g.edgesByType(etype)
     // rank is part of edge identity (NebulaKeyUtils.h:61); an
     // unranked fetch matches rank 0, the insert default
@@ -1926,10 +1949,31 @@ object Gql {
       .drop("__s", "__d", "__r")
     val strVid = rows.schema("src").dataType ==
       org.apache.spark.sql.types.StringType
+    def eFields: Seq[(String, Column, org.apache.spark.sql.types.DataType)] =
+      e.schema.filterNot(f => Set("src", "dst", "rank")(f.name))
+        .map(sf => (sf.name, col(sf.name), sf.dataType))
     val resolver: Expr.Resolver = {
       case Expr.FnCall("src", List(Expr.Ref(List("edge"))), _) => Some(col("src"))
       case Expr.FnCall("dst", List(Expr.Ref(List("edge"))), _) => Some(col("dst"))
       case Expr.FnCall("rank", List(Expr.Ref(List("edge"))), _) => Some(col("rank"))
+      case Expr.FnCall("type", List(Expr.Ref(List("edge"))), _) => Some(lit(etype))
+      case Expr.FnCall("properties", List(Expr.Ref(List("edge"))), _) =>
+        Some(renderPropsMap(eFields))
+      case Expr.Attr(Expr.FnCall("properties",
+          List(Expr.Ref(List("edge"))), _), prop) =>
+        Some(if (eFields.exists(_._1 == prop)) col(prop) else lit(null))
+      case Expr.FnCall("keys", List(Expr.Ref(List("edge"))), _) =>
+        Some(presentKeys(eFields))
+      // vertex-entity functions over an edge fetch are a semantic
+      // reject, not missing surface (GetPropValidator)
+      case Expr.FnCall(f @ ("id" | "tags" | "labels"),
+          List(Expr.Ref(List("vertex"))), _) =>
+        throw new IllegalArgumentException(
+          s"Invalid expression $f(VERTEX) over an edge fetch")
+      case Expr.FnCall("__edge_twin", _, _) =>
+        Some(struct(col("src").as("src"), col("dst").as("dst"),
+          col("rank").as("rank"), lit(etype).as("etype"),
+          renderPropsMap(eFields).as("props")))
       case Expr.Ref(List("edge")) =>
         Some(renderEdge(lit(etype), col("src"), col("dst"), col("rank"), strVid))
       case Expr.Ref(List(t, "_src")) if t == etype => Some(col("src"))
@@ -2738,6 +2782,18 @@ object Gql {
       case Expr.Ref(List(c)) if cols(s"__path_$c") => Some(s"__path_$c")
       case _ => None
     }
+    // whole-edge column twins (FETCH ... YIELD edge AS e → __edge_e)
+    def etwinName(e: Expr.E): Option[String] = e match {
+      case Expr.Param("input", _, List(c)) if cols(s"__edge_$c") =>
+        Some(s"__edge_$c")
+      case Expr.Ref(List(c)) if cols(s"__edge_$c") => Some(s"__edge_$c")
+      case _ => None
+    }
+    def etwin(e: Expr.E): Option[Column] = etwinName(e).map(col)
+    def strVidOfEdge(name: String): Boolean =
+      df.schema(name).dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]("src")
+        .dataType == org.apache.spark.sql.types.StringType
     def nodeR(v: Column, strVid: Boolean): Column =
       if (strVid) concat(lit("(\""), v, lit("\")"))
       else concat(lit("("), v.cast("string"), lit(")"))
@@ -2773,6 +2829,23 @@ object Gql {
         val s = strVidOf(twinName(arg).get)
         Some(transform(twin(arg).get("steps"), st =>
           renderEdge(st("t"), st("s"), st("d"), st("r"), s)))
+      // whole-edge columns (FETCH ... YIELD edge AS e) carry an
+      // `__edge_<alias>` twin: startNode/endNode render the endpoint
+      // nodes, properties() the pre-rendered prop map
+      case Expr.FnCall("startnode", List(arg), _) if etwin(arg).isDefined =>
+        Some(nodeR(etwin(arg).get("src"), strVidOfEdge(etwinName(arg).get)))
+      case Expr.FnCall("endnode", List(arg), _) if etwin(arg).isDefined =>
+        Some(nodeR(etwin(arg).get("dst"), strVidOfEdge(etwinName(arg).get)))
+      case Expr.FnCall("properties", List(arg), _) if etwin(arg).isDefined =>
+        Some(etwin(arg).get("props"))
+      case Expr.FnCall("type", List(arg), _) if etwin(arg).isDefined =>
+        Some(etwin(arg).get("etype"))
+      case Expr.FnCall("src", List(arg), _) if etwin(arg).isDefined =>
+        Some(etwin(arg).get("src"))
+      case Expr.FnCall("dst", List(arg), _) if etwin(arg).isDefined =>
+        Some(etwin(arg).get("dst"))
+      case Expr.FnCall("rank", List(arg), _) if etwin(arg).isDefined =>
+        Some(etwin(arg).get("rank"))
       case Expr.Param("input", _, parts) if parts.nonEmpty =>
         // a literally-dotted column name (`like._dst`) wins; when only
         // the head exists, descend struct fields (`$-.a.b` over a

@@ -8,10 +8,13 @@ import graft.functions.Fn.roundPortable
 
 /** SparkEntry registrations for whole-graph analytics (the reference
   * ecosystem's nebula-algorithm capability set): degrees, weakly
-  * connected components, PageRank. WCC/PageRank run fixed synchronous
-  * iteration counts of exactly-specified update rules, so the DuckDB
-  * oracle replays the algorithm itself (min-label flow with self-loops;
-  * damped contribution sums with zero-weight self-edges). */
+  * connected components, PageRank, triangle counting, local clustering
+  * coefficient, weighted SSSP, k-core, label propagation, neighbor
+  * Jaccard, deterministic random walks. Iterative algorithms run fixed
+  * synchronous iteration counts of exactly-specified update rules, so
+  * the DuckDB oracle replays the algorithm itself (min-label flow with
+  * self-loops; damped contribution sums; bounded-hop Bellman-Ford);
+  * triangle/cc replay the degree-ordered orientation in SQL. */
 object AlgoQueries {
   type Q = (SparkSession, String) => DataFrame
 
@@ -30,8 +33,81 @@ object AlgoQueries {
       val g = gm(s, dir)
       GraphAlgos.pageRank(g.vertices, g.edges, iters = 3)
         .select(col("vid"), roundPortable(col("pr"), 4).as("pr"))
+    }),
+    // Triangle counting needs a graph with triangles — the TPC-H graph
+    // is multipartite — so project a co-purchase graph first (parts
+    // sharing an order; 1-in-10 orders, deterministic key sample).
+    // The projection itself is the realistic part: one self-join
+    // shuffled on the order key, then the degree-ordered wedge join.
+    "q_algo_triangles" -> ((s, dir) =>
+      GraphAlgos.triangleCounts(coPurchase(s, dir))),
+    // Local clustering coefficient over the same co-purchase projection.
+    "q_algo_clustering" -> ((s, dir) =>
+      GraphAlgos.clusteringCoefficients(coPurchase(s, dir))),
+    // Weighted SSSP from customer 1 over the unified edge view;
+    // weight = rank+1 (deterministic, integral-valued doubles so the
+    // oracle's path sums are bit-exact). 4 rounds = graph diameter
+    // (c→o→p/s→n→r).
+    "q_algo_sssp" -> ((s, dir) => {
+      val g = gm(s, dir)
+      val ew = g.edges.select(col("src"), col("dst"),
+        (col("rank") + 1).cast("double").as("weight"))
+      GraphAlgos.sssp(ew, "c:1", iters = 4)
+    }),
+    // 4-core of the co-purchase graph, 6 fixed peeling rounds (the
+    // oracle unrolls the same rounds as a CTE chain).
+    "q_algo_kcore" -> ((s, dir) =>
+      GraphAlgos.kCore(coPurchase(s, dir), k = 4, iters = 6)),
+    // 3 synchronous LPA rounds over the unified graph (most-frequent
+    // neighbor label, ties -> min label).
+    "q_algo_lpa" -> ((s, dir) => {
+      val g = gm(s, dir)
+      GraphAlgos.labelPropagation(g.vertices, g.edges, iters = 3)
+    }),
+    // node2vec-style walk corpus: 5 deterministic steps per customer.
+    "q_algo_walks" -> ((s, dir) => randomWalkQuery(s, dir)),
+    // Neighbor-set Jaccard between orders sharing parts; hub parts
+    // (in-degree > 40) dropped before pairing — the skew guard that
+    // keeps the pair count linear-ish at 100 TB.
+    "q_algo_jaccard" -> ((s, dir) => {
+      val e = graft.Tables.load(s, dir, "lineitem").select(
+        concat(lit("o:"), col("l_orderkey")).as("src"),
+        concat(lit("p:"), col("l_partkey")).as("dst"))
+      GraphAlgos.jaccardSimilarity(e, maxNbrDeg = 40)
     })
   )
+
+  /** Deterministic 5-step walks from every customer over the
+    * undirected unified graph (walks on the directed TPC-H DAG die at
+    * the part/region sinks after ~3 hops; node2vec corpora walk the
+    * undirected view). */
+  private def randomWalkQuery(s: SparkSession, dir: String): DataFrame = {
+    val g = gm(s, dir)
+    val und = g.edges.select(col("src"), col("dst"))
+      .unionAll(g.edges.select(col("dst").as("src"), col("src").as("dst")))
+    val starts = g.customers.select("vid")
+    GraphAlgos.randomWalks(und, starts, len = 5)
+  }
+
+  /** The co-purchase projection shared by the triangle-family queries:
+    * parts sharing an order (1-in-10 orders, deterministic key sample). */
+  private def coPurchase(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.load(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey").as("ok"),
+        concat(lit("p:"), col("l_partkey")).as("pk")).distinct()
+    li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+  }
+
+  /** DuckDB twin of `coPurchase` + its canonical undirected view. */
+  private val coPurchaseCtes =
+    """LI AS (SELECT DISTINCT l_orderkey AS ok, 'p:' || l_partkey AS pk
+      |            FROM lineitem WHERE l_orderkey % 10 = 0),
+      |UND AS (SELECT DISTINCT least(x.pk, y.pk) AS a, greatest(x.pk, y.pk) AS b
+      |        FROM LI x JOIN LI y ON x.ok = y.ok AND x.pk < y.pk
+      |        WHERE x.pk <> y.pk)""".stripMargin
 
   private val vertsCte =
     """V AS (SELECT 'c:' || c_custkey AS vid FROM customer
@@ -79,6 +155,137 @@ object AlgoQueries {
         |  GROUP BY pr.iter + 1, c.dst
         |)
         |SELECT vid, floor(pr * 10000.0 + 0.5) / 10000.0 AS pr
-        |FROM pr WHERE iter = 3""".stripMargin
+        |FROM pr WHERE iter = 3""".stripMargin,
+    "q_algo_triangles" ->
+      s"""WITH $coPurchaseCtes,
+        |DEG AS (SELECT vid, count(*) AS deg FROM
+        |          (SELECT a AS vid FROM UND UNION ALL SELECT b FROM UND)
+        |        GROUP BY vid),
+        |ORT AS (SELECT
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+        |         THEN u.a ELSE u.b END AS u,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+        |         THEN u.b ELSE u.a END AS v
+        |  FROM UND u JOIN DEG da ON da.vid = u.a JOIN DEG db ON db.vid = u.b),
+        |T AS (SELECT d1.u AS x, d1.v AS y, d2.v AS z
+        |      FROM ORT d1 JOIN ORT d2 ON d2.u = d1.v
+        |      JOIN ORT d3 ON d3.u = d1.u AND d3.v = d2.v)
+        |SELECT vid, count(*) AS triangles FROM
+        |  (SELECT x AS vid FROM T UNION ALL SELECT y FROM T
+        |   UNION ALL SELECT z FROM T)
+        |GROUP BY vid""".stripMargin,
+    "q_algo_clustering" ->
+      s"""WITH $coPurchaseCtes,
+        |DEG AS (SELECT vid, count(*) AS deg FROM
+        |          (SELECT a AS vid FROM UND UNION ALL SELECT b FROM UND)
+        |        GROUP BY vid),
+        |ORT AS (SELECT
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+        |         THEN u.a ELSE u.b END AS u,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+        |         THEN u.b ELSE u.a END AS v
+        |  FROM UND u JOIN DEG da ON da.vid = u.a JOIN DEG db ON db.vid = u.b),
+        |T AS (SELECT d1.u AS x, d1.v AS y, d2.v AS z
+        |      FROM ORT d1 JOIN ORT d2 ON d2.u = d1.v
+        |      JOIN ORT d3 ON d3.u = d1.u AND d3.v = d2.v),
+        |TC AS (SELECT vid, count(*) AS c FROM
+        |         (SELECT x AS vid FROM T UNION ALL SELECT y FROM T
+        |          UNION ALL SELECT z FROM T)
+        |       GROUP BY vid)
+        |SELECT d.vid,
+        |  CASE WHEN d.deg < 2 THEN CAST(0 AS DOUBLE)
+        |       ELSE (coalesce(tc.c, 0) * CAST(2 AS DOUBLE)) /
+        |            (d.deg * (d.deg - 1)) END AS cc
+        |FROM DEG d LEFT JOIN TC tc ON tc.vid = d.vid""".stripMargin,
+    "q_algo_sssp" ->
+      s"""WITH RECURSIVE ${GraphQueries.edgesCte},
+        |EW AS (SELECT src, dst, CAST(rank + 1 AS DOUBLE) AS w FROM E),
+        |sp(iter, vid, dist) AS (
+        |  SELECT 0, 'c:1', CAST(0.0 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT sp.iter + 1, e.dst, min(sp.dist + e.w)
+        |  FROM sp JOIN EW e ON e.src = sp.vid
+        |  WHERE sp.iter < 4
+        |  GROUP BY 1, 2
+        |)
+        |SELECT vid, min(dist) AS dist FROM sp GROUP BY vid""".stripMargin,
+    "q_algo_kcore" -> {
+      // unrolled peeling rounds: recursive CTEs can't reference the
+      // working table twice (degree filter + edge filter), so the
+      // oracle replays the fixed rounds as a plain CTE chain.
+      // MATERIALIZED is load-bearing: each round references the
+      // previous one three times, so inlining would be 3^rounds scans
+      val rounds = (0 until 6).map { r =>
+        s"""D$r AS MATERIALIZED (SELECT vid, count(*) AS deg FROM
+           |          (SELECT a AS vid FROM E$r UNION ALL SELECT b FROM E$r)
+           |        GROUP BY vid),
+           |K$r AS MATERIALIZED (SELECT vid FROM D$r WHERE deg >= 4),
+           |E${r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM E$r e
+           |  JOIN K$r ka ON ka.vid = e.a JOIN K$r kb ON kb.vid = e.b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $coPurchaseCtes,
+        |E0 AS MATERIALIZED (SELECT a, b FROM UND),
+        |$rounds
+        |SELECT DISTINCT vid FROM
+        |  (SELECT a AS vid FROM E6 UNION ALL SELECT b FROM E6)""".stripMargin
+    },
+    "q_algo_lpa" -> {
+      // MATERIALIZED for the same reason as q_algo_kcore: L{r+1}
+      // references L{r} twice
+      val rounds = (0 until 3).map { r =>
+        s"""CNT$r AS MATERIALIZED (SELECT n.dst AS vid, l.label, count(*) AS cnt
+           |          FROM N n JOIN L$r l ON l.vid = n.src GROUP BY 1, 2),
+           |P$r AS MATERIALIZED (SELECT vid, label FROM
+           |          (SELECT vid, label, row_number() OVER
+           |             (PARTITION BY vid ORDER BY cnt DESC, label) AS rn
+           |           FROM CNT$r) WHERE rn = 1),
+           |L${r + 1} AS MATERIALIZED (SELECT l.vid, coalesce(p.label, l.label) AS label
+           |  FROM L$r l LEFT JOIN P$r p ON p.vid = l.vid)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${GraphQueries.edgesCte}, $vertsCte,
+        |UE AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |       FROM E WHERE src <> dst),
+        |N AS (SELECT a AS src, b AS dst FROM UE
+        |      UNION ALL SELECT b, a FROM UE),
+        |L0 AS (SELECT vid, vid AS label FROM V),
+        |$rounds
+        |SELECT vid, label FROM L3""".stripMargin
+    },
+    "q_algo_walks" -> {
+      val steps = (1 to 5).map { i =>
+        s"""P$i AS (SELECT w.walker, w.cur,
+           |  ('0x' || substr(md5(w.walker || '|$i'), 1, 15))::BIGINT % od.od AS pick
+           |  FROM W${i - 1} w JOIN OD od ON od.src = w.cur),
+           |W$i AS MATERIALIZED (SELECT p.walker, a.dst AS cur
+           |  FROM P$i p JOIN ADJ a ON a.src = p.cur AND a.idx = p.pick)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to 5).map(i =>
+        s"UNION ALL SELECT walker, $i, cur FROM W$i").mkString("\n")
+      s"""WITH ${GraphQueries.edgesCte},
+        |UE AS (SELECT src, dst FROM E UNION ALL SELECT dst, src FROM E),
+        |SIMPLE AS MATERIALIZED (SELECT DISTINCT src, dst FROM UE),
+        |ADJ AS MATERIALIZED (SELECT src, dst,
+        |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+        |  FROM SIMPLE),
+        |OD AS MATERIALIZED (SELECT src, count(*) AS od FROM SIMPLE GROUP BY src),
+        |W0 AS (SELECT 'c:' || c_custkey AS walker, 'c:' || c_custkey AS cur
+        |       FROM customer),
+        |$steps
+        |SELECT walker, 0 AS step, cur AS vid FROM W0
+        |$unions""".stripMargin
+    },
+    "q_algo_jaccard" ->
+      """WITH E AS (SELECT DISTINCT 'o:' || l_orderkey AS src,
+        |                           'p:' || l_partkey AS dst FROM lineitem),
+        |ND AS (SELECT dst, count(*) AS nd FROM E GROUP BY dst),
+        |C AS (SELECT e.src, e.dst FROM E e
+        |      JOIN ND ON ND.dst = e.dst AND ND.nd <= 40),
+        |D AS (SELECT src AS v, count(*) AS d FROM C GROUP BY src),
+        |CM AS (SELECT x.src AS a, y.src AS b, count(*) AS common
+        |       FROM C x JOIN C y ON x.dst = y.dst AND x.src < y.src
+        |       GROUP BY 1, 2)
+        |SELECT cm.a, cm.b,
+        |  (cm.common * CAST(1 AS DOUBLE)) / (da.d + db.d - cm.common) AS jaccard
+        |FROM CM cm JOIN D da ON da.v = cm.a JOIN D db ON db.v = cm.b""".stripMargin
   )
 }

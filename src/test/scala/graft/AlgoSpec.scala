@@ -42,6 +42,89 @@ class AlgoSpec extends SparkSpec {
     }
   }
 
+  test("triangleCounts finds each triangle once per corner, handles dups/direction") {
+    import spark.implicits._
+    // K4 on a..d (4 triangles, 3 per vertex) + a pendant edge, with
+    // duplicate and reversed input rows that must canonicalize away
+    val k4 = for {
+      Seq(x, y) <- Seq("a", "b", "c", "d").combinations(2).toSeq
+    } yield (x, y)
+    val edges = (k4 ++ k4.map(_.swap) ++ Seq("d" -> "e", "e" -> "d"))
+      .toDF("src", "dst")
+    val out = GraphAlgos.triangleCounts(edges).as[(String, Long)].collect().toMap
+    Seq("a", "b", "c", "d").foreach(v => assert(out(v) == 3L, s"$v: ${out.get(v)}"))
+    assert(!out.contains("e"), "pendant vertex should have no triangles")
+  }
+
+  test("sssp takes the cheaper two-hop path over the expensive direct edge") {
+    import spark.implicits._
+    val edges = Seq(("s", "t", 10.0), ("s", "m", 1.0), ("m", "t", 2.0),
+      ("t", "u", 1.0)).toDF("src", "dst", "weight")
+    val out = GraphAlgos.sssp(edges, "s", iters = 4)
+      .as[(String, Double)].collect().toMap
+    assert(out("s") == 0.0 && out("m") == 1.0)
+    assert(out("t") == 3.0, s"t: ${out("t")} (direct edge should lose)")
+    assert(out("u") == 4.0)
+    assert(!out.contains("zzz"))
+  }
+
+  test("kCore peels the chain and keeps the clique") {
+    import spark.implicits._
+    // K4 (every vertex degree 3) + a chain e-f-g that must peel away
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
+      "b" -> "d", "c" -> "d")
+    val edges = (k4 ++ Seq("d" -> "e", "e" -> "f", "f" -> "g")).toDF("src", "dst")
+    val core3 = GraphAlgos.kCore(edges, k = 3, iters = 6)
+      .as[String].collect().toSet
+    assert(core3 == Set("a", "b", "c", "d"), s"3-core: $core3")
+    val core4 = GraphAlgos.kCore(edges, k = 4, iters = 6)
+    assert(core4.isEmpty, "4-core of K4+chain should be empty")
+  }
+
+  test("LPA converges a triangle to its min label, isolated keeps its own") {
+    import spark.implicits._
+    val verts = Seq("a", "b", "c", "x").toDF("vid")
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a").toDF("src", "dst")
+    val out = GraphAlgos.labelPropagation(verts, edges, iters = 3)
+      .as[(String, String)].collect().toMap
+    Seq("a", "b", "c").foreach(v => assert(out(v) == "a", s"$v: ${out(v)}"))
+    assert(out("x") == "x")
+  }
+
+  test("jaccardSimilarity: shared-neighbor ratio, hub neighbors capped") {
+    import spark.implicits._
+    val edges = Seq("o1" -> "p1", "o1" -> "p2", "o1" -> "p3",
+      "o2" -> "p2", "o2" -> "p3", "o2" -> "p4",
+      "o3" -> "p9").toDF("src", "dst")
+    val out = GraphAlgos.jaccardSimilarity(edges, maxNbrDeg = 40)
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(out(("o1", "o2")) == 0.5, s"got $out") // 2 shared / 4 union
+    assert(out.size == 1, "only the sharing pair should appear")
+    // with the hub cap at 1, the shared parts (degree 2) are dropped
+    val capped = GraphAlgos.jaccardSimilarity(edges, maxNbrDeg = 1)
+    assert(capped.count() == 0)
+  }
+
+  test("randomWalks: neighbor steps only, dead ends halt, reruns identical") {
+    import spark.implicits._
+    val edges = Seq("a" -> "b", "a" -> "c", "b" -> "d").toDF("src", "dst")
+    val starts = Seq("a", "z").toDF("vid") // z has no out-edges
+    def run() = GraphAlgos.randomWalks(edges, starts, len = 3)
+      .as[(String, Int, String)].collect().toSet
+    val w = run()
+    assert(w == run(), "walks must be deterministic across runs")
+    // z emits only its start row
+    assert(w.filter(_._1 == "z") == Set(("z", 0, "z")))
+    // a's step-1 position is one of its neighbors; steps follow edges
+    val nbrs = Map("a" -> Set("b", "c"), "b" -> Set("d"))
+    val aWalk = w.filter(_._1 == "a").toSeq.sortBy(_._2).map(_._3)
+    assert(aWalk.head == "a")
+    aWalk.sliding(2).foreach { case Seq(u, v) =>
+      assert(nbrs.getOrElse(u, Set.empty).contains(v), s"$u -> $v not an edge")
+    case _ => () }
+  }
+
   test("saltedSum spreads a hot key with constant values and stays exact") {
     import spark.implicits._
     val df = (1 to 1000).map(i => ("hot", 1.0, i)) :+ (("cold", 2.0, 0))
