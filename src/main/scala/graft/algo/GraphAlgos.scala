@@ -49,8 +49,12 @@ object GraphAlgos {
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           iters: Int,
                           untilConverged: Boolean = false): DataFrame = {
+    // pre-partitioned on the per-round join key: the cached layout
+    // satisfies the join's distribution, so each round shuffles only
+    // the (small) label state, never the big edge frame
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = vertices.select(col("vid"), col("vid").as("label"))
       .localCheckpoint()
@@ -85,7 +89,10 @@ object GraphAlgos {
     * safety cap); `tol = 0` replays exactly `iters` rounds. */
   def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int,
                damping: Double = 0.85, tol: Double = 0.0): DataFrame = {
-    val e = edges.select("src", "dst")
+    // pre-partitioned by src (see connectedComponents): per-round joins
+    // against the rank state reuse the cached layout instead of
+    // re-shuffling the edge frame
+    val e = edges.select("src", "dst").repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
       .localCheckpoint()
@@ -217,6 +224,7 @@ object GraphAlgos {
     val und = canonicalUndirected(edges)
     val nbrs = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")) // see connectedComponents
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = vertices.select(col("vid"), col("vid").as("label"))
       .localCheckpoint()
