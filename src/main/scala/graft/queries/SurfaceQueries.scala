@@ -86,6 +86,17 @@ object SurfaceQueries {
       s.table("q_stream_window_sink")
     }),
 
+    // Event-time gap sessionization (session_window): registered in
+    // batch mode — the SAME aggregation runs streaming (see
+    // StreamingSpec) because session_window is an ordinary grouping
+    // expression; the oracle replays it as a lag/cumsum window.
+    "q_stream_sessions" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      EventStream.sessionWindows(ev, gap = "30 minutes")
+        .select(col("sess_start"), col("sess_end"), col("user_id"),
+          col("n_events"), roundPortable(col("sum_value"), 2).as("sum_value"))
+    }),
+
     // nGQL DML against a parquet-backed TableCatalog (round 7): the
     // AT-SCALE text-DML route. Bulk ingest arrives as a DataFrame
     // write; the text surface then mutates via KeyedTable merges, and
@@ -147,6 +158,27 @@ object SurfaceQueries {
       """SELECT upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2)) AS seg,
         |       floor(stddev_pop(c_acctbal) * 1000.0 + 0.5) / 1000.0 AS sd
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q_stream_sessions" ->
+      // gap sessionization replay: a session breaks where the gap to
+      // the previous event is >= 30 min (Spark merges strictly
+      // overlapping [ts, ts+gap) windows); end = last ts + gap
+      """WITH s AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT min(ts) AS sess_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS sess_end,
+        |       user_id, count(*) AS n_events,
+        |       floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_value
+        |FROM g GROUP BY user_id, sid""".stripMargin,
     "q_stream_window" ->
       """SELECT date_trunc('hour', ts) AS win_start,
         |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,

@@ -56,6 +56,30 @@ object EventStream {
         col("event_type"), col("cnt"), col("sum_value"))
   }
 
+  /** Event-time gap sessionization via the native `session_window`
+    * grouping (merges events whose [ts, ts+gap) windows overlap) —
+    * mode-agnostic like `windowedTypeStats`: in streaming mode the
+    * watermark bounds session state, in batch mode it is an ordinary
+    * aggregation the oracle replays with a lag/cumsum window. */
+  def sessionWindows(events: DataFrame, gap: String,
+                     watermark: String = "30 minutes"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark)
+              else events
+    src.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+  }
+
+  /** Exactly-once-style dedup for at-least-once sources: drops repeat
+    * event_ids arriving within the watermark horizon; state for an id
+    * is evicted once the watermark passes it, so memory stays bounded
+    * by the horizon instead of the stream's lifetime. */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class Session(user_id: Long, n_events: Long, total_value: Double,

@@ -43,6 +43,37 @@ class StreamingSpec extends SparkSpec {
     assert(out(7L) == ((2L, 5.0)) && out(9L) == ((1L, 5.0)))
   }
 
+  test("sessionWindows: gap-merged sessions, end = last ts + gap (batch)") {
+    val df = Seq(
+      (1L, ts(0), 1L, "click", 1.0),
+      (2L, ts(10), 1L, "click", 2.0),  // 10 min gap -> same session
+      (3L, ts(50), 1L, "click", 4.0),  // 40 min gap -> new session
+      (4L, ts(0), 2L, "view", 8.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventStream.sessionWindows(df, "30 minutes")
+      .select("user_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(r == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)), s"got $r")
+    val sess = EventStream.sessionWindows(df, "30 minutes")
+      .filter($"user_id" === 1L && $"n_events" === 2L)
+      .select("sess_start", "sess_end")
+      .as[(Timestamp, Timestamp)].head()
+    assert(sess._1 == ts(0) && sess._2 == ts(40)) // last ts (10) + 30 min
+  }
+
+  test("dedupEvents plans watermarked within-horizon dedup (streaming-only op)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val src = EventStream.readEvents(spark, s"$dir/events.parquet",
+      schemaFrom = s"$dir/events.parquet")
+    val dd = EventStream.dedupEvents(src)
+    assert(dd.isStreaming)
+    // plan-shape check (no execution: see the state-store note above)
+    val plan = dd.queryExecution.analyzed.toString
+    assert(plan.contains("DeduplicateWithinWatermark"), plan.take(300))
+    assert(plan.contains("EventTimeWatermark"), plan.take(300))
+  }
+
   test("readEvents: ns-timestamp parquet streams with µs truncation") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/events.parquet").exists())
