@@ -272,6 +272,94 @@ object GraphAlgos {
           (col("da") + col("db") - col("common"))).as("jaccard"))
   }
 
+  /** Louvain-style community detection: `iters` synchronous rounds of
+    * modularity-ascent moves (phase 1 of Louvain with a deterministic,
+    * totally-ordered move rule — the reference ecosystem's algorithm
+    * package ships Louvain; the classic sequential sweep is
+    * order-dependent, so this uses the synchronous variant every
+    * distributed implementation uses). Each round every vertex moves to
+    * the neighboring community maximizing
+    *   score(C) = 2m·k_in(C) − k_i·(Σtot(C) − [C = current] k_i)
+    * (the modularity gain scaled by the positive constant 2m², so the
+    * argmax is identical), ties broken by MIN community id. Fully
+    * synchronous updates ping-pong on symmetric pairs (a adopts b's
+    * community while b adopts a's), so two deterministic mitigations
+    * from the parallel-Louvain literature apply: (1) the Grappolo swap
+    * rule — a vertex in a singleton community may join another
+    * SINGLETON community only when the target id is smaller; (2) each
+    * round only the md5(vid, round)-even half of the vertices may move
+    * — a round-varying subset, so period-2 cycles between larger
+    * communities break within a few rounds (budget ~2× the rounds a
+    * sequential sweep would need). All-integer arithmetic and
+    * md5-derived gates — an external oracle replays rounds bit-exactly.
+    * Returns (vid, c) for every non-isolated vertex.
+    *
+    * Scale: per round one message shuffle (neighbor-community counts),
+    * one Σtot aggregation over the assignment (tiny), and one argmin —
+    * the same shape as labelPropagation. */
+  def louvain(edges: DataFrame, iters: Int): DataFrame = {
+    val und = canonicalUndirected(edges).localCheckpoint()
+    val m2 = und.count() * 2 // one driver action; the oracle's scalar subquery
+    val both = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")) // see connectedComponents
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = both.groupBy(col("src").as("vid")).agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    var assign = deg.select(col("vid"), col("vid").as("c")).localCheckpoint()
+    var round = 0
+    while (round < iters) {
+      val nbrC = both.join(assign, both("dst") === assign("vid"))
+        .select(both("src").as("vid"), col("c"))
+      val kin = nbrC.groupBy("vid", "c").agg(count(lit(1)).as("kin"))
+      val csize = assign.groupBy("c").agg(count(lit(1)).as("sz"))
+      val sigtot = assign.join(deg, "vid").groupBy("c").agg(sum("k").as("st"))
+      val cur = assign.withColumnRenamed("c", "c_i")
+        .join(csize.withColumnRenamed("c", "c_i")
+          .withColumnRenamed("sz", "sz_i"), "c_i")
+      val cand = kin.join(sigtot, "c").join(csize, "c")
+        .join(deg, "vid").join(cur, "vid")
+        // Grappolo swap rule: singleton → larger-id singleton is a
+        // would-be symmetric swap; drop the candidate
+        .filter(!(col("sz_i") === 1L && col("sz") === 1L &&
+          col("c") > col("c_i")))
+        .select(col("vid"), col("c"), col("c_i"),
+          (lit(m2) * col("kin") - col("k") *
+            (col("st") - when(col("c") === col("c_i"), col("k"))
+              .otherwise(lit(0L)))).as("score"))
+      // staying score (kin to own community may be 0 — no cand row)
+      val stay = cur.join(deg, "vid")
+        .join(sigtot.withColumnRenamed("c", "c_i")
+          .withColumnRenamed("st", "st_i"), "c_i")
+        .join(kin.withColumnRenamed("c", "c_i")
+          .withColumnRenamed("kin", "kin_i"), Seq("vid", "c_i"), "left_outer")
+        .select(col("vid"),
+          (lit(m2) * coalesce(col("kin_i"), lit(0L)) -
+            col("k") * (col("st_i") - col("k"))).as("stay"))
+      // hill-climb: move only on strictly positive gain over staying
+      val pick = cand.join(stay, "vid")
+        .filter(col("c") === col("c_i") || col("score") > col("stay"))
+        .groupBy("vid")
+        .agg(min_by(col("c"),
+          struct((-col("score")).as("ns"), col("c").as("cc"))).as("nc"))
+      // round-varying mover half: breaks symmetric swap cycles
+      val gate = pmod(conv(substring(
+        md5(concat(col("vid"), lit(s"|$round"))), 1, 15), 16, 10)
+        .cast("long"), lit(2L)) === 0L
+      val upd = assign
+        .join(pick, Seq("vid"), "left_outer")
+        .select(col("vid"),
+          when(gate && col("nc").isNotNull, col("nc"))
+            .otherwise(col("c")).as("c"))
+        .localCheckpoint()
+      graft.traverse.Traverse.freeCheckpoint(assign)
+      assign = upd
+      round += 1
+    }
+    try { both.unpersist(blocking = false) } catch { case _: Throwable => () }
+    assign
+  }
+
   /** Deterministic random walks (the node2vec/DeepWalk corpus stage of
     * the reference ecosystem's algorithm package): one walk of ≤ `len`
     * steps per start vertex, step i moving to neighbor index

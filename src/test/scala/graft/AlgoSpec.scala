@@ -106,6 +106,21 @@ class AlgoSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("louvain groups two bridged triangles into their own communities") {
+    import spark.implicits._
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a",
+      "d" -> "e", "e" -> "f", "f" -> "d",
+      "c" -> "d").toDF("src", "dst")
+    val out = GraphAlgos.louvain(edges, iters = 10)
+      .as[(String, String)].collect().toMap
+    assert(out.size == 6)
+    assert(Set(out("a"), out("b"), out("c")).size == 1,
+      s"left triangle split: $out")
+    assert(Set(out("d"), out("e"), out("f")).size == 1,
+      s"right triangle split: $out")
+    assert(out("a") != out("d"), s"bridge merged the triangles: $out")
+  }
+
   test("randomWalks: neighbor steps only, dead ends halt, reruns identical") {
     import spark.implicits._
     val edges = Seq("a" -> "b", "a" -> "c", "b" -> "d").toDF("src", "dst")
