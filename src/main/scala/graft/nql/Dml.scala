@@ -466,6 +466,13 @@ object Dml {
         else go = false
         if (!p.sym(",")) go = false
       }
+      // AlterSchemaValidator parity: a column may appear in at most
+      // one ADD/DROP/CHANGE item across the whole sentence
+      val mentioned = adds.map(_.name) ++ drops ++ changes.map(_.name)
+      mentioned.diff(mentioned.distinct).headOption.foreach { dup =>
+        throw new IllegalArgumentException(
+          s"SemanticError: Duplicate column name `$dup'")
+      }
       val (ttlDur, ttlCol, comment) = parseSchemaOptions(p)
       AlterAdd(isTag, name, adds.toVector, drops.toVector,
         changes.toVector, ttlDur, ttlCol, comment)
@@ -997,6 +1004,17 @@ object Dml {
       case null => null
       case other => throw new DmlError(s"cannot access .$nm on $other")
     }
+    // map['k'] / list[i] in SET/WHEN position (bugfix/SubscriptInUpdate)
+    case Expr.Subscript(x, i) =>
+      (unTag(eval(x, env)), unTag(eval(i, env))) match {
+        case (null, _) => null
+        case (m: collection.Map[String @unchecked, Any @unchecked],
+            k: String) => m.getOrElse(k, null)
+        case (xs: Seq[_], n: Long) =>
+          val idx = if (n < 0) xs.size + n else n
+          if (idx >= 0 && idx < xs.size) xs(idx.toInt) else null
+        case (b, k) => throw new DmlError(s"cannot subscript $b with $k")
+      }
     case other =>
       throw new IllegalArgumentException(s"unsupported DML expr $other")
   }
@@ -1153,6 +1171,35 @@ object Dml {
           micros = mapLong(m, "milliseconds") * 1000 +
             mapLong(m, "microseconds"))
       case _ => throw new DmlError(s"duration($args)")
+    }
+    case "json_extract" => args.head match {
+      case s: String =>
+        // FunctionManager json_extract: JSON object string → MAP
+        try {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          def conv(n: com.fasterxml.jackson.databind.JsonNode): Any =
+            if (n.isIntegralNumber) n.asLong()
+            else if (n.isNumber) n.asDouble()
+            else if (n.isBoolean) n.asBoolean()
+            else if (n.isTextual) n.asText()
+            else if (n.isNull) null
+            else if (n.isObject) {
+              val b = scala.collection.immutable.ListMap
+                .newBuilder[String, Any]
+              n.properties().forEach(e2 => b += e2.getKey -> conv(e2.getValue))
+              b.result()
+            } else if (n.isArray) {
+              val b = List.newBuilder[Any]
+              n.elements().forEachRemaining(x => b += conv(x))
+              b.result()
+            } else null
+          conv(om.readTree(s)) match {
+            case m: collection.Map[_, _] => m
+            case _ => null // non-object top level → BAD_DATA/NULL
+          }
+        } catch { case _: Exception => null }
+      case null => null
+      case other => throw new DmlError(s"json_extract($other)")
     }
     case "now" => System.currentTimeMillis() / 1000
     case "hash" => graft.functions.NebulaHash.hashValue(args.head)
@@ -1349,7 +1396,31 @@ object Dml {
       case GeoVal(_, _) =>
         throw new DmlError(s"wrong type for ${d.name}: geography value")
       case _ =>
-        val c = coerce(v, d.dt, d.name)
+        val c0 = coerce(v, d.dt, d.name)
+        // sized integer columns enforce their storage range (reference
+        // "Storage Error: Out of range value." — bugfix/RoundFloat)
+        val c = {
+          val (lo, hi) = d.typeName match {
+            case "int8" => (-128L, 127L)
+            case "int16" => (-32768L, 32767L)
+            case "int32" => (Int.MinValue.toLong, Int.MaxValue.toLong)
+            case _ => (Long.MinValue, Long.MaxValue)
+          }
+          // the raw double is range-checked BEFORE rounding
+          // (2147483647.1 into int32 errors even though it rounds to
+          // the max — reference WriteVertexProps)
+          v match {
+            case dv: Double if d.dt == LongType &&
+                (dv < lo.toDouble || dv > hi.toDouble) =>
+              throw new DmlError("Storage Error: Out of range value.")
+            case _ => ()
+          }
+          c0 match {
+            case n: Long if n < lo || n > hi =>
+              throw new DmlError("Storage Error: Out of range value.")
+            case other => other
+          }
+        }
         // fixed_string(N) writes truncate to N BYTES, keeping only
         // complete UTF-8 chars (storage FIXED_STRING semantics,
         // Insert.feature "out of fixed_string's size")
@@ -1966,6 +2037,9 @@ object Dml {
           if (dupName) throw new DmlError(s"index $index existed")
           if (cols.map(_._1).distinct.size != cols.size)
             throw new DmlError("duplicate column")
+          // MAX_INDEX_FIELD_NUM = 16 (IndexProcessor)
+          if (cols.size > 16)
+            throw new DmlError("Invalid param! Too many index fields.")
           // (the inverse — ALTER configuring TTL on an indexed schema —
           // rejects; creating an index on a TTL schema is allowed,
           // TTL2.feature `ttl base`)
@@ -1986,6 +2060,11 @@ object Dml {
             // length (IndexProcessor: string col without length)
             if (d.typeName == "string" && len.isEmpty)
               throw new DmlError(s"string column $c needs a length")
+            // ...and a FIXED_STRING column must NOT specify one — its
+            // index length IS the fixed size (Index.feature:2212)
+            if (d.typeName.startsWith("fixed_string(") && len.isDefined)
+              throw new DmlError(
+                "Invalid param! Fixed string column takes no index length.")
           }
           if (dupCols)
             throw new DmlError("duplicate index on the same columns")

@@ -504,6 +504,11 @@ object Expr {
         ((p.peek.exists(_.isInstanceOf[Word]) ||
           p.peek.exists(_.isInstanceOf[Str])) && p.peek2.contains(Sym(":")))
       if (isMap) {
+        // the reference grammar's map_expression requires ≥1 entry —
+        // bare `{}` is a SyntaxError (basic/data.feature)
+        if (p.peek.contains(Sym("}")))
+          throw new IllegalArgumentException(
+            "SyntaxError: empty map literal")
         val entries = scala.collection.mutable.ListBuffer.empty[(String, E)]
         if (!p.sym("}")) {
           var go = true
@@ -710,6 +715,12 @@ object Expr {
         }
       case Ref(one :: Nil) => col(one)
       case Bin("and", a, b) => c(a) && c(b)
+      // a constant-true operand decides the OR no matter how ill-typed
+      // the siblings are (Value OR semantics: `x or true or y` is true
+      // even when x/y are INT/STRING — IndexScanRule.feature)
+      case Bin("or", a, b)
+          if tryConst(a).contains(true) || tryConst(b).contains(true) =>
+        lit(true)
       case Bin("or", a, b) => c(a) || c(b)
       case Bin("xor", a, b) => c(a) =!= c(b)
       // constant relational expressions fold through the reference's
@@ -1393,6 +1404,12 @@ object Expr {
       case "abs" => abs(a(0))
       case "floor" => floor(a(0))
       case "ceil" | "ceiling" => ceil(a(0))
+      case "round" if args.nonEmpty && isStr(args.head) =>
+        // FunctionManager round: numeric input only — a constant
+        // string is a validation-time type error (function/round TCK)
+        throw new IllegalArgumentException(
+          "SemanticError: `round(" + args.map(text).mkString(",") +
+            ")' is not a valid expression : Parameter's type error")
       case "round" if args.size == 3 =>
         // round(x, scale, mode) — FunctionManager round modes
         val scale = intArg(args, 1)
@@ -1589,6 +1606,11 @@ object Expr {
       // murmur on floats, UTF-8 murmur on strings (FunctionManager
       // .cpp:1689 via std::hash<Value>); int-vid spaces key every
       // vertex on hash(<string>) so goldens need bit-parity
+      // uuid(): a RANDOM int64 per evaluation (UUIDExpression.cpp) —
+      // inherently nondeterministic in the reference too, so goldens
+      // never depend on its value (bugfix/LackFilterGetEdges)
+      case "uuid" if args.isEmpty =>
+        xxhash64(rand(), monotonically_increasing_id())
       case "hash" => tryConst(args.head) match {
         case Some(v) => lit(graft.functions.NebulaHash.hashValue(v))
         case None => graft.functions.NebulaHash.hashCol(a(0))
@@ -1630,6 +1652,12 @@ object Expr {
     }
     case Un("not" | "notrel", x) =>
       tryConst(x).collect { case b: Boolean => !b }
+    case Bin("or", a, b)
+        if tryConst(a).contains(true) || tryConst(b).contains(true) =>
+      Some(true)
+    case Bin("and", a, b)
+        if tryConst(a).contains(false) || tryConst(b).contains(false) =>
+      Some(false)
     case Bin(op, a, b) =>
       (tryConst(a), tryConst(b)) match {
         case (Some(x: Long), Some(y: Long)) => op match {

@@ -415,6 +415,11 @@ object Gql {
         }
         if (rest.startsWith("{") && rest.endsWith("}"))
           rest = rest.substring(1, rest.length - 1)
+        // the grammar's explain_sentence wraps a plain sentence — a
+        // second EXPLAIN/PROFILE cannot nest (ExplainAndProfile TCK)
+        if ("(?is)^\\s*(EXPLAIN|PROFILE)\\b.*$".r.matches(rest))
+          throw new IllegalArgumentException(
+            "SyntaxError: explain/profile sentence cannot be nested")
         return parseScript(rest, params)
       case _ => ()
     }
@@ -676,6 +681,10 @@ object Gql {
   private def parseSentence(p: P): Stmt = {
     if (Dml.startsDml(p)) Dml.parseSentence(p)
     else if (p.kw("MATCH")) MatchSeg.parse(p)
+    else if (p.kwPeek("OPTIONAL")) {
+      p.kw("OPTIONAL"); p.expectKw("MATCH")
+      MatchSeg.parseFromOptional(p)
+    }
     else if (p.kw("GO")) {
       val (m, n) = p.peek match {
         case Some(Num(v, _)) =>
@@ -1474,8 +1483,13 @@ object Gql {
         // errors (runtime NULL-on-zero is unchanged)
         (items.map(_.e) ++ where.toList).foreach(Expr.collect(_) {
           case Expr.Bin("/" | "%", a2, b2)
-              if Expr.tryConst(b2).contains(0L) &&
-                Expr.tryConst(a2).isDefined =>
+              // INTEGER/INTEGER by zero only: a float operand makes
+              // the division IEEE (0/0.0 → NaN, 1/0.0 → inf —
+              // bugfix/NaNInfinityFloat; Scala's boxed == would match
+              // 0.0 against 0L, hence the explicit Long checks
+              if Expr.tryConst(b2).exists(v => v.isInstanceOf[Long] &&
+                  v.asInstanceOf[Long] == 0L) &&
+                Expr.tryConst(a2).exists(_.isInstanceOf[Long]) =>
             throw new IllegalArgumentException("SemanticError: Divide by 0")
           case Expr.Un("neg", x2)
               if Expr.tryConst(x2).contains(Long.MinValue) =>
@@ -1516,7 +1530,27 @@ object Gql {
           .select(colByName(c).as("vid"))
       case None => seedsDf(spark, seeds)
     }
+    // SubgraphValidator parity: ref-seeded src column must match the
+    // space's vid type (`the srcs should be type of FIXED_STRING…`)
+    if (seedsRef.isDefined) {
+      val got = seedFrame.schema.fields.head.dataType
+      val want = g.allVertices.schema("vid").dataType
+      if (got != want)
+        throw new IllegalArgumentException(
+          s"SemanticError: the srcs should be type of " +
+            s"${want.simpleString}, but was `${got.simpleString}'")
+    }
     val specs = if (specs0.isEmpty) Seq((Both: Direction, Seq("*"))) else specs0
+    // every named edge type must exist (reference ExecutionError:
+    // `EdgeNotFound: EdgeName `noexist`` — subgraph.feature)
+    specs.foreach { case (_, list) =>
+      if (list != Seq("*")) {
+        val known = g.edgeTypeNames.toSet
+        list.filterNot(known).foreach { miss =>
+          throw new DmlError(s"EdgeNotFound: EdgeName `$miss` not existed")
+        }
+      }
+    }
     // a WHERE clause filters edges on their props (and $$ dst-tag
     // props) during expansion — needs the property-carrying edge view
     val needProps = where.isDefined
@@ -1629,6 +1663,14 @@ object Gql {
     val spark = g.allVertices.sparkSession
     val FindPath(mode, srcs, dsts, etypes, dir, upto, yieldPath,
       srcRef, dstRef, fpWhere) = fp
+    // PathValidator parity: every named edge type must exist
+    if (etypes != Seq("*")) {
+      val known = g.edgeTypeNames.toSet
+      etypes.filterNot(known).foreach { miss =>
+        throw new IllegalArgumentException(
+          s"SemanticError: $miss not found in space.")
+      }
+    }
     def seedSet(vids: Seq[Any], ref: Option[InRef]): DataFrame = ref match {
       case Some(InRef(None, c)) =>
         input.getOrElse(throw new IllegalArgumentException(

@@ -62,6 +62,16 @@ object MatchSeg {
       scala.collection.mutable.ListBuffer.empty[Stage],
       scala.collection.mutable.ListBuffer(parseClause(p, optional = false)))
 
+  /** Entry for a leading `OPTIONAL MATCH` (both keywords consumed).
+    * With no prior binding the optional clause seeds the table
+    * directly — identical to MATCH whenever the pattern has matches
+    * (MatchById.feature); the zero-match one-null-row corner is not
+    * reproduced. */
+  def parseFromOptional(p: P): MStmt =
+    parseStages(p,
+      scala.collection.mutable.ListBuffer.empty[Stage],
+      scala.collection.mutable.ListBuffer(parseClause(p, optional = true)))
+
   /** Entry for an UNWIND-headed pipeline (`UNWIND ... AS x MATCH ...`,
     * keyword + expr + alias already consumed by Gql). */
   def parseFromUnwind(p: P, e: Expr.E, alias: String): MStmt =
@@ -1935,7 +1945,16 @@ object MatchSeg {
         val ic = Expr.compile(idx, resolver(st, binding)).cast("int")
         val elem = when(ic >= 0, try_element_at(raw, ic + lit(1)))
           .otherwise(try_element_at(raw, ic))
-        Some(elem.getField(prop))
+        // a prop no traversed edge type carries is NULL, not an
+        // analysis error (PrunePropertiesRule `properties(e[0]).degree`
+        // over like-only traversal)
+        val hasField = binding.schema(s"${ev}__vl").dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+              s2: org.apache.spark.sql.types.StructType, _) =>
+            s2.fieldNames.contains(prop)
+          case _ => false
+        }
+        Some(if (hasField) elem.getField(prop) else lit(null))
       case Expr.FnCall("labels" | "tags", List(Expr.Ref(List(v))), _)
           if st.vertexVars.contains(v) =>
         Some(array_compact(array(st.tags.sorted.map(t =>
@@ -2085,6 +2104,44 @@ object MatchSeg {
           acc = Expr.compile(stepN, rAcc)
         }
         Some(acc)
+      // reduce() over relationships(p) of a var-length path (single
+      // vl rel): fold the STRUCT list via aggregate(), so prop access
+      // on the lambda var reads struct fields instead of the rendered
+      // strings (bugfix/MatchJoinOnEdge `sum(reduce(total=1, ratio in
+      // relationships(p1) | total * ratio.likeness))`)
+      case Expr.ReduceE(accName, init, v2,
+            Expr.FnCall("relationships", List(Expr.Ref(List(pv))), _), step)
+          if st.pathVars.get(pv).exists(_.varLength) &&
+            st.pathVars(pv).rels.size == 1 &&
+            st.vlEdgeVars.contains(st.pathVars(pv).rels.head) &&
+            cols(s"${st.pathVars(pv).rels.head}__vl") =>
+        val ev = st.pathVars(pv).rels.head
+        val r2 = resolver(st, binding, render)
+        val elemFields = binding.schema(s"${ev}__vl").dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+              s2: org.apache.spark.sql.types.StructType, _) =>
+            s2.fieldNames.toSet
+          case _ => Set.empty[String]
+        }
+        Some(aggregate(col(s"${ev}__vl"), Expr.compile(init, r2),
+          (acc, x) => {
+            val rL: Expr.Resolver = {
+              case Expr.Ref(List(a2)) if a2 == accName => Some(acc)
+              case Expr.Attr(Expr.Ref(List(b2)), prop) if b2 == v2 =>
+                Some(if (elemFields(prop)) x.getField(prop) else lit(null))
+              // dotted form parses as a two-part Ref, not Attr
+              case Expr.Ref(List(b2, prop)) if b2 == v2 =>
+                Some(if (elemFields(prop)) x.getField(prop) else lit(null))
+              case Expr.FnCall(fn2 @ ("type" | "rank" | "src" | "dst"),
+                  List(Expr.Ref(List(b2))), _) if b2 == v2 =>
+                Some(x.getField(fn2 match {
+                  case "type" => "__t"; case "rank" => "__r"
+                  case "src" => "__s"; case _ => "__d"
+                }))
+              case other => r2(other)
+            }
+            Expr.compile(step, rL)
+          }))
       case Expr.Quant(kind, v2,
             Expr.FnCall("nodes", List(Expr.Ref(List(pv))), _), pred)
           if st.pathVars.get(pv).exists(!_.varLength) =>

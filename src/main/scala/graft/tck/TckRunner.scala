@@ -425,9 +425,12 @@ object TckRunner {
       }
     }
 
-  /** DDL/DML statement heads — these need a scenario-local catalog. */
+  /** DDL/DML statement heads — these need a scenario-local catalog.
+    * SHOW CREATE is read-only but renders from the scenario catalog's
+    * schema/index registries (nba's importer-declared indexes are
+    * registered on clone), so it routes the same way. */
   private val mutating = Seq("create ", "alter ", "insert ", "drop ",
-    "upsert ", "update ", "delete ", "use ", "rebuild ")
+    "upsert ", "update ", "delete ", "use ", "rebuild ", "show create ")
   private def isMutating(q: String): Boolean = {
     val l = q.toLowerCase
     mutating.exists(l.startsWith)
