@@ -120,7 +120,8 @@ object Dml {
                         keys: Seq[(Any, Any, Long)],
                         refKeys: Option[(InRef, InRef, Option[InRef])])
       extends DStmt
-  case class DeleteTag(tags: Seq[String], vids: Seq[Any]) extends DStmt
+  case class DeleteTag(tags: Seq[String], vids: Seq[Any],
+                       ref: Option[InRef] = None) extends DStmt
   /** DESCRIBE TAG/EDGE — schema listing (Field/Type/Null/Default/
     * Comment rows, meta DESC output shape). */
   case class Describe(isTag: Boolean, name: String) extends DStmt
@@ -811,8 +812,10 @@ object Dml {
       if (p.sym("*")) tags += "*"
       else { tags += p.word(); while (p.sym(",")) tags += p.word() }
       p.expectKw("FROM")
-      val vids = p.vidList()
-      DeleteTag(tags.toSeq, vids)
+      // literal vids, or a piped/$var id set (DeleteTag.feature pipe
+      // scenarios): DELETE TAG t FROM $-.id / $var.id
+      val (vids, ref) = Gql.vidsOrRefPub(p)
+      DeleteTag(tags.toSeq, vids, ref)
     } else throw new IllegalArgumentException("DELETE expects VERTEX|EDGE|TAG")
   }
 
@@ -2672,13 +2675,26 @@ object Dml {
             d2.comment.orNull)
         }
         spark.createDataFrame(rows.asJava, schema)
-      case DeleteTag(tags, vids) =>
+      case DeleteTag(tags, vids, ref) =>
         val g = cat(g0)
+        // scenario-catalog path: ref id sets collect like DeleteVertex
+        // (driver-side spaces, tens of rows — the at-scale DML route
+        // is TableCatalog/execTable)
+        val targets: Seq[Any] = ref match {
+          case Some(InRef(None, c)) =>
+            input.getOrElse(throw new IllegalArgumentException(
+              "DELETE TAG $-. needs a pipe"))
+              .select(c).collect().map(_.get(0)).toSeq
+          case Some(InRef(Some(v), c)) =>
+            env.getOrElse(v, throw new IllegalArgumentException(
+              s"undefined $$$v")).select(c).collect().map(_.get(0)).toSeq
+          case None => vids
+        }
         val ts = if (tags == Seq("*")) g.tagNames else tags
         ts.foreach { t =>
           val m = g.tagRows.getOrElse(t,
             throw new DmlError(s"unknown tag $t"))
-          vids.foreach(m -= _)
+          targets.foreach(v => m -= evalVid(g, v))
         }
         emptyOk(spark)
     }

@@ -555,6 +555,8 @@ object Gql {
           case d: Dml.DeleteEdge
               if d.refKeys.exists(_._1.varName.isEmpty) =>
             pipes += PDml(d)
+          case d: Dml.DeleteTag if d.ref.exists(_.varName.isEmpty) =>
+            pipes += PDml(d)
           case _ => throw new IllegalArgumentException(
             "piped DELETE must seed from $-.")
         }

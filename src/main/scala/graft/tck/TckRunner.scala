@@ -1241,10 +1241,24 @@ object TckRunner {
         // the skip accounting
         if (sc.skip && !(failures.length == snapF &&
             errors.length == snapEr && skipped == snapS &&
-            executed - snapE == passed - snapP))
+            executed - snapE == passed - snapP)) {
+          if (debug) {
+            failures.drop(snapF).foreach { case (q, why) =>
+              System.err.println(
+                s"[tck-attempt-fail] ${q.take(110)} -> ${why.take(220)}")
+            }
+            errors.drop(snapEr).foreach { case (q, why) =>
+              System.err.println(
+                s"[tck-attempt-err] ${q.take(110)} -> ${why.take(220)}")
+            }
+          }
           rollbackToSkip()
+        }
         } catch {
-          case scala.util.control.NonFatal(_) if sc.skip =>
+          case scala.util.control.NonFatal(e) if sc.skip =>
+            if (sys.env.contains("SPARK_GRAFT_TCK_DEBUG"))
+              System.err.println("[tck-attempt-err] (scenario) -> " +
+                String.valueOf(e.getMessage).take(220))
             rollbackToSkip()
         }
       }

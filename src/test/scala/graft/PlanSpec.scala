@@ -146,4 +146,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count"),
       s"stats aggregation not partial:\n${plan.take(3000)}")
   }
+
+  test("triangle counting: equi-joins only, never a cartesian wedge") {
+    assume(have)
+    val plan = executed("q_algo_triangles").toString
+    // degree-ordered orientation makes every stage an equi-join —
+    // a CartesianProduct would mean the wedge enumeration regressed
+    // to all-pairs and will not survive scale
+    assert(!plan.contains("CartesianProduct"),
+      s"triangle plan went cartesian:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count"),
+      s"per-corner count not map-side combined:\n${plan.take(3000)}")
+  }
+
+  test("jaccard: pair join is an equi join on the shared neighbor, no cartesian") {
+    assume(have)
+    // the hub-cap semi join itself sits behind the localCheckpoint
+    // lineage cut (Scan ExistingRDD), so assert the downstream shape:
+    // the pair enumeration joins on dst — never a cartesian
+    val plan = executed("q_algo_jaccard").toString
+    assert(!plan.contains("CartesianProduct"),
+      s"jaccard pair join went cartesian:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count"),
+      s"pair counting not map-side combined:\n${plan.take(3000)}")
+  }
 }
