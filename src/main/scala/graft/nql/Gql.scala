@@ -912,13 +912,16 @@ object Gql {
       } else {
         require(sgWhere.isEmpty, "GET SUBGRAPH WHERE needs the YIELD form")
         require(seedsRef.isEmpty, "GET SUBGRAPH $-. seeds need YIELD")
-        val (etypes, dir) = specs.toSeq match {
-          case Seq((d, ets)) => (ets, d)
-          case Seq() => (Seq("*"), Both)
-          case _ => throw new IllegalArgumentException(
-            "mixed IN/OUT lists need the YIELD form")
+        specs.toSeq match {
+          case Seq((d, ets)) => Subgraph(steps, seeds, ets, d, yieldEdges = false)
+          case Seq() => Subgraph(steps, seeds, Seq("*"), Both, yieldEdges = false)
+          case mixed =>
+            // per-direction edge lists without YIELD output the
+            // default columns (SubgraphBeforePipe `OUT serve BOTH
+            // like | LIMIT 2`) — same engine as the YIELD form
+            SubgraphY(steps, seeds, seedsRef, mixed,
+              Seq(("vertices", "_vertices"), ("edges", "_edges")), sgWhere)
         }
-        Subgraph(steps, seeds, etypes, dir, yieldEdges = false)
       }
     } else if (p.kw("UNWIND")) {
       val e = Expr.parse(p)
@@ -1484,6 +1487,12 @@ object Gql {
         // zero and integer negation overflow fold to validation-time
         // errors (runtime NULL-on-zero is unchanged)
         (items.map(_.e) ++ where.toList).foreach(Expr.collect(_) {
+          // uuid() is only legal inside graph-pattern filters; a
+          // standalone YIELD rejects it (YieldValidator "Not supported
+          // expression `uuid()' for props deduction")
+          case Expr.FnCall("uuid", Nil, _) =>
+            throw new IllegalArgumentException(
+              "SemanticError: Not supported expression `uuid()' for props deduction.")
           case Expr.Bin("/" | "%", a2, b2)
               // INTEGER/INTEGER by zero only: a float operand makes
               // the division IEEE (0/0.0 → NaN, 1/0.0 → inf —

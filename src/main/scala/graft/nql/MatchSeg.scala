@@ -2576,6 +2576,14 @@ object MatchSeg {
               st2.addPlain(i.alias)
               Seq(Expr.compile(i.e, res).as(i.alias) -> i.alias)
           }
+        // `WITH endNode(e) AS x` binds x as a VERTEX var (raw endpoint
+        // vid; later x.tag.prop joins the tag on demand via ensureTags
+        // — PushFilterDownAggregateRule `endNode(e0) as pi1`)
+        case Expr.FnCall(fn2 @ ("startnode" | "endnode"),
+            List(Expr.Ref(List(ev))), _) if st.edgeVars.contains(ev) =>
+          st2.addVertex(i.alias)
+          val f = if (fn2 == "startnode") "src" else "dst"
+          Seq(col(s"${ev}_$f").as(i.alias) -> i.alias)
         case e2 =>
           st2.addPlain(i.alias)
           e2 match {
