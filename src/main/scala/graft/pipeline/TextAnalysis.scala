@@ -110,4 +110,53 @@ object TextAnalysis {
     * near-identical prefix content; cheap dedup pre-filter. */
   def fingerprint(text: Column, n: Int = 5): Column =
     array_min(transform(shingles(text, n), s => md5(s)))
+
+  /** Concat-and-chunk sequence packing — the standard LLM-pretraining
+    * packing: documents are concatenated in doc_id order and the token
+    * stream is cut every `chunkTokens`; a document may straddle chunk
+    * boundaries. Output: one row per (doc, chunk) span —
+    * (doc_id, bin, tokens_in_bin) — which is exactly the manifest a
+    * data loader needs.
+    *
+    * Scale: the global running token offset is a two-pass prefix sum —
+    * range-partition by doc_id, per-PARTITION cumulative sums (an
+    * ordinary partitioned window, never a single-partition global
+    * window), then add per-partition offsets computed from the
+    * #partitions-row totals (driver sees partition counts, not data).
+    * Cumulative values depend only on the total doc_id order, not on
+    * where range partitioning cuts, so the result is deterministic and
+    * an external oracle replays it with one window. */
+  def packChunks(docs: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokenCount(col(textCol)).cast("long").as("tokens"))
+    val parts = toks.repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy("__pid").orderBy("doc_id")
+    val local = parts.withColumn("__lcum", sum("tokens").over(w))
+      .localCheckpoint() // scanned twice: partition totals + row pass
+    val totals = local.groupBy("__pid").agg(sum("tokens").as("pt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offMap: Map[Int, Long] = {
+      var acc = 0L
+      totals.keys.toSeq.sorted.map { p =>
+        val o = p -> acc; acc += totals(p); o
+      }.toMap
+    }
+    val n = lit(chunkTokens)
+    local
+      .withColumn("cum_end",
+        col("__lcum") + coalesce(
+          element_at(typedLit(offMap), col("__pid")), lit(0L)))
+      .withColumn("cum_start", col("cum_end") - col("tokens"))
+      .filter(col("tokens") > 0)
+      .withColumn("bin", explode(sequence(
+        expr(s"cum_start div $chunkTokens"),
+        expr(s"(cum_end - 1) div $chunkTokens"))))
+      .select(col("doc_id"), col("bin"),
+        (least(col("cum_end"), (col("bin") + 1) * n) -
+          greatest(col("cum_start"), col("bin") * n)).as("tokens_in_bin"))
+  }
 }

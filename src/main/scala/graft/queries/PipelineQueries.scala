@@ -50,6 +50,11 @@ object PipelineQueries {
       t(s, dir, "documents").select(col("doc_id"),
         TA.fingerprint(col("text")).as("fp"))),
 
+    // concat-and-chunk sequence packing (512-token chunks): the
+    // (doc, chunk) span manifest a pretraining data loader reads
+    "q_pack_chunks" -> ((s, dir) =>
+      TA.packChunks(t(s, dir, "documents"), "doc_id", "text", 512L)),
+
     // MinHash(16) + LSH(4 bands) near-dup pairs, Jaccard-verified ≥ 0.8
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.nearDupPairs(t(s, dir, "documents"), 0.8)
@@ -213,6 +218,22 @@ object PipelineQueries {
       s"""WITH $tkCte
          |SELECT doc_id, list_aggregate(list_transform(${shinglesSql(5)}, s -> md5(s)), 'min') AS fp
          |FROM tk""".stripMargin,
+    "q_pack_chunks" ->
+      s"""WITH $tkCte,
+         |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS tokens FROM tk),
+         |c AS (SELECT doc_id, tokens,
+         |        CAST(sum(tokens) OVER (ORDER BY doc_id
+         |                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |          AS cum_end
+         |      FROM t),
+         |s AS (SELECT doc_id, tokens, cum_end, cum_end - tokens AS cum_start
+         |      FROM c WHERE tokens > 0)
+         |SELECT doc_id, bin,
+         |  least(cum_end, (bin + 1) * 512) - greatest(cum_start, bin * 512)
+         |    AS tokens_in_bin
+         |FROM (SELECT doc_id, cum_start, cum_end,
+         |        UNNEST(range(cum_start // 512, (cum_end - 1) // 512 + 1)) AS bin
+         |      FROM s)""".stripMargin,
     "q_minhash_pairs" ->
       s"""WITH $tkCte,
          |$minhashCandCtes

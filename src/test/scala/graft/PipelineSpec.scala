@@ -195,4 +195,19 @@ class PipelineSpec extends SparkSpec {
       .as[Int].collect().sorted
     assert(r.sameElements(Array(0, 3, 6)))
   }
+
+  test("packChunks: spans cover every token once, straddles split correctly") {
+    // doc 1: 3 tokens, doc 2: 4 tokens, doc 3: 2 tokens; chunk = 4
+    // stream: [1 1 1 2][2 2 2 3][3]
+    val docs = Seq((1L, "a b c"), (2L, "d e f g"), (3L, "h i"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis
+      .packChunks(docs, "doc_id", "text", 4L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 0L, 3L), (2L, 0L, 1L), (2L, 1L, 3L),
+      (3L, 1L, 1L), (3L, 2L, 1L)), s"got $out")
+    // conservation: per-doc span sums equal the doc's token count
+    val sums = out.groupBy(_._1).view.mapValues(_.toSeq.map(_._3).sum).toMap
+    assert(sums == Map(1L -> 3L, 2L -> 4L, 3L -> 2L))
+  }
 }
