@@ -39,10 +39,19 @@ object GeoFn {
   private val cellIdLevelU = udf((a: String, level: Int) =>
     if (level < 0 || level > 30) None
     else sh(a).collect { case SPoint(p) => Spherical.cellIdAtLevel(p, level) })
-  /** Covering of a point region is its leaf cell; line/polygon
-    * coverings need the full S2RegionCoverer and stay unsupported. */
-  private val coveringPointU = udf((a: String) =>
-    sh(a).collect { case SPoint(p) => Seq(Spherical.leafCellId(p)) })
+  /** S2_CoveringCellIds — full RegionCoverer over any shape (points
+    * short-circuit to their leaf cell). Optional args follow
+    * FunctionManager.cpp:2860-2912: (geo[, minLevel, maxLevel,
+    * maxCells, bufferMeters]); out-of-range args are BAD_DATA → NULL.
+    * Buffered coverings (bufferMeters > 0, an S2ShapeIndexBuffered
+    * Region) are not replicated — NULL, documented divergence. */
+  private val coveringU =
+    udf((a: String, minLevel: Int, maxLevel: Int, maxCells: Int,
+         bufferMeters: Double) =>
+      if (minLevel < 0 || minLevel > 30 || maxLevel < 0 || maxLevel > 30 ||
+          maxLevel < minLevel || maxCells <= 0 || bufferMeters != 0.0) None
+      else sh(a).map(s =>
+        Spherical.coveringCellIds(s, minLevel, maxLevel, maxCells)))
 
   def intersects(a: Column, b: Column): Column = intersectsU(a, b)
   def covers(a: Column, b: Column): Column = coversU(a, b)
@@ -53,5 +62,13 @@ object GeoFn {
   def cellIdFromPoint(a: Column): Column = cellIdU(a)
   def cellIdFromPoint(a: Column, level: Column): Column =
     cellIdLevelU(a, level.cast("int"))
-  def coveringCellIdsPoint(a: Column): Column = coveringPointU(a)
+  def coveringCellIds(a: Column, minLevel: Column, maxLevel: Column,
+                      maxCells: Column, bufferMeters: Column): Column =
+    coveringU(a, minLevel.cast("int"), maxLevel.cast("int"),
+      maxCells.cast("int"), bufferMeters.cast("double"))
+  def coveringCellIds(a: Column): Column =
+    coveringCellIds(a, org.apache.spark.sql.functions.lit(0),
+      org.apache.spark.sql.functions.lit(30),
+      org.apache.spark.sql.functions.lit(8),
+      org.apache.spark.sql.functions.lit(0.0))
 }

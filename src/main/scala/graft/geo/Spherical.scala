@@ -358,4 +358,377 @@ object Spherical {
       (leaf & -lsb) | lsb
     }
   }
+
+  // ---- S2 region covering ------------------------------------------
+  // Re-derivation of the public S2RegionCoverer algorithm (the
+  // reference links s2geometry from Geography.h:39-43 and calls
+  // GetCovering with min_level/max_level/max_cells options from
+  // GeoFunction.cpp:411-476). Nothing below is vendored: cell-id bit
+  // ops, the candidate priority queue, and the cell-union
+  // normalization are re-implemented from the published algorithm.
+
+  private def lsbForLevel(level: Int): Long = 1L << (2 * (30 - level))
+  def cellLevel(id: Long): Int =
+    30 - (java.lang.Long.numberOfTrailingZeros(id) >> 1)
+  def cellParentAt(id: Long, level: Int): Long = {
+    val nl = lsbForLevel(level); (id & -nl) | nl
+  }
+  private def cellChildren(id: Long): Array[Long] = {
+    val l = id & -id
+    val step = l >> 2
+    Array(id - l + step, id - l + 3 * step, id - l + 5 * step, id - l + 7 * step)
+  }
+  private def cellContainsCell(a: Long, b: Long): Boolean = {
+    val l = a & -a
+    b >= a - l + 1 && b <= a + l - 1
+  }
+
+  /** id → (face, i, j) — S2CellId::ToFaceIJOrientation via the
+    * inverse Hilbert lookup table (orientation not needed here). */
+  private def cellToFaceIJ(id: Long): (Int, Int, Int) = {
+    val face = (id >>> 61).toInt
+    var bits = face & SwapMask
+    var i = 0; var j = 0
+    var k = 7
+    while (k >= 0) {
+      val nbits = if (k == 7) 30 - 7 * LookupBits else LookupBits
+      bits += (((id >>> (k * 2 * LookupBits + 1)).toInt &
+        ((1 << (2 * nbits)) - 1)) << 2)
+      bits = lookupIJ(bits)
+      i += (bits >> (LookupBits + 2)) << (k * LookupBits)
+      j += ((bits >> 2) & ((1 << LookupBits) - 1)) << (k * LookupBits)
+      bits &= (SwapMask | InvertMask)
+      k -= 1
+    }
+    (face, i, j)
+  }
+
+  /** Encode (face, i, j) to a leaf id — leafCellId's loop from
+    * explicit ij coordinates. */
+  private def fromFaceIJ(face: Int, i: Int, j: Int): Long = {
+    var n: Long = face.toLong << 60
+    var bits: Int = face & SwapMask
+    var k = 7
+    while (k >= 0) {
+      val mask = (1 << LookupBits) - 1
+      bits += ((i >> (k * LookupBits)) & mask) << (LookupBits + 2)
+      bits += ((j >> (k * LookupBits)) & mask) << 2
+      bits = lookupPos(bits)
+      n |= (bits >> 2).toLong << (k * 2 * LookupBits)
+      bits &= (SwapMask | InvertMask)
+      k -= 1
+    }
+    n * 2 + 1
+  }
+
+  /** S2CellId::FromFaceIJWrap — ij coordinates that fell off the face
+    * are projected onto the adjacent face via the LINEAR st→uv
+    * transform (per the S2 source; the quadratic one would distort
+    * the wrap point). */
+  private def fromFaceIJWrap(face: Int, i: Int, j: Int): Long = {
+    val ic = math.max(-1, math.min(MaxSize, i))
+    val jc = math.max(-1, math.min(MaxSize, j))
+    val kScale = 1.0 / MaxSize
+    val kLimit = 1.0 + 2.220446049250313e-16
+    val u = math.max(-kLimit, math.min(kLimit,
+      kScale * (2.0 * (ic - MaxSize / 2) + 1)))
+    val v = math.max(-kLimit, math.min(kLimit,
+      kScale * (2.0 * (jc - MaxSize / 2) + 1)))
+    val (f2, u2, v2) = xyzToFaceUV(faceUVtoXYZ(face, u, v))
+    fromFaceIJ(f2, stToIJ(0.5 * (u2 + 1)), stToIJ(0.5 * (v2 + 1)))
+  }
+  private def fromFaceIJSame(face: Int, i: Int, j: Int, same: Boolean): Long =
+    if (same) fromFaceIJ(face, i, j) else fromFaceIJWrap(face, i, j)
+
+  /** S2CellId::AppendVertexNeighbors — the (3 or 4) cells at `level`
+    * around the leaf cell's closest parent-cell vertex. */
+  private def vertexNeighbors(leafId: Long, level: Int): Seq[Long] = {
+    val (face, i, j) = cellToFaceIJ(leafId)
+    val halfsize = 1 << (30 - (level + 1))
+    val size = halfsize << 1
+    val (ioffset, isame) =
+      if ((i & halfsize) != 0) (size, i + size < MaxSize)
+      else (-size, i - size >= 0)
+    val (joffset, jsame) =
+      if ((j & halfsize) != 0) (size, j + size < MaxSize)
+      else (-size, j - size >= 0)
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    out += cellParentAt(leafId, level)
+    out += cellParentAt(fromFaceIJSame(face, i + ioffset, j, isame), level)
+    out += cellParentAt(fromFaceIJSame(face, i, j + joffset, jsame), level)
+    if (isame || jsame)
+      out += cellParentAt(
+        fromFaceIJSame(face, i + ioffset, j + joffset, isame && jsame), level)
+    out.toSeq
+  }
+
+  /** S2's quadratic ST→UV transform (inverse of uvToST). */
+  private def stToUV(s: Double): Double =
+    if (s >= 0.5) (1.0 / 3) * (4 * s * s - 1)
+    else (1.0 / 3) * (1 - 4 * (1 - s) * (1 - s))
+
+  private def faceUVtoXYZ(face: Int, u: Double, v: Double): V3 = face match {
+    case 0 => V3(1, u, v)
+    case 1 => V3(-u, 1, v)
+    case 2 => V3(-u, -v, 1)
+    case 3 => V3(-1, -v, -u)
+    case 4 => V3(v, -1, -u)
+    case _ => V3(v, u, -1)
+  }
+
+  /** Project p onto `face`; None when p is on the opposite
+    * hemisphere (S2::FaceXYZtoUV validity test). */
+  private def faceXYZtoUV(face: Int, p: V3): Option[(Double, Double)] = {
+    val ok = face match {
+      case 0 => p.x > 0; case 1 => p.y > 0; case 2 => p.z > 0
+      case 3 => p.x < 0; case 4 => p.y < 0; case _ => p.z < 0
+    }
+    if (!ok) None
+    else Some(face match {
+      case 0 => (p.y / p.x, p.z / p.x)
+      case 1 => (-p.x / p.y, p.z / p.y)
+      case 2 => (-p.x / p.z, -p.y / p.z)
+      case 3 => (p.z / p.x, p.y / p.x)
+      case 4 => (p.z / p.y, -p.x / p.y)
+      case _ => (-p.y / p.z, -p.x / p.z)
+    })
+  }
+
+  /** Cell geometry for the region tests: face-local uv rectangle plus
+    * the 4 corner vertices (S2Cell::GetVertex order). */
+  private final case class CellGeom(id: Long, face: Int,
+                                    uLo: Double, uHi: Double,
+                                    vLo: Double, vHi: Double) {
+    val verts: Array[V3] = Array(
+      faceUVtoXYZ(face, uLo, vLo).unit, faceUVtoXYZ(face, uHi, vLo).unit,
+      faceUVtoXYZ(face, uHi, vHi).unit, faceUVtoXYZ(face, uLo, vHi).unit)
+    def edges: IndexedSeq[(V3, V3)] =
+      (0 until 4).map(k => (verts(k), verts((k + 1) & 3)))
+    def containsPoint(p: V3): Boolean = faceXYZtoUV(face, p) match {
+      case Some((u, v)) => u >= uLo && u <= uHi && v >= vLo && v <= vHi
+      case None => false
+    }
+  }
+  private def cellGeom(id: Long): CellGeom = {
+    val (face, i, j) = cellToFaceIJ(id)
+    val size = 1 << (30 - cellLevel(id))
+    val iLo = i & -size; val jLo = j & -size
+    def st(x: Int): Double = x * (1.0 / MaxSize)
+    CellGeom(id, face, stToUV(st(iLo)), stToUV(st(iLo + size)),
+      stToUV(st(jLo)), stToUV(st(jLo + size)))
+  }
+
+  private sealed trait CovRegion {
+    def mayIntersect(c: CellGeom): Boolean
+    def containsCell(c: CellGeom): Boolean
+    def capBound: (V3, Double) // (center, radius radians)
+  }
+
+  private final class LineRegion(l: SLine) extends CovRegion {
+    private val le = lineEdges(l).toIndexedSeq
+    // closed vertex-in-cell tests (S2Cell::Contains is closed, so a
+    // vertex exactly on a cell border touches BOTH sides) + strict
+    // proper-crossing tests — mirrors S2Polyline::MayIntersect
+    def mayIntersect(c: CellGeom): Boolean =
+      l.pts.exists(c.containsPoint) ||
+        c.edges.exists { case (a, b) =>
+          le.exists { case (u, v) => arcsCross(a, b, u, v) } }
+    def containsCell(c: CellGeom): Boolean = false // curves contain no cell
+    val capBound: (V3, Double) = shapeCapBound(lineEdges(l))
+  }
+
+  private final class PolyRegion(p: SPoly) extends CovRegion {
+    private val pe = polyEdges(p).toIndexedSeq
+    private val pv = p.loops.flatten
+    private def crossings(c: CellGeom): Boolean =
+      c.edges.exists { case (a, b) =>
+        pe.exists { case (u, v) => arcsCross(a, b, u, v) } }
+    // EXACT interior test (boundaryTol 0): the default leaf-scale
+    // tolerance (~1.3 cm) lights up every cell near a sliver polygon
+    // and breaks the nc==1 free-descent chains S2 produces along the
+    // boundary of thin shapes
+    private def inside(x: V3): Boolean = polyContains(x, p, boundaryTol = 0)
+    def mayIntersect(c: CellGeom): Boolean =
+      pv.exists(c.containsPoint) ||
+        c.verts.exists(inside) || crossings(c)
+    def containsCell(c: CellGeom): Boolean =
+      c.verts.forall(inside) &&
+        !pv.exists(c.containsPoint) && !crossings(c)
+    val capBound: (V3, Double) = shapeCapBound(polyEdges(p))
+  }
+
+  /** Bounding cap via a lat/lng rectangle over the edges (interior
+    * great-circle latitude extrema included), then
+    * S2LatLngRect::GetCapBound's pole-cap vs mid-cap choice. */
+  private def shapeCapBound(edges: Iterator[(V3, V3)]): (V3, Double) = {
+    var latLo = Double.MaxValue; var latHi = -Double.MaxValue
+    var lngLo = Double.MaxValue; var lngHi = -Double.MaxValue
+    def add(p0: V3): Unit = {
+      val p = p0.unit
+      val lat = math.asin(math.max(-1.0, math.min(1.0, p.z)))
+      val lng = math.atan2(p.y, p.x)
+      latLo = math.min(latLo, lat); latHi = math.max(latHi, lat)
+      lngLo = math.min(lngLo, lng); lngHi = math.max(lngHi, lng)
+    }
+    edges.foreach { case (a, b) =>
+      add(a); add(b)
+      val n = a.cross(b)
+      if (n.norm > 1e-30) {
+        val nu = n.unit
+        val horiz = math.sqrt(math.max(0.0, nu.x * nu.x + nu.y * nu.y))
+        if (horiz > 1e-30) {
+          val top = V3(-nu.x * nu.z, -nu.y * nu.z, horiz * horiz).unit
+          def onMinor(x: V3): Boolean =
+            math.abs(angle(a, x) + angle(x, b) - angle(a, b)) < 1e-9
+          if (onMinor(top)) add(top)
+          if (onMinor(-top)) add(-top)
+        }
+      }
+    }
+    // pole cap
+    val (poleZ, poleAngle) =
+      if (latLo + latHi < 0) (-1.0, math.Pi / 2 + latHi)
+      else (1.0, math.Pi / 2 - latLo)
+    val pole = (V3(0, 0, poleZ), poleAngle)
+    if (lngHi - lngLo < 2 * math.Pi) {
+      val midLat = (latLo + latHi) / 2; val midLng = (lngLo + lngHi) / 2
+      def pt(lng: Double, lat: Double): V3 =
+        V3(math.cos(lat) * math.cos(lng), math.cos(lat) * math.sin(lng),
+          math.sin(lat))
+      val center = pt(midLng, midLat)
+      var maxAng = 0.0
+      for (lat <- Seq(latLo, latHi); lng <- Seq(lngLo, lngHi))
+        maxAng = math.max(maxAng, angle(center, pt(lng, lat)))
+      if (maxAng < poleAngle) (center, maxAng) else pole
+    } else pole
+  }
+
+  /** S2::kMinWidth.GetLevelForMinValue — max level whose min cell
+    * width is at least `value` (quadratic-projection derivative). */
+  private val MinWidthDeriv = 2 * math.sqrt(2.0) / 3
+  private def levelForMinWidth(value: Double): Int = {
+    if (value <= 0) return 30
+    val x = value / MinWidthDeriv
+    // frexp exponent: x = m * 2^e with m in [0.5, 1)
+    val e = Math.getExponent(x) + 1
+    math.max(0, math.min(30, 1 - e))
+  }
+
+  /** S2CellUnion::Normalize — ascending order, drop contained cells,
+    * merge complete sibling quadruples into their parent. */
+  private def normalizeCells(ids: Seq[Long]): Seq[Long] = {
+    def areSiblings(a: Long, b: Long, c: Long, d: Long): Boolean = {
+      if ((a ^ b ^ c) != d) return false
+      var mask = (d & -d) << 1
+      mask = ~(mask + (mask << 1))
+      val m = d & mask
+      (a & mask) == m && (b & mask) == m && (c & mask) == m &&
+        cellLevel(d) > 0
+    }
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    ids.sorted.foreach { id0 =>
+      var id = id0
+      if (!(out.nonEmpty && cellContainsCell(out.last, id))) {
+        while (out.nonEmpty && cellContainsCell(id, out.last))
+          out.remove(out.size - 1)
+        while (out.size >= 3 &&
+            areSiblings(out(out.size - 3), out(out.size - 2),
+              out(out.size - 1), id)) {
+          out.remove(out.size - 1); out.remove(out.size - 1)
+          out.remove(out.size - 1)
+          id = cellParentAt(id, cellLevel(id) - 1)
+        }
+        out += id
+      }
+    }
+    out.toSeq
+  }
+
+  /** S2RegionCoverer::GetCovering (exterior covering, level_mod 1).
+    * Points short-circuit to their leaf cell (GeoFunction.cpp:440). */
+  def coveringCellIds(shape: Shape, minLevel: Int = 0, maxLevel: Int = 30,
+                      maxCells: Int = 8): Seq[Long] = shape match {
+    case SPoint(p) => Seq(leafCellId(p))
+    case _ =>
+      val region: CovRegion = shape match {
+        case l: SLine => new LineRegion(l)
+        case p: SPoly => new PolyRegion(p)
+        case _ => return Nil
+      }
+      val result = scala.collection.mutable.ArrayBuffer[Long]()
+      final class Cand(val id: Long, val isTerminal: Boolean) {
+        var numChildren = 0
+        val children = new Array[Cand](4)
+      }
+      // max-heap on (priority, cellId) — the C++ queue breaks priority
+      // ties by candidate POINTER, i.e. by allocator accident; some
+      // deterministic rule is needed here, and largest-cell-id-first
+      // reproduces the reference's recorded coverings (GeoBase
+      // .feature rows "102"/"103").
+      implicit val ord: Ordering[(Int, Long, Cand)] =
+        Ordering.by(t => (t._1, t._2))
+      val pq = scala.collection.mutable.PriorityQueue.empty[(Int, Long, Cand)]
+
+      def newCandidate(id: Long): Cand = {
+        val g = cellGeom(id)
+        if (!region.mayIntersect(g)) null
+        else {
+          val lvl = cellLevel(id)
+          val terminal = lvl >= minLevel &&
+            (lvl + 1 > maxLevel || region.containsCell(g))
+          new Cand(id, terminal)
+        }
+      }
+      def addCandidate(cand: Cand): Unit = {
+        if (cand == null) return
+        if (cand.isTerminal) { result += cand.id; return }
+        var numTerminals = 0
+        cellChildren(cand.id).foreach { child =>
+          val c = newCandidate(child)
+          if (c != null) {
+            cand.children(cand.numChildren) = c
+            cand.numChildren += 1
+            if (c.isTerminal) numTerminals += 1
+          }
+        }
+        if (cand.numChildren == 0) ()
+        else if (numTerminals == 4 && cellLevel(cand.id) >= minLevel)
+          result += cand.id // all children terminal → keep the parent
+        else {
+          val priority =
+            -((((cellLevel(cand.id) << 2) + cand.numChildren) << 2) +
+              numTerminals)
+          pq.enqueue((priority, cand.id, cand))
+        }
+      }
+
+      // initial candidates: a ≤4-cell covering of the bounding cap
+      // when it is small enough, else the 6 cube faces
+      var needFaces = true
+      if (maxCells >= 4) {
+        val (capCenter, capRadius) = region.capBound
+        val lvl = math.min(levelForMinWidth(2 * capRadius),
+          math.min(maxLevel, 29))
+        if (lvl > 0) {
+          vertexNeighbors(leafCellId(capCenter.unit), lvl)
+            .foreach(id => addCandidate(newCandidate(id)))
+          needFaces = false
+        }
+      }
+      if (needFaces)
+        (0 until 6).foreach { f =>
+          addCandidate(newCandidate((f.toLong << 61) + lsbForLevel(0)))
+        }
+
+      while (pq.nonEmpty && result.size < maxCells) {
+        val cand = pq.dequeue()._3
+        val expand = cellLevel(cand.id) < minLevel || cand.numChildren == 1 ||
+          pq.size + result.size + cand.numChildren <= maxCells
+        if (expand) {
+          var k = 0
+          while (k < cand.numChildren) { addCandidate(cand.children(k)); k += 1 }
+        } else result += cand.id
+      }
+      normalizeCells(result.toSeq)
+  }
 }

@@ -1602,6 +1602,15 @@ object Expr {
       case "s2_cellidfrompoint" =>
         if (args.size >= 2) graft.functions.GeoFn.cellIdFromPoint(a(0), a(1))
         else graft.functions.GeoFn.cellIdFromPoint(a(0))
+      case "s2_coveringcellids" =>
+        if (args.size <= 1) graft.functions.GeoFn.coveringCellIds(a(0))
+        else {
+          def arg(i: Int, dflt: Column): Column =
+            if (args.size > i) a(i) else dflt
+          graft.functions.GeoFn.coveringCellIds(a(0),
+            arg(1, lit(0)), arg(2, lit(30)), arg(3, lit(8)),
+            arg(4, lit(0.0)))
+        }
       // reference hash(): identity on ints, 0/1 on bools, bit-pattern
       // murmur on floats, UTF-8 murmur on strings (FunctionManager
       // .cpp:1689 via std::hash<Value>); int-vid spaces key every

@@ -1470,44 +1470,90 @@ object MatchSeg {
     * keeps every row — `[[]]` is a non-empty list). */
   private def truthyFilter(df: DataFrame, w: Expr.E,
                            res: Expr.Resolver): DataFrame = {
-    // a WHERE that IS a bare `x IN <scalar column>` — or an AND of
-    // only such operands: the reference's FilterExecutor rejects the
-    // BAD_TYPE condition with "Failed to evaluate condition" at
-    // runtime — but only when a row actually evaluates, so empty
-    // input and NULL scalars stay silent (MatchByVariable). Mixed
-    // AND/OR operands fold to NULL in the resolver instead (a
-    // definite-false sibling can drop the row first).
-    def scalarIn(e2: Expr.E): Option[String] = e2 match {
-      case Expr.Bin("in", _, Expr.Ref(List(x)))
+    // `x IN <scalar column>` conjuncts (WITH bound the name to a
+    // string, MatchByVariable): the reference's FilterExecutor rejects
+    // the BAD_TYPE condition with "Failed to evaluate condition" at
+    // runtime — but only for rows that actually reach the residual
+    // filter (FilterExecutor.cpp:77-84), so the TCK goldens mix
+    // errors with silent n=0 depending on what got pushed/seeked
+    // first. Replicated model (all 20 MatchByVariable goldens):
+    //  * every non-bad conjunct filters first (nebula pushes them
+    //    into the segment as seeks/filters);
+    //  * the FIRST bad conjunct with a prop-ref LHS additionally
+    //    pre-filters row-wise (`lhs == scalar`) — the reference's
+    //    Argument-correlated prop-index seek from a runtime variable
+    //    ("[2] match by prop index from with": Yao Ming's seeked
+    //    frontier ∩ v2-filter = ∅ → n=0, no error) — UNLESS a
+    //    vid-seek conjunct (id(x) ==/IN literal) exists, which wins
+    //    seek selection and leaves the bad IN purely residual;
+    //    id()-LHS bad INs never seek ("match by vids from with" is
+    //    all-errors);
+    //  * any surviving row with a non-NULL scalar raises; NULL
+    //    scalars and empty survivors stay silent.
+    // OR/NOT-mixed bad operands still fold to NULL in the resolver.
+    import org.apache.spark.sql.types._
+    def scalarIn(e2: Expr.E): Option[(Expr.E, String)] = e2 match {
+      case Expr.Bin("in", l, Expr.Ref(List(x)))
           if df.columns.contains(x) &&
-            df.schema(x).dataType !=
-              org.apache.spark.sql.types.NullType &&
-            !df.schema(x).dataType
-              .isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
-        Some(x)
+            (df.schema(x).dataType match {
+              case NullType | _: ArrayType | _: MapType | _: StructType =>
+                false
+              case _ => true
+            }) =>
+        Some((l, x))
       case _ => None
     }
-    def allScalarIn(e2: Expr.E): Option[Seq[String]] = e2 match {
-      case Expr.Bin("and", a, b) =>
-        for (l <- allScalarIn(a); r <- allScalarIn(b)) yield l ++ r
-      case _ => scalarIn(e2).map(Seq(_))
+    def conjList(e2: Expr.E): List[Expr.E] = e2 match {
+      case Expr.Bin("and", a, b) => conjList(a) ++ conjList(b)
+      case o => List(o)
     }
-    allScalarIn(w) match {
-      case Some(xs) =>
-        val anyNonNull = xs.map(col(_).isNotNull).reduce(_ || _)
-        df.filter(when(anyNonNull, raise_error(lit(
-            "Failed to evaluate condition: IN over a non-list value." +
-              " For boolean conditions, please write in their full" +
-              " forms like <condition> == <true/false> or" +
-              " <condition> IS [NOT] NULL.")))
-          .otherwise(lit(null)).cast("boolean"))
-      case None =>
-        val c = Expr.compile(w, res)
-        df.select(c.as("__t0")).schema.head.dataType match {
-          case _: org.apache.spark.sql.types.ArrayType =>
-            df.filter(size(c) > 0)
-          case _ => df.filter(c)
+    def isIdCall(e2: Expr.E): Boolean = e2 match {
+      case Expr.FnCall(n, _, _) => n.equalsIgnoreCase("id")
+      case _ => false
+    }
+    def vidSeek(e2: Expr.E): Boolean = e2 match {
+      case Expr.Bin("==", l, r) => isIdCall(l) || isIdCall(r)
+      case Expr.Bin("in", l, Expr.ListLit(_)) => isIdCall(l)
+      case _ => false
+    }
+    val parts = conjList(w)
+    val tagged = parts.map(p => p -> scalarIn(p))
+    if (tagged.exists(_._2.isDefined)) {
+      val bads = tagged.collect { case (_, Some(b)) => b }
+      val goods = tagged.collect { case (p, None) => p }
+      var out = df
+      goods.foreach { g =>
+        val c = Expr.compile(g, res)
+        out = df.select(c.as("__t0")).schema.head.dataType match {
+          case _: ArrayType => out.filter(size(c) > 0)
+          case _ => out.filter(c)
         }
+      }
+      if (!goods.exists(vidSeek))
+        bads.collectFirst { case (l, x) if !isIdCall(l) => (l, x) }
+          .foreach { case (l, x) =>
+            out = out.filter(Expr.compile(l, res) === col(x)) }
+      // eager survivor probe: a lazy raise_error filter references
+      // only the scalar columns, so Catalyst pushes it below the
+      // survivor filters (into the join's left side) and fires on
+      // rows the goods would have dropped. The bad-IN path is a
+      // degenerate error case, so a driver-side existence check is
+      // the faithful (and reorder-proof) translation.
+      val anyNonNull = bads.map(b => col(b._2).isNotNull).reduce(_ || _)
+      if (!out.filter(anyNonNull).isEmpty)
+        throw new IllegalArgumentException(
+          "ExecutionError: Failed to evaluate condition: IN over a" +
+            " non-list value. For boolean conditions, please write in" +
+            " their full forms like <condition> == <true/false> or" +
+            " <condition> IS [NOT] NULL.")
+      out.filter(lit(false))
+    } else {
+      val c = Expr.compile(w, res)
+      df.select(c.as("__t0")).schema.head.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType =>
+          df.filter(size(c) > 0)
+        case _ => df.filter(c)
+      }
     }
   }
 
