@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.queries.{AlgoQueries, ExprQueries, GraphQueries, MatchQueries, PipelineQueries, RelationalQueries, SurfaceQueries, WorkloadQueries}
+import graft.queries.{AlgoQueries, ExprQueries, GraphQueries, LdbcQueries, MatchQueries, PipelineQueries, RelationalQueries, SurfaceQueries, WorkloadQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,12 +26,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ ExprQueries.queries ++
       GraphQueries.queries ++ PipelineQueries.queries ++
-      SurfaceQueries.queries ++ MatchQueries.queries ++ WorkloadQueries.queries ++ AlgoQueries.queries
+      SurfaceQueries.queries ++ MatchQueries.queries ++ WorkloadQueries.queries ++ AlgoQueries.queries ++ LdbcQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ ExprQueries.oracleSql ++
       GraphQueries.oracleSql ++ PipelineQueries.oracleSql ++
-      SurfaceQueries.oracleSql ++ MatchQueries.oracleSql ++ WorkloadQueries.oracleSql ++ AlgoQueries.oracleSql
+      SurfaceQueries.oracleSql ++ MatchQueries.oracleSql ++ WorkloadQueries.oracleSql ++ AlgoQueries.oracleSql ++ LdbcQueries.oracleSql
 }
