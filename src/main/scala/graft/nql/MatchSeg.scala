@@ -595,7 +595,7 @@ object MatchSeg {
     val rel = part.rels.head
     val v1 = n1.v.getOrElse(st.freshVar())
     val v2 = n2.v.getOrElse(st.freshVar())
-    val (_, maxN) = rel.range.getOrElse((1, 1))
+    val (minN, maxN) = rel.range.getOrElse((1, 1))
     // endpoint seeks WITHOUT registering boundTags (the prop columns
     // of the seek frames are discarded; tags re-join onto the result)
     def seekSet(nd: Node, v: String): DataFrame = {
@@ -624,6 +624,11 @@ object MatchSeg {
       element_at(col("vids"), 1).as(v1),
       element_at(col("vids"), -1).as(v2),
       col("vids"), col("steps"))
+    // a src==dst pair's shortest path may be a genuine cycle — the
+    // reference counts (Tim,Tim) via Tim→Tony→Tim in its PASSING
+    // count(p)==14 scenario — but the zero-step self row exists only
+    // under a *0.. lower bound
+    if (minN >= 1) frame = frame.filter(size(col("steps")) >= 1)
     if (!all) {
       // shortestPath(): one (deterministic) representative per pair
       import org.apache.spark.sql.expressions.Window
@@ -2393,9 +2398,20 @@ object MatchSeg {
           else cols(s"${tmp}_src") && cols(s"${ev}_src")
         if (ready) {
           d =
-            if (isVl)
-              d.filter(col(s"${tmp}__vl") === col(s"${ev}__vl"))
+            if (isVl) {
+              // relationship-LIST equality is by edge IDENTITY —
+              // (src, dst, type, rank), the reference's
+              // Edge::operator== (src/common/datatypes/Edge.cpp) —
+              // never by property values: volatile props (now()/
+              // datetime() fixture cells re-evaluated per
+              // materialization) must not break the same-edge
+              // constraint (match/Path.feature "symmetry paths")
+              def idList(c: Column): Column = transform(c,
+                x => struct(x("__t"), x("__s"), x("__d"), x("__r")))
+              d.filter(idList(col(s"${tmp}__vl")) ===
+                  idList(col(s"${ev}__vl")))
                 .drop(s"${tmp}__vl")
+            }
             else
               d.filter(col(s"${tmp}_src") === col(s"${ev}_src") &&
                 col(s"${tmp}_dst") === col(s"${ev}_dst") &&

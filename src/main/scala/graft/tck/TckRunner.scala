@@ -27,9 +27,14 @@ object TckRunner {
     * language surface). `errored` = the sentence PARSED but execution
     * threw — a supported-surface regression, surfaced in `ok` so it
     * cannot hide as a skip. */
+  /** `diverged` = steps of upstream-@skip scenarios whose goldens are
+    * adjudicated wrong in [[Divergences]]; executed and pinned to our
+    * adjudicated result, but deliberately not counted as `passed`. */
   case class Report(executed: Int, passed: Int, skipped: Int,
                     failures: Seq[(String, String)],
-                    errors: Seq[(String, String)] = Seq.empty) {
+                    errors: Seq[(String, String)] = Seq.empty,
+                    diverged: Int = 0,
+                    skips: Seq[(String, String)] = Seq.empty) {
     def errored: Int = errors.size
     def ok: Boolean = failures.isEmpty && errors.isEmpty
   }
@@ -127,6 +132,20 @@ object TckRunner {
         val t = lines(i).trim
         paramsRe.findFirstMatchIn(t).foreach { mm =>
           params = params ++ parseParams(mm.group(1))
+        }
+        // openCypher table form:
+        //   And parameters are:
+        //     | from | 1 |
+        if (t == "And parameters are:" || t == "Given parameters are:") {
+          var k = i + 1
+          while (k < until && lines(k).trim.startsWith("|")) {
+            val cells = lines(k).trim.stripPrefix("|").stripSuffix("|")
+              .split("\\|").map(_.trim)
+            if (cells.length >= 2 && cells(0).nonEmpty)
+              params += cells(0) -> cells(1)
+            k += 1
+          }
+          i = k - 1
         }
         spaceGivenRe.findFirstMatchIn(t).foreach { mm =>
           fixtureSpace = Some(mm.group(1))
@@ -1002,9 +1021,14 @@ object TckRunner {
   private def runInner(fixtures: Map[String, GraphCatalog],
                        defaultSpace: String,
                        featureText: String): Report = {
-    var executed = 0; var passed = 0; var skipped = 0
+    var executed = 0; var passed = 0; var skipped = 0; var diverged = 0
     val failures = scala.collection.mutable.ListBuffer.empty[(String, String)]
     val errors = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    // (query, reason) for every skip — the raw material for SKIPS.md
+    val skipDetails = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    def skip1(q: String, why: String): Unit = {
+      skipped += 1; skipDetails += q -> why
+    }
     val spark = fixtures.values.head.allVertices.sparkSession
 
     parseScenarios(featureText, defaultSpace).foreach { sc =>
@@ -1020,9 +1044,21 @@ object TckRunner {
         // nothing about parity
         val snapE = executed; val snapP = passed; val snapS = skipped
         val snapF = failures.length; val snapEr = errors.length
+        val snapD = diverged; val snapSD = skipDetails.length
         def rollbackToSkip(): Unit = {
-          executed = snapE; passed = snapP
+          executed = snapE; passed = snapP; diverged = snapD
           skipped = snapS + goldenSteps.size
+          val why = failures.drop(snapF).headOption
+            .orElse(errors.drop(snapEr).headOption)
+            .map { case (_, w) => s"first divergence: ${w.take(120)}" }
+            .orElse(skipDetails.drop(snapSD).headOption
+              .map { case (_, w) => s"first skip: ${w.take(120)}" })
+            .getOrElse("unverified goldens")
+          skipDetails.remove(snapSD, skipDetails.length - snapSD)
+          goldenSteps.foreach { s =>
+            skipDetails += s.query ->
+              s"upstream-@skip scenario rolled back ($why)"
+          }
           failures.remove(snapF, failures.length - snapF)
           errors.remove(snapEr, errors.length - snapEr)
         }
@@ -1114,7 +1150,8 @@ object TckRunner {
             }
           case SQuery(q, expect, tryMode) =>
             expect match {
-              case _ if dead => skipped += 1
+              case _ if dead =>
+                skip1(q, "scenario dead: an earlier step hit unsupported surface")
               case ESuccess =>
                 // a successful run of the statement IS the scenario's
                 // expectation — counted, so success-only features
@@ -1124,10 +1161,14 @@ object TckRunner {
                   // unsupported surface kills the scenario even in
                   // try-mode (the statement's EFFECT is missing);
                   // try-mode only tolerates execution-level rejects
-                  case e: IllegalArgumentException => died(q, e); skipped += 1
+                  case e: IllegalArgumentException =>
+                    died(q, e)
+                    skip1(q, s"unsupported surface: ${String.valueOf(e.getMessage).take(120)}")
                   case e: org.apache.spark.sql.AnalysisException =>
-                    died(q, e); skipped += 1
-                  case _ if tryMode => skipped += 1 // try-mode tolerates failure
+                    died(q, e)
+                    skip1(q, s"schema gap: ${String.valueOf(e.getMessage).take(120)}")
+                  case _ if tryMode =>
+                    skip1(q, "try-mode statement failed (tolerated)")
                   case e: graft.nql.DmlError =>
                     dead = true
                     errors += q -> s"DmlError: ${e.getMessage}"
@@ -1144,11 +1185,20 @@ object TckRunner {
                 // means the sentence is unsupported surface (skip).
                 try {
                   Gql.runScript(cat, q, sc.params).count()
-                  // accepted a statement the reference rejects →
-                  // divergence: state unreliable, rest is skips
-                  dead = true; skipped += 1
-                  if (debug) System.err.println(
-                    s"[tck-skip] (accepted, wanted $kind) ${q.take(140)}")
+                  // adjudicated-Accepted step in an @skip scenario:
+                  // the demanded error is a reference TODO, not its
+                  // current behavior — acceptance IS parity
+                  if (sc.skip && Divergences.find(q)
+                      .exists(_.expect == Divergences.Accepted)) {
+                    executed += 1; diverged += 1
+                  } else {
+                    // accepted a statement the reference rejects →
+                    // divergence: state unreliable, rest is skips
+                    dead = true
+                    skip1(q, s"accepted a statement the reference rejects (wanted $kind)")
+                    if (debug) System.err.println(
+                      s"[tck-skip] (accepted, wanted $kind) ${q.take(140)}")
+                  }
                 } catch {
                   case _: graft.nql.DmlError => executed += 1; passed += 1
                   case _: org.apache.spark.sql.AnalysisException =>
@@ -1168,7 +1218,7 @@ object TckRunner {
                     if (kind == "SyntaxError" || !unsupported) {
                       executed += 1; passed += 1
                     } else {
-                      skipped += 1
+                      skip1(q, s"expected $kind but surface unsupported: ${msg.take(120)}")
                       if (debug) System.err.println(
                         s"[tck-skip] (expected $kind) ${q.take(120)} -> ${msg.take(160)}")
                     }
@@ -1190,9 +1240,17 @@ object TckRunner {
                     parseWhy = String.valueOf(ex.getMessage); None }
                 parsed match {
                   case None =>
-                    skipped += 1
-                    if (debug && parseWhy != null) System.err.println(
-                      s"[tck-skip] (parse) ${q.take(120)} -> ${parseWhy.take(140)}")
+                    if (sc.skip && Divergences.find(q)
+                        .exists(_.expect == Divergences.Rejected)) {
+                      executed += 1; diverged += 1
+                    } else {
+                      skip1(q,
+                        if (tieWindow)
+                          "tie-window LIMIT/OFFSET golden (order under tied sort keys is storage-defined; justified in TckRunner)"
+                        else s"parse: ${String.valueOf(parseWhy).take(120)}")
+                      if (debug && parseWhy != null) System.err.println(
+                        s"[tck-skip] (parse) ${q.take(120)} -> ${parseWhy.take(140)}")
+                    }
                   case Some(_) =>
                     try {
                       val df = Gql.runScript(cat, q, sc.params)
@@ -1215,18 +1273,43 @@ object TckRunner {
                       })
                       if (multisetMatch(got, want, scIntVid, subset))
                         passed += 1
-                      else failures += q ->
-                        s"got=${got.take(12)} want=${want.take(12)} (${got.size}/${want.size} rows)"
+                      else {
+                        // adjudicated wrong-golden in an upstream-@skip
+                        // scenario: pin to OUR expected result instead
+                        val adj = if (sc.skip) Divergences.find(q) else None
+                        val pinned = adj.exists { e =>
+                          e.expect match {
+                            case Divergences.NonEmpty => got.nonEmpty
+                            case Divergences.RowCount(n) => got.size == n
+                            case Divergences.Table(rows) =>
+                              got.map(_.mkString("")).sorted ==
+                                rows.map(_.mkString("")).sorted
+                            case Divergences.Rejected |
+                                 Divergences.Accepted => false
+                          }
+                        }
+                        if (pinned) diverged += 1
+                        else failures += q ->
+                          s"got=${got.take(12)} want=${want.take(12)} (${got.size}/${want.size} rows)"
+                      }
                     } catch {
                       // unsupported expression surface → skip; schema
                       // gap (AnalysisException) → skip; parsed-but-
                       // broke → error, surfaced in ok
                       case e: IllegalArgumentException =>
-                        skipped += 1
-                        if (debug) System.err.println(
-                          s"[tck-skip] ${q.take(120)} -> ${String.valueOf(e.getMessage).take(160)}")
+                        // an adjudicated-Rejected step: our reject IS
+                        // the pinned behavior (reference validator
+                        // rejects the same surface; golden unverified)
+                        if (sc.skip && Divergences.find(q)
+                            .exists(_.expect == Divergences.Rejected)) {
+                          executed += 1; diverged += 1
+                        } else {
+                          skip1(q, s"unsupported surface: ${String.valueOf(e.getMessage).take(120)}")
+                          if (debug) System.err.println(
+                            s"[tck-skip] ${q.take(120)} -> ${String.valueOf(e.getMessage).take(160)}")
+                        }
                       case e: org.apache.spark.sql.AnalysisException =>
-                        skipped += 1
+                        skip1(q, s"schema gap: ${String.valueOf(e.getMessage).take(120)}")
                         if (debug) System.err.println(
                           s"[tck-skip] ${q.take(120)} -> AnalysisException: ${String.valueOf(e.getMessage).take(160)}")
                       case e: Exception =>
@@ -1241,7 +1324,7 @@ object TckRunner {
         // the skip accounting
         if (sc.skip && !(failures.length == snapF &&
             errors.length == snapEr && skipped == snapS &&
-            executed - snapE == passed - snapP)) {
+            executed - snapE == (passed - snapP) + (diverged - snapD))) {
           if (debug) {
             failures.drop(snapF).foreach { case (q, why) =>
               System.err.println(
@@ -1263,6 +1346,7 @@ object TckRunner {
         }
       }
     }
-    Report(executed, passed, skipped, failures.toSeq, errors.toSeq)
+    Report(executed, passed, skipped, failures.toSeq, errors.toSeq,
+      diverged, skipDetails.toSeq)
   }
 }

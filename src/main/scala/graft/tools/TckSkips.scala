@@ -49,7 +49,8 @@ object TckSkips {
       println(s"===== $f")
       val report = TckRunner.run(cat, text)
       println(s"REPORT executed=${report.executed} passed=${report.passed} " +
-        s"skipped=${report.skipped} errored=${report.errored}")
+        s"skipped=${report.skipped} errored=${report.errored} " +
+        s"diverged=${report.diverged}")
       report.failures.foreach { case (q, why) =>
         println(s"FAIL [${why.take(400)}] :: ${q.take(200)}")
       }
