@@ -101,15 +101,14 @@ object Fn {
   def keys_(m: Column): Column = map_keys(m)
   def toSet(c: Column): Column = array_distinct(c)
   def coalesce_(cs: Column*): Column = coalesce(cs: _*)
-  /** cos_similarity(a, b) — FunctionManager.cpp registry. Double-exact
-    * fold over zipped arrays; stays in codegen (no UDF). */
-  def cosSimilarity(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
-  }
+  /** cos_similarity(a, b) — FunctionManager.cpp registry. A native
+    * codegen'd expression (CosineSim): bit-identical to the
+    * zip_with/aggregate fold (same left-to-right double accumulation,
+    * IEEE division, null on length mismatch) but one tight primitive
+    * loop — the declarative form ran as interpreted higher-order
+    * functions and dominated candidate-pair joins (q_embed_neardup
+    * at sf1: 15.6M pairs × ~4 µs → minutes). */
+  def cosSimilarity(a: Column, b: Column): Column = CosineSim(a, b)
 
   // ---- expression-AST constructs (Expression.h:22-110) ----
   /** CASE WHEN ... (CaseExpression.h, both forms). */

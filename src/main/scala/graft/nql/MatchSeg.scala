@@ -469,6 +469,13 @@ object MatchSeg {
       * values, so reuse in node position is the reference's
       * ExecutionError (`with "1" as a match (a)-...`). */
     val scalarLitVars = scala.collection.mutable.Set.empty[String]
+    /** The subset of scalarLitVars bound to the literal NULL — legal
+      * as an OPTIONAL MATCH seed (openCypher: the optional pattern
+      * simply fails and its vars bind null; Path2.feature [3]). */
+    val nullLitVars = scala.collection.mutable.Set.empty[String]
+    /** Path vars of a null-seeded OPTIONAL clause: every path function
+      * over them resolves to NULL. */
+    val nullPaths = scala.collection.mutable.Set.empty[String]
     /** Var-length edge vars: `e` in [e:like*m..n] — an ARRAY of edge
       * structs per row (openCypher: the relationship list). */
     val vlEdgeVars = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -703,6 +710,15 @@ object MatchSeg {
         // join on the shared var prunes it
         g.allVertices.select(col("vid").as(v0)).distinct()
       else nodeFrame(g, st, n0, v0)
+    // literal id() constraints from the clause WHERE seed the scan
+    // BEFORE expansion (the reference's SeekById): without this a
+    // `MATCH (n)-[:KNOWS*1..3]-(f) WHERE id(n)=='x'` enumerates
+    // 3-hop trails from EVERY vertex and filters after — measured
+    // as the q_ldbc_ic1 memory blowup at sf1. The WHERE still
+    // applies post-join; this is pruning, not replacement.
+    n0.v.flatMap(idHints.get).foreach { vids =>
+      binding = binding.filter(col(v0).isin(vids: _*))
+    }
     binding = binding.withColumn("__trail", array().cast("array<string>"))
     var fromVar = v0
     val nodeVars = scala.collection.mutable.ListBuffer(v0)
@@ -718,7 +734,7 @@ object MatchSeg {
         else rel0
       if (rel.range.isDefined) hasVarLen = true
       val w = node.v.getOrElse(st.freshVar())
-      binding = hop(g, st, binding, fromVar, rel, node, w)
+      binding = hop(g, st, binding, fromVar, rel, node, w, idHints)
       nodeVars += w
       rel.v.foreach(relVars += _)
       fromVar = w
@@ -794,7 +810,8 @@ object MatchSeg {
   /** Single- or var-length hop from `fromVar` through `rel` to `node`,
     * extending the binding frame; binds the destination to `w`. */
   private def hop(g: GraphCatalog, st: BState, binding: DataFrame,
-                  fromVar: String, rel: Rel, node: Node, w: String): DataFrame = {
+                  fromVar: String, rel: Rel, node: Node, w: String,
+                  idHints: Map[String, Seq[Any]] = Map.empty): DataFrame = {
     val toExisting = node.v.filter(st.vertexVars.contains)
 
     val joined = rel.range match {
@@ -898,6 +915,9 @@ object MatchSeg {
       case None =>
         var out = joined.withColumnRenamed("__to", w)
         st.addVertex(w)
+        node.v.flatMap(idHints.get).foreach { vids =>
+          out = out.filter(col(w).isin(vids: _*)) // SeekById pruning
+        }
         node.tags.foreach { t =>
           // label constraint: inner join the tag table
           out = out.join(tagFrame(g, t, w), Seq(w))
@@ -2057,6 +2077,14 @@ object MatchSeg {
           case "src" => "__s"; case _ => "__d"
         }
         Some(col(x).getField(field))
+      // a null-seeded OPTIONAL path: every path function over it (and
+      // over a literal null) is NULL — Path2.feature [3]
+      case Expr.FnCall("relationships" | "nodes" | "length",
+          List(Expr.Ref(List(pv))), _) if st.nullPaths.contains(pv) =>
+        Some(lit(null))
+      case Expr.FnCall("relationships" | "nodes",
+          List(Expr.Lit(null)), _) =>
+        Some(lit(null))
       // a path that crossed a WITH keeps its hop count in the hidden
       // __plen twin (length(p) must not degrade to string length)
       case Expr.FnCall("length", List(Expr.Ref(List(pv))), _)
@@ -2382,11 +2410,19 @@ object MatchSeg {
     // a WITH-bound scalar literal reused in node position is the
     // reference's ExecutionError (match/With.feature `with "1" as a
     // match (a)-[e:like]->(b)`) — a STRING value is not a VERTEX
-    clauses.foreach(_.parts.foreach(_.nodes.foreach(_.v.foreach { v =>
-      if (st.scalarLitVars.contains(v))
-        throw new IllegalArgumentException(
-          s"ExecutionError: `$v' is not a vertex value")
-    })))
+    // EXCEPT: a NULL literal seeding an OPTIONAL clause is openCypher-
+    // legal — the pattern can't match, its vars bind null (Path2 [3])
+    def clauseNullSeeded(cl: Clause): Boolean =
+      cl.optional && cl.parts.exists(_.nodes.exists(_.v.exists(
+        st.nullLitVars.contains)))
+    clauses.foreach { cl =>
+      if (!clauseNullSeeded(cl))
+        cl.parts.foreach(_.nodes.foreach(_.v.foreach { v =>
+          if (st.scalarLitVars.contains(v))
+            throw new IllegalArgumentException(
+              s"ExecutionError: `$v' is not a vertex value")
+        }))
+    }
     // apply deferred same-relationship constraints once both sides'
     // columns are present in the combined frame
     def applyPendingEdgeEq(df0: DataFrame): DataFrame = {
@@ -2457,6 +2493,31 @@ object MatchSeg {
       }
     }
     clauses.foreach { cl =>
+      if (clauseNullSeeded(cl)) {
+        // the pattern is seeded from a null value: it matches nothing;
+        // bind every NEW var of the clause as NULL on the current rows
+        // (openCypher OPTIONAL MATCH semantics)
+        cl.parts.foreach { part =>
+          part.nodes.flatMap(_.v).foreach { v =>
+            if (binding == null || !binding.columns.contains(v)) {
+              st.addPlain(v)
+              if (binding != null)
+                binding = binding.withColumn(v, lit(null).cast("string"))
+            }
+          }
+          part.rels.flatMap(_.v).foreach { ev =>
+            st.addPlain(ev)
+            if (binding != null && !binding.columns.contains(ev))
+              binding = binding.withColumn(ev, lit(null).cast("string"))
+          }
+          part.pathVar.foreach { pv =>
+            st.nullPaths += pv
+            st.addPlain(pv)
+            if (binding != null && !binding.columns.contains(pv))
+              binding = binding.withColumn(pv, lit(null).cast("string"))
+          }
+        }
+      } else {
       val idHints = idSeedHints(cl.where)
       // frame for this clause: its parts joined on shared vars
       var frame: DataFrame = null
@@ -2490,6 +2551,7 @@ object MatchSeg {
           bool = true, render = false)
         binding = b2
         binding = truthyFilter(binding, w2.head, resolver(st, binding))
+      }
       }
     }
     binding
@@ -2546,9 +2608,11 @@ object MatchSeg {
         binding = binding.withColumn(i.alias, Expr.compile(i.e, res))
         st2.addPlain(i.alias)
         if (i.e.isInstanceOf[Expr.Lit]) st2.scalarLitVars += i.alias
+        if (i.e == Expr.Lit(null)) st2.nullLitVars += i.alias
       }
       st2.boundTags ++= st.boundTags
       st2.scalarLitVars ++= st.scalarLitVars
+      st2.nullLitVars ++= st.nullLitVars
     } else {
       // per-item column plan — (column, output name) pairs so the
       // aggregate branch can restore ITEM order after groupBy/agg
@@ -2655,6 +2719,12 @@ object MatchSeg {
               st2.scalarLitVars += i.alias
             case Expr.Ref(List(v)) if st.scalarLitVars.contains(v) =>
               st2.scalarLitVars += i.alias
+            case _ => ()
+          }
+          e2 match {
+            case Expr.Lit(null) => st2.nullLitVars += i.alias
+            case Expr.Ref(List(v)) if st.nullLitVars.contains(v) =>
+              st2.nullLitVars += i.alias
             case _ => ()
           }
           Seq(Expr.compile(e2, res).as(i.alias) -> i.alias)

@@ -64,6 +64,13 @@ object Similarity {
   def planeMatrix(planes: Int, dims: Int): Seq[Seq[Double]] =
     (0 until planes).map(p => (0 until dims).map(d => planeSign(p, d)))
 
+  /** A slice of the shared hyperplane family: rows
+    * `from .. from+count-1`. Banded LSH gives each band its own
+    * disjoint slice so band signatures are independent. */
+  def planeMatrixSlice(from: Int, count: Int, dims: Int): Seq[Seq[Double]] =
+    (from until from + count).map(p =>
+      (0 until dims).map(d => planeSign(p, d)))
+
   /** Sign-sketch bucket id: `planes` bits, bit p = [v · h_p >= 0] where
     * hyperplane h_p has ±1 components from `planeSign`.
     *
@@ -194,6 +201,45 @@ object Similarity {
     val l = b.select(col("__bucket"), col(idCol).as("a"), col(vecCol).as("va"))
     val r = b.select(col("__bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
     l.join(r, Seq("__bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .distinct()
+  }
+
+  /** Per-band sign signatures: `bands` longs, band b built from the
+    * disjoint plane slice b*r .. b*r+r-1 of the shared family. A
+    * native codegen'd expression (graft.functions.SignSketch) — the
+    * declarative aggregate/zip_with fold over the plane matrix ran as
+    * interpreted higher-order functions (~3 ms/row at 4×12×64) and
+    * dominated q_embed_neardup at sf1. */
+  def bandSignatures(vec: Column, bands: Int, r: Int, dims: Int): Column =
+    graft.functions.SignSketch.bandSignatures(vec, bands, r, dims)
+
+  /** BANDED near-dup: OR-amplified sign-LSH. `bands` independent
+    * signature tables of `planesPerBand` planes each; candidates are
+    * pairs sharing ANY band's bucket, verified by exact cosine.
+    *
+    * This is the 100 TB shape: per-band bucket population is
+    * ~N/2^planesPerBand (keep planesPerBand ≥ log2(N/targetBucket)),
+    * so candidate count stays near-linear while true near-dup recall
+    * is 1-(1-p^r)^bands (p = 1-θ/π per plane) — the single-table
+    * variant above degrades quadratically as N grows past
+    * 2^planes × targetBucket (measured: 2.2 s at sf0.1 → 279 s at sf1
+    * with planes=4). Same bucket rule replays in the DuckDB oracle. */
+  def nearDupByEmbeddingBanded(corpus: DataFrame, threshold: Double,
+                               bands: Int, planesPerBand: Int, dims: Int,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding",
+                               maxBucket: Int = MaxBucketRows): DataFrame = {
+    val sigs = corpus.select(col(idCol), col(vecCol),
+      posexplode(bandSignatures(col(vecCol), bands, planesPerBand, dims))
+        .as(Seq("__band", "__bucket")))
+    val b = capBuckets(sigs, Seq("__band", "__bucket"), maxBucket)
+    val l = b.select(col("__band"), col("__bucket"),
+      col(idCol).as("a"), col(vecCol).as("va"))
+    val r = b.select(col("__band"), col("__bucket"),
+      col(idCol).as("b"), col(vecCol).as("vb"))
+    l.join(r, Seq("__band", "__bucket")).filter(col("a") < col("b"))
       .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= threshold)
       .distinct()

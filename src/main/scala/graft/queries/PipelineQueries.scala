@@ -102,10 +102,13 @@ object PipelineQueries {
           roundPortable(col("sim"), 6).as("sim"), col("rnk"))
     }),
 
-    // embedding-cosine near-dup pairs, LSH-bucketed (no crossJoin)
+    // embedding-cosine near-dup pairs, BANDED sign-LSH (OR-amplified:
+    // 4 bands × 12 planes — per-band buckets stay ~N/4096 so the
+    // within-bucket pairing is near-linear; the old single-table
+    // planes=4 form was 2.2 s at sf0.1 but 279 s at sf1)
     "q_embed_neardup" -> ((s, dir) =>
-      Similarity.nearDupByEmbedding(t(s, dir, "embeddings"), 0.35,
-          planes = 4, dims = 64)
+      Similarity.nearDupByEmbeddingBanded(t(s, dir, "embeddings"), 0.35,
+          bands = 4, planesPerBand = 12, dims = 64)
         .select(col("a"), col("b"), roundPortable(col("sim"), 6).as("sim"))),
 
     // multimodal: metadata inspection w/o decode (payload col pruned)
@@ -159,6 +162,13 @@ object PipelineQueries {
   private def bucketSql(v: String, planes: Int, dims: Int): String =
     (0 until planes).map { p =>
       s"(CASE WHEN list_dot_product($v, ${signsLiteral(p, dims)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+
+  /** band-signature expression: planes `from .. from+r-1`, bit p-from
+    * (mirrors Similarity.bandSignatures band slicing). */
+  private def bucketSqlSlice(v: String, from: Int, r: Int, dims: Int): String =
+    (0 until r).map { i =>
+      s"(CASE WHEN list_dot_product($v, ${signsLiteral(from + i, dims)}) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("CAST(", " + ", " AS BIGINT)")
 
   /** MinHash permutation constants as DuckDB list literals — emitted
@@ -309,12 +319,13 @@ object PipelineQueries {
          |       FROM sims)
          |SELECT query_id, vec_id, floor(sim * 1000000.0 + 0.5) / 1000000.0 AS sim, rnk FROM rk WHERE rnk <= 10""".stripMargin,
     "q_embed_neardup" ->
-      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv,
-         |             ${bucketSql("embedding::DOUBLE[]", 4, 64)} AS bucket
-         |           FROM embeddings)
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         |b AS (${(0 until 4).map(bd =>
+             s"SELECT vec_id, cv, $bd AS band, ${bucketSqlSlice("cv", bd * 12, 12, 64)} AS bucket FROM c")
+             .mkString("\n  UNION ALL ")})
          |SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
          |  floor((${cosExpr("x.cv", "y.cv")}) * 1000000.0 + 0.5) / 1000000.0 AS sim
-         |FROM c x JOIN c y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE ${cosExpr("x.cv", "y.cv")} >= 0.35""".stripMargin,
     "q_mm_inspect" ->
       """SELECT doc_id AS asset_id, 'image' AS media_type,

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
 
 class PipelineSpec extends SparkSpec {
@@ -209,5 +210,54 @@ class PipelineSpec extends SparkSpec {
     // conservation: per-doc span sums equal the doc's token count
     val sums = out.groupBy(_._1).view.mapValues(_.toSeq.map(_._3).sum).toMap
     assert(sums == Map(1L -> 3L, 2L -> 4L, 3L -> 2L))
+  }
+
+  test("native SignSketch matches the declarative plane fold bit-for-bit") {
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, (0 until 64).map(d =>
+        ((i * 31 + d * 7) % 97) / 97.0f - 0.5f))).toDF("vec_id", "embedding")
+    // declarative reference: the original aggregate/zip_with fold
+    import org.apache.spark.sql.functions.{aggregate => agg_, _}
+    def declBand(b: Int, r: Int): Column = {
+      val mat = typedLit(graft.pipeline.Similarity.planeMatrixSlice(b * r, r, 64))
+      val pIdx = sequence(lit(0), lit(r - 1))
+      agg_(zip_with(mat, pIdx, (plane, p) =>
+        when(agg_(zip_with(col("embedding"), plane,
+                (x, h) => x.cast("double") * h),
+              lit(0.0), (acc, v) => acc + v) >= 0,
+          pow(lit(2.0), p.cast("double")).cast("long")).otherwise(lit(0L))),
+        lit(0L), (acc, bit) => acc + bit)
+    }
+    val got = vecs.select(col("vec_id"),
+        graft.functions.SignSketch.bandSignatures(col("embedding"), 3, 12, 64).as("sig"),
+        array(declBand(0, 12), declBand(1, 12), declBand(2, 12)).as("ref"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("native cosine matches the declarative fold bit-for-bit") {
+    val df = (0 until 30).map { i =>
+      val a = (0 until 16).map(d => ((i * 13 + d * 5) % 89) / 89.0f)
+      val b = (0 until 16).map(d => ((i * 7 + d * 11) % 83) / 83.0f)
+      (i.toLong, a, b)
+    }.toDF("id", "a", "b")
+    import org.apache.spark.sql.functions.{aggregate => agg_, _}
+    val declDot = agg_(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    def n2(c: Column) = sqrt(agg_(c, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val rows = df.select(
+      graft.functions.CosineSim(col("a"), col("b")).as("nat"),
+      (declDot / (n2(col("a")) * n2(col("b")))).as("ref")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // null semantics: length mismatch -> null
+    val mm = Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
+      .select(graft.functions.CosineSim(col("a"), col("b")).as("s")).head()
+    assert(mm.isNullAt(0))
   }
 }
