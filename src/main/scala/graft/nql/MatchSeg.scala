@@ -717,7 +717,8 @@ object MatchSeg {
     // as the q_ldbc_ic1 memory blowup at sf1. The WHERE still
     // applies post-join; this is pruning, not replacement.
     n0.v.flatMap(idHints.get).foreach { vids =>
-      binding = binding.filter(col(v0).isin(vids: _*))
+      if (hintTypeOk(binding, v0, vids))
+        binding = binding.filter(col(v0).isin(vids: _*))
     }
     binding = binding.withColumn("__trail", array().cast("array<string>"))
     var fromVar = v0
@@ -916,7 +917,8 @@ object MatchSeg {
         var out = joined.withColumnRenamed("__to", w)
         st.addVertex(w)
         node.v.flatMap(idHints.get).foreach { vids =>
-          out = out.filter(col(w).isin(vids: _*)) // SeekById pruning
+          if (hintTypeOk(out, w, vids)) // SeekById pruning
+            out = out.filter(col(w).isin(vids: _*))
         }
         node.tags.foreach { t =>
           // label constraint: inner join the tag table
@@ -925,6 +927,18 @@ object MatchSeg {
         }
         nodePropFilter(out, w, node.tags, node.props)
     }
+  }
+
+  /** A SeekById hint is only a safe pre-filter when the literal types
+    * line up with the vid column (a string literal against an int-vid
+    * space must NOT turn into a cast-error or an empty isin — the
+    * WHERE clause's own evaluation defines the semantics there, e.g.
+    * expression/In over nba_int_vid). */
+  private def hintTypeOk(df: DataFrame, c: String, vids: Seq[Any]): Boolean = {
+    val stringCol = df.schema.find(_.name == c)
+      .exists(_.dataType == org.apache.spark.sql.types.StringType)
+    if (stringCol) vids.forall(_.isInstanceOf[String])
+    else vids.forall(v => !v.isInstanceOf[String])
   }
 
   /** Edge-unique path enumeration for `*m..n` (openCypher relationship
