@@ -24,6 +24,13 @@ case class CosineSimExpression(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cos_sim_native"
 
+  // NULL is produced on length mismatch / null element even when both
+  // children are non-nullable — without this override the optimizer
+  // could fold IsNull(cos_sim) to false, and nullSafeCodeGen would
+  // emit an assignment to a constant `false` isNull (uncompilable
+  // codegen, silent interpreted fallback).
+  override def nullable: Boolean = true
+
   private def elemOk(t: DataType) = t match {
     case ArrayType(FloatType | DoubleType | LongType | IntegerType, _) => true
     case _ => false

@@ -27,6 +27,14 @@ case class SignSketchExpression(child: Expression, bands: Int,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "sign_sketch"
 
+  // A null ELEMENT yields a NULL signature row (matching the
+  // declarative fold, where a null element nulls the dot product and
+  // the whole aggregate) — so the expression is nullable even over a
+  // non-nullable array column. Vectors SHORTER than `dims` are
+  // zero-padded (missing trailing components contribute 0 to every
+  // plane dot product); longer vectors are truncated to `dims`.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -50,32 +58,25 @@ case class SignSketchExpression(child: Expression, bands: Int,
     SignSketch.matrix(bands * planesPerBand, dims)
 
   override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val v = new Array[Double](math.min(arr.numElements(), dims))
-    var d = 0
-    while (d < v.length) {
-      v(d) = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
-      d += 1
-    }
-    new GenericArrayData(SignSketch.sketch(v, signs, bands, planesPerBand))
+    val sk = SignSketch.sketchArrayData(input.asInstanceOf[ArrayData],
+      isFloat, dims, signs, bands, planesPerBand)
+    if (sk == null) null else new GenericArrayData(sk)
   }
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
     val signsRef = ctx.addReferenceObj("signSketchSigns", signs,
       "double[][]")
-    val getter = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, c => {
-      val v = ctx.freshName("vec")
-      val d = ctx.freshName("d")
+      val box = ctx.freshName("sig")
       s"""
-         |int ${d}n = java.lang.Math.min($c.numElements(), $dims);
-         |double[] $v = new double[${d}n];
-         |for (int $d = 0; $d < ${d}n; $d++) {
-         |  $v[$d] = (double) $c.$getter($d);
+         |long[] $box = graft.functions.SignSketch.sketchArrayData(
+         |  $c, $isFloat, $dims, $signsRef, $bands, $planesPerBand);
+         |if ($box == null) { ${ev.isNull} = true; }
+         |else {
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($box);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  graft.functions.SignSketch.sketch($v, $signsRef, $bands, $planesPerBand));
        """.stripMargin
     })
   }
@@ -92,6 +93,24 @@ object SignSketch {
 
   def matrix(planes: Int, dims: Int): Array[Array[Double]] =
     Array.tabulate(planes, dims)((p, d) => sign(p, d))
+
+  /** Copy an ArrayData into a dense vector (zero-padded past its
+    * length, truncated past `dims`) and sketch it; returns null when
+    * any read element is null — the declarative fold's semantics.
+    * Called from both interpreted eval and generated code. */
+  def sketchArrayData(arr: ArrayData, isFloat: Boolean, dims: Int,
+                      signs: Array[Array[Double]], bands: Int,
+                      r: Int): Array[Long] = {
+    val n = math.min(arr.numElements(), dims)
+    val v = new Array[Double](n)
+    var d = 0
+    while (d < n) {
+      if (arr.isNullAt(d)) return null
+      v(d) = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+      d += 1
+    }
+    sketch(v, signs, bands, r)
+  }
 
   /** All band signatures in one pass; called from generated code. */
   def sketch(v: Array[Double], signs: Array[Array[Double]],

@@ -935,10 +935,17 @@ object MatchSeg {
     * WHERE clause's own evaluation defines the semantics there, e.g.
     * expression/In over nba_int_vid). */
   private def hintTypeOk(df: DataFrame, c: String, vids: Seq[Any]): Boolean = {
-    val stringCol = df.schema.find(_.name == c)
-      .exists(_.dataType == org.apache.spark.sql.types.StringType)
-    if (stringCol) vids.forall(_.isInstanceOf[String])
-    else vids.forall(v => !v.isInstanceOf[String])
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    // WHITELIST the literal/column pairings: anything else (null
+    // literals, booleans against an int-vid space, …) must NOT become
+    // an isin pre-filter — a null-isin prunes rows the WHERE clause
+    // would error on, and a mistyped isin can throw at analysis.
+    df.schema.find(_.name == c).map(_.dataType) match {
+      case Some(StringType) => vids.forall(_.isInstanceOf[String])
+      case Some(LongType) | Some(IntegerType) =>
+        vids.forall(v => v.isInstanceOf[Int] || v.isInstanceOf[Long])
+      case _ => false
+    }
   }
 
   /** Edge-unique path enumeration for `*m..n` (openCypher relationship

@@ -189,9 +189,11 @@ object PipelineQueries {
        |sig AS (SELECT doc_id, s,
        |          list_transform(range(0, 16), k -> list_aggregate(list_transform(s, x -> ((${permALiteral})[k + 1] * (('0x' || substr(md5(x), 1, 15))::BIGINT % ${Dedup.MinhashP}) + (${permBLiteral})[k + 1]) % ${Dedup.MinhashP}), 'min')) AS sig
        |        FROM sh),
-       |bands AS (SELECT doc_id, b.band AS band,
+       |bands0 AS (SELECT doc_id, b.band AS band,
        |            md5(array_to_string(sig[b.band * 4 + 1:b.band * 4 + 4], '|')) AS band_hash
        |          FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+       |bands AS (SELECT doc_id, band, band_hash FROM bands0
+       |          QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= ${Similarity.MaxBucketRows}),
        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |         FROM bands x JOIN bands y ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)""".stripMargin
 
@@ -320,9 +322,11 @@ object PipelineQueries {
          |SELECT query_id, vec_id, floor(sim * 1000000.0 + 0.5) / 1000000.0 AS sim, rnk FROM rk WHERE rnk <= 10""".stripMargin,
     "q_embed_neardup" ->
       s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
-         |b AS (${(0 until 4).map(bd =>
+         |b0 AS (${(0 until 4).map(bd =>
              s"SELECT vec_id, cv, $bd AS band, ${bucketSqlSlice("cv", bd * 12, 12, 64)} AS bucket FROM c")
-             .mkString("\n  UNION ALL ")})
+             .mkString("\n  UNION ALL ")}),
+         |b AS (SELECT vec_id, cv, band, bucket FROM b0
+         |      QUALIFY count(*) OVER (PARTITION BY band, bucket) <= ${Similarity.MaxBucketRows})
          |SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
          |  floor((${cosExpr("x.cv", "y.cv")}) * 1000000.0 + 0.5) / 1000000.0 AS sim
          |FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
