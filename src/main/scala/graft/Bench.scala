@@ -6,8 +6,30 @@ import org.apache.spark.sql.SparkSession
   *
   * Hygiene (round-1 VERDICT #5): a query that throws is recorded in
   * "errors" and EXCLUDED from the total instead of being silently
-  * counted as a fast success. */
+  * counted as a fast success.
+  *
+  * Noise calibration (round-9 VERDICT #2): cross-round comparisons
+  * showed uniform 1.5-2x wall-clock inflation from driver-host load —
+  * enough to mask a real regression. The run now times a FIXED
+  * data-independent probe (shuffled aggregation over a generated
+  * range) three times and reports the median as "probe_sec": to
+  * compare two BENCH files load-independently, compare
+  * query_sec / probe_sec ratios. SPARK_GRAFT_BENCH_RUNS=n (default 1)
+  * additionally takes the per-query min over n runs. */
 object Bench {
+
+  /** Fixed-size probe: 20M-row shuffle + partial agg + final agg —
+    * exercises codegen, exchange, and task scheduling, independent of
+    * the benchmarked data. ~0.5 s unloaded at local[32]. */
+  def probeOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 20000000L, 1, 32)
+      .selectExpr("id % 1000 AS k", "id AS v")
+      .groupBy("k").sum("v")
+      .selectExpr("sum(`sum(v)`)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,7 +45,13 @@ object Bench {
     // JVM/codegen warmup so the first measured query doesn't absorb
     // Spark's one-time startup cost
     spark.range(1000).selectExpr("sum(id)").collect()
+    // environment-load calibration: median of 3 fixed probes (the
+    // first probe run doubles as shuffle-path warmup)
+    val probes = Seq.fill(3)(probeOnce(spark)).sorted
+    val probeSec = probes(1)
 
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
     // SPARK_GRAFT_ONLY=q_a,q_b → time just those (local iteration aid)
@@ -32,26 +60,32 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
-        times :+= name -> (System.nanoTime() - t0) / 1e9
+        val best = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          // outside the timed window: drop every block the finished
+          // query leaked so later iterative queries run against an
+          // empty block manager (in-session parity with their
+          // isolated times)
+          SessionHygiene.sweep(spark)
+          dt
+        }.min
+        times :+= name -> best
       } catch {
         case e: Throwable =>
           errors :+= name -> Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
+          SessionHygiene.sweep(spark)
       }
-      // outside the timed window: drop every block the finished query
-      // leaked so later iterative queries run against an empty block
-      // manager (in-session parity with their isolated times)
-      SessionHygiene.sweep(spark)
     }
     val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = times.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${times.size},"n_err":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${times.size},"n_err":${errors.size},"probe_sec":${f"$probeSec%.3f"},"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Lineage-truncation policy for every iterative loop (traversals,
+  * BFS/shortest paths, the whole-graph algorithms, LSH dedup stages).
+  *
+  * Default (no config): `localCheckpoint()` — eager, executor-local
+  * shuffle blocks. Fast, but the blocks are LOST if an executor dies,
+  * and a freed block cannot be recomputed (lineage was truncated). In
+  * single-JVM local mode that is exactly as durable as the session
+  * itself, so it is the right default for the bench/verify harness.
+  *
+  * Cluster posture: set `spark.graft.checkpointDir` to a directory on
+  * reliable shared storage (HDFS/S3/NFS) and every materialization
+  * becomes a reliable `checkpoint()` — the RDD is written to that
+  * storage and survives executor loss; Spark recomputes any lost cached
+  * partition from the checkpoint files. This is the Spark equivalent of
+  * the reference's Raft-replicated storage layer
+  * (src/kvstore/Part.h — a storaged restart does not lose state).
+  *
+  * Freeing (`Traverse.freeCheckpoint`) stays SAFE in reliable mode even
+  * for non-superseded frames: unpersist only drops the block-manager
+  * cache over the checkpoint files, which remain readable. In local
+  * mode the caller contract (only free superseded frames) still holds.
+  */
+object Ckpt {
+  /** Set to a reliable-storage path to swap every loop's
+    * localCheckpoint for a durable checkpoint. */
+  val DirKey = "spark.graft.checkpointDir"
+
+  private def confDir(s: SparkSession): Option[String] =
+    s.conf.getOption(DirKey).filter(_.trim.nonEmpty)
+
+  /** True when materializations are durable (executor-loss-safe). */
+  def reliable(s: SparkSession): Boolean = confDir(s).isDefined
+
+  /** Eagerly materialize `df` with truncated lineage, honoring the
+    * configured durability mode. */
+  def mat(df: DataFrame): DataFrame = confDir(df.sparkSession) match {
+    case Some(d) =>
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+      df.checkpoint() // eager; writes to the reliable dir
+    case None => df.localCheckpoint()
+  }
+
+  /** Chainable form: `frame.select(...).mat()` replaces
+    * `.localCheckpoint()` at every loop site. */
+  implicit class MatOps(private val df: DataFrame) extends AnyVal {
+    def mat(): DataFrame = Ckpt.mat(df)
+  }
+}

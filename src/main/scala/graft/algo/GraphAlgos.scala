@@ -2,6 +2,7 @@ package graft.algo
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Ckpt.MatOps
 
 /** Whole-graph analytics (the capability set of the reference
   * ecosystem's Spark-based nebula-algorithm package — degrees,
@@ -57,7 +58,7 @@ object GraphAlgos {
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = vertices.select(col("vid"), col("vid").as("label"))
-      .localCheckpoint()
+      .mat()
     var round = 0
     var changed = 1L
     while (round < iters && (!untilConverged || changed > 0)) {
@@ -68,7 +69,7 @@ object GraphAlgos {
         .select(col("vid"), col("label").as("__old"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
-        .localCheckpoint()
+        .mat()
       if (untilConverged)
         changed = upd.filter(col("label") =!= col("__old")).count()
       // the new checkpoint holds every row — free the superseded one
@@ -95,8 +96,8 @@ object GraphAlgos {
     val e = edges.select("src", "dst").repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-      .localCheckpoint()
-    var pr = vertices.select(col("vid"), lit(1.0).as("pr")).localCheckpoint()
+      .mat()
+    var pr = vertices.select(col("vid"), lit(1.0).as("pr")).mat()
     var round = 0
     var delta = Double.MaxValue
     while (round < iters && (tol <= 0.0 || delta > tol)) {
@@ -108,7 +109,7 @@ object GraphAlgos {
         .select(col("vid"), col("pr").as("__old"),
           (lit(1.0 - damping) +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("pr"))
-        .localCheckpoint()
+        .mat()
       if (tol > 0.0)
         delta = upd.agg(max(abs(col("pr") - col("__old")))).head.getDouble(0)
       graft.traverse.Traverse.freeCheckpoint(pr) // superseded by upd
@@ -146,7 +147,7 @@ object GraphAlgos {
         col("a")).otherwise(col("b")).as("u"),
       when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
         col("b")).otherwise(col("a")).as("v"))
-      .localCheckpoint() // reused three times below; cut the double scan
+      .mat() // reused three times below; cut the double scan
     val d1 = oriented.select(col("u").as("x"), col("v").as("y"))
     val d2 = oriented.select(col("u").as("y"), col("v").as("z"))
     val d3 = oriented.select(col("u").as("x"), col("v").as("z"))
@@ -164,7 +165,7 @@ object GraphAlgos {
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint() // scanned twice (degrees + triangle join tree)
+      .mat() // scanned twice (degrees + triangle join tree)
     val deg = und.select(col("a").as("vid"))
       .unionAll(und.select(col("b").as("vid")))
       .groupBy("vid").agg(count(lit(1)).as("deg"))
@@ -192,7 +193,7 @@ object GraphAlgos {
     * semi-joins on the edge keys, state checkpointed so plan depth
     * stays constant — the same loop shape as WCC. */
   def kCore(edges: DataFrame, k: Int, iters: Int): DataFrame = {
-    var und = canonicalUndirected(edges).localCheckpoint()
+    var und = canonicalUndirected(edges).mat()
     var round = 0
     while (round < iters) {
       val deg = und.select(col("a").as("vid"))
@@ -203,7 +204,7 @@ object GraphAlgos {
         .join(keep.withColumnRenamed("vid", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("vid", "b"), Seq("b"), "left_semi")
         .select("a", "b")
-        .localCheckpoint()
+        .mat()
       graft.traverse.Traverse.freeCheckpoint(und)
       und = upd
       round += 1
@@ -227,7 +228,7 @@ object GraphAlgos {
       .repartition(col("src")) // see connectedComponents
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = vertices.select(col("vid"), col("vid").as("label"))
-      .localCheckpoint()
+      .mat()
     var round = 0
     while (round < iters) {
       val counted = nbrs.join(labels, nbrs("src") === labels("vid"))
@@ -238,7 +239,7 @@ object GraphAlgos {
           struct((-col("cnt")).as("nc"), col("label").as("l"))).as("nlabel"))
       val upd = labels.join(pick, Seq("vid"), "left_outer")
         .select(col("vid"), coalesce(col("nlabel"), col("label")).as("label"))
-        .localCheckpoint()
+        .mat()
       graft.traverse.Traverse.freeCheckpoint(labels)
       labels = upd
       round += 1
@@ -258,7 +259,7 @@ object GraphAlgos {
     val nbrDeg = e.groupBy("dst").agg(count(lit(1)).as("nd"))
     val capped = e.join(nbrDeg.filter(col("nd") <= maxNbrDeg).select("dst"),
         Seq("dst"), "left_semi")
-      .localCheckpoint() // scanned three times (deg + both pair sides)
+      .mat() // scanned three times (deg + both pair sides)
     val deg = capped.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
     val common = capped.as("x").join(capped.as("y"),
         col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
@@ -298,15 +299,15 @@ object GraphAlgos {
     * one Σtot aggregation over the assignment (tiny), and one argmin —
     * the same shape as labelPropagation. */
   def louvain(edges: DataFrame, iters: Int): DataFrame = {
-    val und = canonicalUndirected(edges).localCheckpoint()
+    val und = canonicalUndirected(edges).mat()
     val m2 = und.count() * 2 // one driver action; the oracle's scalar subquery
     val both = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src")) // see connectedComponents
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = both.groupBy(col("src").as("vid")).agg(count(lit(1)).as("k"))
-      .localCheckpoint()
-    var assign = deg.select(col("vid"), col("vid").as("c")).localCheckpoint()
+      .mat()
+    var assign = deg.select(col("vid"), col("vid").as("c")).mat()
     var round = 0
     while (round < iters) {
       val nbrC = both.join(assign, both("dst") === assign("vid"))
@@ -351,7 +352,7 @@ object GraphAlgos {
         .select(col("vid"),
           when(gate && col("nc").isNotNull, col("nc"))
             .otherwise(col("c")).as("c"))
-        .localCheckpoint()
+        .mat()
       graft.traverse.Traverse.freeCheckpoint(assign)
       assign = upd
       round += 1
@@ -378,10 +379,10 @@ object GraphAlgos {
     val adj = simple.withColumn("idx",
         row_number().over(Window.partitionBy("src").orderBy("dst"))
           .cast("long") - 1)
-      .localCheckpoint() // reused by every step; also caps plan depth
+      .mat() // reused by every step; also caps plan depth
     val od = adj.groupBy("src").agg(count(lit(1)).as("od"))
     var cur = starts.select(col("vid").as("walker"), col("vid").as("cur"))
-      .localCheckpoint()
+      .mat()
     var out = cur.select(col("walker"), lit(0).as("step"), col("cur").as("vid"))
     var i = 1
     while (i <= len) {
@@ -394,9 +395,14 @@ object GraphAlgos {
       cur = pick.join(adj,
           pick("cur") === adj("src") && pick("pick") === adj("idx"))
         .select(col("walker"), col("dst").as("cur"))
-        .localCheckpoint()
+        .mat()
       out = out.unionByName(
         cur.select(col("walker"), lit(i).as("step"), col("cur").as("vid")))
+      // cap the accumulated union's plan width: without this the final
+      // plan is a len-wide union of per-step frames, unbounded in walk
+      // length. The superseded per-step blocks stay referenced until
+      // this re-materialization copies them, then nothing does.
+      if (i % 8 == 0) out = out.mat()
       i += 1
     }
     out
@@ -416,14 +422,14 @@ object GraphAlgos {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var dist = e.sparkSession.range(1)
       .select(lit(source).as("vid"), lit(0.0).as("dist"))
-      .localCheckpoint()
+      .mat()
     var round = 0
     while (round < iters) {
       val ext = e.join(dist, e("src") === dist("vid"))
         .select(e("dst").as("vid"), (col("dist") + col("w")).as("dist"))
       val upd = dist.unionByName(ext)
         .groupBy("vid").agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .mat()
       graft.traverse.Traverse.freeCheckpoint(dist)
       dist = upd
       round += 1

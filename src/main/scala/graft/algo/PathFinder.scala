@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.traverse.Traverse
 import graft.traverse.Traverse.{Direction, Out}
+import graft.Ckpt.MatOps
 
 /** FIND PATH family (SURVEY.md §2.5): src→dst endpoint semantics with
   * path reconstruction, re-expressed as level-synchronous DataFrame BFS.
@@ -43,11 +44,11 @@ object PathFinder {
     val e = Traverse.persistEdges(
       Traverse.orient(edges, dir).select("src", "dst"), maxSteps)
     val dstSet = broadcast(dsts.select(col("vid").as("__target")).distinct())
-      .localCheckpoint()
+      .mat()
 
     var frontier = srcs.select(col("vid").as("origin"),
-      array(col("vid")).as("path"), col("vid")).localCheckpoint()
-    var visited = frontier.select(col("origin"), col("vid")).localCheckpoint()
+      array(col("vid")).as("path"), col("vid")).mat()
+    var visited = frontier.select(col("origin"), col("vid")).mat()
     // pairs already answered: stop extending them
     var found: DataFrame = null
     var cnt = frontier.count()
@@ -63,7 +64,7 @@ object PathFinder {
           visited.select(col("origin").as("vo"), col("vid").as("vv")),
           nextRaw("origin") === col("vo") && nextRaw("vid") === col("vv"),
           "left_anti")
-        .localCheckpoint()
+        .mat()
       // checkpoint the (small) per-level hits so `found` never holds a
       // reference to the (large) frontier checkpoints — which can then
       // be freed as soon as they are superseded (session hygiene:
@@ -72,10 +73,10 @@ object PathFinder {
       val hits = next.join(dstSet, next("vid") === col("__target"))
         .select(col("origin").as("src"), col("vid").as("dst"),
           array_join(col("path"), "->").as("path"), lit(step).as("hops"))
-        .localCheckpoint()
+        .mat()
       found = if (found == null) hits else found.unionByName(hits)
       val v2 = visited.unionByName(next.select("origin", "vid"))
-        .localCheckpoint()
+        .mat()
       Traverse.freeCheckpoint(visited) // superseded by v2
       Traverse.freeCheckpoint(frontier) // consumed by next + hits
       visited = v2
@@ -112,10 +113,10 @@ object PathFinder {
     val e = Traverse.persistEdges(
       if (stepLimit > 0) Traverse.capPerSrc(e0, stepLimit) else e0, maxSteps)
     val dstSet = broadcast(dsts.select(col("vid").as("__target")).distinct())
-      .localCheckpoint()
+      .mat()
 
     var frontier = srcs.select(col("vid").as("origin"),
-      array(col("vid")).as("path"), col("vid")).localCheckpoint()
+      array(col("vid")).as("path"), col("vid")).mat()
     var found: DataFrame = null
     var cnt = frontier.count()
     var step = 1
@@ -126,12 +127,12 @@ object PathFinder {
         .select(col("origin"),
           concat(col("path"), array(e("dst"))).as("path"),
           e("dst").as("vid"))
-        .localCheckpoint()
+        .mat()
       // hits checkpointed (small) so superseded frontiers can be freed
       val hits = next.join(dstSet, next("vid") === col("__target"))
         .select(col("origin").as("src"), col("vid").as("dst"),
           array_join(col("path"), "->").as("path"), lit(step).as("hops"))
-        .localCheckpoint()
+        .mat()
       found = if (found == null) hits else found.unionByName(hits)
       Traverse.freeCheckpoint(frontier) // consumed by next + hits
       frontier = next
@@ -202,11 +203,11 @@ object PathFinder {
     }
     val e = Traverse.persistEdges(e0, maxSteps)
     val dstSet = broadcast(dsts.select(col("vid").as("__target")).distinct())
-      .localCheckpoint()
+      .mat()
 
     var frontier = srcs.select(col("vid").as("origin"), col("vid"),
       array(col("vid")).as("vids"), array().cast(stepT).as("steps"))
-      .localCheckpoint()
+      .mat()
     // visited starts EMPTY (not seeded with the origin): a src that is
     // also a dst must be re-reachable for the self-pair's cycle paths
     // (ShortestPath.feature `FROM "Tim Duncan" TO "Tim Duncan"
@@ -214,7 +215,7 @@ object PathFinder {
     // shortens any other pair, so the extra frontier rows are dominated
     var visited =
       if (mode == "shortest")
-        frontier.select(col("origin"), col("vid")).limit(0).localCheckpoint()
+        frontier.select(col("origin"), col("vid")).limit(0).mat()
       else null: DataFrame
     var found: DataFrame = null
     var cnt = frontier.count()
@@ -243,15 +244,15 @@ object PathFinder {
           visited.select(col("origin").as("vo"), col("vid").as("vv")),
           next("origin") === col("vo") && next("vid") === col("vv"),
           "left_anti")
-      next = next.localCheckpoint()
+      next = next.mat()
       // hits checkpointed (small) so superseded frontiers can be freed
       val hits = next.join(dstSet, next("vid") === col("__target"))
         .select(col("vids"), col("steps"))
-        .localCheckpoint()
+        .mat()
       found = if (found == null) hits else found.unionByName(hits)
       if (mode == "shortest") {
         val v2 = visited.unionByName(next.select("origin", "vid"))
-          .localCheckpoint()
+          .mat()
         Traverse.freeCheckpoint(visited)
         visited = v2
       }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.graph.GraphCatalog
 import graft.traverse.Traverse
 import graft.traverse.Traverse.{Both, Direction, In, Out}
+import graft.Ckpt.MatOps
 
 /** MATCH text entry point (reference: parser.yy:1841 match_sentence,
   * MatchPlanner.cpp:26, MatchClausePlanner.cpp:18, seek priority
@@ -686,7 +687,10 @@ object MatchSeg {
   }
 
   private def buildPart(g: GraphCatalog, st: BState, part: Part,
-                        idHints: Map[String, Seq[Any]] = Map.empty)
+                        idHints: Map[String, Seq[Any]] = Map.empty,
+                        colSeeds: Map[String, DataFrame] = Map.empty,
+                        propSeeds: Map[String, Seq[(String, String, Any)]] = Map.empty,
+                        seedFrames: Seq[DataFrame] = Nil)
       : DataFrame = {
     if (part.sp.isDefined) return buildShortestPart(g, st, part, idHints)
     // a property map on an UNTAGGED pattern node has no schema to
@@ -706,9 +710,16 @@ object MatchSeg {
     val v0 = n0.v.getOrElse(st.freshVar())
     var binding =
       if (n0.v.exists(st.vertexVars.contains) && n0.tags.isEmpty)
-        // var already bound earlier: minimal re-seek; the cross-frame
-        // join on the shared var prunes it
-        g.allVertices.select(col("vid").as(v0)).distinct()
+        // var already bound earlier: re-seed from the frame that
+        // already binds it (the joinShared on the shared var keeps
+        // exactly these vids anyway) instead of re-scanning ALL
+        // vertices — at scale the allVertices.distinct() re-seek is
+        // an O(V) shuffle the join then throws away
+        seedFrames.find(_.columns.contains(v0)) match {
+          case Some(src) =>
+            src.select(col(v0)).filter(col(v0).isNotNull).distinct()
+          case None => g.allVertices.select(col("vid").as(v0)).distinct()
+        }
       else nodeFrame(g, st, n0, v0)
     // literal id() constraints from the clause WHERE seed the scan
     // BEFORE expansion (the reference's SeekById): without this a
@@ -720,6 +731,14 @@ object MatchSeg {
       if (hintTypeOk(binding, v0, vids))
         binding = binding.filter(col(v0).isin(vids: _*))
     }
+    // variable id() seeds (the reference's VariableVertexIdSeek):
+    // `id(n) == x` / `id(n) IN xs` against a prior-stage column
+    // prunes the scan to the distinct values of that column
+    n0.v.flatMap(colSeeds.get).foreach { seed =>
+      binding = applyColSeed(binding, v0, seed)
+    }
+    // single-tag property-equality seeds (PropIndexSeek analogue)
+    binding = applyPropSeeds(binding, v0, propSeeds)
     binding = binding.withColumn("__trail", array().cast("array<string>"))
     var fromVar = v0
     val nodeVars = scala.collection.mutable.ListBuffer(v0)
@@ -735,7 +754,8 @@ object MatchSeg {
         else rel0
       if (rel.range.isDefined) hasVarLen = true
       val w = node.v.getOrElse(st.freshVar())
-      binding = hop(g, st, binding, fromVar, rel, node, w, idHints)
+      binding = hop(g, st, binding, fromVar, rel, node, w, idHints,
+        colSeeds, propSeeds)
       nodeVars += w
       rel.v.foreach(relVars += _)
       fromVar = w
@@ -812,7 +832,10 @@ object MatchSeg {
     * extending the binding frame; binds the destination to `w`. */
   private def hop(g: GraphCatalog, st: BState, binding: DataFrame,
                   fromVar: String, rel: Rel, node: Node, w: String,
-                  idHints: Map[String, Seq[Any]] = Map.empty): DataFrame = {
+                  idHints: Map[String, Seq[Any]] = Map.empty,
+                  colSeeds: Map[String, DataFrame] = Map.empty,
+                  propSeeds: Map[String, Seq[(String, String, Any)]] = Map.empty)
+      : DataFrame = {
     val toExisting = node.v.filter(st.vertexVars.contains)
 
     val joined = rel.range match {
@@ -920,12 +943,16 @@ object MatchSeg {
           if (hintTypeOk(out, w, vids)) // SeekById pruning
             out = out.filter(col(w).isin(vids: _*))
         }
+        node.v.flatMap(colSeeds.get).foreach { seed =>
+          out = applyColSeed(out, w, seed) // VariableVertexIdSeek
+        }
         node.tags.foreach { t =>
           // label constraint: inner join the tag table
           out = out.join(tagFrame(g, t, w), Seq(w))
           st.boundTags += (w -> t)
         }
-        nodePropFilter(out, w, node.tags, node.props)
+        applyPropSeeds(nodePropFilter(out, w, node.tags, node.props),
+          w, propSeeds)
     }
   }
 
@@ -999,7 +1026,7 @@ object MatchSeg {
       val b2 = df.select(col("__o"), col("__o").as("__v"), empty.as("__ep"))
       if (withEdges) b2.withColumn("__edges", emptyEdges) else b2
     }
-    var frontier = zero(seeds).localCheckpoint()
+    var frontier = zero(seeds).mat()
     var cnt = frontier.count()
     var acc: DataFrame = if (m == 0) zero(seeds) else null
     var step = 1
@@ -1014,7 +1041,7 @@ object MatchSeg {
         .filter(!array_contains(col("__ep"), e("__eid")))
         .select(sel: _*)
         .withColumnRenamed("__v2", "__v")
-      val mat = next.localCheckpoint()
+      val mat = next.mat()
       cnt = mat.count()
       // frontiers below step m never reach acc — free once superseded
       if (step <= math.max(m, 1)) Traverse.freeCheckpoint(frontier)
@@ -2424,6 +2451,108 @@ object MatchSeg {
     out.toMap
   }
 
+  /** VARIABLE id() seeds (the reference's VariableVertexIdSeek,
+    * src/graph/planner/PlannersRegister.cpp:94-118): top-level WHERE
+    * conjuncts of the form `id(n) == x` / `id(n) IN xs` where x/xs is
+    * a prior-stage PLAIN column (WITH/UNWIND alias — never a vertex or
+    * edge var, whose equality semantics differ). Each hint is a tiny
+    * 1-column frame of distinct non-null seed values; buildPart
+    * semi-joins it into the seed scan BEFORE expansion, the same
+    * O(frontier)-vs-O(V) leverage as the literal SeekById. Pruning
+    * only — the WHERE still evaluates post-join. */
+  private def varSeedHints(st: BState, w: Option[Expr.E],
+                           binding: DataFrame): Map[String, DataFrame] = {
+    if (binding == null) return Map.empty
+    val bcols = binding.columns.toSet
+    def plain(c: String) = bcols(c) && st.plainCols.contains(c) &&
+      !st.nodeListCols.contains(c) && !st.mixedValCols.contains(c) &&
+      !st.pathLenCols.contains(c)
+    val out = scala.collection.mutable.Map.empty[String, DataFrame]
+    def seedOf(c: String): DataFrame =
+      binding.select(col(c).as("__seedv"))
+        .filter(col("__seedv").isNotNull).distinct()
+    def conj(e: Expr.E): Unit = e match {
+      case Expr.Bin("and", a, b) => conj(a); conj(b)
+      case Expr.Bin("==" | "=",
+          Expr.FnCall("id", List(Expr.Ref(List(v))), _),
+          Expr.Ref(List(c))) if plain(c) =>
+        out(v) = seedOf(c)
+      case Expr.Bin("==" | "=", Expr.Ref(List(c)),
+          Expr.FnCall("id", List(Expr.Ref(List(v))), _)) if plain(c) =>
+        out(v) = seedOf(c)
+      case Expr.Bin("in",
+          Expr.FnCall("id", List(Expr.Ref(List(v))), _),
+          Expr.Ref(List(c)))
+          if plain(c) && binding.schema(c).dataType
+            .isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+        out(v) = binding.select(explode(col(c)).as("__seedv"))
+          .filter(col("__seedv").isNotNull).distinct()
+      case _ => ()
+    }
+    w.foreach(conj)
+    out.toMap
+  }
+
+  /** Single-tag property-equality seeds (the reference's
+    * PropIndexSeek): top-level `v.Tag.prop == lit` conjuncts, applied
+    * as a pre-filter on the seed/tag scan when the prop column is
+    * bound AND the literal/column types are compatible under the same
+    * whitelist as typedEq — an incompatible pairing must stay with the
+    * WHERE clause, whose evaluation defines the (error) semantics. */
+  private def propSeedHints(w: Option[Expr.E])
+      : Map[String, Seq[(String, String, Any)]] = {
+    val out = scala.collection.mutable.Map
+      .empty[String, List[(String, String, Any)]]
+    def add(v: String, t: String, p: String, x: Any): Unit =
+      out(v) = out.getOrElse(v, Nil) :+ ((t, p, x))
+    def conj(e: Expr.E): Unit = e match {
+      case Expr.Bin("and", a, b) => conj(a); conj(b)
+      case Expr.Bin("==" | "=", Expr.Ref(List(v, t, p)), Expr.Lit(x)) =>
+        add(v, t, p, x)
+      case Expr.Bin("==" | "=", Expr.Lit(x), Expr.Ref(List(v, t, p))) =>
+        add(v, t, p, x)
+      case _ => ()
+    }
+    w.foreach(conj)
+    out.toMap
+  }
+
+  /** Semi-join a variable-seed frame into `df` on vid column `v`.
+    * Type-guarded like hintTypeOk: only same-family pairings (string/
+    * string, integral/integral) — anything else is not a safe
+    * pre-filter and is skipped (the WHERE decides). */
+  private def applyColSeed(df: DataFrame, v: String,
+                           seed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val vt = df.schema.find(_.name == v).map(_.dataType)
+    val ok = (vt, seed.schema.head.dataType) match {
+      case (Some(StringType), StringType) => true
+      case (Some(LongType | IntegerType), LongType | IntegerType) => true
+      case _ => false
+    }
+    if (!ok) df
+    else df.join(seed, col(v) === col("__seedv"), "left_semi")
+  }
+
+  /** Apply prop-equality seed filters for var `v` whose columns are
+    * bound in `df`; incompatible types or unbound tags are no-ops. */
+  private def applyPropSeeds(df: DataFrame, v: String,
+      hints: Map[String, Seq[(String, String, Any)]]): DataFrame = {
+    import org.apache.spark.sql.types._
+    hints.getOrElse(v, Nil).foldLeft(df) { case (d, (t, p, x)) =>
+      val c = s"${v}_${t}_$p"
+      val compatible = d.schema.find(_.name == c).map(_.dataType).exists {
+        case StringType => x.isInstanceOf[String]
+        case LongType | IntegerType | ShortType | DoubleType | FloatType =>
+          x.isInstanceOf[Long] || x.isInstanceOf[Int] ||
+            x.isInstanceOf[Double]
+        case BooleanType => x.isInstanceOf[Boolean]
+        case _ => false
+      }
+      if (compatible) d.filter(col(c) === lit(x)) else d
+    }
+  }
+
   private def execClauses(g: GraphCatalog, st: BState,
                           clauses: List[Clause],
                           binding0: DataFrame): DataFrame = {
@@ -2540,10 +2669,13 @@ object MatchSeg {
         }
       } else {
       val idHints = idSeedHints(cl.where)
+      val colSeeds = varSeedHints(st, cl.where, binding)
+      val propSeeds = propSeedHints(cl.where)
       // frame for this clause: its parts joined on shared vars
       var frame: DataFrame = null
       cl.parts.foreach { part =>
-        val pf = buildPart(g, st, part, idHints)
+        val pf = buildPart(g, st, part, idHints, colSeeds, propSeeds,
+          Seq(Option(frame), Option(binding)).flatten)
         frame =
           if (frame == null) pf
           else joinShared(st, frame, pf, joinType = "inner")

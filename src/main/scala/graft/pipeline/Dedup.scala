@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Ckpt.MatOps
 
 /** Deduplication operators for training-data pipelines: exact,
   * MinHash+LSH, SimHash, and n-gram Jaccard verification.
@@ -88,7 +89,7 @@ object Dedup {
     // array instead of re-deriving it (plan barrier vs CollapseProject)
     val shingled = docs.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleN)).as("sh"))
-      .localCheckpoint()
+      .mat()
     shingled.select(col("id"),
         minhashSignature(col("sh"), numHashes).as("sig"))
       .select(col("id"), explode(
@@ -114,7 +115,7 @@ object Dedup {
     val b = Similarity.capBuckets(
         lshBands(docs, idCol, textCol, numHashes, bands, shingleN),
         Seq("band", "band_hash"), maxBucket)
-      .localCheckpoint()
+      .mat()
     val l = b.select(col("band"), col("band_hash"), col("id").as("a"))
     val r = b.select(col("band"), col("band_hash"), col("id").as("b"))
     l.join(r, Seq("band", "band_hash"))
@@ -130,7 +131,7 @@ object Dedup {
     // shingle lists are joined twice (a-side and b-side) — compute once
     val sh = docs.select(col(idCol).as("__id"),
       array_distinct(shingles(col(textCol), shingleN)).as("__sh"))
-      .localCheckpoint()
+      .mat()
     pairs
       .join(sh.withColumnRenamed("__id", "a").withColumnRenamed("__sh", "sha"), Seq("a"))
       .join(sh.withColumnRenamed("__id", "b").withColumnRenamed("__sh", "shb"), Seq("b"))
@@ -151,7 +152,7 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val shingled = docs.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleN)).as("sh"))
-      .localCheckpoint()
+      .mat()
     val b = Similarity.capBuckets(shingled
       .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
       .select(col("id"), explode(
@@ -163,7 +164,7 @@ object Dedup {
               .as("band_hash")))).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash")),
       Seq("band", "band_hash"), maxBucket)
-      .localCheckpoint()
+      .mat()
     val cands = b.select(col("band"), col("band_hash"), col("id").as("a"))
       .join(b.select(col("band"), col("band_hash"), col("id").as("b")),
         Seq("band", "band_hash"))

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Ckpt.MatOps
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * language ID, quality scoring, token counting, fingerprinting.
@@ -136,7 +137,7 @@ object TextAnalysis {
       .withColumn("__pid", spark_partition_id())
     val w = Window.partitionBy("__pid").orderBy("doc_id")
     val local = parts.withColumn("__lcum", sum("tokens").over(w))
-      .localCheckpoint() // scanned twice: partition totals + row pass
+      .mat() // scanned twice: partition totals + row pass
     val totals = local.groupBy("__pid").agg(sum("tokens").as("pt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offMap: Map[Int, Long] = {

@@ -213,6 +213,21 @@ object LdbcQueries {
         |       w.workFrom AS organizationWorkFromYear
         |ORDER BY organizationWorkFromYear ASC, personId ASC, organizationName DESC
         |LIMIT 10""".stripMargin),
+    // IC-style two-phase read: a first MATCH collects the friend ids,
+    // a WITH pipes them as a plain column, and the second MATCH is
+    // seeded FROM that variable (`id(p) == fid`) — the reference's
+    // VariableVertexIdSeek (PlannersRegister.cpp:94-118). Exercises
+    // the variable-seed pushdown: the Person scan of clause 2 must
+    // prune to the piped id set before the HAS_CREATOR expansion.
+    "q_ldbc_varseed" -> q(
+      """MATCH (n:Person)-[:KNOWS]-(f:Person)
+        |WHERE id(n) == "per:42"
+        |WITH DISTINCT id(f) AS fid
+        |MATCH (p:Person)<-[:HAS_CREATOR]-(m:Message)
+        |WHERE id(p) == fid
+        |RETURN p.Person.id AS personId, m.Message.id AS messageId,
+        |       m.Message.creationDate AS creationDate
+        |ORDER BY creationDate DESC, messageId ASC LIMIT 20""".stripMargin),
     // BI4 shape: popular topics among messages created in a country
     "q_ldbc_bi4" -> q(
       """MATCH (tg:Tag)<-[:HAS_TAG]-(m:Message)-[:HAS_CREATOR]->(p:Person)-[:IS_LOCATED_IN]->(c:Place)
@@ -352,6 +367,13 @@ object LdbcQueries {
         |ORDER BY organizationWorkFromYear ASC, personId ASC,
         |         organizationName DESC
         |LIMIT 10""".stripMargin),
+    "q_ldbc_varseed" -> (ldbcCte + """
+        |SELECT p.id AS personId, m.id AS messageId,
+        |       m.creationDate AS creationDate
+        |FROM (SELECT DISTINCT dst FROM K WHERE src = 42) f
+        |JOIN PERSON p ON p.id = f.dst
+        |JOIN MSG m ON m.creator = p.id
+        |ORDER BY creationDate DESC, messageId ASC LIMIT 20""".stripMargin),
     "q_ldbc_bi4" -> (ldbcCte + """
         |SELECT p_name AS topic, count(*) AS cnt
         |FROM MSGTAG mt

@@ -2,6 +2,7 @@ package graft.traverse
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Ckpt.MatOps
 
 /** Iterative graph-expansion library: the Spark-first re-expression of the
   * reference's traversal operators (SURVEY.md §2.1/§2.5):
@@ -23,12 +24,14 @@ import org.apache.spark.sql.functions._
   *    edges, Query.h:1423-1432).
   *
   * Scale posture — how each step stays sane at 100 TB:
-  *  - Every step ends in `localCheckpoint()` (eager): the frontier is
-  *    materialized and the logical plan is truncated, so step N's plan is
-  *    one join deep, not N joins deep. Without this the plan grows
-  *    super-linearly and re-derives the whole history each step (the
-  *    round-1 bug). On a multi-executor cluster swap `localCheckpoint`
-  *    for `checkpoint` on a reliable store if executor loss matters.
+  *  - Every step ends in an eager materialization (`Ckpt.mat`): the
+  *    frontier is materialized and the logical plan is truncated, so
+  *    step N's plan is one join deep, not N joins deep. Without this
+  *    the plan grows super-linearly and re-derives the whole history
+  *    each step (the round-1 bug). On a multi-executor cluster set
+  *    `spark.graft.checkpointDir` to reliable storage and the same
+  *    sites become durable `checkpoint()`s that survive executor loss
+  *    (see graft.Ckpt; exercised by tools.LocalClusterCheck).
   *  - The frontier count (an action) runs against the materialized
   *    blocks, which is cheap, and drives an explicit `broadcast()` hint
   *    when the frontier is small — so hop joins against a big edge table
@@ -70,7 +73,7 @@ object Traverse {
   /** Materialize a frontier: truncate lineage + return (df, rowCount).
     * The count doubles as the loop's empty-check and broadcast signal. */
   private def materialize(df: DataFrame): (DataFrame, Long) = {
-    val mat = df.localCheckpoint() // eager
+    val mat = df.mat() // eager; durable when spark.graft.checkpointDir set
     (mat, mat.count())
   }
 
@@ -95,7 +98,10 @@ object Traverse {
     * the block manager and later iterative queries thrash. Only call
     * on frames whose rows are SUPERSEDED (copied into a newer
     * checkpoint or no longer part of any result lineage): a freed
-    * checkpoint cannot be recomputed. */
+    * LOCAL checkpoint cannot be recomputed. Under the reliable mode
+    * (spark.graft.checkpointDir set — see graft.Ckpt) freeing is
+    * always recoverable: unpersist only drops the cache over the
+    * checkpoint files. */
   def freeCheckpoint(df: DataFrame): Unit =
     try {
       df.queryExecution.analyzed.foreach {
@@ -380,7 +386,7 @@ object Traverse {
     }
     // reach set is bounded by the n-hop neighborhood — checkpoint once
     // and gate its broadcast like every other reach-set join
-    val vmat = verts.localCheckpoint()
+    val vmat = verts.mat()
     val vcount = vmat.count()
     val ekey = Seq("ss", "sd", "etype", "rank")
     val emitted = oriented
@@ -390,7 +396,7 @@ object Traverse {
         col("dst") === col("__dv"), "left_semi")
       .groupBy(ekey.map(col): _*)
       .agg(min(col("__sstep")).as("step"))
-      .localCheckpoint() // materialize so the caller can release its cache
+      .mat() // materialize so the caller can release its cache
     (vmat, emitted)
   }
 
@@ -398,7 +404,7 @@ object Traverse {
                dir: Direction = Both): SubgraphResult = {
     val verts = shortestDistances(seeds.select("vid").distinct(), edges, n, dir)
       .groupBy("vid").agg(min("dist").as("depth"))
-      .localCheckpoint()
+      .mat()
     // Gate the reach-set broadcast: a multi-million-vertex reach set at
     // 100× scale must shuffle-join, not broadcast (same rule as the hop
     // joins). verts is checkpointed, so the count is cheap.

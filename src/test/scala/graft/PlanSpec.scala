@@ -111,11 +111,15 @@ class PlanSpec extends SparkSpec {
       val text = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(f)), java.nio.charset.StandardCharsets.UTF_8)
       text.linesIterator.zipWithIndex.foreach { case (l, i) =>
-        assert(!(l.contains("edgesWithProps") && l.contains("localCheckpoint")),
+        assert(!(l.contains("edgesWithProps") &&
+            (l.contains("localCheckpoint") || l.contains(".mat()"))),
           s"$f:${i + 1} eagerly checkpoints a base edge table")
       }
-      assert(!text.contains("orient(base, rel.dir).localCheckpoint"),
-        s"$f checkpoints the oriented base edge table")
+      Seq("orient(base, rel.dir).localCheckpoint",
+          "orient(base, rel.dir).mat(").foreach { bad =>
+        assert(!text.contains(bad),
+          s"$f checkpoints the oriented base edge table")
+      }
     }
   }
 
@@ -157,6 +161,44 @@ class PlanSpec extends SparkSpec {
       s"triangle plan went cartesian:\n${plan.take(3000)}")
     assert(plan.contains("partial_count"),
       s"per-corner count not map-side combined:\n${plan.take(3000)}")
+  }
+
+  private def scannedPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+
+  test("re-bound MATCH var seeds from the prior binding, not an all-vertex scan") {
+    assume(have)
+    // `(a)` in the second clause is already bound — the seed must come
+    // from the first clause's frame, NOT g.allVertices (a 6-table
+    // union whose branches can't be pruned at plan time). part/region
+    // tables are unrelated to both clauses AND to the in_nation edge
+    // derivation (which does read supplier): any scan of them is the
+    // O(V) re-seek regression.
+    val df = graft.nql.Gql.run(graft.graph.GraphModel(spark, dir),
+      """MATCH (a:customer)-[:placed]->(o:order)
+        |MATCH (a)-[:in_nation]->(n:nation)
+        |RETURN id(a) AS c, n.nation.name AS nation LIMIT 5""".stripMargin)
+    val paths = scannedPaths(df)
+    assert(paths.nonEmpty, "expected parquet scans in the plan")
+    Seq("part.parquet", "region.parquet").foreach { t =>
+      assert(!paths.exists(_.contains(t)),
+        s"re-bound var re-seeked ALL vertices (scans $t):\n${paths.mkString("\n")}")
+    }
+  }
+
+  test("variable id() seed prunes the second MATCH with a semi join") {
+    assume(have)
+    val df = SparkEntry.queries("q_ldbc_varseed")(spark, dir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"variable seed did not become a semi-join pre-filter:\n${plan.take(3000)}")
   }
 
   test("jaccard: pair join is an equi join on the shared neighbor, no cartesian") {
