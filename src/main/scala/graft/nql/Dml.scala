@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 import graft.graph.{GraphCatalog, ScenarioCatalog}
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
+import graft.Ckpt.MatOps
 
 /** A DML/DDL statement violated the reference's semantic or execution
   * rules (wrong arity, unknown prop, type mismatch, missing key) —
@@ -88,6 +89,12 @@ object Dml {
   case class DropFulltext(index: String) extends DStmt
   case object ShowFulltext extends DStmt
   case object ShowSpaces extends DStmt
+  /** SHOW HOSTS — the read-only admin listing
+    * (ShowHostsExecutor.cpp): a library has exactly one "host", the
+    * local Spark session, reported ONLINE. Schema matches the
+    * reference's 7 columns so parser/Example.feature's regex golden
+    * binds. */
+  case object ShowHosts extends DStmt
   /** CREATE SPACE / USE / CREATE INDEX / REBUILD / SHOW ... — parsed
     * and ignored (no cluster to administer; LOOKUP needs no index). */
   case class AdminNoop(kind: String) extends DStmt
@@ -562,6 +569,12 @@ object Dml {
         p.next(); p.next()
         p.expectKw("INDEXES")
         ShowFulltext
+      } else if (p.ts.lift(1).exists {
+            case Word(w) => w.equalsIgnoreCase("hosts")
+            case _ => false
+          }) {
+        p.next(); p.next()
+        ShowHosts
       } else
         // other SHOW output shapes (meta listings) are out of surface —
         // unsupported, so golden-bearing SHOW steps skip instead of
@@ -1770,7 +1783,7 @@ object Dml {
         // materialized before the table swap (may read the very
         // parquet files the update rewrites)
         val ids = src.select(col(src.columns.head).cast(vidDt).as("vid"))
-          .localCheckpoint(true)
+          .mat()
         val whenC = when.map(w => Expr.compile(w, setResolver(tag)))
           .getOrElse(lit(true))
         val assigns = sets.map { case (p, e) =>
@@ -1823,7 +1836,7 @@ object Dml {
           col(sr.colName).cast(vidDt).as("src"),
           col(dr.colName).cast(vidDt).as("dst"),
           rr.map(x => col(x.colName).cast(LongType))
-            .getOrElse(lit(0L)).as("rank")).localCheckpoint(true)
+            .getOrElse(lit(0L)).as("rank")).mat()
         val whenC = when.map(w => Expr.compile(w, setResolver(etype)))
           .getOrElse(lit(true))
         val assigns = sets.map { case (p, e) =>
@@ -1870,11 +1883,11 @@ object Dml {
           case Some(InRef(None, c)) =>
             input.getOrElse(throw new IllegalArgumentException(
               "DELETE VERTEX $-. needs a pipe")).select(col(c).as("vid"))
-              .localCheckpoint(true)
+              .mat()
           case Some(InRef(Some(v), c)) =>
             env.getOrElse(v, throw new IllegalArgumentException(
               s"undefined $$$v")).select(col(c).as("vid"))
-              .localCheckpoint(true)
+              .mat()
           case None =>
             spark.createDataFrame(
               vids.map(v => Row(vid(v))).asJava,
@@ -1905,7 +1918,7 @@ object Dml {
               col(dr.colName).as("dst"),
               rr.map(r => col(r.colName).cast("long"))
                 .getOrElse(lit(0L)).as("rank"))
-              .localCheckpoint(true) // decouple from the files we swap
+              .mat() // decouple from the files we swap
           case None =>
             spark.createDataFrame(
               keys.map { case (s, d2, r) =>
@@ -2193,6 +2206,21 @@ object Dml {
         }
         if (g.currentSpace.contains(name)) g.currentSpace = None
         emptyOk(spark)
+      case ShowHosts =>
+        // one static row: the library's "cluster" is this Spark
+        // session. Host/port render from the driver; the partition
+        // columns are meaningless without storaged and render the
+        // reference's empty-distribution string.
+        val schemaH = StructType(Seq(
+          StructField("Host", StringType), StructField("Port", LongType),
+          StructField("Status", StringType),
+          StructField("Leader count", LongType),
+          StructField("Leader distribution", StringType),
+          StructField("Partition distribution", StringType),
+          StructField("Version", StringType)))
+        spark.createDataFrame(Seq(Row("localhost", 9669L, "ONLINE", 0L,
+          "No valid partition", "No valid partition",
+          org.apache.spark.SPARK_VERSION)).asJava, schemaH)
       case ShowSpaces =>
         // fixture spaces have no registry; the scenario catalog lists
         // its CREATE SPACE entries (listing only — success assertion)

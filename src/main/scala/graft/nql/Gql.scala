@@ -1064,6 +1064,42 @@ object Gql {
     last
   }
 
+  /** Reference-graphd batch semantics for the TCK's `try to execute
+    * query`: statements run sequentially, execution stops at the FIRST
+    * failing statement, and the successful prefix KEEPS its effects —
+    * the harness swallows the error. Genuine execution rejects
+    * (DmlError, semantic IllegalArgumentException) halt-and-swallow;
+    * unsupported-surface rejects and schema gaps RETHROW so the runner
+    * can mark the scenario dead instead of faking the effect.
+    * Returns the last successful statement's frame (None when the
+    * first already failed). */
+  private[graft] def runScriptPrefix(g: GraphCatalog, query: String,
+      params: Map[String, String]): Option[DataFrame] = {
+    val stmts = parseScript(query, params)
+    val env = scala.collection.mutable.Map.empty[String, DataFrame]
+    var last: Option[DataFrame] = None
+    var halted = false
+    stmts.foreach { case (varName, stmt) =>
+      if (!halted) {
+        try {
+          varName.filter(env.contains).foreach(v =>
+            throw new IllegalArgumentException(s"variable `$v' already exists"))
+          val df = exec(g, stmt, env.toMap)
+          varName.foreach(env(_) = df)
+          last = Some(df)
+        } catch {
+          case _: DmlError => halted = true
+          case e: IllegalArgumentException =>
+            val msg = String.valueOf(e.getMessage)
+            if (msg.contains("unsupported") || msg.contains("unknown sentence") ||
+                msg.contains("bad pipe")) throw e
+            halted = true
+        }
+      }
+    }
+    last
+  }
+
   def exec(g: GraphCatalog, stmt: Stmt): DataFrame = exec(g, stmt, Map.empty)
 
   def exec(g: GraphCatalog, stmt: Stmt, env: Map[String, DataFrame]): DataFrame = {

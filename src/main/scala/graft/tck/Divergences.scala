@@ -42,9 +42,20 @@ object Divergences {
     * scenarios) is acceptance. */
   case object Accepted extends Expect
 
-  final case class Entry(query: String, expect: Expect, why: String) {
+  /** `unskippedOk`: the entry applies even to a NON-@skip scenario.
+    * Reserved for steps whose FEATURE TEXT is itself broken upstream
+    * (verifiable by reading the .feature file) — a golden no engine
+    * could reach because the query it belongs to is malformed in the
+    * source. Everything else must stay gated on @skip. */
+  final case class Entry(query: String, expect: Expect, why: String,
+                         unskippedOk: Boolean = false) {
     val key: String = Divergences.norm(query)
   }
+
+  /** Entry matching `q` that may pin a scenario with skip-state
+    * `skipped` (non-@skip scenarios only match unskippedOk entries). */
+  def findFor(q: String, skipped: Boolean): Option[Entry] =
+    find(q).filter(e => skipped || e.unskippedOk)
 
   def norm(q: String): String = q.replaceAll("\\s+", " ").trim
     .stripSuffix(";").trim
@@ -317,9 +328,33 @@ object Divergences {
       "316 + the 3 self-cycle pairs the reference's own passing " +
       "count(p)==14 scenario proves must be included"))
 
+  // ---- expression/TimeComputation.feature ------------------------------
+  // Scenario Outline "datetime add or subtract duration" (first of the
+  // two with that name), second query. The FEATURE TEXT itself is
+  // broken upstream: TimeComputation.feature:70 literally reads
+  // `WITH  as x,  as d` — the WITH items' expressions are missing from
+  // the file (an editing casualty; the sibling scenarios read
+  // `WITH datetime(...) as x, duration(<map>) as d`). The query is a
+  // syntax error in ANY engine, so the recorded golden is unreachable;
+  // the scenario is NOT @skip upstream, hence unskippedOk with the
+  // file-verifiable justification.
+  private val timeComputationBroken = Seq(Entry(
+    "WITH as x, as d RETURN datetime('1984-10-11T12:31:14') + " +
+      "duration({years: 12, months: 5, days: 14, hours: 16, " +
+      "minutes: 12, seconds: 70}) AS sum, " +
+      "datetime('1984-10-11T12:31:14') - " +
+      "duration({years: 12, months: 5, days: 14, hours: 16, " +
+      "minutes: 12, seconds: 70}) AS diff",
+    Rejected,
+    "upstream feature text is malformed (TimeComputation.feature:70 " +
+      "`WITH  as x,  as d` — the WITH expressions are missing from the " +
+      "file), so the query cannot parse in any engine and the golden " +
+      "is unreachable; we reject at parse",
+    unskippedOk = true))
+
   val entries: Seq[Entry] = vlpScope ++ vlpWhere ++ goCaps ++
     pipeLookup ++ withMatch ++ pushFilter ++ yieldMistake ++ path3Len ++
-    uuidFetch ++ singleShortest
+    uuidFetch ++ singleShortest ++ timeComputationBroken
 
   private val byKey: Map[String, Entry] =
     entries.map(e => e.key -> e).toMap

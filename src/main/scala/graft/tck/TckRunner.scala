@@ -198,7 +198,11 @@ object TckRunner {
           queryBlock(lines, i) match {
             case Some((q, next)) =>
               var j = next
-              while (j < until && lines(j).trim.isEmpty) j += 1
+              // a `# comment` line may sit between the query block and
+              // its Then (Ddl.feature's upstream-issue note) — skip it
+              // like blank lines or the Then is silently missed
+              while (j < until && (lines(j).trim.isEmpty ||
+                  lines(j).trim.startsWith("#"))) j += 1
               val thenLine = if (j < until) lines(j).trim else ""
               if (thenLine.startsWith("Then the result should be") ||
                   thenLine.startsWith("Then the result should contain")) {
@@ -1152,23 +1156,38 @@ object TckRunner {
             expect match {
               case _ if dead =>
                 skip1(q, "scenario dead: an earlier step hit unsupported surface")
-              case ESuccess =>
-                // a successful run of the statement IS the scenario's
-                // expectation — counted, so success-only features
-                // (most of bugfix/) contribute evidence
-                try { Gql.runScript(cat, q, sc.params).count(); executed += 1; passed += 1 }
-                catch {
-                  // unsupported surface kills the scenario even in
-                  // try-mode (the statement's EFFECT is missing);
-                  // try-mode only tolerates execution-level rejects
+              case ESuccess if tryMode =>
+                // `try to execute query`: reference graphd runs the
+                // batch statement-by-statement and stops at the first
+                // failure with the prefix's effects kept; the harness
+                // swallows the error (Insert.feature's mixed-validity
+                // batches). Unsupported surface still kills the
+                // scenario — the statement's EFFECT is missing.
+                try {
+                  Gql.runScriptPrefix(cat, q, sc.params).foreach(_.count())
+                  executed += 1; passed += 1
+                } catch {
                   case e: IllegalArgumentException =>
                     died(q, e)
                     skip1(q, s"unsupported surface: ${String.valueOf(e.getMessage).take(120)}")
                   case e: org.apache.spark.sql.AnalysisException =>
                     died(q, e)
                     skip1(q, s"schema gap: ${String.valueOf(e.getMessage).take(120)}")
-                  case _ if tryMode =>
+                  case _: Exception =>
                     skip1(q, "try-mode statement failed (tolerated)")
+                }
+              case ESuccess =>
+                // a successful run of the statement IS the scenario's
+                // expectation — counted, so success-only features
+                // (most of bugfix/) contribute evidence
+                try { Gql.runScript(cat, q, sc.params).count(); executed += 1; passed += 1 }
+                catch {
+                  case e: IllegalArgumentException =>
+                    died(q, e)
+                    skip1(q, s"unsupported surface: ${String.valueOf(e.getMessage).take(120)}")
+                  case e: org.apache.spark.sql.AnalysisException =>
+                    died(q, e)
+                    skip1(q, s"schema gap: ${String.valueOf(e.getMessage).take(120)}")
                   case e: graft.nql.DmlError =>
                     dead = true
                     errors += q -> s"DmlError: ${e.getMessage}"
@@ -1188,7 +1207,7 @@ object TckRunner {
                   // adjudicated-Accepted step in an @skip scenario:
                   // the demanded error is a reference TODO, not its
                   // current behavior — acceptance IS parity
-                  if (sc.skip && Divergences.find(q)
+                  if (Divergences.findFor(q, sc.skip)
                       .exists(_.expect == Divergences.Accepted)) {
                     executed += 1; diverged += 1
                   } else {
@@ -1240,7 +1259,7 @@ object TckRunner {
                     parseWhy = String.valueOf(ex.getMessage); None }
                 parsed match {
                   case None =>
-                    if (sc.skip && Divergences.find(q)
+                    if (Divergences.findFor(q, sc.skip)
                         .exists(_.expect == Divergences.Rejected)) {
                       executed += 1; diverged += 1
                     } else {
@@ -1276,7 +1295,7 @@ object TckRunner {
                       else {
                         // adjudicated wrong-golden in an upstream-@skip
                         // scenario: pin to OUR expected result instead
-                        val adj = if (sc.skip) Divergences.find(q) else None
+                        val adj = Divergences.findFor(q, sc.skip)
                         val pinned = adj.exists { e =>
                           e.expect match {
                             case Divergences.NonEmpty => got.nonEmpty
@@ -1300,7 +1319,7 @@ object TckRunner {
                         // an adjudicated-Rejected step: our reject IS
                         // the pinned behavior (reference validator
                         // rejects the same surface; golden unverified)
-                        if (sc.skip && Divergences.find(q)
+                        if (Divergences.findFor(q, sc.skip)
                             .exists(_.expect == Divergences.Rejected)) {
                           executed += 1; diverged += 1
                         } else {
