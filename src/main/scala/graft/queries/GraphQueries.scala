@@ -81,6 +81,21 @@ object GraphQueries {
         .select("origin", "src", "dst", "etype", "rank", "step")
     }),
 
+    // Bucketed-store 2-hop expansion: the edge set is written once as
+    // a bucketed layout (GraphStore — hash(vid) partitioning baked
+    // into the files, NebulaKeyUtils.h:58-111) and the whole-graph
+    // 2-hop join then runs with ZERO shuffle of the edge tables
+    // (PlanSpec asserts no Exchange). At 100 TB this is the difference
+    // between shuffling the edge set per hop and never shuffling it.
+    "q_bucketed_go" -> ((s, dir) => {
+      import graft.sources.GraphStore
+      val g = gm(s, dir)
+      val store = java.nio.file.Files.createTempDirectory("graft-gstore")
+      GraphStore.write(g.edges, g.vertices, "gstore", store.toString, 32)
+      GraphStore.twoHop(s, "gstore")
+        .groupBy("etype1", "etype2").agg(count(lit(1)).as("cnt"))
+    }),
+
     // GO ... REVERSELY (GoPlanner REVERSELY wiring)
     "q_go_rev" -> ((s, dir) => {
       val g = gm(s, dir)
@@ -316,6 +331,11 @@ object GraphQueries {
         |  SELECT r.origin, e.dst, r.step + 1 FROM r JOIN E e ON e.src = r.vid WHERE r.step < 2
         |)
         |SELECT origin, vid, step FROM r WHERE step >= 1""".stripMargin,
+    "q_bucketed_go" ->
+      s"""WITH $edgesCte
+        |SELECT e1.etype AS etype1, e2.etype AS etype2, count(*) AS cnt
+        |FROM E e1 JOIN E e2 ON e1.dst = e2.src
+        |GROUP BY 1, 2""".stripMargin,
     "q_go_rev" ->
       """SELECT DISTINCT 's:' || l_suppkey AS origin, 'o:' || l_orderkey AS vid, 1 AS step
         |FROM lineitem WHERE l_suppkey <= 5""".stripMargin,

@@ -213,6 +213,39 @@ object LdbcQueries {
         |       w.workFrom AS organizationWorkFromYear
         |ORDER BY organizationWorkFromYear ASC, personId ASC, organizationName DESC
         |LIMIT 10""".stripMargin),
+    // IC3 shape: friends ≤2 hops located in a given country, ranked by
+    // their message output. The second MATCH re-uses the bound `f` —
+    // the bound-var re-seek path (seeds from clause 1's binding, not an
+    // O(V) all-vertex scan).
+    "q_ldbc_ic3" -> q(
+      """MATCH (n:Person)-[:KNOWS*1..2]-(f:Person)-[:IS_LOCATED_IN]->(pl:Place)
+        |WHERE id(n) == "per:42" AND id(f) != id(n) AND pl.Place.name == "NATION_2"
+        |WITH DISTINCT f
+        |MATCH (f)<-[:HAS_CREATOR]-(m:Message)
+        |RETURN f.Person.id AS personId, count(*) AS msgCount
+        |ORDER BY msgCount DESC, personId ASC LIMIT 20""".stripMargin),
+    // IC6 shape: tags co-occurring with a given tag on friends' messages
+    "q_ldbc_ic6" -> q(
+      """MATCH (n:Person)-[:KNOWS*1..2]-(f:Person)<-[:HAS_CREATOR]-(m:Message)-[:HAS_TAG]->(t1:Tag)
+        |WHERE id(n) == "per:42" AND id(f) != id(n) AND id(t1) == "tag:5"
+        |WITH DISTINCT m
+        |MATCH (m)-[:HAS_TAG]->(t2:Tag)
+        |WHERE id(t2) != "tag:5"
+        |RETURN t2.Tag.name AS tagName, count(*) AS postCount
+        |ORDER BY postCount DESC, tagName ASC LIMIT 10""".stripMargin),
+    // IC8 shape: recent replies to any of a person's messages
+    "q_ldbc_ic8" -> q(
+      """MATCH (n:Person)<-[:HAS_CREATOR]-(m:Message)<-[:REPLY_OF]-(c:Comment)-[:HAS_CREATOR]->(p:Person)
+        |WHERE id(n) == "per:42"
+        |RETURN p.Person.id AS replyAuthorId, c.Comment.id AS commentId,
+        |       c.Comment.creationDate AS commentDate
+        |ORDER BY commentDate DESC, commentId ASC LIMIT 20""".stripMargin),
+    // IC13 shape: shortest KNOWS path length between two persons —
+    // the shortestPath() MATCH surface inside a workload query
+    "q_ldbc_ic13" -> q(
+      """MATCH pth = shortestPath((a:Person)-[:KNOWS*..15]-(b:Person))
+        |WHERE id(a) == "per:42" AND id(b) == "per:87"
+        |RETURN length(pth) AS shortestPathLength""".stripMargin),
     // IC-style two-phase read: a first MATCH collects the friend ids,
     // a WITH pipes them as a plain column, and the second MATCH is
     // seeded FROM that variable (`id(p) == fid`) — the reference's
@@ -367,6 +400,62 @@ object LdbcQueries {
         |ORDER BY organizationWorkFromYear ASC, personId ASC,
         |         organizationName DESC
         |LIMIT 10""".stripMargin),
+    "q_ldbc_ic3" -> (ldbcCte + """,
+        |FOF AS (
+        |  SELECT DISTINCT dst FROM (
+        |    SELECT dst FROM K WHERE src = 42
+        |    UNION ALL
+        |    SELECT k2.dst FROM K k1 JOIN K k2 ON k2.src = k1.dst
+        |    WHERE k1.src = 42)
+        |  WHERE dst <> 42
+        |)
+        |SELECT f.dst AS personId, count(*) AS msgCount
+        |FROM FOF f
+        |JOIN PERSON p ON p.id = f.dst
+        |JOIN nation ON n_nationkey = p.placeId
+        |JOIN MSG m ON m.creator = f.dst
+        |WHERE n_name = 'NATION_2'
+        |GROUP BY f.dst
+        |ORDER BY msgCount DESC, personId ASC LIMIT 20""".stripMargin),
+    "q_ldbc_ic6" -> (ldbcCte + """,
+        |FOF AS (
+        |  SELECT DISTINCT dst FROM (
+        |    SELECT dst FROM K WHERE src = 42
+        |    UNION ALL
+        |    SELECT k2.dst FROM K k1 JOIN K k2 ON k2.src = k1.dst
+        |    WHERE k1.src = 42)
+        |  WHERE dst <> 42
+        |),
+        |M5 AS (
+        |  SELECT DISTINCT m.id FROM FOF f
+        |  JOIN MSG m ON m.creator = f.dst
+        |  JOIN MSGTAG mt ON mt.msg = m.id
+        |  WHERE mt.tag = 5
+        |)
+        |SELECT p_name AS tagName, count(*) AS postCount
+        |FROM M5 JOIN MSGTAG mt ON mt.msg = M5.id
+        |JOIN part ON p_partkey = mt.tag
+        |WHERE mt.tag <> 5
+        |GROUP BY p_name
+        |ORDER BY postCount DESC, tagName ASC LIMIT 10""".stripMargin),
+    "q_ldbc_ic8" -> (ldbcCte + """
+        |SELECT c.creator AS replyAuthorId, c.id AS commentId,
+        |       c.creationDate AS commentDate
+        |FROM MSG m JOIN CMT c ON c.replyOf = m.id
+        |WHERE m.creator = 42
+        |ORDER BY commentDate DESC, commentId ASC LIMIT 20""".stripMargin),
+    "q_ldbc_ic13" -> (ldbcCte + """,
+        |B AS (
+        |  WITH RECURSIVE R(v, d) AS (
+        |    SELECT 42, 0
+        |    UNION
+        |    SELECT k.dst, R.d + 1 FROM R JOIN K k ON k.src = R.v
+        |    WHERE R.d < 15
+        |  ) SELECT v, d FROM R
+        |)
+        |SELECT CAST(min(d) AS BIGINT) AS shortestPathLength
+        |FROM B WHERE v = 87
+        |HAVING count(*) > 0""".stripMargin),
     "q_ldbc_varseed" -> (ldbcCte + """
         |SELECT p.id AS personId, m.id AS messageId,
         |       m.creationDate AS creationDate
