@@ -215,6 +215,23 @@ object Similarity {
   def bandSignatures(vec: Column, bands: Int, r: Int, dims: Int): Column =
     graft.functions.SignSketch.bandSignatures(vec, bands, r, dims)
 
+  /** The planesPerBand dial, as a function: the smallest plane count
+    * that keeps the EXPECTED per-band bucket population at or below
+    * `targetBucket` for an N-row corpus (buckets ~ N/2^planes), with a
+    * floor so tiny corpora keep useful signatures. Candidate-pair cost
+    * within a bucket is quadratic in its population, so holding the
+    * population constant as N grows is what keeps total candidate
+    * count near-linear — at sf3 (60 k vectors) the fixed 12-plane
+    * setting measured superlinear (SCALE.md round-10 table) and this
+    * formula prescribes the 14+ planes that restore the linear regime.
+    * More planes lower recall (1-(1-p^r)^bands), so raise `bands`
+    * alongside when recall matters. */
+  def planesForCorpus(n: Long, targetBucket: Int = 16,
+                      minPlanes: Int = 8): Int =
+    math.max(minPlanes,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(2.0)).toInt)
+
   /** BANDED near-dup: OR-amplified sign-LSH. `bands` independent
     * signature tables of `planesPerBand` planes each; candidates are
     * pairs sharing ANY band's bucket, verified by exact cosine.

@@ -86,6 +86,41 @@ object SurfaceQueries {
       s.table("q_stream_window_sink")
     }),
 
+    // Streaming graph mutation ingest (GraphIngest): a parquet landing
+    // dir of (op, src, dst, rank, props) mutation events drains through
+    // foreachBatch into a KeyedTable (staged, idempotent merges), and
+    // the ingested edge table then serves the ordinary GO surface. The
+    // online-write path of the reference (INSERT/DELETE statements) as
+    // a checkpointed stream.
+    "q_stream_ingest" -> ((s, dir) => {
+      import graft.streaming.GraphIngest
+      import graft.traverse.Traverse
+      val root = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+      val landing = s"$root/landing"
+      val orders = Tables.load(s, dir, "orders")
+      def mut(op: String, filt: org.apache.spark.sql.Column) =
+        orders.filter(filt).select(lit(op).as("op"),
+          concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("o:"), col("o_orderkey")).as("dst"),
+          lit(0L).as("rank"),
+          col("o_totalprice").as("totalprice"))
+      // landing file wave 1: insert placed-edges for orderkey % 3 == 0;
+      // wave 2: insert % 3 == 1 and delete % 6 == 0 (half of wave 1)
+      mut("insert", pmod(col("o_orderkey"), lit(3)) === 0)
+        .write.mode("append").parquet(landing)
+      mut("insert", pmod(col("o_orderkey"), lit(3)) === 1)
+        .unionByName(mut("delete", pmod(col("o_orderkey"), lit(6)) === 0))
+        .write.mode("append").parquet(landing)
+      val table = Mutations.edgeTable(s, s"$root/edges")
+      GraphIngest.ingest(s, landing, schemaFrom = landing, table,
+        checkpointDir = s"$root/ckpt").awaitTermination()
+      // the ingested table is a first-class edge frame: 1-hop GO
+      val seeds = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") <= 20)
+        .select(concat(lit("c:"), col("c_custkey")).as("vid"))
+      Traverse.go(seeds, table.read, 1, 1)
+    }),
+
     // Event-time gap sessionization (session_window): registered in
     // batch mode — the SAME aggregation runs streaming (see
     // StreamingSpec) because session_window is an ordinary grouping
@@ -158,6 +193,15 @@ object SurfaceQueries {
       """SELECT upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2)) AS seg,
         |       floor(stddev_pop(c_acctbal) * 1000.0 + 0.5) / 1000.0 AS sd
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q_stream_ingest" ->
+      // final ingested edge set = wave-1 ∪ wave-2 inserts minus the
+      // wave-2 deletes, then the same 1-hop GO as q_go_1
+      """SELECT DISTINCT 'c:' || o_custkey AS origin,
+        |       'o:' || o_orderkey AS vid, 1 AS step
+        |FROM orders
+        |WHERE o_custkey <= 20
+        |  AND o_orderkey % 3 IN (0, 1)
+        |  AND o_orderkey % 6 <> 0""".stripMargin,
     "q_stream_sessions" ->
       // gap sessionization replay: a session breaks where the gap to
       // the previous event is >= 30 min (Spark merges strictly

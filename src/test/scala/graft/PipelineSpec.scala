@@ -139,6 +139,24 @@ class PipelineSpec extends SparkSpec {
     assert(b1.forall(b => b >= 0 && b < 16))
   }
 
+  test("planesForCorpus: expected bucket population stays ≤ target as N grows") {
+    // the dial that keeps banded LSH linear: buckets ~ N/2^planes
+    for (n <- Seq(1000L, 20000L, 60000L, 1000000L, 1000000000L)) {
+      val p = Similarity.planesForCorpus(n, targetBucket = 16)
+      assert(n.toDouble / math.pow(2, p) <= 16.0,
+        s"N=$n planes=$p leaves expected bucket > target")
+      assert(n.toDouble / math.pow(2, p) > 8.0 || p == 8,
+        s"N=$n planes=$p overshoots (wasted recall)")
+    }
+    // floor holds for tiny corpora
+    assert(Similarity.planesForCorpus(10) == 8)
+    // the dial grows with N (fixed planes is what went superlinear in
+    // the sf1→sf3 measurements): 20k→11, 60k→12, 600k→16 planes
+    assert(Similarity.planesForCorpus(20000L) == 11)
+    assert(Similarity.planesForCorpus(60000L) == 12)
+    assert(Similarity.planesForCorpus(600000L) == 16)
+  }
+
   test("lshBucket at production shape (dims=768, planes=16) keeps a constant-size plan") {
     // the unrolled per-term form was planes*dims expression nodes
     // (12k+ here, 260k at dims=4096/planes=64) — Catalyst planning

@@ -83,4 +83,35 @@ class StreamingSpec extends SparkSpec {
     assert(src.schema("ts").dataType ==
       org.apache.spark.sql.types.TimestampType)
   }
+
+  test("GraphIngest: ordered multi-batch mutation drain + replay idempotence") {
+    import graft.streaming.GraphIngest
+    import graft.operators.Mutations
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-spec")
+      .toString
+    val landing = s"$root/landing"
+    def mut(rows: (String, String, String)*) =
+      rows.map { case (op, s0, d0) => (op, s0, d0, 0L, 1.0) }
+        .toDF("op", "src", "dst", "rank", "w")
+    // wave 1 inserts a,b; wave 2 (a later file) deletes a, inserts c.
+    // maxFilesPerTrigger=1 forces one batch per file, oldest first —
+    // if the batches ran out of order, `a` would survive.
+    mut(("insert", "a", "x"), ("insert", "b", "x"))
+      .coalesce(1).write.mode("append").parquet(landing)
+    Thread.sleep(1000) // distinct mtimes → deterministic file order
+    mut(("delete", "a", "x"), ("insert", "c", "y"))
+      .coalesce(1).write.mode("append").parquet(landing)
+    val table = Mutations.edgeTable(spark, s"$root/edges")
+    val q = GraphIngest.ingest(spark, landing, schemaFrom = landing,
+      table, checkpointDir = s"$root/ckpt", maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    def srcs = table.read.select("src").as[String].collect().toSet
+    assert(srcs == Set("b", "c"), s"wrong final state: $srcs")
+    // replaying the last batch (crash-before-checkpoint-advance) must
+    // converge to the same table — the exactly-once-effective claim
+    GraphIngest.applyBatch(mut(("delete", "a", "x"), ("insert", "c", "y")),
+      table)
+    assert(srcs == Set("b", "c"), s"replay not idempotent: $srcs")
+  }
 }
