@@ -55,6 +55,16 @@ object PipelineQueries {
     "q_pack_chunks" -> ((s, dir) =>
       TA.packChunks(t(s, dir, "documents"), "doc_id", "text", 512L)),
 
+    // benchmark decontamination: flag corpus docs sharing any word
+    // 8-gram with the "eval set" (here: every 50th doc plays the
+    // benchmark) — broadcast deny-list, one corpus pass, map-side hit
+    // detection (Decontaminate.scala)
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.pipeline.Decontaminate.contaminationHits(
+        docs, docs.filter(pmod(col("doc_id"), lit(50)) === 0), 8)
+    }),
+
     // MinHash(16) + LSH(4 bands) near-dup pairs, Jaccard-verified ≥ 0.8
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.nearDupPairs(t(s, dir, "documents"), 0.8)
@@ -230,6 +240,15 @@ object PipelineQueries {
       s"""WITH $tkCte
          |SELECT doc_id, list_aggregate(list_transform(${shinglesSql(5)}, s -> md5(s)), 'min') AS fp
          |FROM tk""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH $tkCte,
+         |bg AS (SELECT DISTINCT unnest(${shinglesSql(8)}) AS g
+         |       FROM tk WHERE doc_id % 50 = 0),
+         |cg AS (SELECT DISTINCT doc_id, unnest(${shinglesSql(8)}) AS g
+         |       FROM tk)
+         |SELECT c.doc_id, count(*) AS n_bad_grams, min(c.g) AS first_gram
+         |FROM cg c JOIN bg ON c.g = bg.g
+         |GROUP BY c.doc_id""".stripMargin,
     "q_pack_chunks" ->
       s"""WITH $tkCte,
          |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS tokens FROM tk),

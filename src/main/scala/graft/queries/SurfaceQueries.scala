@@ -121,6 +121,40 @@ object SurfaceQueries {
       Traverse.go(seeds, table.read, 1, 1)
     }),
 
+    // Same mutation log through the LOG-STRUCTURED table (LogTable):
+    // per-batch cost is an O(batch) segment append (vs KeyedTable's
+    // O(table) rewrite), tombstoned deletes resolve at read by
+    // last-writer-wins, and maxFilesPerTrigger=1 + compactEvery=2
+    // exercise multi-batch ordering AND a mid-stream compaction.
+    "q_stream_ingest_log" -> ((s, dir) => {
+      import graft.streaming.GraphIngest
+      import graft.traverse.Traverse
+      val root = java.nio.file.Files.createTempDirectory("graft-ingestlog").toString
+      val landing = s"$root/landing"
+      val orders = Tables.load(s, dir, "orders")
+      def mut(op: String, filt: org.apache.spark.sql.Column) =
+        orders.filter(filt).select(lit(op).as("op"),
+          concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("o:"), col("o_orderkey")).as("dst"),
+          lit(0L).as("rank"),
+          col("o_totalprice").as("totalprice"))
+      mut("insert", pmod(col("o_orderkey"), lit(3)) === 0)
+        .coalesce(1).write.mode("append").parquet(landing)
+      Thread.sleep(1100) // distinct mtimes → deterministic batch order
+      mut("insert", pmod(col("o_orderkey"), lit(3)) === 1)
+        .unionByName(mut("delete", pmod(col("o_orderkey"), lit(6)) === 0))
+        .coalesce(1).write.mode("append").parquet(landing)
+      val table = graft.operators.LogTable(s, s"$root/edges",
+        Seq("src", "dst", "rank"))
+      GraphIngest.ingestLog(s, landing, schemaFrom = landing, table,
+        checkpointDir = s"$root/ckpt", maxFilesPerTrigger = 1,
+        compactEvery = 2).awaitTermination()
+      val seeds = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") <= 20)
+        .select(concat(lit("c:"), col("c_custkey")).as("vid"))
+      Traverse.go(seeds, table.read, 1, 1)
+    }),
+
     // Event-time gap sessionization (session_window): registered in
     // batch mode — the SAME aggregation runs streaming (see
     // StreamingSpec) because session_window is an ordinary grouping
@@ -196,6 +230,15 @@ object SurfaceQueries {
     "q_stream_ingest" ->
       // final ingested edge set = wave-1 ∪ wave-2 inserts minus the
       // wave-2 deletes, then the same 1-hop GO as q_go_1
+      """SELECT DISTINCT 'c:' || o_custkey AS origin,
+        |       'o:' || o_orderkey AS vid, 1 AS step
+        |FROM orders
+        |WHERE o_custkey <= 20
+        |  AND o_orderkey % 3 IN (0, 1)
+        |  AND o_orderkey % 6 <> 0""".stripMargin,
+    "q_stream_ingest_log" ->
+      // same final state as q_stream_ingest: LWW over the segment log
+      // equals inserts-minus-deletes here
       """SELECT DISTINCT 'c:' || o_custkey AS origin,
         |       'o:' || o_orderkey AS vid, 1 AS step
         |FROM orders

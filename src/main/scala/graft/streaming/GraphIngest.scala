@@ -67,6 +67,33 @@ object GraphIngest {
       .start()
   }
 
+  /** LogTable variant for high-churn streams: each microbatch APPENDS
+    * one immutable segment — O(batch) per batch instead of KeyedTable's
+    * O(table) staged rewrite — and every `compactEvery` batches the log
+    * folds into one segment to bound read amplification (the LSM
+    * cadence). Replay safety holds differently but equally: re-appending
+    * a batch creates a duplicate segment with identical rows, and
+    * last-writer-wins resolves it to the same state. */
+  def ingestLog(spark: SparkSession, landingDir: String, schemaFrom: String,
+                table: graft.operators.LogTable, checkpointDir: String,
+                maxFilesPerTrigger: Int = 0,
+                compactEvery: Int = 8): StreamingQuery = {
+    val schema = spark.read.parquet(schemaFrom).schema
+    var reader = spark.readStream.schema(schema)
+    if (maxFilesPerTrigger > 0)
+      reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    reader.parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        table.append(batch)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+          table.compact()
+      }
+      .start()
+  }
+
   /** One microbatch merge: inserts (minus the op column) upserted,
     * then deletes applied by key. Exposed for direct batch use and for
     * the spec's replay-idempotence check. */

@@ -139,6 +139,28 @@ class PipelineSpec extends SparkSpec {
     assert(b1.forall(b => b >= 0 && b < 16))
   }
 
+  test("decontaminate: docs sharing a benchmark n-gram are flagged, others kept") {
+    import graft.pipeline.Decontaminate
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // leaks the benchmark sentence verbatim inside other text
+      (1L, "intro text the quick brown fox jumps over the lazy dog outro"),
+      // shares words but no 8-gram
+      (2L, "the quick brown fox sat still and the lazy dog slept"),
+      (3L, "completely unrelated content about spark query planning"))
+      .toDF("doc_id", "text")
+    val hits = Decontaminate.contaminationHits(corpus, bench, 8)
+      .select("doc_id", "n_bad_grams")
+      .as[(Long, Long)].collect().toMap
+    assert(hits.keySet == Set(1L), s"wrong contamination set: $hits")
+    // doc 1 contains the full 9-token benchmark run → two 8-grams hit
+    assert(hits(1L) == 2L)
+    val kept = Decontaminate.clean(corpus, bench, 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("planesForCorpus: expected bucket population stays ≤ target as N grows") {
     // the dial that keeps banded LSH linear: buckets ~ N/2^planes
     for (n <- Seq(1000L, 20000L, 60000L, 1000000L, 1000000000L)) {

@@ -114,4 +114,29 @@ class StreamingSpec extends SparkSpec {
       table)
     assert(srcs == Set("b", "c"), s"replay not idempotent: $srcs")
   }
+
+  test("LogTable: segment appends, LWW read, tombstones, compaction") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft-logtable")
+      .toString
+    val t = LogTable(spark, s"$root/t", Seq("k"))
+    def batch(rows: (String, String, Int)*) =
+      rows.toDF("op", "k", "v")
+    t.append(batch(("insert", "a", 1), ("insert", "b", 1),
+      // same-batch insert+delete of one key: delete wins (statement
+      // order of a batched mutation script)
+      ("insert", "z", 9), ("delete", "z", 0)))
+    t.append(batch(("insert", "a", 2), ("delete", "b", 0),
+      ("insert", "c", 3)))
+    def state = t.read.select("k", "v").as[(String, Int)].collect().toMap
+    // a overwritten by seg 2, b tombstoned, z never visible
+    assert(state == Map("a" -> 2, "c" -> 3), s"bad LWW state: $state")
+    assert(t.segments.size == 2)
+    t.compact()
+    assert(t.segments.size == 1, s"compact left ${t.segments}")
+    assert(state == Map("a" -> 2, "c" -> 3), s"compaction changed state: $state")
+    // appends after compaction keep winning by sequence
+    t.append(batch(("delete", "a", 0)))
+    assert(state == Map("c" -> 3), s"post-compact delete lost: $state")
+  }
 }
