@@ -408,6 +408,26 @@ object GraphAlgos {
     out
   }
 
+  /** Closeness centrality of the `seeds` vertices (the reference
+    * ecosystem's ClosenessAlgo capability): per seed, BFS distances to
+    * everything reachable within `maxSteps`, then the classic
+    * within-component closeness (reached − 1) / Σ dist (0.0 for an
+    * isolated seed). Built on the same level-synchronous multi-origin
+    * BFS as FIND SHORTEST PATH (Traverse.shortestDistances): per-round
+    * frontier joins with visited anti-join, lineage truncated per step
+    * — one BFS pass covers ALL seeds simultaneously, so sampling k
+    * seeds costs one traversal, not k. */
+  def closeness(seeds: DataFrame, edges: DataFrame,
+                maxSteps: Int): DataFrame =
+    graft.traverse.Traverse.shortestDistances(seeds, edges, maxSteps)
+      .groupBy(col("origin").as("vid"))
+      .agg((count(lit(1)) - 1).as("reached"),
+        sum(col("dist")).cast("long").as("sum_dist"))
+      .select(col("vid"), col("reached"),
+        when(col("sum_dist") > 0,
+          col("reached").cast("double") / col("sum_dist"))
+          .otherwise(lit(0.0)).as("closeness"))
+
   /** Weighted single-source shortest distances, `iters` synchronous
     * Bellman-Ford rounds (distance = min over ≤iters-hop path sums, so
     * exact once iters ≥ diameter). Returns only reached vertices

@@ -58,6 +58,18 @@ object AlgoQueries {
     // oracle unrolls the same rounds as a CTE chain).
     "q_algo_kcore" -> ((s, dir) =>
       GraphAlgos.kCore(coPurchase(s, dir), k = 4, iters = 6)),
+    // closeness centrality of sampled seeds (ClosenessAlgo): one
+    // multi-origin BFS covers all 10 seeds, closeness =
+    // (reached-1)/sum(dist) within 4 hops
+    "q_algo_closeness" -> ((s, dir) => {
+      val g = gm(s, dir)
+      val seeds = g.customers
+        .filter(expr("CAST(substr(vid, 3, 10) AS BIGINT) <= 10"))
+        .select("vid")
+      GraphAlgos.closeness(seeds, g.edges, maxSteps = 4)
+        .select(col("vid"), col("reached"),
+          roundPortable(col("closeness"), 6).as("closeness"))
+    }),
     // 3 synchronous LPA rounds over the unified graph (most-frequent
     // neighbor label, ties -> min label).
     "q_algo_lpa" -> ((s, dir) => {
@@ -202,6 +214,23 @@ object AlgoQueries {
         |       ELSE (coalesce(tc.c, 0) * CAST(2 AS DOUBLE)) /
         |            (d.deg * (d.deg - 1)) END AS cc
         |FROM DEG d LEFT JOIN TC tc ON tc.vid = d.vid""".stripMargin,
+    "q_algo_closeness" ->
+      s"""WITH RECURSIVE ${GraphQueries.edgesCte},
+        |seeds AS (SELECT 'c:' || c_custkey AS vid FROM customer WHERE c_custkey <= 10),
+        |r(origin, vid, dist) AS (
+        |  SELECT vid, vid, 0 FROM seeds
+        |  UNION
+        |  SELECT r.origin, e.dst, r.dist + 1 FROM r JOIN E e ON e.src = r.vid WHERE r.dist < 4
+        |),
+        |md AS (SELECT origin, vid, MIN(dist) AS dist FROM r GROUP BY origin, vid),
+        |ag AS (SELECT origin AS vid, count(*) - 1 AS reached,
+        |              CAST(sum(dist) AS BIGINT) AS sum_dist
+        |       FROM md GROUP BY origin)
+        |SELECT vid, reached,
+        |  CASE WHEN sum_dist > 0
+        |       THEN floor((CAST(reached AS DOUBLE) / sum_dist) * 1000000.0 + 0.5) / 1000000.0
+        |       ELSE CAST(0.0 AS DOUBLE) END AS closeness
+        |FROM ag""".stripMargin,
     "q_algo_sssp" ->
       s"""WITH RECURSIVE ${GraphQueries.edgesCte},
         |EW AS (SELECT src, dst, CAST(rank + 1 AS DOUBLE) AS w FROM E),

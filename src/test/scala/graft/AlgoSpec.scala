@@ -121,6 +121,20 @@ class AlgoSpec extends SparkSpec {
     assert(out("a") != out("d"), s"bridge merged the triangles: $out")
   }
 
+  test("closeness: chain distances, isolated seed scores 0") {
+    import spark.implicits._
+    // a→b→c chain plus isolated seed z
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+      .withColumn("etype", lit("e")).withColumn("rank", lit(0L))
+    val seeds = Seq("a", "b", "z").toDF("vid")
+    val r = GraphAlgos.closeness(seeds, edges, maxSteps = 3)
+      .as[(String, Long, Double)].collect()
+      .map { case (v, n, c) => v -> ((n, c)) }.toMap
+    assert(r("a") == ((2L, 2.0 / 3.0))) // dists 1 + 2
+    assert(r("b") == ((1L, 1.0)))       // dist 1
+    assert(r("z") == ((0L, 0.0)))       // nothing reachable
+  }
+
   test("randomWalks: neighbor steps only, dead ends halt, reruns identical") {
     import spark.implicits._
     val edges = Seq("a" -> "b", "a" -> "c", "b" -> "d").toDF("src", "dst")
