@@ -428,6 +428,89 @@ object GraphAlgos {
           col("reached").cast("double") / col("sum_dist"))
           .otherwise(lit(0.0)).as("closeness"))
 
+  /** Betweenness centrality from a seed sample — exact Brandes
+    * restricted to paths originating at `seeds` (exact betweenness when
+    * seeds = all vertices; the standard sampled estimator otherwise —
+    * scale by |V|/|S| if an unbiased estimate is wanted). The
+    * capability twin of the reference ecosystem's BetweennessAlgo.
+    *
+    * Forward: one level-synchronous BFS covers ALL seeds at once,
+    * keeping each level's (origin, vid, sigma) frame — sigma is the
+    * shortest-path count, summed over predecessors (one join + one
+    * map-side-combined aggregation per level, lineage truncated).
+    * Backward: Brandes' dependency accumulation
+    * δ(v) = Σ_{w: succ} σ(v)/σ(w) · (1 + δ(w)), walked level by level
+    * from the deepest frontier back to level 1 (seeds excluded —
+    * Brandes sums δ_s(v) over v ≠ s). At most 2·maxSteps joins total;
+    * the per-level frames are ≤ maxSteps extra checkpoints, freed as
+    * the backward pass consumes them. Returns (vid, bc), rows only for
+    * vertices on at least one counted path. */
+  def betweenness(seeds: DataFrame, edges: DataFrame,
+                  maxSteps: Int): DataFrame = {
+    val e = edges.select("src", "dst").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ---- forward: BFS levels with path counts ----
+    var levels = Vector(
+      seeds.select(col("vid").as("origin"), col("vid"),
+        lit(1L).as("sigma")).mat())
+    var visited = levels.head.select("origin", "vid").mat()
+    var step = 1
+    var frontierRows = 1L
+    while (step <= maxSteps && frontierRows > 0) {
+      val prev = levels.last
+      val nxt = prev.join(e, prev("vid") === e("src"))
+        .select(col("origin"), e("dst").as("vid"), col("sigma"))
+        .join(visited, Seq("origin", "vid"), "left_anti")
+        .groupBy("origin", "vid").agg(sum(col("sigma")).as("sigma"))
+        .mat()
+      frontierRows = nxt.count()
+      if (frontierRows > 0) {
+        levels :+= nxt
+        val v2 = visited.unionByName(nxt.select("origin", "vid")).mat()
+        graft.traverse.Traverse.freeCheckpoint(visited)
+        visited = v2
+      }
+      step += 1
+    }
+    graft.traverse.Traverse.freeCheckpoint(visited)
+    // ---- backward: dependency accumulation, deepest level first ----
+    var acc: DataFrame = null
+    var deltaAbove = levels.last.withColumn("delta", lit(0.0))
+    var l = levels.size - 2
+    while (l >= 0) {
+      val lv = levels(l)
+      val above = deltaAbove.select(col("origin").as("o2"),
+        col("vid").as("w"), col("sigma").as("sigma_w"), col("delta"))
+      val contrib = lv.join(e, lv("vid") === e("src"))
+        .join(above, col("origin") === col("o2") && e("dst") === col("w"))
+        .groupBy(col("origin"), lv("vid"))
+        .agg(sum(col("sigma").cast("double") / col("sigma_w") *
+          (lit(1.0) + col("delta"))).as("delta"))
+      // keep zero-dependency vertices: they still pass (1 + 0) upward
+      val dl = lv.join(contrib, Seq("origin", "vid"), "left")
+        .select(col("origin"), col("vid"), col("sigma"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .mat()
+      if (l >= 1) // level 0 is the seed s itself — excluded from bc
+        acc = if (acc == null) dl else {
+          val u = acc.unionByName(dl).mat()
+          graft.traverse.Traverse.freeCheckpoint(acc)
+          u
+        }
+      // on the first accumulating round acc IS dl — freeing the old
+      // deltaAbove must not free the frame acc still answers from
+      if (deltaAbove ne acc) graft.traverse.Traverse.freeCheckpoint(deltaAbove)
+      deltaAbove = dl
+      l -= 1
+    }
+    try { e.unpersist(blocking = false) } catch { case _: Throwable => () }
+    if (acc == null)
+      seeds.sparkSession.emptyDataFrame
+        .withColumn("vid", lit("")).withColumn("bc", lit(0.0)).limit(0)
+    else
+      acc.groupBy("vid").agg(sum(col("delta")).as("bc"))
+  }
+
   /** Weighted single-source shortest distances, `iters` synchronous
     * Bellman-Ford rounds (distance = min over ≤iters-hop path sums, so
     * exact once iters ≥ diameter). Returns only reached vertices

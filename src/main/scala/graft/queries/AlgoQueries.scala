@@ -58,6 +58,17 @@ object AlgoQueries {
     // oracle unrolls the same rounds as a CTE chain).
     "q_algo_kcore" -> ((s, dir) =>
       GraphAlgos.kCore(coPurchase(s, dir), k = 4, iters = 6)),
+    // betweenness centrality from a seed sample (BetweennessAlgo):
+    // Brandes forward sigma levels + backward dependency accumulation,
+    // depth 3; the oracle unrolls both passes level by level
+    "q_algo_betweenness" -> ((s, dir) => {
+      val g = gm(s, dir)
+      val seeds = g.customers
+        .filter(expr("CAST(substr(vid, 3, 10) AS BIGINT) <= 5"))
+        .select("vid")
+      GraphAlgos.betweenness(seeds, g.edges, maxSteps = 3)
+        .select(col("vid"), roundPortable(col("bc"), 6).as("bc"))
+    }),
     // closeness centrality of sampled seeds (ClosenessAlgo): one
     // multi-origin BFS covers all 10 seeds, closeness =
     // (reached-1)/sum(dist) within 4 hops
@@ -214,6 +225,41 @@ object AlgoQueries {
         |       ELSE (coalesce(tc.c, 0) * CAST(2 AS DOUBLE)) /
         |            (d.deg * (d.deg - 1)) END AS cc
         |FROM DEG d LEFT JOIN TC tc ON tc.vid = d.vid""".stripMargin,
+    "q_algo_betweenness" ->
+      s"""WITH ${GraphQueries.edgesCte},
+        |ED AS (SELECT DISTINCT src, dst FROM E),
+        |seeds AS (SELECT 'c:' || c_custkey AS vid FROM customer WHERE c_custkey <= 5),
+        |L0 AS (SELECT vid AS origin, vid, CAST(1 AS BIGINT) AS sigma FROM seeds),
+        |L1 AS (SELECT l.origin, e.dst AS vid, CAST(sum(l.sigma) AS BIGINT) AS sigma
+        |       FROM L0 l JOIN ED e ON e.src = l.vid
+        |       WHERE NOT EXISTS (SELECT 1 FROM L0 p WHERE p.origin = l.origin AND p.vid = e.dst)
+        |       GROUP BY 1, 2),
+        |L2 AS (SELECT l.origin, e.dst AS vid, CAST(sum(l.sigma) AS BIGINT) AS sigma
+        |       FROM L1 l JOIN ED e ON e.src = l.vid
+        |       WHERE NOT EXISTS (SELECT 1 FROM L0 p WHERE p.origin = l.origin AND p.vid = e.dst)
+        |         AND NOT EXISTS (SELECT 1 FROM L1 p WHERE p.origin = l.origin AND p.vid = e.dst)
+        |       GROUP BY 1, 2),
+        |L3 AS (SELECT l.origin, e.dst AS vid, CAST(sum(l.sigma) AS BIGINT) AS sigma
+        |       FROM L2 l JOIN ED e ON e.src = l.vid
+        |       WHERE NOT EXISTS (SELECT 1 FROM L0 p WHERE p.origin = l.origin AND p.vid = e.dst)
+        |         AND NOT EXISTS (SELECT 1 FROM L1 p WHERE p.origin = l.origin AND p.vid = e.dst)
+        |         AND NOT EXISTS (SELECT 1 FROM L2 p WHERE p.origin = l.origin AND p.vid = e.dst)
+        |       GROUP BY 1, 2),
+        |D3 AS (SELECT origin, vid, sigma, CAST(0.0 AS DOUBLE) AS delta FROM L3),
+        |D2 AS (SELECT l.origin, l.vid, l.sigma,
+        |         coalesce((SELECT sum(CAST(l.sigma AS DOUBLE) / w.sigma * (1.0 + w.delta))
+        |                   FROM ED e JOIN D3 w ON w.origin = l.origin AND w.vid = e.dst
+        |                   WHERE e.src = l.vid), 0.0) AS delta
+        |       FROM L2 l),
+        |D1 AS (SELECT l.origin, l.vid, l.sigma,
+        |         coalesce((SELECT sum(CAST(l.sigma AS DOUBLE) / w.sigma * (1.0 + w.delta))
+        |                   FROM ED e JOIN D2 w ON w.origin = l.origin AND w.vid = e.dst
+        |                   WHERE e.src = l.vid), 0.0) AS delta
+        |       FROM L1 l),
+        |A AS (SELECT origin, vid, delta FROM D1
+        |      UNION ALL SELECT origin, vid, delta FROM D2)
+        |SELECT vid, floor(sum(delta) * 1000000.0 + 0.5) / 1000000.0 AS bc
+        |FROM A GROUP BY vid""".stripMargin,
     "q_algo_closeness" ->
       s"""WITH RECURSIVE ${GraphQueries.edgesCte},
         |seeds AS (SELECT 'c:' || c_custkey AS vid FROM customer WHERE c_custkey <= 10),

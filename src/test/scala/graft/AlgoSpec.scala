@@ -121,6 +121,27 @@ class AlgoSpec extends SparkSpec {
     assert(out("a") != out("d"), s"bridge merged the triangles: $out")
   }
 
+  test("betweenness: diamond splits dependency, chain accumulates it") {
+    import spark.implicits._
+    def bc(edges: Seq[(String, String)], seeds: Seq[String], steps: Int) =
+      GraphAlgos.betweenness(
+        seeds.toDF("vid"),
+        edges.toDF("src", "dst").withColumn("etype", lit("e"))
+          .withColumn("rank", lit(0L)),
+        steps).as[(String, Double)].collect().toMap
+    // diamond a→{b,c}→d from a: σ(d)=2, δ(b)=δ(c)=1/2·(1+0)
+    val dia = bc(Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")),
+      Seq("a"), 3)
+    assert(dia == Map("b" -> 0.5, "c" -> 0.5), s"diamond: $dia")
+    // chain a→b→c→d from a: δ(c)=1, δ(b)=1+δ(c)=2 (Brandes: pairs
+    // (a,c),(a,d) pass b; (a,d) passes c)
+    val ch = bc(Seq(("a", "b"), ("b", "c"), ("c", "d")), Seq("a"), 3)
+    assert(ch == Map("b" -> 2.0, "c" -> 1.0), s"chain: $ch")
+    // two seeds accumulate: same chain from a AND b — c gains (b,d)
+    val ch2 = bc(Seq(("a", "b"), ("b", "c"), ("c", "d")), Seq("a", "b"), 3)
+    assert(ch2("c") == 2.0 && ch2("b") == 2.0, s"two-seed chain: $ch2")
+  }
+
   test("closeness: chain distances, isolated seed scores 0") {
     import spark.implicits._
     // a→b→c chain plus isolated seed z
