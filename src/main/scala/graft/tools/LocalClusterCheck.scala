@@ -34,7 +34,13 @@ object LocalClusterCheck {
     "q_shortest_dist", "q_shortest_pair", "q_shortest_single",
     "q_all_paths", "q_algo_wcc", "q_algo_pagerank", "q_algo_louvain",
     "q_algo_lpa", "q_algo_walks", "q_algo_sssp", "q_algo_kcore",
-    "q_dedup_clusters", "q_ldbc_ic1", "q_nql_match_var")
+    "q_dedup_clusters", "q_ldbc_ic1", "q_nql_match_var",
+    // round-10 additions: the Brandes backward pass has the subtlest
+    // free-checkpoint pattern (level frames consumed in reverse), the
+    // stream ingests exercise foreachBatch + staged/log merges on real
+    // executors, and q_bucketed_go writes+reads bucketed tables
+    "q_algo_betweenness", "q_algo_closeness", "q_stream_ingest",
+    "q_stream_ingest_log", "q_bucketed_go")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
