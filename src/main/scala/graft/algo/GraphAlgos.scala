@@ -511,6 +511,70 @@ object GraphAlgos {
       acc.groupBy("vid").agg(sum(col("delta")).as("bc"))
   }
 
+  /** Node2vec-biased walks (Grover & Leskovec 2016) — the biased
+    * sibling of randomWalks, completing the reference ecosystem's
+    * Node2Vec capability. Second-order bias: from `cur` with previous
+    * vertex `prev`, a candidate x weighs
+    *   backW (=1/p)  if x == prev,
+    *   1.0           if edge (prev, x) exists (distance-1 from prev),
+    *   outW  (=1/q)  otherwise.
+    * Defaults p = q = 4 make every weight DYADIC (0.25 / 1.0), so the
+    * ordered cumulative sums are EXACT in IEEE double and an external
+    * oracle replays the pick bit-for-bit: threshold = (52-bit md5
+    * fraction of walker|step) × total weight, step = first dst-ordered
+    * candidate whose cumulative weight exceeds it. Step 1 seeds
+    * prev = cur, which degenerates to uniform weights (every candidate
+    * is cur-adjacent) with no special-casing.
+    *
+    * Scale: per step one join on the current-position key, one
+    * (prev, cand) existence left-join, and per-walker windows
+    * (partitioned by walker — never a global window); state is
+    * checkpointed per step like every loop here. */
+  def node2vecWalks(edges: DataFrame, starts: DataFrame, len: Int,
+                    backW: Double = 0.25, outW: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val TwoPow52 = 4503599627370496.0
+    val simple = edges.select("src", "dst").distinct().mat()
+    var cur = starts.select(col("vid").as("walker"), col("vid").as("cur"),
+      col("vid").as("prev")).mat()
+    var out = cur.select(col("walker"), lit(0).as("step"),
+      col("cur").as("vid"))
+    var i = 1
+    while (i <= len) {
+      val cand = cur.join(simple, cur("cur") === simple("src"))
+        .select(col("walker"), col("cur"), col("prev"),
+          simple("dst").as("cand"))
+      val pe = simple.select(col("src").as("ps"), col("dst").as("pd"))
+      val wts = cand.join(pe,
+          col("prev") === col("ps") && col("cand") === col("pd"), "left")
+        .select(col("walker"), col("cur"), col("cand"),
+          when(col("cand") === col("prev"), lit(backW))
+            .when(col("pd").isNotNull, lit(1.0))
+            .otherwise(lit(outW)).as("w"))
+      val ordered = Window.partitionBy("walker").orderBy("cand")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val per = Window.partitionBy("walker")
+      val scored = wts
+        .withColumn("cw", sum(col("w")).over(ordered))
+        .withColumn("tw", max(sum(col("w")).over(ordered)).over(per))
+        .withColumn("t",
+          (conv(substring(md5(concat(col("walker"), lit(s"|$i"))), 1, 13),
+            16, 10).cast("double") / TwoPow52) * col("tw"))
+      val picked = scored.filter(col("cw") > col("t"))
+        .withColumn("rn", row_number().over(ordered))
+        .filter(col("rn") === 1)
+      // NOT freed (randomWalks posture): each step's frame stays
+      // referenced by the accumulated output union until the i%8 re-mat
+      cur = picked.select(col("walker"), col("cand").as("cur"),
+        col("cur").as("prev")).mat()
+      out = out.unionByName(
+        cur.select(col("walker"), lit(i).as("step"), col("cur").as("vid")))
+      if (i % 8 == 0) out = out.mat()
+      i += 1
+    }
+    out
+  }
+
   /** Weighted single-source shortest distances, `iters` synchronous
     * Bellman-Ford rounds (distance = min over ≤iters-hop path sums, so
     * exact once iters ≥ diameter). Returns only reached vertices

@@ -94,6 +94,18 @@ object AlgoQueries {
       GraphAlgos.louvain(coPurchase(s, dir), iters = 6)),
     // node2vec-style walk corpus: 5 deterministic steps per customer.
     "q_algo_walks" -> ((s, dir) => randomWalkQuery(s, dir)),
+    // node2vec-biased walks (p=q=4 → dyadic weights, bit-exact oracle
+    // replay of the cumulative-weight pick); 3 steps, seeds = customers
+    // with custkey <= 300 over the undirected unified graph
+    "q_algo_node2vec" -> ((s, dir) => {
+      val g = gm(s, dir)
+      val und = g.edges.select(col("src"), col("dst"))
+        .unionAll(g.edges.select(col("dst").as("src"), col("src").as("dst")))
+      val starts = g.customers
+        .filter(expr("CAST(substr(vid, 3, 10) AS BIGINT) <= 300"))
+        .select("vid")
+      GraphAlgos.node2vecWalks(und, starts, len = 3)
+    }),
     // Neighbor-set Jaccard between orders sharing parts; hub parts
     // (in-degree > 40) dropped before pairing — the skew guard that
     // keeps the pair count linear-ish at 100 TB.
@@ -395,6 +407,39 @@ object AlgoQueries {
         |       FROM customer),
         |$steps
         |SELECT walker, 0 AS step, cur AS vid FROM W0
+        |$unions""".stripMargin
+    },
+    "q_algo_node2vec" -> {
+      val steps = (1 to 3).map { i =>
+        s"""X$i AS (SELECT w.walker, w.cur, w.prev, s.dst AS cand,
+           |  CASE WHEN s.dst = w.prev THEN 0.25
+           |       WHEN EXISTS (SELECT 1 FROM SIMPLE p
+           |                    WHERE p.src = w.prev AND p.dst = s.dst) THEN 1.0
+           |       ELSE 0.25 END AS wt
+           |  FROM N${i - 1} w JOIN SIMPLE s ON s.src = w.cur),
+           |U$i AS (SELECT *, sum(wt) OVER (PARTITION BY walker ORDER BY cand
+           |                                ROWS UNBOUNDED PRECEDING) AS cw
+           |        FROM X$i),
+           |V$i AS (SELECT *, max(cw) OVER (PARTITION BY walker) AS tw FROM U$i),
+           |N$i AS MATERIALIZED (
+           |  SELECT walker, cand AS cur, pcur AS prev FROM (
+           |    SELECT v.walker, v.cand, v.cur AS pcur,
+           |           row_number() OVER (PARTITION BY v.walker ORDER BY v.cand) AS rn
+           |    FROM V$i v
+           |    WHERE v.cw > (('0x' || substr(md5(v.walker || '|$i'), 1, 13))::BIGINT
+           |                  / 4503599627370496.0) * v.tw
+           |  ) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to 3).map(i =>
+        s"UNION ALL SELECT walker, $i, cur FROM N$i").mkString("\n")
+      s"""WITH ${GraphQueries.edgesCte},
+        |UE AS (SELECT src, dst FROM E UNION ALL SELECT dst, src FROM E),
+        |SIMPLE AS MATERIALIZED (SELECT DISTINCT src, dst FROM UE),
+        |N0 AS (SELECT 'c:' || c_custkey AS walker, 'c:' || c_custkey AS cur,
+        |              'c:' || c_custkey AS prev
+        |       FROM customer WHERE c_custkey <= 300),
+        |$steps
+        |SELECT walker, 0 AS step, cur AS vid FROM N0
         |$unions""".stripMargin
     },
     "q_algo_jaccard" ->

@@ -121,6 +121,38 @@ class AlgoSpec extends SparkSpec {
     assert(out("a") != out("d"), s"bridge merged the triangles: $out")
   }
 
+  test("node2vecWalks: neighbor steps, deterministic reruns, return bias") {
+    import spark.implicits._
+    // undirected triangle-with-tail: a-b, b-c, c-a, c-d
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+      .flatMap { case (x, y) => Seq((x, y), (y, x)) }
+      .toDF("src", "dst")
+    val starts = Seq("a", "b", "c", "d").toDF("vid")
+    val w1 = GraphAlgos.node2vecWalks(und, starts, len = 3)
+      .as[(String, Int, String)].collect().sorted
+    // deterministic rerun
+    val w2 = GraphAlgos.node2vecWalks(und, starts, len = 3)
+      .as[(String, Int, String)].collect().sorted
+    assert(w1.sameElements(w2))
+    // every step is along an edge
+    val adj = Seq("ab", "ba", "bc", "cb", "ca", "ac", "cd", "dc").toSet
+    val byWalkerStep = w1.map { case (w, s, v) => (w, s) -> v }.toMap
+    w1.filter(_._2 > 0).foreach { case (w, s, v) =>
+      val prev = byWalkerStep((w, s - 1))
+      assert(adj.contains(prev + v), s"walk $w step $s: $prev→$v not an edge")
+    }
+    // extreme return bias: backW=1024 forces step 2 back to the start
+    // (threshold would need r > 1024/tw ≈ 0.999 to escape — the fixed
+    // md5 picks never land there on these 4 walkers)
+    val back = GraphAlgos.node2vecWalks(und, starts, len = 2,
+        backW = 1024.0, outW = 0.25)
+      .as[(String, Int, String)].collect()
+      .map { case (w, s, v) => (w, s) -> v }.toMap
+    starts.as[String].collect().foreach { v =>
+      assert(back((v, 2)) == v, s"backW=1024 walk from $v did not return")
+    }
+  }
+
   test("betweenness: diamond splits dependency, chain accumulates it") {
     import spark.implicits._
     def bc(edges: Seq[(String, String)], seeds: Seq[String], steps: Int) =
