@@ -248,6 +248,56 @@ object GraphAlgos {
     labels
   }
 
+  /** HANP — Hop Attenuation & Node Preference label propagation
+    * (Leung et al. 2009; the reference ecosystem's HanpAlgo). LPA
+    * where each label carries a score: vertex v adopts
+    *   l* = argmax_l Σ_{u ∈ N(v), label_u = l} score_u · deg_u
+    * (node preference m = 1; ties broken by smallest label) and takes
+    *   score_v' = max(0, max_{u ∈ N(v), label_u = l*} score_u − δ),
+    * so labels attenuate as they spread — large communities stop
+    * swallowing everything, the known LPA failure mode. δ defaults to
+    * 1/16: with dyadic scores and integer degrees every F-sum is an
+    * EXACT double in any summation order, so the oracle replays the
+    * argmax bit-for-bit. Same per-round shuffle shape as LPA (one
+    * message aggregation + one state join), state checkpointed. */
+  def hanp(vertices: DataFrame, edges: DataFrame, iters: Int,
+           delta: Double = 0.0625): DataFrame = {
+    val und = canonicalUndirected(edges)
+    val nbrs = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = nbrs.groupBy("src").agg(count(lit(1)).as("deg"))
+    var state = vertices.select(col("vid"), col("vid").as("label"),
+      lit(1.0).as("score")).mat()
+    var round = 0
+    while (round < iters) {
+      val msgs = nbrs
+        .join(state, nbrs("src") === state("vid"))
+        .join(deg, Seq("src"))
+        .select(nbrs("dst").as("vid"), col("label"),
+          (col("score") * col("deg")).as("f"), col("score"))
+      val byLabel = msgs.groupBy("vid", "label")
+        .agg(sum(col("f")).as("f"), max(col("score")).as("smax"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vid").orderBy(col("f").desc, col("label"))
+      val pick = byLabel.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vid"), col("label").as("nlabel"),
+          greatest(col("smax") - delta, lit(0.0)).as("nscore"))
+      val upd = state.join(pick, Seq("vid"), "left_outer")
+        .select(col("vid"),
+          coalesce(col("nlabel"), col("label")).as("label"),
+          coalesce(col("nscore"), col("score")).as("score"))
+        .mat()
+      graft.traverse.Traverse.freeCheckpoint(state)
+      state = upd
+      round += 1
+    }
+    try { nbrs.unpersist(blocking = false) } catch { case _: Throwable => () }
+    state
+  }
+
   /** Neighbor-set Jaccard similarity |N(a)∩N(b)| / |N(a)∪N(b)| for
     * vertex pairs sharing ≥1 out-neighbor. `maxNbrDeg` drops hub
     * neighbors (in-degree > cap) BEFORE pairing — the same skew guard

@@ -87,6 +87,12 @@ object AlgoQueries {
       val g = gm(s, dir)
       GraphAlgos.labelPropagation(g.vertices, g.edges, iters = 3)
     }),
+    // HANP: LPA with hop attenuation + node preference (deg-weighted
+    // votes, scores decay 1/16 per hop — dyadic, so exact replay)
+    "q_algo_hanp" -> ((s, dir) => {
+      val g = gm(s, dir)
+      GraphAlgos.hanp(g.vertices, g.edges, iters = 3)
+    }),
     // Louvain-style modularity ascent on the co-purchase graph, 6
     // gated rounds (~half the vertices move per round; all-integer
     // scores; oracle-replayable).
@@ -342,6 +348,36 @@ object AlgoQueries {
         |L0 AS (SELECT vid, vid AS label FROM V),
         |$rounds
         |SELECT vid, label FROM L3""".stripMargin
+    },
+    "q_algo_hanp" -> {
+      // unrolled like LPA, with deg-weighted scored votes; all score
+      // arithmetic is dyadic (1/16 granularity) so sums are exact in
+      // any order and the argmax replays bit-for-bit
+      val rounds = (0 until 3).map { r =>
+        s"""CNT$r AS MATERIALIZED (
+           |  SELECT n.dst AS vid, l.label, sum(l.score * d.deg) AS f,
+           |         max(l.score) AS smax
+           |  FROM N n JOIN L$r l ON l.vid = n.src JOIN DEG d ON d.src = n.src
+           |  GROUP BY 1, 2),
+           |P$r AS MATERIALIZED (SELECT vid, label, smax FROM
+           |  (SELECT vid, label, smax, row_number() OVER
+           |     (PARTITION BY vid ORDER BY f DESC, label) AS rn
+           |   FROM CNT$r) WHERE rn = 1),
+           |L${r + 1} AS MATERIALIZED (
+           |  SELECT l.vid, coalesce(p.label, l.label) AS label,
+           |    CASE WHEN p.vid IS NULL THEN l.score
+           |         ELSE greatest(p.smax - 0.0625, CAST(0.0 AS DOUBLE)) END AS score
+           |  FROM L$r l LEFT JOIN P$r p ON p.vid = l.vid)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${GraphQueries.edgesCte}, $vertsCte,
+        |UE AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |       FROM E WHERE src <> dst),
+        |N AS (SELECT a AS src, b AS dst FROM UE
+        |      UNION ALL SELECT b, a FROM UE),
+        |DEG AS (SELECT src, count(*) AS deg FROM N GROUP BY src),
+        |L0 AS (SELECT vid, vid AS label, CAST(1.0 AS DOUBLE) AS score FROM V),
+        |$rounds
+        |SELECT vid, label, score FROM L3""".stripMargin
     },
     "q_algo_louvain" -> {
       // synchronous modularity-ascent rounds, unrolled (MATERIALIZED:

@@ -121,6 +121,23 @@ class AlgoSpec extends SparkSpec {
     assert(out("a") != out("d"), s"bridge merged the triangles: $out")
   }
 
+  test("hanp: degree-weighted votes, min-label ties, 1/16 attenuation") {
+    import spark.implicits._
+    // path a-b-c: deg a=1, b=2, c=1
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+      .withColumn("etype", lit("e")).withColumn("rank", lit(0L))
+    val verts = Seq("a", "b", "c").toDF("vid")
+    val r = GraphAlgos.hanp(verts, edges, iters = 1)
+      .as[(String, String, Double)].collect()
+      .map { case (v, l, s) => v -> ((l, s)) }.toMap
+    // a sees only b (F = 1·deg(b) = 2) → adopts b; b ties a vs c
+    // (F = 1 each) → min label a; c sees only b → adopts b; every
+    // adopter attenuates the carried score by 1/16
+    assert(r("a") == (("b", 0.9375)), s"a: ${r("a")}")
+    assert(r("b") == (("a", 0.9375)), s"b: ${r("b")}")
+    assert(r("c") == (("b", 0.9375)), s"c: ${r("c")}")
+  }
+
   test("node2vecWalks: neighbor steps, deterministic reruns, return bias") {
     import spark.implicits._
     // undirected triangle-with-tail: a-b, b-c, c-a, c-d
