@@ -248,6 +248,145 @@ object GraphAlgos {
     labels
   }
 
+  /** Strongly connected components — the FW-BW coloring scheme
+    * (Orzan's coloring / the same family as GraphX's SCC), run as
+    * PINNED synchronous rounds so an external oracle replays it
+    * step-for-step (the WCC fixed-round precedent):
+    *
+    * per phase, over the vertices not yet assigned:
+    *   1. forward min-label propagation `rounds` times —
+    *      color(v) = min(vid) over {v} ∪ ancestors-in-remaining;
+    *   2. roots = vertices with color(v) == vid; walk BACKWARD from
+    *      each root `rounds` times, staying inside its color —
+    *      every vertex reached both ways IS in the root's SCC
+    *      (root →* v by color, v →* root by the walk);
+    *   3. assign those, repeat on the rest.
+    * Unassigned leftovers after the last phase become singletons.
+    * Exact when the rounds cover the color diameters and every color
+    * holds one SCC layer per phase — `sccUntilConverged` below loops
+    * both to fixpoint for the exact answer; AlgoSpec pins them equal
+    * on known graphs. Each round is one join + one min-aggregation on
+    * the remaining set — the BFS shuffle shape, frames checkpointed. */
+  def sccPinned(vertices: DataFrame, edges: DataFrame,
+                phases: Int, rounds: Int): DataFrame = {
+    val e = edges.select("src", "dst").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var rem = vertices.select("vid").distinct().mat()
+    var acc: DataFrame = null
+    var p = 0
+    while (p < phases) {
+      val er = e
+        .join(rem.select(col("vid").as("src")), Seq("src"), "left_semi")
+        .join(rem.select(col("vid").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst").mat()
+      // forward min-color
+      var color = rem.select(col("vid"), col("vid").as("color")).mat()
+      var r = 0
+      while (r < rounds) {
+        val msgs = er.join(color, er("src") === color("vid"))
+          .select(er("dst").as("vid"), col("color"))
+        val upd = color.unionByName(msgs)
+          .groupBy("vid").agg(min(col("color")).as("color")).mat()
+        graft.traverse.Traverse.freeCheckpoint(color)
+        color = upd
+        r += 1
+      }
+      // backward reach from roots, within color
+      var reach = color.filter(col("vid") === col("color"))
+        .select(col("vid"), col("vid").as("root")).mat()
+      r = 0
+      while (r < rounds) {
+        val step = er.join(reach, er("dst") === reach("vid"))
+          .select(er("src").as("vid"), col("root"))
+          .join(color.select(col("vid"), col("color").as("c2")), Seq("vid"))
+          .filter(col("c2") === col("root"))
+          .select(col("vid"), col("root"))
+        val upd = reach.unionByName(step).distinct().mat()
+        graft.traverse.Traverse.freeCheckpoint(reach)
+        reach = upd
+        r += 1
+      }
+      val assigned = reach.select(col("vid"), col("root").as("scc_id")).mat()
+      graft.traverse.Traverse.freeCheckpoint(reach)
+      acc = if (acc == null) assigned
+            else {
+              val u = acc.unionByName(assigned).mat()
+              graft.traverse.Traverse.freeCheckpoint(acc)
+              u
+            }
+      val rem2 = rem.join(assigned.select("vid"), Seq("vid"), "left_anti").mat()
+      graft.traverse.Traverse.freeCheckpoint(rem)
+      graft.traverse.Traverse.freeCheckpoint(color)
+      graft.traverse.Traverse.freeCheckpoint(er)
+      rem = rem2
+      p += 1
+    }
+    try { e.unpersist(blocking = false) } catch { case _: Throwable => () }
+    acc.unionByName(rem.select(col("vid"), col("vid").as("scc_id")))
+  }
+
+  /** Exact SCC: the same scheme with both loops run to fixpoint and
+    * phases repeated until every vertex is assigned. */
+  def sccUntilConverged(vertices: DataFrame, edges: DataFrame,
+                        maxRounds: Int = 64): DataFrame = {
+    val e = edges.select("src", "dst").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var rem = vertices.select("vid").distinct().mat()
+    var remCnt = rem.count()
+    var acc: DataFrame = null
+    while (remCnt > 0) {
+      val er = e
+        .join(rem.select(col("vid").as("src")), Seq("src"), "left_semi")
+        .join(rem.select(col("vid").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst").mat()
+      var color = rem.select(col("vid"), col("vid").as("color")).mat()
+      var changed = 1L
+      var guard = 0
+      while (changed > 0 && guard < maxRounds) {
+        val msgs = er.join(color, er("src") === color("vid"))
+          .select(er("dst").as("vid"), col("color"))
+        val upd = color.unionByName(msgs)
+          .groupBy("vid").agg(min(col("color")).as("color")).mat()
+        changed = upd.join(color.withColumnRenamed("color", "old"), Seq("vid"))
+          .filter(col("color") =!= col("old")).count()
+        graft.traverse.Traverse.freeCheckpoint(color)
+        color = upd
+        guard += 1
+      }
+      var reach = color.filter(col("vid") === col("color"))
+        .select(col("vid"), col("vid").as("root")).mat()
+      var grew = 1L
+      var cnt = reach.count()
+      guard = 0
+      while (grew > 0 && guard < maxRounds) {
+        val step = er.join(reach, er("dst") === reach("vid"))
+          .select(er("src").as("vid"), col("root"))
+          .join(color.select(col("vid"), col("color").as("c2")), Seq("vid"))
+          .filter(col("c2") === col("root"))
+          .select(col("vid"), col("root"))
+        val upd = reach.unionByName(step).distinct().mat()
+        val c2 = upd.count()
+        grew = c2 - cnt; cnt = c2
+        graft.traverse.Traverse.freeCheckpoint(reach)
+        reach = upd
+        guard += 1
+      }
+      val assigned = reach.select(col("vid"), col("root").as("scc_id")).mat()
+      acc = if (acc == null) assigned
+            else {
+              val u = acc.unionByName(assigned).mat()
+              graft.traverse.Traverse.freeCheckpoint(acc)
+              u
+            }
+      val rem2 = rem.join(assigned.select("vid"), Seq("vid"), "left_anti").mat()
+      graft.traverse.Traverse.freeCheckpoint(rem)
+      rem = rem2
+      remCnt = rem.count()
+    }
+    try { e.unpersist(blocking = false) } catch { case _: Throwable => () }
+    acc
+  }
+
   /** HANP — Hop Attenuation & Node Preference label propagation
     * (Leung et al. 2009; the reference ecosystem's HanpAlgo). LPA
     * where each label carries a score: vertex v adopts

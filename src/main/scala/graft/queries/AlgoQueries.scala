@@ -87,6 +87,25 @@ object AlgoQueries {
       val g = gm(s, dir)
       GraphAlgos.labelPropagation(g.vertices, g.edges, iters = 3)
     }),
+    // SCC over the directed KNOWS graph (adjacent-order customers —
+    // the only cyclic subgraph in the star schema): pinned FW-BW
+    // coloring, 2 phases × 6 rounds, oracle replays every round
+    "q_algo_scc" -> ((s, dir) => {
+      // 1-in-7 adjacency sample: the full KNOWS graph is dense enough
+      // to be one giant SCC (degenerate evidence); the sparse cut has
+      // real component structure — cycles, chains, singletons
+      val orders = graft.Tables.load(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      val o2 = orders.select((col("o_orderkey") - 7).as("k2"),
+        col("o_custkey").as("cust2"))
+      val knows = orders.join(o2, col("o_orderkey") === col("k2"))
+        .filter(col("o_custkey") =!= col("cust2"))
+        .select(concat(lit("per:"), col("o_custkey")).as("src"),
+          concat(lit("per:"), col("cust2")).as("dst")).distinct()
+      val verts = knows.select(col("src").as("vid"))
+        .unionByName(knows.select(col("dst").as("vid"))).distinct()
+      GraphAlgos.sccPinned(verts, knows, phases = 2, rounds = 6)
+    }),
     // HANP: LPA with hop attenuation + node preference (deg-weighted
     // votes, scores decay 1/16 per hop — dyadic, so exact replay)
     "q_algo_hanp" -> ((s, dir) => {
@@ -348,6 +367,48 @@ object AlgoQueries {
         |L0 AS (SELECT vid, vid AS label FROM V),
         |$rounds
         |SELECT vid, label FROM L3""".stripMargin
+    },
+    "q_algo_scc" -> {
+      val P = 2; val R = 6
+      val phases = (1 to P).map { p =>
+        val fwd = (0 until R).map { r =>
+          s"""C${p}_${r + 1} AS MATERIALIZED (SELECT vid, min(color) AS color FROM (
+             |  SELECT vid, color FROM C${p}_$r
+             |  UNION ALL
+             |  SELECT e.dst AS vid, c.color FROM ER$p e JOIN C${p}_$r c ON c.vid = e.src
+             |) GROUP BY vid)""".stripMargin
+        }.mkString(",\n")
+        val bwd = (0 until R).map { r =>
+          s"""B${p}_${r + 1} AS MATERIALIZED (SELECT DISTINCT vid, root FROM (
+             |  SELECT vid, root FROM B${p}_$r
+             |  UNION ALL
+             |  SELECT e.src AS vid, b.root FROM ER$p e
+             |  JOIN B${p}_$r b ON b.vid = e.dst
+             |  JOIN C${p}_$R c ON c.vid = e.src AND c.color = b.root
+             |))""".stripMargin
+        }.mkString(",\n")
+        s"""ER$p AS MATERIALIZED (SELECT k.src, k.dst FROM K k
+           |  JOIN R$p a ON a.vid = k.src JOIN R$p b ON b.vid = k.dst),
+           |C${p}_0 AS (SELECT vid, vid AS color FROM R$p),
+           |$fwd,
+           |B${p}_0 AS (SELECT vid, vid AS root FROM C${p}_$R WHERE vid = color),
+           |$bwd,
+           |A$p AS MATERIALIZED (SELECT vid, root AS scc_id FROM B${p}_$R),
+           |R${p + 1} AS MATERIALIZED (SELECT r.vid FROM R$p r
+           |  WHERE NOT EXISTS (SELECT 1 FROM A$p a WHERE a.vid = r.vid))""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to P).map(p =>
+        s"SELECT vid, scc_id FROM A$p").mkString("\nUNION ALL ")
+      s"""WITH K0 AS (
+        |  SELECT a.o_custkey AS s, b.o_custkey AS d
+        |  FROM orders a JOIN orders b ON b.o_orderkey = a.o_orderkey + 7
+        |  WHERE a.o_orderkey % 7 = 0 AND a.o_custkey <> b.o_custkey),
+        |K AS (SELECT DISTINCT 'per:' || s AS src, 'per:' || d AS dst FROM K0),
+        |R1 AS MATERIALIZED (
+        |  SELECT src AS vid FROM K UNION SELECT dst FROM K),
+        |$phases
+        |$unions
+        |UNION ALL SELECT vid, vid AS scc_id FROM R${P + 1}""".stripMargin
     },
     "q_algo_hanp" -> {
       // unrolled like LPA, with deg-weighted scored votes; all score

@@ -121,6 +121,21 @@ class AlgoSpec extends SparkSpec {
     assert(out("a") != out("d"), s"bridge merged the triangles: $out")
   }
 
+  test("scc: exact on cycles+bridge, pinned variant matches exact") {
+    import spark.implicits._
+    // two 2-cycles bridged a↔b → c↔d, plus e→a (e acyclic)
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"),
+      ("c", "d"), ("d", "c"), ("e", "a")).toDF("src", "dst")
+    val verts = Seq("a", "b", "c", "d", "e").toDF("vid")
+    val exact = GraphAlgos.sccUntilConverged(verts, edges)
+      .as[(String, String)].collect().toMap
+    assert(exact == Map("a" -> "a", "b" -> "a", "c" -> "c",
+      "d" -> "c", "e" -> "e"), s"exact scc: $exact")
+    val pinned = GraphAlgos.sccPinned(verts, edges, phases = 2, rounds = 4)
+      .as[(String, String)].collect().toMap
+    assert(pinned == exact, s"pinned != exact: $pinned")
+  }
+
   test("hanp: degree-weighted votes, min-label ties, 1/16 attenuation") {
     import spark.implicits._
     // path a-b-c: deg a=1, b=2, c=1
