@@ -40,7 +40,8 @@ object LocalClusterCheck {
     // stream ingests exercise foreachBatch + staged/log merges on real
     // executors, and q_bucketed_go writes+reads bucketed tables
     "q_algo_betweenness", "q_algo_closeness", "q_stream_ingest",
-    "q_stream_ingest_log", "q_bucketed_go")
+    "q_stream_ingest_log", "q_bucketed_go",
+    "q_algo_scc", "q_algo_hanp", "q_algo_node2vec")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
