@@ -402,18 +402,21 @@ object GraphAlgos {
   def hanp(vertices: DataFrame, edges: DataFrame, iters: Int,
            delta: Double = 0.0625): DataFrame = {
     val und = canonicalUndirected(edges)
-    val nbrs = und.select(col("a").as("src"), col("b").as("dst"))
+    val nbrs0 = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    val deg = nbrs0.groupBy("src").agg(count(lit(1)).as("deg"))
+    // sender degree folded into the edge frame ONCE — the per-round
+    // message join then touches a single persisted relation instead of
+    // re-joining deg every iteration
+    val nbrs = nbrs0.join(deg, Seq("src"))
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = nbrs.groupBy("src").agg(count(lit(1)).as("deg"))
     var state = vertices.select(col("vid"), col("vid").as("label"),
       lit(1.0).as("score")).mat()
     var round = 0
     while (round < iters) {
       val msgs = nbrs
         .join(state, nbrs("src") === state("vid"))
-        .join(deg, Seq("src"))
         .select(nbrs("dst").as("vid"), col("label"),
           (col("score") * col("deg")).as("f"), col("score"))
       val byLabel = msgs.groupBy("vid", "label")
