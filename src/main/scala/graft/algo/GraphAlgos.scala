@@ -353,6 +353,10 @@ object GraphAlgos {
         color = upd
         guard += 1
       }
+      // silent truncation here would SHATTER a >maxRounds-diameter SCC
+      // into wrong components — exactness demands a loud failure
+      require(changed == 0,
+        s"scc coloring did not converge within $maxRounds rounds — raise maxRounds")
       var reach = color.filter(col("vid") === col("color"))
         .select(col("vid"), col("vid").as("root")).mat()
       var grew = 1L
@@ -371,6 +375,8 @@ object GraphAlgos {
         reach = upd
         guard += 1
       }
+      require(grew == 0,
+        s"scc backward reach did not converge within $maxRounds rounds — raise maxRounds")
       val assigned = reach.select(col("vid"), col("root").as("scc_id")).mat()
       acc = if (acc == null) assigned
             else {
@@ -380,6 +386,10 @@ object GraphAlgos {
             }
       val rem2 = rem.join(assigned.select("vid"), Seq("vid"), "left_anti").mat()
       graft.traverse.Traverse.freeCheckpoint(rem)
+      graft.traverse.Traverse.freeCheckpoint(reach)
+      graft.traverse.Traverse.freeCheckpoint(color)
+      graft.traverse.Traverse.freeCheckpoint(er)
+      if (assigned ne acc) graft.traverse.Traverse.freeCheckpoint(assigned)
       rem = rem2
       remCnt = rem.count()
     }
@@ -666,10 +676,22 @@ object GraphAlgos {
     }
     graft.traverse.Traverse.freeCheckpoint(visited)
     // ---- backward: dependency accumulation, deepest level first ----
+    // every computed level 1..deepest contributes rows (the deepest
+    // with δ = 0 — endpoints carry no dependency), so the output lists
+    // every non-seed vertex on a counted path
     var acc: DataFrame = null
+    def accAdd(dl: DataFrame): Unit =
+      acc = if (acc == null) dl
+            else {
+              val u = acc.unionByName(dl).mat()
+              graft.traverse.Traverse.freeCheckpoint(acc)
+              u
+            }
     var deltaAbove = levels.last.withColumn("delta", lit(0.0))
+      .select(col("origin"), col("vid"), col("sigma"), col("delta")).mat()
+    if (levels.size >= 2) accAdd(deltaAbove)
     var l = levels.size - 2
-    while (l >= 0) {
+    while (l >= 1) { // level 0 is the seed s itself — excluded from bc
       val lv = levels(l)
       val above = deltaAbove.select(col("origin").as("o2"),
         col("vid").as("w"), col("sigma").as("sigma_w"), col("delta"))
@@ -683,18 +705,17 @@ object GraphAlgos {
         .select(col("origin"), col("vid"), col("sigma"),
           coalesce(col("delta"), lit(0.0)).as("delta"))
         .mat()
-      if (l >= 1) // level 0 is the seed s itself — excluded from bc
-        acc = if (acc == null) dl else {
-          val u = acc.unionByName(dl).mat()
-          graft.traverse.Traverse.freeCheckpoint(acc)
-          u
-        }
-      // on the first accumulating round acc IS dl — freeing the old
-      // deltaAbove must not free the frame acc still answers from
+      accAdd(dl)
+      // freeing the old deltaAbove must not free a frame acc still
+      // answers from (on the first rounds they can alias)
       if (deltaAbove ne acc) graft.traverse.Traverse.freeCheckpoint(deltaAbove)
+      graft.traverse.Traverse.freeCheckpoint(levels(l)) // consumed
       deltaAbove = dl
       l -= 1
     }
+    if (deltaAbove ne acc) graft.traverse.Traverse.freeCheckpoint(deltaAbove)
+    graft.traverse.Traverse.freeCheckpoint(levels.head)
+    if (levels.size >= 2) graft.traverse.Traverse.freeCheckpoint(levels.last)
     try { e.unpersist(blocking = false) } catch { case _: Throwable => () }
     if (acc == null)
       seeds.sparkSession.emptyDataFrame

@@ -64,9 +64,19 @@ final case class LogTable(spark: SparkSession, path: String,
     val seq = segments.lastOption.getOrElse(-1L) + 1
     val stage = new Path(path + f".stage-$seq%08d")
     batch.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    moveIntoTable(stage, seq)
+  }
+
+  /** Checked rename of a staged segment into the table. The table
+    * root is created first: FileSystem.rename fails (HDFS/S3) or
+    * silently degrades to a non-atomic copy (RawLocalFileSystem) when
+    * the destination's parent does not exist. */
+  private def moveIntoTable(stage: Path, seq: Long): Unit = {
+    val root = new Path(path)
+    val f = fs(root)
+    if (!f.exists(root)) require(f.mkdirs(root), s"mkdirs $root failed")
     val target = new Path(segPath(seq))
-    require(fs(stage).rename(stage, target),
-      s"rename $stage -> $target failed")
+    require(f.rename(stage, target), s"rename $stage -> $target failed")
   }
 
   /** Current state: per key, the row from the HIGHEST segment wins;
@@ -105,9 +115,7 @@ final case class LogTable(spark: SparkSession, path: String,
     val seq = old.last + 1
     val stage = new Path(path + f".stage-$seq%08d")
     resolved.write.mode(SaveMode.Overwrite).parquet(stage.toString)
-    val target = new Path(segPath(seq))
-    require(fs(stage).rename(stage, target),
-      s"rename $stage -> $target failed")
+    moveIntoTable(stage, seq)
     old.foreach { s =>
       val p = new Path(segPath(s))
       require(fs(p).delete(p, true), s"delete $p failed")

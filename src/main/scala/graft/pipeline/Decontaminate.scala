@@ -40,10 +40,14 @@ object Decontaminate {
     // "benchmark" bigger than the gate falls back to a shuffle join
     // instead of OOMing the driver
     val gated = graft.traverse.Traverse.maybeBroadcast(bad, bad.count())
+    // the per-doc gram dedup happens AFTER the (broadcast) hit join —
+    // deduping only the rare matches keeps the corpus pass map-side;
+    // a distinct before the join would shuffle every n-gram of every
+    // corpus document
     corpus.select(col(idCol),
         explode(TextAnalysis.shingles(col(textCol), n)).as("g"))
-      .distinct()
       .join(gated, "g")
+      .select(col(idCol), col("g")).distinct()
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bad_grams"), min(col("g")).as("first_gram"))
   }

@@ -294,7 +294,8 @@ object AlgoQueries {
         |                   WHERE e.src = l.vid), 0.0) AS delta
         |       FROM L1 l),
         |A AS (SELECT origin, vid, delta FROM D1
-        |      UNION ALL SELECT origin, vid, delta FROM D2)
+        |      UNION ALL SELECT origin, vid, delta FROM D2
+        |      UNION ALL SELECT origin, vid, delta FROM D3)
         |SELECT vid, floor(sum(delta) * 1000000.0 + 0.5) / 1000000.0 AS bc
         |FROM A GROUP BY vid""".stripMargin,
     "q_algo_closeness" ->

@@ -193,14 +193,15 @@ class AlgoSpec extends SparkSpec {
         edges.toDF("src", "dst").withColumn("etype", lit("e"))
           .withColumn("rank", lit(0L)),
         steps).as[(String, Double)].collect().toMap
-    // diamond a→{b,c}→d from a: σ(d)=2, δ(b)=δ(c)=1/2·(1+0)
+    // diamond a→{b,c}→d from a: σ(d)=2, δ(b)=δ(c)=1/2·(1+0); the
+    // deepest level (d) appears with δ=0 — endpoints carry nothing
     val dia = bc(Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")),
       Seq("a"), 3)
-    assert(dia == Map("b" -> 0.5, "c" -> 0.5), s"diamond: $dia")
+    assert(dia == Map("b" -> 0.5, "c" -> 0.5, "d" -> 0.0), s"diamond: $dia")
     // chain a→b→c→d from a: δ(c)=1, δ(b)=1+δ(c)=2 (Brandes: pairs
     // (a,c),(a,d) pass b; (a,d) passes c)
     val ch = bc(Seq(("a", "b"), ("b", "c"), ("c", "d")), Seq("a"), 3)
-    assert(ch == Map("b" -> 2.0, "c" -> 1.0), s"chain: $ch")
+    assert(ch == Map("b" -> 2.0, "c" -> 1.0, "d" -> 0.0), s"chain: $ch")
     // two seeds accumulate: same chain from a AND b — c gains (b,d)
     val ch2 = bc(Seq(("a", "b"), ("b", "c"), ("c", "d")), Seq("a", "b"), 3)
     assert(ch2("c") == 2.0 && ch2("b") == 2.0, s"two-seed chain: $ch2")
