@@ -318,6 +318,9 @@ object GraphAlgos {
       graft.traverse.Traverse.freeCheckpoint(rem)
       graft.traverse.Traverse.freeCheckpoint(color)
       graft.traverse.Traverse.freeCheckpoint(er)
+      // acc's union checkpoint copied assigned's rows (unless aliased on
+      // the first phase) — mirror sccUntilConverged's release
+      if (assigned ne acc) graft.traverse.Traverse.freeCheckpoint(assigned)
       rem = rem2
       p += 1
     }
@@ -671,7 +674,7 @@ object GraphAlgos {
         val v2 = visited.unionByName(nxt.select("origin", "vid")).mat()
         graft.traverse.Traverse.freeCheckpoint(visited)
         visited = v2
-      }
+      } else graft.traverse.Traverse.freeCheckpoint(nxt) // terminating empty frontier
       step += 1
     }
     graft.traverse.Traverse.freeCheckpoint(visited)
@@ -705,10 +708,13 @@ object GraphAlgos {
         .select(col("origin"), col("vid"), col("sigma"),
           coalesce(col("delta"), lit(0.0)).as("delta"))
         .mat()
+      val accBefore = acc
       accAdd(dl)
       // freeing the old deltaAbove must not free a frame acc still
-      // answers from (on the first rounds they can alias)
-      if (deltaAbove ne acc) graft.traverse.Traverse.freeCheckpoint(deltaAbove)
+      // answers from, and must not re-free the one accAdd just
+      // released (on the first backward round deltaAbove == old acc)
+      if ((deltaAbove ne acc) && (deltaAbove ne accBefore))
+        graft.traverse.Traverse.freeCheckpoint(deltaAbove)
       graft.traverse.Traverse.freeCheckpoint(levels(l)) // consumed
       deltaAbove = dl
       l -= 1

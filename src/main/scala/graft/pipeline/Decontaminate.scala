@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Ckpt.MatOps
 
 /** Benchmark decontamination — the standard LLM training-data filter:
   * flag (and drop) corpus documents that share any word n-gram with a
@@ -35,7 +36,10 @@ object Decontaminate {
                         idCol: String = "doc_id",
                         textCol: String = "text",
                         benchTextCol: String = "text"): DataFrame = {
+    // cached across the gate count and the join: without it the count
+    // computes the deduped deny-list once and the join recomputes it
     val bad = benchmarkNgrams(benchmark, n, benchTextCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // size-gated broadcast: eval suites are small, but a pathological
     // "benchmark" bigger than the gate falls back to a shuffle join
     // instead of OOMing the driver
@@ -43,17 +47,26 @@ object Decontaminate {
     // the per-doc gram dedup happens AFTER the (broadcast) hit join —
     // deduping only the rare matches keeps the corpus pass map-side;
     // a distinct before the join would shuffle every n-gram of every
-    // corpus document
-    corpus.select(col(idCol),
+    // corpus document. The hit set is materialized (mat = eager
+    // checkpoint) so the deny-list cache can be released here and
+    // clean()'s anti-join reuses the detection pass instead of
+    // re-running the corpus scan.
+    val hits = corpus.select(col(idCol),
         explode(TextAnalysis.shingles(col(textCol), n)).as("g"))
       .join(gated, "g")
       .select(col(idCol), col("g")).distinct()
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bad_grams"), min(col("g")).as("first_gram"))
+      .mat()
+    try { bad.unpersist(blocking = false); () } catch { case _: Throwable => () }
+    hits
   }
 
   /** The corpus with contaminated documents removed (left anti on the
-    * hit set) — the frame a training run should read. */
+    * hit set) — the frame a training run should read. The hit set from
+    * `contaminationHits` is already materialized, so the only new work
+    * is the anti-join's corpus pass (unavoidable: the output IS the
+    * corpus). */
   def clean(corpus: DataFrame, benchmark: DataFrame, n: Int,
             idCol: String = "doc_id", textCol: String = "text",
             benchTextCol: String = "text"): DataFrame =

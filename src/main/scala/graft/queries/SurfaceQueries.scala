@@ -105,7 +105,14 @@ object SurfaceQueries {
           lit(0L).as("rank"),
           col("o_totalprice").as("totalprice"))
       // landing file wave 1: insert placed-edges for orderkey % 3 == 0;
-      // wave 2: insert % 3 == 1 and delete % 6 == 0 (half of wave 1)
+      // wave 2: insert % 3 == 1 and delete % 6 == 0 (half of wave 1).
+      // DELIBERATE single-batch assumption: maxFilesPerTrigger is left
+      // unset so Trigger.AvailableNow drains both waves in ONE
+      // microbatch, exercising KeyedTable's within-batch semantics
+      // (inserts apply before deletes regardless of file order). The
+      // sibling q_stream_ingest_log is the multi-batch ordering test —
+      // it coalesces each wave to one file with distinct mtimes and
+      // sets maxFilesPerTrigger=1.
       mut("insert", pmod(col("o_orderkey"), lit(3)) === 0)
         .write.mode("append").parquet(landing)
       mut("insert", pmod(col("o_orderkey"), lit(3)) === 1)

@@ -42,6 +42,17 @@ object Divergences {
     * scenarios) is acceptance. */
   case object Accepted extends Expect
 
+  /** Order-insensitive table equality on the CELL LISTS themselves —
+    * not on joined strings, where `["ab","c"]` and `["a","bc"]` would
+    * collide and a wrong engine result could be pinned as a confirmed
+    * divergence. The sort key joins with U+0000 (never produced by the
+    * runner's normalizer) purely to obtain a total order; the equality
+    * compares the row vectors element-wise. */
+  def tableMatches(got: Seq[Seq[String]], want: Seq[Seq[String]]): Boolean = {
+    def key(r: Seq[String]) = r.mkString("\u0000")
+    got.map(_.toVector).sortBy(key) == want.map(_.toVector).sortBy(key)
+  }
+
   /** `unskippedOk`: the entry applies even to a NON-@skip scenario.
     * Reserved for steps whose FEATURE TEXT is itself broken upstream
     * (verifiable by reading the .feature file) — a golden no engine

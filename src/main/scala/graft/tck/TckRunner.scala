@@ -1301,8 +1301,7 @@ object TckRunner {
                             case Divergences.NonEmpty => got.nonEmpty
                             case Divergences.RowCount(n) => got.size == n
                             case Divergences.Table(rows) =>
-                              got.map(_.mkString("")).sorted ==
-                                rows.map(_.mkString("")).sorted
+                              Divergences.tableMatches(got, rows)
                             case Divergences.Rejected |
                                  Divergences.Accepted => false
                           }

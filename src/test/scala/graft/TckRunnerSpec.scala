@@ -123,6 +123,18 @@ class TckRunnerSpec extends TckSuiteBase {
     val cases = TckRunner.parseFeature(text)
     assert(cases.size >= 50, s"only ${cases.size} cases parsed from GO.feature")
   }
+
+  test("divergence-pin table compare is cell-exact, not join-collision") {
+    import graft.tck.Divergences.tableMatches
+    // the collision a string-join compare would accept as equal
+    assert(!tableMatches(Seq(Seq("ab", "c")), Seq(Seq("a", "bc"))))
+    // genuine equality, order-insensitive
+    assert(tableMatches(Seq(Seq("a", "b"), Seq("c", "d")),
+      Seq(Seq("c", "d"), Seq("a", "b"))))
+    // arity mismatches never match
+    assert(!tableMatches(Seq(Seq("a", "b")), Seq(Seq("a", "b", ""))))
+    assert(!tableMatches(Seq(Seq("a")), Seq(Seq("a"), Seq("a"))))
+  }
 }
 
 class TckMatchSuite extends TckSuiteBase {
