@@ -16,6 +16,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // store-backing on: every graph query rides the bucketed layout,
+    // built once per dataset (GraphStore.ensure) under a JVM-managed
+    // root (deleted on exit)
+    sources.GraphStore.enableManaged(spark)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q_a,q_b → dump just those (local iteration aid;
     // the driver never sets it, so the full gate is unaffected)

@@ -1,0 +1,95 @@
+package graft.algo
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Neighbor-message delivery for the iterative algorithms: `send`
+  * delivers each state row's payload along every edge u→v of the
+  * oriented view (u matched on state("vid")), producing (vid = v,
+  * payload...) rows. The two implementations are the two storage
+  * postures:
+  *
+  *  - [[FrameAdjacency]] — an arbitrary oriented edge frame,
+  *    repartitioned on src and persisted ONCE so each round's message
+  *    join reuses the cached layout (the pre-store posture; one
+  *    up-front shuffle of the whole edge set + a block-manager copy).
+  *  - [[StoredAdjacency]] — GraphStore bucketed tables. Each side's
+  *    message join reads the on-disk hash(src) layout directly: the
+  *    edge set is NEVER shuffled and NEVER copied into executor
+  *    memory; only the (small) per-round state exchanges. This is the
+  *    reference's economics — its NebulaKeyUtils partitioning is
+  *    written once at load and serves every traversal
+  *    (src/storage/query/GetNeighborsProcessor.cpp:32) — and the
+  *    difference between the two postures at 100 TB is shuffling and
+  *    caching a 100 TB edge table per algorithm run versus not.
+  *
+  * Message MULTISETS are identical across implementations, so
+  * algorithms whose update rules are order-independent (min-label WCC,
+  * argmin/argmax picks) produce bit-identical results on either. */
+sealed trait Adjacency {
+  /** Deliver `payload` columns (evaluated against the state row) to
+    * every out-neighbor of state("vid"). Result: (vid, payload...). */
+  def send(state: DataFrame, payload: Seq[Column]): DataFrame
+  /** Out-degree per source vertex over the oriented view: (vid, od). */
+  def outDegrees: DataFrame
+  /** Release any resources pinned for the loop (cache blocks). */
+  def release(): Unit
+}
+
+/** One oriented (src, dst) frame: repartition+persist once, one join
+  * per send. `oriented` must already encode direction semantics (e.g.
+  * union both directions for an undirected algorithm). */
+final class FrameAdjacency(oriented: DataFrame) extends Adjacency {
+  private val e = oriented.select("src", "dst")
+    .repartition(col("src"))
+    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  def send(state: DataFrame, payload: Seq[Column]): DataFrame =
+    e.join(state, e("src") === state("vid"))
+      .select((e("dst").as("vid") +: payload): _*)
+
+  def outDegrees: DataFrame =
+    e.groupBy(col("src").as("vid")).agg(count(lit(1)).as("od"))
+
+  def release(): Unit =
+    try { e.unpersist(blocking = false); () } catch { case _: Throwable => () }
+}
+
+/** Bucketed store sides, each hash-partitioned by its own src column
+  * on disk (GraphStore `_out`, and `_in` reversed for the undirected
+  * view). send() joins per side and unions the messages, so every
+  * edge-side scan is exchange-free — unlike FrameAdjacency there is
+  * NO up-front repartition shuffle of the edge set.
+  *
+  * `cacheSides` (default true) additionally persists each side:
+  * caching an already-bucketed scan keeps its HashPartitioning (the
+  * joins stay exchange-free) while sparing the per-round parquet
+  * re-decode — strictly cheaper than FrameAdjacency, whose persist is
+  * preceded by a full shuffle. At true 100-TB scale pass false: a
+  * MEMORY_AND_DISK copy of the whole edge set duplicates it onto
+  * executor disks, and re-reading the bucketed files (OS page cache
+  * behind them) is the sane posture. */
+final class StoredAdjacency(sides: Seq[DataFrame],
+                            cacheSides: Boolean = true) extends Adjacency {
+  require(sides.nonEmpty, "StoredAdjacency needs at least one side")
+  private val narrow = sides.map { s =>
+    val n = s.select("src", "dst")
+    if (cacheSides)
+      n.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else n
+  }
+
+  def send(state: DataFrame, payload: Seq[Column]): DataFrame =
+    narrow.map { e =>
+      e.join(state, e("src") === state("vid"))
+        .select((e("dst").as("vid") +: payload): _*)
+    }.reduce(_ unionByName _)
+
+  def outDegrees: DataFrame =
+    narrow.map(_.select(col("src").as("vid"))).reduce(_ unionByName _)
+      .groupBy("vid").agg(count(lit(1)).as("od"))
+
+  def release(): Unit = if (cacheSides) narrow.foreach { e =>
+    try { e.unpersist(blocking = false); () } catch { case _: Throwable => () }
+  }
+}

@@ -53,17 +53,32 @@ object GraphAlgos {
     // pre-partitioned on the per-round join key: the cached layout
     // satisfies the join's distribution, so each round shuffles only
     // the (small) label state, never the big edge frame
-    val und = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = new FrameAdjacency(
+      edges.select(col("src"), col("dst"))
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    try ccLoop(vertices, adj, iters, untilConverged)
+    finally adj.release()
+  }
+
+  /** WCC over a pre-built [[Adjacency]] (both directions already
+    * encoded) — the GraphStore path: a [[StoredAdjacency]] of the
+    * bucketed out table + reversed in table runs every round's message
+    * join with ZERO edge-side Exchange and no block-manager copy of
+    * the edge set. min-label is order-independent, so results are
+    * bit-identical to the frame path. */
+  def connectedComponents(vertices: DataFrame, adj: Adjacency,
+                          iters: Int, untilConverged: Boolean): DataFrame =
+    ccLoop(vertices, adj, iters, untilConverged)
+
+  private def ccLoop(vertices: DataFrame, adj: Adjacency,
+                     iters: Int, untilConverged: Boolean): DataFrame = {
     var labels = vertices.select(col("vid"), col("vid").as("label"))
       .mat()
     var round = 0
     var changed = 1L
     while (round < iters && (!untilConverged || changed > 0)) {
-      val fromNbrs = und.join(labels, und("src") === labels("vid"))
-        .groupBy(und("dst").as("vid"))
+      val fromNbrs = adj.send(labels, Seq(col("label")))
+        .groupBy("vid")
         .agg(min(col("label")).as("nbr_label"))
       val upd = labels.join(fromNbrs, Seq("vid"), "left_outer")
         .select(col("vid"), col("label").as("__old"),
@@ -77,7 +92,6 @@ object GraphAlgos {
       labels = upd.drop("__old")
       round += 1
     }
-    try { und.unpersist(blocking = false) } catch { case _: Throwable => () }
     labels
   }
 
@@ -93,17 +107,31 @@ object GraphAlgos {
     // pre-partitioned by src (see connectedComponents): per-round joins
     // against the rank state reuse the cached layout instead of
     // re-shuffling the edge frame
-    val e = edges.select("src", "dst").repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-      .mat()
+    val adj = new FrameAdjacency(edges.select("src", "dst"))
+    try prLoop(vertices, adj, iters, damping, tol)
+    finally adj.release()
+  }
+
+  /** PageRank over a pre-built directed [[Adjacency]] — the GraphStore
+    * path: a [[StoredAdjacency]] of the bucketed out table keeps every
+    * round's contribution join edge-side-Exchange-free. The per-state
+    * out-degree is folded into the rank state (one small join per
+    * round) instead of into the edge frame; the contribution multiset
+    * is identical. */
+  def pageRank(vertices: DataFrame, adj: Adjacency, iters: Int,
+               damping: Double, tol: Double): DataFrame =
+    prLoop(vertices, adj, iters, damping, tol)
+
+  private def prLoop(vertices: DataFrame, adj: Adjacency, iters: Int,
+                     damping: Double, tol: Double): DataFrame = {
+    val outDeg = adj.outDegrees.mat()
     var pr = vertices.select(col("vid"), lit(1.0).as("pr")).mat()
     var round = 0
     var delta = Double.MaxValue
     while (round < iters && (tol <= 0.0 || delta > tol)) {
-      val contrib = e.join(outDeg, Seq("src"))
-        .join(pr, e("src") === pr("vid"))
-        .select(e("dst").as("vid"), (col("pr") / col("od")).as("c"))
+      // inner join: dangling vertices (no out-edges) contribute nothing
+      val withOd = pr.join(outDeg, Seq("vid"))
+      val contrib = adj.send(withOd, Seq((col("pr") / col("od")).as("c")))
         .groupBy("vid").agg(sum(col("c")).as("inflow"))
       val upd = pr.join(contrib, Seq("vid"), "left_outer")
         .select(col("vid"), col("pr").as("__old"),
@@ -116,7 +144,6 @@ object GraphAlgos {
       pr = upd.drop("__old")
       round += 1
     }
-    try { e.unpersist(blocking = false) } catch { case _: Throwable => () }
     pr
   }
 

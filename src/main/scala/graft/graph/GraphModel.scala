@@ -88,14 +88,59 @@ class GraphModel(val spark: SparkSession, sfDir: String) extends GraphCatalog {
     vid("n", $"n_nationkey", "src"), vid("r", $"n_regionkey", "dst"),
     lit(0L).as("rank"))
 
-  /** Unified edge view (src, dst, etype, rank) — `GO ... OVER *`. */
-  def edges: DataFrame = Seq(
+  /** Unified edge view (src, dst, etype, rank) derived per query from
+    * the flat parquet tables — one projection per type, no shuffle. */
+  private def flatEdges: DataFrame = Seq(
     placed.select($"src", $"dst", lit("placed").as("etype"), $"rank"),
     hasPart.select($"src", $"dst", lit("has_part").as("etype"), $"rank"),
     hasSupp.select($"src", $"dst", lit("has_supp").as("etype"), $"rank"),
     inNation.select($"src", $"dst", lit("in_nation").as("etype"), $"rank"),
     inRegion.select($"src", $"dst", lit("in_region").as("etype"), $"rank")
   ).reduce(_ unionByName _)
+
+  /** The dataset's bucketed GraphStore name, built once per JVM when
+    * store-backing is on (spark.graft.graphstore.dir set — Verify and
+    * Bench enable it). The store is the reference's storage posture
+    * (NebulaKeyUtils hash(vid) partitioning, written at load, serving
+    * every GetNeighbors): every GO / MATCH / algorithm over `edges`
+    * then rides the hash(src) file layout instead of re-deriving and
+    * re-shuffling the union view per query. */
+  private lazy val storeName: Option[String] =
+    if (graft.sources.GraphStore.enabled(spark))
+      Some(graft.sources.GraphStore.ensure(spark, sfDir)(flatEdges, vertices))
+    else None
+
+  /** The attached store's name (None when store-backing is off) — for
+    * callers that address the bucketed tables directly (twoHop). */
+  def store: Option[String] = storeName
+
+  /** Unified edge view (src, dst, etype, rank) — `GO ... OVER *`.
+    * Store-backed (bucketed by src) when the graph store is enabled;
+    * the flat per-query union otherwise. */
+  def edges: DataFrame = storeName
+    .map(graft.sources.GraphStore.outEdges(spark, _))
+    .getOrElse(flatEdges)
+
+  /** Message adjacency over the unified view for the iterative
+    * algorithms — both directions (undirected algorithms). Stored:
+    * out table + reversed in table, each join exchange-free on the
+    * edge side. Flat: one repartition+persist frame. */
+  def adjacencyBoth: graft.algo.Adjacency = storeName match {
+    case Some(n) => new graft.algo.StoredAdjacency(Seq(
+      graft.sources.GraphStore.outEdges(spark, n),
+      graft.sources.GraphStore.inEdgesReversed(spark, n)))
+    case None => new graft.algo.FrameAdjacency(
+      flatEdges.select($"src", $"dst")
+        .unionByName(flatEdges.select($"dst".as("src"), $"src".as("dst"))))
+  }
+
+  /** Directed (out-edge) message adjacency for the iterative
+    * algorithms. */
+  def adjacencyOut: graft.algo.Adjacency = storeName match {
+    case Some(n) => new graft.algo.StoredAdjacency(Seq(
+      graft.sources.GraphStore.outEdges(spark, n)))
+    case None => new graft.algo.FrameAdjacency(flatEdges.select($"src", $"dst"))
+  }
 
   // ---- GraphCatalog conformance ----
   def allEdges: DataFrame = edges

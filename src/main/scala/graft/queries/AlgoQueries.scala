@@ -25,14 +25,26 @@ object AlgoQueries {
       val g = gm(s, dir)
       GraphAlgos.degrees(g.vertices, g.edges)
     }),
+    // WCC/PageRank ride the message-adjacency abstraction: when the
+    // graph store is enabled (Verify/Bench do), every round's message
+    // join reads the bucketed layout with zero edge-side Exchange and
+    // no block-manager copy of the edge set; flat sessions fall back
+    // to the repartition+persist frame. Results are identical (same
+    // message multisets).
     "q_algo_wcc" -> ((s, dir) => {
       val g = gm(s, dir)
-      GraphAlgos.connectedComponents(g.vertices, g.edges, iters = 6)
+      val adj = g.adjacencyBoth
+      try GraphAlgos.connectedComponents(g.vertices, adj, iters = 6,
+        untilConverged = false)
+      finally adj.release()
     }),
     "q_algo_pagerank" -> ((s, dir) => {
       val g = gm(s, dir)
-      GraphAlgos.pageRank(g.vertices, g.edges, iters = 3)
+      val adj = g.adjacencyOut
+      try GraphAlgos.pageRank(g.vertices, adj, iters = 3,
+          damping = 0.85, tol = 0.0)
         .select(col("vid"), roundPortable(col("pr"), 4).as("pr"))
+      finally adj.release()
     }),
     // Triangle counting needs a graph with triangles — the TPC-H graph
     // is multipartite — so project a co-purchase graph first (parts

@@ -26,11 +26,77 @@ import org.apache.spark.sql.functions._
   * (Traverse/GraphAlgos) get the same benefit: the frontier repartitions
   * to the table's bucketing; the edge side stays where it was written.
   *
+  * `ensure` is the main-surface entry (round-11): it builds the store
+  * for a dataset ONCE per JVM (keyed by dataset identity, name derived
+  * from a hash so concurrent queries on different datasets never race a
+  * fixed table name) and re-serves the same tables to every subsequent
+  * query — GraphModel attaches through it, so GO / MATCH / the
+  * algorithms all ride the layout instead of re-shuffling the edge
+  * frame per query. The reference amortizes its layout the same way:
+  * NebulaKeyUtils partitioning is written once at load and serves every
+  * GetNeighbors (src/storage/query/GetNeighborsProcessor.cpp:32).
+  *
   * Tables are registered in the session catalog with explicit parquet
   * paths under `dir`, so the layout survives the session (re-`attach` to
   * reuse) and nothing lands in the default warehouse.
   */
 object GraphStore {
+
+  /** Conf key: root directory for `ensure`d stores. Empty/unset =
+    * store-backing off (GraphModel falls back to flat parquet views). */
+  val ConfDir = "spark.graft.graphstore.dir"
+  /** Conf key: bucket count for `ensure`d stores. 32 matches local[32];
+    * on a real cluster size it like shuffle partitions (e.g. 2-4× the
+    * executor-core count) — more buckets = more parallelism per scan,
+    * fewer rows per bucket file. */
+  val ConfBuckets = "spark.graft.graphstore.buckets"
+
+  def enabled(spark: SparkSession): Boolean =
+    spark.conf.get(ConfDir, "").nonEmpty
+
+  /** Turn store-backing on with a JVM-managed root (created now,
+    * recursively deleted on JVM exit). No-op when a root is already
+    * configured — an explicitly configured root is caller-owned. */
+  def enableManaged(spark: SparkSession): Unit = synchronized {
+    if (!enabled(spark)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-gstore")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try deleteRecursively(dir.toFile) catch { case _: Throwable => () }))
+      spark.conf.set(ConfDir, dir.toString)
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  // one lock object per store name; the catalog-existence check under
+  // it serializes concurrent first-touch so the three saveAsTable
+  // writes happen exactly once per catalog (bucketing METADATA lives in
+  // the catalog, so a fresh catalog must rebuild even if files exist —
+  // parquet files alone cannot prove the hash layout)
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Build (or reuse) the bucketed store for the dataset identified by
+    * `key` (e.g. its directory path) and return the store name. The
+    * name is a hash of (root, key): deterministic for reuse, unique per
+    * dataset so concurrent queries never collide on a fixed name. */
+  def ensure(spark: SparkSession, key: String)
+            (edges: => DataFrame, vertices: => DataFrame): String = {
+    val root = spark.conf.get(ConfDir)
+    val buckets = spark.conf.get(ConfBuckets, "32").toInt
+    val name = "gs_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$root|$key".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    locks.computeIfAbsent(name, _ => new Object).synchronized {
+      // _v is written LAST — its presence proves a complete store
+      if (!spark.catalog.tableExists(s"${name}_v"))
+        write(edges, vertices, name, s"$root/$name", buckets)
+    }
+    name
+  }
 
   /** Write `edges` (src, dst, ...) and `vertices` (vid, ...) as a
     * bucketed store named `name`. Idempotent: Overwrite mode. */
@@ -56,6 +122,17 @@ object GraphStore {
   /** In-adjacency (bucketed by dst). */
   def inEdges(spark: SparkSession, name: String): DataFrame =
     spark.table(s"${name}_in")
+
+  /** In-adjacency REVERSED to traversal orientation: (src = stored dst,
+    * dst = stored src), so its rows are hash-partitioned by the NEW
+    * src. The rename is a projection — alias-aware planning keeps the
+    * bucketed layout visible to joins on the new src. */
+  def inEdgesReversed(spark: SparkSession, name: String): DataFrame = {
+    val e = inEdges(spark, name)
+    val rest = e.columns.filterNot(c => c == "src" || c == "dst")
+    e.select((col("dst").as("src") +: col("src").as("dst") +:
+      rest.map(col)): _*)
+  }
 
   /** Vertices (bucketed by vid). */
   def vertices(spark: SparkSession, name: String): DataFrame =

@@ -47,8 +47,14 @@ object Traverse {
   /** Rows below this count get an explicit broadcast hint on the hop
     * join. Conservative: a frontier of 5M vids (~a few hundred MB) still
     * broadcasts fine on real executors, but we stay well under driver
-    * memory in local mode too. */
+    * memory in local mode too. Override per session with
+    * `spark.graft.broadcastFrontierRows` (0 disables the hint — the
+    * plan-shape tests use this to pin the sort-merge path). */
   val BroadcastFrontierRows = 2000000L
+
+  private def broadcastCap(df: DataFrame): Long =
+    df.sparkSession.conf.get("spark.graft.broadcastFrontierRows",
+      BroadcastFrontierRows.toString).toLong
 
   /** Direction of edge traversal. REVERSELY/BIDIRECT mirror the GO
     * grammar (src/parser/parser.yy:1424). The reference stores both
@@ -77,13 +83,32 @@ object Traverse {
     (mat, mat.count())
   }
 
+  /** True when the frame's physical layout already hash-partitions its
+    * rows by `src` — a GraphStore bucketed scan (the bucketing survives
+    * column-pruning projections and etype filters through alias-aware
+    * planning). Such a frame needs NO loop-time persist: every hop join
+    * on src reuses the on-disk layout with zero edge-side Exchange, and
+    * at 100 TB re-reading bucketed parquet beats copying the edge table
+    * into the block manager. */
+  def srcPartitioned(e: DataFrame): Boolean =
+    try e.queryExecution.sparkPlan.outputPartitioning match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        h.expressions.length == 1 && (h.expressions.head match {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            a.name == "src"
+          case _ => false
+        })
+      case _ => false
+    } catch { case _: Throwable => false }
+
   /** Persist the oriented edge frame for a multi-step loop: every hop
     * joins against it, and without caching each step re-derives the
-    * union-of-projections from the parquet scan. At cluster scale this
-    * is where bucketing-by-src would go; persist is the local-mode
-    * equivalent that also survives plan truncation. */
+    * union-of-projections from the parquet scan. Skipped when the frame
+    * is already bucket-partitioned by src (see srcPartitioned) — the
+    * store IS the cache. */
   def persistEdges(e: DataFrame, steps: Int): DataFrame =
-    if (steps > 1) e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (steps > 1 && !srcPartitioned(e))
+      e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else e
 
   def releaseEdges(e: DataFrame, steps: Int): Unit =
@@ -122,7 +147,7 @@ object Traverse {
     * frontier (the reference bounds this with its memory tracker;
     * we bound it with BroadcastFrontierRows). */
   def maybeBroadcast(frontier: DataFrame, rows: Long): DataFrame =
-    if (rows > 0 && rows <= BroadcastFrontierRows) broadcast(frontier)
+    if (rows > 0 && rows <= broadcastCap(frontier)) broadcast(frontier)
     else frontier
 
   /** Deterministic per-src edge cap: keep at most `k` out-edges per

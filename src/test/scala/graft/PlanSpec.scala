@@ -249,6 +249,114 @@ class PlanSpec extends SparkSpec {
       s"expected 1 exchange (frontier only), got $exchanges:\n${plan.take(3000)}")
   }
 
+  // ---- round 11: the store under the MAIN surface ----------------
+  // a cloned session (own SQLConf, shared external catalog) keeps the
+  // store-backing conf and broadcast overrides from leaking into the
+  // other (concurrent) suites sharing SparkSpec.spark
+
+  private def bucketScansUnderExchange(
+      plan: org.apache.spark.sql.execution.SparkPlan): Int =
+    plan.collect {
+      case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        x.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.bucketSpec.isDefined => f
+        }.size
+    }.sum
+
+  private def exchanges(
+      plan: org.apache.spark.sql.execution.SparkPlan): Int =
+    plan.collect {
+      case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => x
+    }.size
+
+  test("stored graph under GO: hop joins exchange only the frontier, persist skipped") {
+    assume(have)
+    import graft.sources.GraphStore
+    import graft.traverse.Traverse
+    val s2 = spark.newSession()
+    GraphStore.enableManaged(s2)
+    s2.conf.set("spark.graft.broadcastFrontierRows", "0") // pin the SMJ path
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false") // unwrapped plan tree
+    val g = graft.graph.GraphModel(s2, dir)
+    val e1 = g.edges.select("src", "dst")
+    // the stored scan satisfies hash(src): Traverse loops skip the
+    // per-query persist — the store IS the cache
+    assert(Traverse.srcPartitioned(e1),
+      "stored edge scan not recognized as hash-partitioned by src")
+    assert(!Traverse.srcPartitioned(
+      graft.graph.GraphModel(spark, dir).edges.select("src", "dst")),
+      "flat union view wrongly claims hash partitioning")
+    // 2-step hop chain exactly as go() builds it — the frontier is
+    // MATERIALIZED between hops (go's per-step mat), so each hop's
+    // plan is one join whose only exchange is the frontier side; the
+    // edge side reads in place
+    import graft.Ckpt.MatOps
+    // filter, not limit: a global limit adds its own single-partition
+    // exchange and would muddy the frontier-exchange count
+    val f0 = g.customers
+      .filter(expr("CAST(substr(vid, 3, 10) AS BIGINT) <= 30"))
+      .select(col("vid").as("origin"), col("vid"))
+    val hop1 = f0.join(e1, f0("vid") === e1("src"))
+      .select(col("origin"), e1("dst").as("vid"))
+    val p1 = hop1.queryExecution.executedPlan
+    assert(bucketScansUnderExchange(p1) == 0,
+      s"hop-1 shuffles the bucketed edge scan:\n${p1.toString.take(3000)}")
+    assert(exchanges(p1) == 1,
+      s"hop-1: expected 1 exchange (frontier), got ${exchanges(p1)}:\n${p1.toString.take(3000)}")
+    val f1 = hop1.mat()
+    val e2 = GraphStore.outEdges(s2, g.store.get).select("src", "dst")
+    val hop2 = f1.join(e2, f1("vid") === e2("src"))
+      .select(f1("origin"), e2("dst").as("vid"))
+    val p2 = hop2.queryExecution.executedPlan
+    assert(bucketScansUnderExchange(p2) == 0,
+      s"hop-2 shuffles the bucketed edge scan:\n${p2.toString.take(3000)}")
+    assert(exchanges(p2) == 1,
+      s"hop-2: expected 1 exchange (frontier), got ${exchanges(p2)}:\n${p2.toString.take(3000)}")
+    // and the stored loop is result-identical to the flat loop
+    def seeds(gm: graft.graph.GraphModel) = gm.customers
+      .filter(expr("CAST(substr(vid, 3, 10) AS BIGINT) <= 3")).select("vid")
+    val stored = Traverse.go(seeds(g), g.edges, 1, 2)
+      .collect().map(_.toSeq).toSet
+    val gFlat = graft.graph.GraphModel(spark, dir)
+    val flat = Traverse.go(seeds(gFlat), gFlat.edges, 1, 2)
+      .collect().map(_.toSeq).toSet
+    assert(stored == flat, "stored GO diverges from flat GO")
+  }
+
+  test("stored adjacency: algorithm message joins never exchange the edge side") {
+    assume(have)
+    import graft.sources.GraphStore
+    val s2 = spark.newSession()
+    GraphStore.enableManaged(s2)
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false") // unwrapped plan tree
+    val g = graft.graph.GraphModel(s2, dir)
+    val adj = g.adjacencyBoth
+    assert(adj.isInstanceOf[graft.algo.StoredAdjacency],
+      "store-backed GraphModel did not hand out a StoredAdjacency")
+    val state = g.vertices.select(col("vid"), col("vid").as("label"))
+    val msgs = adj.send(state, Seq(col("label")))
+    val plan = msgs.queryExecution.executedPlan
+    assert(bucketScansUnderExchange(plan) == 0,
+      s"a bucketed side sits under an Exchange:\n${plan.toString.take(3000)}")
+    // the STATE shuffles (once, reused by the second side via
+    // ReusedExchange) — never more than one exchange per side, never
+    // zero (the SMJ requires the state to move to the bucket layout)
+    assert(exchanges(plan) >= 1 && exchanges(plan) <= 2,
+      s"expected 1-2 state exchanges, got ${exchanges(plan)}:\n${plan.toString.take(3000)}")
+    // stored and flat WCC agree (min-label is order-independent)
+    val gFlat = graft.graph.GraphModel(spark, dir)
+    val a = graft.algo.GraphAlgos
+      .connectedComponents(g.vertices, adj, iters = 2, untilConverged = false)
+      .collect().map(_.toSeq).toSet
+    val b = graft.algo.GraphAlgos
+      .connectedComponents(gFlat.vertices, gFlat.edges, iters = 2)
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "stored WCC diverges from flat WCC")
+  }
+
   test("jaccard: pair join is an equi join on the shared neighbor, no cartesian") {
     assume(have)
     // the hub-cap semi join itself sits behind the localCheckpoint
