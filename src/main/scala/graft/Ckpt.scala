@@ -36,13 +36,20 @@ object Ckpt {
   def reliable(s: SparkSession): Boolean = confDir(s).isDefined
 
   /** Eagerly materialize `df` with truncated lineage, honoring the
-    * configured durability mode. */
-  def mat(df: DataFrame): DataFrame = confDir(df.sparkSession) match {
-    case Some(d) =>
-      val sc = df.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
-      df.checkpoint() // eager; writes to the reliable dir
-    case None => df.localCheckpoint()
+    * configured durability mode. The checkpoint's carried-over origin
+    * STATISTICS are stripped (same RDD, partitioning, ordering kept):
+    * in iterative loops those estimates compound geometrically round
+    * over round until Catalyst's size estimator spends unbounded CPU
+    * on million-digit BigIntegers — see InternalBridge.stripOriginStats. */
+  def mat(df: DataFrame): DataFrame = {
+    val ck = confDir(df.sparkSession) match {
+      case Some(d) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+        df.checkpoint() // eager; writes to the reliable dir
+      case None => df.localCheckpoint()
+    }
+    org.apache.spark.sql.graft.InternalBridge.stripOriginStats(ck)
   }
 
   /** Chainable form: `frame.select(...).mat()` replaces

@@ -7,14 +7,25 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the master — the cluster-mode
+    // correctness gate runs the SAME 136-query dump on
+    // local-cluster[2,2,*] (separate executor JVMs) and compares the
+    // parquet results against the DuckDB oracle HASHES, catching
+    // partition-order/window-determinism bugs a single-JVM run hides.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // multi-executor runs exercise the durable checkpoint path (Ckpt):
+    // local checkpoints live in executor memory and die with executors
+    if (master.startsWith("local-cluster"))
+      builder.config("spark.graft.checkpointDir",
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // store-backing on: every graph query rides the bucketed layout,
     // built once per dataset (GraphStore.ensure) under a JVM-managed

@@ -530,21 +530,52 @@ object GraphAlgos {
     * Scale: per round one message shuffle (neighbor-community counts),
     * one Σtot aggregation over the assignment (tiny), and one argmin —
     * the same shape as labelPropagation. */
-  def louvain(edges: DataFrame, iters: Int): DataFrame = {
-    val und = canonicalUndirected(edges).mat()
-    val m2 = und.count() * 2 // one driver action; the oracle's scalar subquery
-    val both = und.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+  def louvain(edges: DataFrame, iters: Int): DataFrame =
+    louvainMoves(canonicalUndirected(edges).withColumn("w", lit(1L)),
+      selfW = None, iters = iters, gateTag = "")
+
+  /** One synchronous move phase over a WEIGHTED undirected simple
+    * graph — the generalization multi-level Louvain needs for its
+    * coarsened levels. `und` is (a, b, w) with a < b and no self-loops;
+    * `selfW` is optional (vid, sw) self-loop weight (a contracted
+    * community's internal edges), contributing 2·sw to the weighted
+    * degree but nothing to any move gain (a self-loop stays internal
+    * wherever the vertex goes, so it cancels between candidates).
+    * `gateTag` salts the round-varying mover gate per level; level 1
+    * uses "" so the single-level oracle replay is byte-identical to
+    * the historical rounds. All weights are integral (edge-multiplicity
+    * counts), so every score is exact long arithmetic and an external
+    * oracle replays rounds bit-for-bit. */
+  private def louvainMoves(und: DataFrame, selfW: Option[DataFrame],
+                           iters: Int, gateTag: String): DataFrame = {
+    val undM = und.mat()
+    // m2 = 2·(total weight incl. self-loops) — invariant under
+    // contraction, so every level sees the SAME m2 (true Louvain)
+    val wSum = undM.agg(coalesce(sum("w"), lit(0L))).head.getLong(0)
+    val selfSum = selfW.map(_.agg(coalesce(sum("sw"), lit(0L)))
+      .head.getLong(0)).getOrElse(0L)
+    val m2 = (wSum + selfSum) * 2
+    val both = undM.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(undM.select(col("b").as("src"), col("a").as("dst"), col("w")))
       .repartition(col("src")) // see connectedComponents
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = both.groupBy(col("src").as("vid")).agg(count(lit(1)).as("k"))
-      .mat()
+    val nbrDeg = both.groupBy(col("src").as("vid")).agg(sum("w").as("k0"))
+    val deg = (selfW match {
+      case None => nbrDeg.select(col("vid"), col("k0").as("k"))
+      case Some(sw) =>
+        // full outer: an all-internal community contracts to a
+        // supervertex with ONLY a self-loop — it has no move to make
+        // but must stay in the assignment for the unfold join
+        nbrDeg.join(sw, Seq("vid"), "full_outer")
+          .select(col("vid"), (coalesce(col("k0"), lit(0L)) +
+            lit(2L) * coalesce(col("sw"), lit(0L))).as("k"))
+    }).mat()
     var assign = deg.select(col("vid"), col("vid").as("c")).mat()
     var round = 0
     while (round < iters) {
       val nbrC = both.join(assign, both("dst") === assign("vid"))
-        .select(both("src").as("vid"), col("c"))
-      val kin = nbrC.groupBy("vid", "c").agg(count(lit(1)).as("kin"))
+        .select(both("src").as("vid"), col("c"), col("w"))
+      val kin = nbrC.groupBy("vid", "c").agg(sum("w").as("kin"))
       val csize = assign.groupBy("c").agg(count(lit(1)).as("sz"))
       val sigtot = assign.join(deg, "vid").groupBy("c").agg(sum("k").as("st"))
       val cur = assign.withColumnRenamed("c", "c_i")
@@ -577,7 +608,7 @@ object GraphAlgos {
           struct((-col("score")).as("ns"), col("c").as("cc"))).as("nc"))
       // round-varying mover half: breaks symmetric swap cycles
       val gate = pmod(conv(substring(
-        md5(concat(col("vid"), lit(s"|$round"))), 1, 15), 16, 10)
+        md5(concat(col("vid"), lit(s"$gateTag|$round"))), 1, 15), 16, 10)
         .cast("long"), lit(2L)) === 0L
       val upd = assign
         .join(pick, Seq("vid"), "left_outer")
@@ -590,7 +621,112 @@ object GraphAlgos {
       round += 1
     }
     try { both.unpersist(blocking = false) } catch { case _: Throwable => () }
+    graft.traverse.Traverse.freeCheckpoint(undM)
+    graft.traverse.Traverse.freeCheckpoint(deg)
     assign
+  }
+
+  /** MULTI-LEVEL Louvain (Blondel et al. 2008 — the full algorithm the
+    * reference ecosystem's LouvainAlgo implements): after each pinned
+    * move phase, contract every community to a supervertex (inter-
+    * community edges summed into weighted super-edges, intra edges +
+    * rolled-up self-loops into supervertex self-weights), rerun the
+    * move phase on the coarsened graph with the SAME m2, and unfold
+    * the assignment chain back to original vertices. Coarsening is
+    * what gives Louvain its quality and scalability on large graphs:
+    * later levels move whole communities at once over an
+    * exponentially smaller graph. Every level runs `iters` pinned,
+    * md5-gated rounds with all-integer scores, so the DuckDB oracle
+    * replays the entire hierarchy bit-for-bit.
+    *
+    * Scale: level-1 dominates (the coarsened graphs shrink
+    * geometrically); contraction is one endpoint-mapping join + one
+    * aggregation keyed on the community pair. */
+  def louvainMultiLevel(edges: DataFrame, levels: Int,
+                        iters: Int): DataFrame = {
+    require(levels >= 1, s"levels must be >= 1, got $levels")
+    var cur = canonicalUndirected(edges).withColumn("w", lit(1L))
+    var selfW: Option[DataFrame] = None
+    var mapping: DataFrame = null // original vid -> current community
+    var l = 1
+    while (l <= levels) {
+      val tag = if (l == 1) "" else s"|L$l"
+      val a = louvainMoves(cur, selfW, iters, tag).mat()
+      val prevMapping = mapping
+      mapping =
+        if (mapping == null) a
+        else {
+          val m2 = mapping.select(col("vid"), col("c").as("__mid"))
+            .join(a.select(col("vid").as("__mid2"), col("c")),
+              col("__mid") === col("__mid2"))
+            .select(col("vid"), col("c")).mat()
+          graft.traverse.Traverse.freeCheckpoint(mapping)
+          m2
+        }
+      if (l < levels) {
+        val curM = cur.mat()
+        val am = a.select(col("vid").as("__av"), col("c").as("__ac"))
+        val bm = a.select(col("vid").as("__bv"), col("c").as("__bc"))
+        val mapped = curM
+          .join(am, col("a") === col("__av"))
+          .join(bm, col("b") === col("__bv"))
+        val superUnd = mapped.filter(col("__ac") =!= col("__bc"))
+          .select(least(col("__ac"), col("__bc")).as("a"),
+            greatest(col("__ac"), col("__bc")).as("b"), col("w"))
+          .groupBy("a", "b").agg(sum("w").as("w"))
+          .mat()
+        // intra-community edge weight + prior self-loops roll up into
+        // the supervertex's self-weight
+        val intra = mapped.filter(col("__ac") === col("__bc"))
+          .select(col("__ac").as("vid"), col("w").as("sw"))
+        val rolledPrior = selfW.map(_.join(
+            a.select(col("vid").as("__sv"), col("c")),
+            col("vid") === col("__sv"))
+          .select(col("c").as("vid"), col("sw")))
+        val allSelf = rolledPrior.map(intra.unionByName(_)).getOrElse(intra)
+          .groupBy("vid").agg(sum("sw").as("sw")).mat()
+        selfW.foreach(graft.traverse.Traverse.freeCheckpoint)
+        graft.traverse.Traverse.freeCheckpoint(curM)
+        selfW = Some(allSelf)
+        cur = superUnd
+        if (prevMapping != null) graft.traverse.Traverse.freeCheckpoint(a)
+      }
+      l += 1
+    }
+    mapping
+  }
+
+  /** Newman modularity Q = Σ_C [ w_in(C)/m − (Σtot(C)/2m)² ] of an
+    * assignment over the unweighted undirected simple view of `edges`
+    * (w_in counts intra-community edges; m = |edges|). The quality
+    * metric the Louvain family ascends — AlgoSpec uses it to pin that
+    * coarsening strictly improves on a single move phase. */
+  def modularity(edges: DataFrame, assign: DataFrame): Double = {
+    val und = canonicalUndirected(edges)
+    val am = assign.select(col("vid").as("__av"), col("c").as("__ac"))
+    val bm = assign.select(col("vid").as("__bv"), col("c").as("__bc"))
+    val mapped = und
+      .join(am, col("a") === col("__av"))
+      .join(bm, col("b") === col("__bv"))
+      .select(col("__ac").as("ca"), col("__bc").as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val m = mapped.count().toDouble
+      if (m == 0) return 0.0
+      val win = mapped.filter(col("ca") === col("cb"))
+        .groupBy("ca").agg(count(lit(1)).as("win"))
+      // Σtot per community = sum of member degrees over the simple view
+      val st = mapped.select(col("ca").as("c"))
+        .unionAll(mapped.select(col("cb").as("c")))
+        .groupBy("c").agg(count(lit(1)).as("st"))
+      st.join(win, st("c") === win("ca"), "left_outer")
+        .select((coalesce(col("win"), lit(0L)) / m -
+          (col("st") / (2 * m)) * (col("st") / (2 * m))).as("q"))
+        .agg(sum("q")).head.getDouble(0)
+    } finally {
+      try { mapped.unpersist(blocking = false); () }
+      catch { case _: Throwable => () }
+    }
   }
 
   /** Deterministic random walks (the node2vec/DeepWalk corpus stage of

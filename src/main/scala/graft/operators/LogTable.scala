@@ -57,26 +57,78 @@ final case class LogTable(spark: SparkSession, path: String,
   /** Append one mutation batch (rows with an `op` column: 'insert' |
     * 'delete'; delete rows need only their keys) as a new immutable
     * segment. O(batch): the existing table is never read or
-    * rewritten. */
+    * rewritten.
+    *
+    * Writer-safe: the sequence number is CLAIMED by the rename, not by
+    * the pre-scan — rename-to-existing fails on every Hadoop
+    * FileSystem, so when two writers race the same number the loser
+    * observes the failure and retries with the next one. The staged
+    * batch is written once; only the (cheap) rename retries. */
   def append(batch: DataFrame): Unit = {
     require(batch.columns.contains("op"),
       "LogTable.append needs an op column ('insert' | 'delete')")
-    val seq = segments.lastOption.getOrElse(-1L) + 1
-    val stage = new Path(path + f".stage-$seq%08d")
+    var seq = segments.lastOption.getOrElse(-1L) + 1
+    val stage = new Path(path + f".stage-$seq%08d-${java.util.UUID.randomUUID().toString.take(8)}")
     batch.write.mode(SaveMode.Overwrite).parquet(stage.toString)
-    moveIntoTable(stage, seq)
+    writeKeyStats(stage)
+    var attempts = 0
+    while (!moveIntoTable(stage, seq)) {
+      attempts += 1
+      require(attempts < 1000, s"could not claim a segment seq after $attempts tries")
+      seq = math.max(seq + 1, segments.lastOption.getOrElse(-1L) + 1)
+    }
   }
 
-  /** Checked rename of a staged segment into the table. The table
+  /** Min/max of the first key column over the staged batch, written as
+    * a `.keyrange` sidecar INSIDE the segment dir (so the rename
+    * carries it atomically with the data). Powers `prunedSegments`. */
+  private def writeKeyStats(stage: Path): Unit = {
+    val df = spark.read.parquet(stage.toString)
+    val k = keys.head
+    val row = df.agg(min(col(k).cast("string")).as("lo"),
+      max(col(k).cast("string")).as("hi")).head
+    if (!row.isNullAt(0)) {
+      val f = fs(stage)
+      val out = f.create(new Path(stage, ".keyrange"), true)
+      try out.write(s"${row.getString(0)}\n${row.getString(1)}"
+        .getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** Parse a segment's `.keyrange` sidecar: (min, max) of its first
+    * key column. None for legacy segments written before stats. */
+  private def keyRange(seq: Long): Option[(String, String)] = {
+    val p = new Path(segPath(seq), ".keyrange")
+    val f = fs(p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        new String(buf.toByteArray, "UTF-8").split("\n", 2) match {
+          case Array(lo, hi) => Some((lo, hi))
+          case _ => None
+        }
+      } finally in.close()
+    }
+  }
+
+  /** Checked rename of a staged segment into the table; false when the
+    * target sequence is already claimed by another writer. The table
     * root is created first: FileSystem.rename fails (HDFS/S3) or
     * silently degrades to a non-atomic copy (RawLocalFileSystem) when
     * the destination's parent does not exist. */
-  private def moveIntoTable(stage: Path, seq: Long): Unit = {
+  private def moveIntoTable(stage: Path, seq: Long): Boolean = {
     val root = new Path(path)
     val f = fs(root)
     if (!f.exists(root)) require(f.mkdirs(root), s"mkdirs $root failed")
     val target = new Path(segPath(seq))
-    require(f.rename(stage, target), s"rename $stage -> $target failed")
+    if (f.exists(target)) false
+    else f.rename(stage, target)
   }
 
   /** Current state: per key, the row from the HIGHEST segment wins;
@@ -89,8 +141,50 @@ final case class LogTable(spark: SparkSession, path: String,
   def read: DataFrame = {
     val segs = segments
     require(segs.nonEmpty, s"LogTable at $path has no segments")
+    resolve(segs, None)
+  }
+
+  /** Segments whose first-key [min, max] stats may intersect
+    * [lo, hi]. Legacy segments without a `.keyrange` sidecar are
+    * always kept (pruning must stay sound). */
+  def prunedSegments(lo: String, hi: String): Seq[Long] =
+    segments.filter { s =>
+      keyRange(s) match {
+        case Some((mn, mx)) => !(mx < lo || mn > hi)
+        case None => true
+      }
+    }
+
+  /** Range/point lookup on the FIRST key column: resolves
+    * last-writer-wins over ONLY the segments whose min/max stats may
+    * contain the range — sound because every segment holding any row
+    * of a key (insert or tombstone) contains that key and therefore
+    * survives the overlap test. A point lookup on a compacted-plus-
+    * fresh-deltas table scans O(deltas touching the key), not
+    * O(all segments) — the LSM read path the reference gets from
+    * RocksDB's SST min/max pruning. */
+  def readRange(lo: String, hi: String): DataFrame = {
+    val all = segments
+    require(all.nonEmpty, s"LogTable at $path has no segments")
+    val segs = prunedSegments(lo, hi)
+    if (segs.isEmpty)
+      resolve(Seq(all.head), None).limit(0)
+    else resolve(segs, Some((lo, hi)))
+  }
+
+  /** LWW resolution over the given segments, optionally pre-filtered
+    * to a first-key range (the filter is applied per segment BEFORE
+    * the window, so the shuffle carries only the range's rows). */
+  private def resolve(segs: Seq[Long],
+                      range: Option[(String, String)]): DataFrame = {
     val all = segs.map { s =>
-      spark.read.parquet(segPath(s)).withColumn("__seg", lit(s))
+      val df = spark.read.parquet(segPath(s)).withColumn("__seg", lit(s))
+      range match {
+        case Some((lo, hi)) =>
+          val k = col(keys.head).cast("string")
+          df.filter(k >= lo && k <= hi)
+        case None => df
+      }
     }.reduce(_ unionByName _)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__seg").desc, col("op").asc)
@@ -112,10 +206,16 @@ final case class LogTable(spark: SparkSession, path: String,
     // while the old segments still exist; they are only removed after
     // the rename lands, so no lineage survives onto deleted paths
     val resolved = read.withColumn("op", lit("insert"))
-    val seq = old.last + 1
-    val stage = new Path(path + f".stage-$seq%08d")
+    var seq = old.last + 1
+    val stage = new Path(path + f".stage-$seq%08d-compact")
     resolved.write.mode(SaveMode.Overwrite).parquet(stage.toString)
-    moveIntoTable(stage, seq)
+    writeKeyStats(stage)
+    var attempts = 0
+    while (!moveIntoTable(stage, seq)) {
+      attempts += 1
+      require(attempts < 1000, s"could not claim a segment seq after $attempts tries")
+      seq = math.max(seq + 1, segments.lastOption.getOrElse(-1L) + 1)
+    }
     old.foreach { s =>
       val p = new Path(segPath(s))
       require(fs(p).delete(p, true), s"delete $p failed")

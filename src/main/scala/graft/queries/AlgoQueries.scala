@@ -129,6 +129,15 @@ object AlgoQueries {
     // scores; oracle-replayable).
     "q_algo_louvain" -> ((s, dir) =>
       GraphAlgos.louvain(coPurchase(s, dir), iters = 6)),
+    // MULTI-LEVEL Louvain (Blondel et al. 2008): 4 move rounds, then
+    // contract communities to a weighted supergraph (inter-community
+    // super-edges + self-loop weights), 4 more rounds there, unfold.
+    // The oracle replays the whole hierarchy — both levels' rounds,
+    // the contraction aggregations, and the unfold join — exactly
+    // (integer weights, md5 gates salted per level).
+    "q_algo_louvain_ml" -> ((s, dir) =>
+      GraphAlgos.louvainMultiLevel(coPurchase(s, dir), levels = 2,
+        iters = 4)),
     // node2vec-style walk corpus: 5 deterministic steps per customer.
     "q_algo_walks" -> ((s, dir) => randomWalkQuery(s, dir)),
     // node2vec-biased walks (p=q=4 → dyadic weights, bit-exact oracle
@@ -193,6 +202,48 @@ object AlgoQueries {
       |  UNION ALL SELECT 'n:' || n_nationkey FROM nation
       |  UNION ALL SELECT 'r:' || r_regionkey FROM region
       |  UNION ALL SELECT 'o:' || o_orderkey FROM orders)""".stripMargin
+
+  /** One unrolled Louvain move round in DuckDB SQL — the replay twin
+    * of GraphAlgos.louvainMoves. `t` disambiguates CTE names per level
+    * ("" keeps level-1's historical names), `aPfx` the assignment CTE
+    * prefix, `n`/`deg` the level's adjacency/degree CTEs, `salt` the
+    * md5 mover-gate's level tag, `weighted` switches kin from edge
+    * counts to summed super-edge weights. All-integer scores, so the
+    * replay is bit-exact. */
+  private def louvainRoundSql(r: Int, t: String, aPfx: String, n: String,
+      deg: String, salt: String, weighted: Boolean): String = {
+    val kin = if (weighted) "sum(w)::BIGINT" else "count(*)"
+    val nbrW = if (weighted) ", n.w" else ""
+    s"""NBR$t$r AS MATERIALIZED (SELECT n.src AS vid, a.c$nbrW
+       |  FROM $n n JOIN $aPfx$r a ON a.vid = n.dst),
+       |KIN$t$r AS MATERIALIZED (SELECT vid, c, $kin AS kin
+       |  FROM NBR$t$r GROUP BY 1, 2),
+       |SZ$t$r AS MATERIALIZED (SELECT c, count(*) AS sz FROM $aPfx$r GROUP BY 1),
+       |ST$t$r AS MATERIALIZED (SELECT a.c, sum(d.k)::BIGINT AS st
+       |  FROM $aPfx$r a JOIN $deg d ON d.vid = a.vid GROUP BY 1),
+       |STAY$t$r AS MATERIALIZED (SELECT a.vid,
+       |    (SELECT m2 FROM M) * coalesce(k2.kin, 0) - d.k * (s.st - d.k) AS stay
+       |  FROM $aPfx$r a JOIN $deg d ON d.vid = a.vid
+       |  JOIN ST$t$r s ON s.c = a.c
+       |  LEFT JOIN KIN$t$r k2 ON k2.vid = a.vid AND k2.c = a.c),
+       |CAND$t$r AS MATERIALIZED (SELECT k.vid, k.c, a.c AS c_i,
+       |    (SELECT m2 FROM M) * k.kin -
+       |      d.k * (s.st - CASE WHEN k.c = a.c THEN d.k ELSE 0 END) AS score
+       |  FROM KIN$t$r k JOIN ST$t$r s ON s.c = k.c JOIN SZ$t$r z ON z.c = k.c
+       |  JOIN $deg d ON d.vid = k.vid JOIN $aPfx$r a ON a.vid = k.vid
+       |  JOIN SZ$t$r zi ON zi.c = a.c
+       |  WHERE NOT (zi.sz = 1 AND z.sz = 1 AND k.c > a.c)),
+       |P$t$r AS MATERIALIZED (SELECT vid, c FROM
+       |  (SELECT cd.vid, cd.c, row_number() OVER
+       |     (PARTITION BY cd.vid ORDER BY cd.score DESC, cd.c) AS rn
+       |   FROM CAND$t$r cd JOIN STAY$t$r sy ON sy.vid = cd.vid
+       |   WHERE cd.c = cd.c_i OR cd.score > sy.stay)
+       |  WHERE rn = 1),
+       |$aPfx${r + 1} AS MATERIALIZED (SELECT a.vid,
+       |    CASE WHEN ('0x' || substr(md5(a.vid || '$salt|$r'), 1, 15))::BIGINT % 2 = 0
+       |           AND p.c IS NOT NULL THEN p.c ELSE a.c END AS c
+       |  FROM $aPfx$r a LEFT JOIN P$t$r p ON p.vid = a.vid)""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_algo_degree" ->
@@ -495,6 +546,43 @@ object AlgoQueries {
         |A0 AS (SELECT vid, vid AS c FROM DEG),
         |$rounds
         |SELECT vid, c FROM A6""".stripMargin
+    },
+    "q_algo_louvain_ml" -> {
+      // the full two-level hierarchy: 4 unrolled level-1 rounds, the
+      // contraction aggregations (weighted super-edges + self-loop
+      // weights), 4 weighted level-2 rounds with the SAME m2 (total
+      // weight is invariant under contraction), then the unfold join
+      val l1 = (0 until 4).map(r =>
+        louvainRoundSql(r, "", "A", "N", "DEG", "", weighted = false))
+        .mkString(",\n")
+      val l2 = (0 until 4).map(r =>
+        louvainRoundSql(r, "B", "B", "N2", "DEG2", "|L2", weighted = true))
+        .mkString(",\n")
+      s"""WITH $coPurchaseCtes,
+        |N AS (SELECT a AS src, b AS dst FROM UND
+        |      UNION ALL SELECT b, a FROM UND),
+        |M AS (SELECT count(*) * 2 AS m2 FROM UND),
+        |DEG AS MATERIALIZED (SELECT src AS vid, count(*) AS k FROM N GROUP BY 1),
+        |A0 AS (SELECT vid, vid AS c FROM DEG),
+        |$l1,
+        |SUPER AS MATERIALIZED (
+        |  SELECT least(x.c, y.c) AS a, greatest(x.c, y.c) AS b,
+        |         count(*)::BIGINT AS w
+        |  FROM UND u JOIN A4 x ON x.vid = u.a JOIN A4 y ON y.vid = u.b
+        |  WHERE x.c <> y.c GROUP BY 1, 2),
+        |SELFW AS MATERIALIZED (
+        |  SELECT x.c AS vid, count(*)::BIGINT AS sw
+        |  FROM UND u JOIN A4 x ON x.vid = u.a JOIN A4 y ON y.vid = u.b
+        |  WHERE x.c = y.c GROUP BY 1),
+        |N2 AS (SELECT a AS src, b AS dst, w FROM SUPER
+        |       UNION ALL SELECT b, a, w FROM SUPER),
+        |DEG2 AS MATERIALIZED (
+        |  SELECT vid, sum(k)::BIGINT AS k FROM (
+        |    SELECT src AS vid, sum(w) AS k FROM N2 GROUP BY 1
+        |    UNION ALL SELECT vid, 2 * sw FROM SELFW) GROUP BY 1),
+        |B0 AS (SELECT vid, vid AS c FROM DEG2),
+        |$l2
+        |SELECT a.vid, b.c FROM A4 a JOIN B4 b ON b.vid = a.c""".stripMargin
     },
     "q_algo_walks" -> {
       val steps = (1 to 5).map { i =>

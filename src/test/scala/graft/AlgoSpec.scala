@@ -121,6 +121,36 @@ class AlgoSpec extends SparkSpec {
     assert(out("a") != out("d"), s"bridge merged the triangles: $out")
   }
 
+  test("multi-level louvain: coarsening beats phase-1 on a ring of cliques") {
+    import spark.implicits._
+    // the resolution-limit construction (Fortunato & Barthélemy): a
+    // ring of 16 triangles joined by single bridge edges. Phase 1
+    // finds the triangles but can never merge adjacent ones — no
+    // SINGLE vertex gains by moving across a bridge — while the
+    // optimum merges neighboring cliques. Level 2 moves whole
+    // contracted cliques, so the 2-level run must score strictly
+    // higher modularity.
+    val cliques = 16
+    def v(c: Int, i: Int) = f"v$c%02d_$i"
+    val tri = (0 until cliques).flatMap(c => Seq(
+      (v(c, 0), v(c, 1)), (v(c, 1), v(c, 2)), (v(c, 0), v(c, 2))))
+    val bridges = (0 until cliques).map(c =>
+      (v(c, 0), v((c + 1) % cliques, 1)))
+    val edges = (tri ++ bridges).toDF("src", "dst")
+    val iters = 10
+    val p1 = GraphAlgos.louvain(edges, iters)
+    val ml = GraphAlgos.louvainMultiLevel(edges, levels = 2, iters = iters)
+    val q1 = GraphAlgos.modularity(edges, p1)
+    val qml = GraphAlgos.modularity(edges, ml)
+    assert(qml > q1 + 1e-9,
+      s"coarsening did not improve modularity: phase-1 $q1 vs 2-level $qml")
+    // levels = 1 is exactly the single-phase algorithm
+    val l1 = GraphAlgos.louvainMultiLevel(edges, levels = 1, iters = iters)
+      .as[(String, String)].collect().toSet
+    val base = p1.as[(String, String)].collect().toSet
+    assert(l1 == base, "louvainMultiLevel(levels=1) diverges from louvain")
+  }
+
   test("scc: exact on cycles+bridge, pinned variant matches exact") {
     import spark.implicits._
     // two 2-cycles bridged a↔b → c↔d, plus e→a (e acyclic)

@@ -139,4 +139,51 @@ class StreamingSpec extends SparkSpec {
     t.append(batch(("delete", "a", 0)))
     assert(state == Map("c" -> 3), s"post-compact delete lost: $state")
   }
+
+  test("LogTable: racing writers claim distinct segments by rename") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft-lograce")
+      .toString
+    val t = LogTable(spark, s"$root/t", Seq("k"))
+    t.append(Seq(("insert", "a", 1)).toDF("op", "k", "v"))
+    // simulate the race: another writer lands a segment at the very
+    // sequence this writer would compute (segments.last + 1) before
+    // this writer's rename
+    val next = t.segments.last + 1
+    Seq(("insert", "x", 7)).toDF("op", "k", "v")
+      .write.parquet(f"$root/t/seg=$next%08d")
+    t.append(Seq(("insert", "b", 2)).toDF("op", "k", "v"))
+    // the append must have retried onto the NEXT free sequence; the
+    // read sees both writers' rows
+    assert(t.segments.size == 3, s"segments: ${t.segments}")
+    val got = t.read.select("k", "v").as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 1, "b" -> 2, "x" -> 7), s"race lost a row: $got")
+  }
+
+  test("LogTable: key-range stats prune segments for point lookups") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft-logprune")
+      .toString
+    val t = LogTable(spark, s"$root/t", Seq("k"))
+    // three segments with disjoint key ranges
+    t.append(Seq(("insert", "a1", 1), ("insert", "a9", 2))
+      .toDF("op", "k", "v"))
+    t.append(Seq(("insert", "m1", 3), ("insert", "m9", 4))
+      .toDF("op", "k", "v"))
+    t.append(Seq(("insert", "z1", 5), ("insert", "z9", 6))
+      .toDF("op", "k", "v"))
+    assert(t.segments.size == 3)
+    // a point lookup scans FEWER segments than exist
+    assert(t.prunedSegments("m1", "m1").size == 1,
+      s"pruning kept ${t.prunedSegments("m1", "m1")}")
+    val hit = t.readRange("m1", "m1").select("k", "v")
+      .as[(String, Int)].collect().toMap
+    assert(hit == Map("m1" -> 3), s"range read wrong: $hit")
+    // pruning must stay sound under LWW: a later delete in another
+    // segment of the same key range is still consulted
+    t.append(Seq(("delete", "m1", 0)).toDF("op", "k", "v"))
+    assert(t.readRange("m1", "m1").count() == 0, "tombstone not seen")
+    // out-of-range lookup: zero segments, empty (schema-stable) result
+    assert(t.readRange("q", "q").count() == 0)
+  }
 }
