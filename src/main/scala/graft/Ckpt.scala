@@ -41,13 +41,26 @@ object Ckpt {
     * in iterative loops those estimates compound geometrically round
     * over round until Catalyst's size estimator spends unbounded CPU
     * on million-digit BigIntegers — see InternalBridge.stripOriginStats. */
+  /** Optional storage level for LOCAL checkpoints, e.g.
+    * `spark.graft.checkpointLevel=MEMORY_AND_DISK_SER` — the memory
+    * dial for runs whose per-node data share is large relative to
+    * heap (serialized blocks are 3-5× smaller than deserialized rows
+    * at the cost of per-access deserialization). Unset = Spark's
+    * default (MEMORY_AND_DISK deserialized). */
+  val LevelKey = "spark.graft.checkpointLevel"
+
   def mat(df: DataFrame): DataFrame = {
     val ck = confDir(df.sparkSession) match {
       case Some(d) =>
         val sc = df.sparkSession.sparkContext
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
         df.checkpoint() // eager; writes to the reliable dir
-      case None => df.localCheckpoint()
+      case None =>
+        df.sparkSession.conf.getOption(LevelKey).filter(_.nonEmpty) match {
+          case Some(lvl) => df.localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.fromString(lvl))
+          case None => df.localCheckpoint()
+        }
     }
     org.apache.spark.sql.graft.InternalBridge.stripOriginStats(ck)
   }

@@ -86,7 +86,11 @@ object GraphStore {
   def ensure(spark: SparkSession, key: String)
             (edges: => DataFrame, vertices: => DataFrame): String = {
     val root = spark.conf.get(ConfDir)
-    val buckets = spark.conf.get(ConfBuckets, "32").toInt
+    // default bucket count follows the session's shuffle parallelism
+    // (itself data-size-derived in Verify/Bench — see graft.Tune), so
+    // bucketed joins never cap the rest of the plan's parallelism
+    val buckets = spark.conf.get(ConfBuckets,
+      spark.conf.get("spark.sql.shuffle.partitions", "32")).toInt
     val name = "gs_" + java.security.MessageDigest.getInstance("MD5")
       .digest(s"$root|$key".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
