@@ -65,6 +65,18 @@ object Ckpt {
     org.apache.spark.sql.graft.InternalBridge.stripOriginStats(ck)
   }
 
+  /** mat() unless the frame is ALREADY a bare materialized scan (its
+    * analyzed plan is a single LogicalRDD leaf) — re-checkpointing
+    * such a frame would copy every row into a second block set for no
+    * benefit. Multi-phase drivers (louvainMultiLevel) use this where a
+    * phase may receive either a lazy view or the previous phase's
+    * checkpoint. */
+  def matIdempotent(df: DataFrame): DataFrame =
+    df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df
+      case _ => mat(df)
+    }
+
   /** Chainable form: `frame.select(...).mat()` replaces
     * `.localCheckpoint()` at every loop site. */
   implicit class MatOps(private val df: DataFrame) extends AnyVal {

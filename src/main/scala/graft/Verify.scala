@@ -22,10 +22,24 @@ object Verify {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
     // multi-executor runs exercise the durable checkpoint path (Ckpt):
-    // local checkpoints live in executor memory and die with executors
-    if (master.startsWith("local-cluster"))
-      builder.config("spark.graft.checkpointDir",
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    // local checkpoints live in executor memory and die with executors.
+    // cleanCheckpoints lets the ContextCleaner delete files of freed
+    // checkpoints DURING the run; the shutdown hook removes the root
+    // afterwards (reliable files otherwise accumulate for all ~137
+    // queries' every iteration round).
+    if (master.startsWith("local-cluster")) {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          def rm(f: java.io.File): Unit = {
+            val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+            f.delete(); ()
+          }
+          rm(ckpt.toFile)
+        } catch { case _: Throwable => () }))
+      builder.config("spark.graft.checkpointDir", ckpt.toString)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // store-backing on: every graph query rides the bucketed layout,

@@ -548,7 +548,9 @@ object GraphAlgos {
     * oracle replays rounds bit-for-bit. */
   private def louvainMoves(und: DataFrame, selfW: Option[DataFrame],
                            iters: Int, gateTag: String): DataFrame = {
-    val undM = und.mat()
+    // idempotent: a coarsened level passes an already-checkpointed
+    // supergraph — re-matting it would duplicate every block
+    val undM = graft.Ckpt.matIdempotent(und)
     // m2 = 2·(total weight incl. self-loops) — invariant under
     // contraction, so every level sees the SAME m2 (true Louvain)
     val wSum = undM.agg(coalesce(sum("w"), lit(0L))).head.getLong(0)
@@ -621,7 +623,9 @@ object GraphAlgos {
       round += 1
     }
     try { both.unpersist(blocking = false) } catch { case _: Throwable => () }
-    graft.traverse.Traverse.freeCheckpoint(undM)
+    // undM passed in pre-materialized belongs to the caller (the
+    // multi-level driver still contracts over it)
+    if (undM ne und) graft.traverse.Traverse.freeCheckpoint(undM)
     graft.traverse.Traverse.freeCheckpoint(deg)
     assign
   }
@@ -648,10 +652,13 @@ object GraphAlgos {
     var cur = canonicalUndirected(edges).withColumn("w", lit(1L))
     var selfW: Option[DataFrame] = None
     var mapping: DataFrame = null // original vid -> current community
+    var lastA: DataFrame = null
     var l = 1
     while (l <= levels) {
       val tag = if (l == 1) "" else s"|L$l"
-      val a = louvainMoves(cur, selfW, iters, tag).mat()
+      // louvainMoves returns a checkpointed frame — no extra mat
+      val a = louvainMoves(cur, selfW, iters, tag)
+      lastA = a
       val prevMapping = mapping
       mapping =
         if (mapping == null) a
@@ -664,7 +671,7 @@ object GraphAlgos {
           m2
         }
       if (l < levels) {
-        val curM = cur.mat()
+        val curM = graft.Ckpt.matIdempotent(cur)
         val am = a.select(col("vid").as("__av"), col("c").as("__ac"))
         val bm = a.select(col("vid").as("__bv"), col("c").as("__bc"))
         val mapped = curM
@@ -693,6 +700,11 @@ object GraphAlgos {
       }
       l += 1
     }
+    // release the LAST level's frames: the unfolded mapping is a
+    // self-contained checkpoint (lastA aliases mapping when levels==1)
+    if (lastA ne mapping) graft.traverse.Traverse.freeCheckpoint(lastA)
+    graft.traverse.Traverse.freeCheckpoint(cur) // no-op when still lazy
+    selfW.foreach(graft.traverse.Traverse.freeCheckpoint)
     mapping
   }
 

@@ -59,46 +59,89 @@ final case class LogTable(spark: SparkSession, path: String,
     * segment. O(batch): the existing table is never read or
     * rewritten.
     *
-    * Writer-safe: the sequence number is CLAIMED by the rename, not by
-    * the pre-scan — rename-to-existing fails on every Hadoop
-    * FileSystem, so when two writers race the same number the loser
-    * observes the failure and retries with the next one. The staged
-    * batch is written once; only the (cheap) rename retries. */
+    * Writer-safe: the sequence number is CLAIMED by moving the staged
+    * dir into place (see claimSegment — the loser of a race observes
+    * the collision and retries with the next number). The staged batch
+    * is written once; only the claim retries. */
   def append(batch: DataFrame): Unit = {
     require(batch.columns.contains("op"),
       "LogTable.append needs an op column ('insert' | 'delete')")
-    var seq = segments.lastOption.getOrElse(-1L) + 1
-    val stage = new Path(path + f".stage-$seq%08d-${java.util.UUID.randomUUID().toString.take(8)}")
+    val stage = stagePath()
     batch.write.mode(SaveMode.Overwrite).parquet(stage.toString)
     writeKeyStats(stage)
+    claimSegment(stage, fresh = true)
+    ()
+  }
+
+  private def stagePath(): Path =
+    new Path(path + f".stage-${java.util.UUID.randomUUID().toString.take(12)}")
+
+  /** Claim the next free sequence for a fully-written staged segment.
+    * Two losing modes, both detected:
+    *  - the target already exists at the pre-check → try the next seq;
+    *  - the TOCTOU window: Hadoop `rename` onto a directory that
+    *    appeared after the pre-check does NOT fail — it moves the
+    *    source INTO it as a child. Detected by checking for the nested
+    *    dir after the rename; the nested dir is moved back out to a
+    *    fresh stage path and the claim retries with the next seq.
+    * `fresh = false` (compaction) ABORTS instead of retrying past a
+    * concurrent writer: a compaction snapshot that landed ABOVE a
+    * newer append would resurrect its deleted keys under
+    * last-writer-wins. Returns the claimed seq, or -1 on abort. */
+  private def claimSegment(stage0: Path, fresh: Boolean): Long = {
+    val root = new Path(path)
+    val f = fs(root)
+    if (!f.exists(root)) require(f.mkdirs(root), s"mkdirs $root failed")
+    var stage = stage0
+    var seq = segments.lastOption.getOrElse(-1L) + 1
     var attempts = 0
-    while (!moveIntoTable(stage, seq)) {
+    while (attempts < 1000) {
+      val target = new Path(segPath(seq))
+      if (!f.exists(target) && f.rename(stage, target)) {
+        val nested = new Path(target, stage.getName)
+        if (!f.exists(nested)) return seq // clean claim
+        // lost the TOCTOU race: un-nest back to a fresh stage
+        val stage2 = stagePath()
+        require(f.rename(nested, stage2), s"un-nest $nested failed")
+        stage = stage2
+      }
+      if (!fresh) { // compaction: a newer segment exists — abort
+        require(f.delete(stage, true), s"delete aborted stage $stage failed")
+        return -1L
+      }
       attempts += 1
-      require(attempts < 1000, s"could not claim a segment seq after $attempts tries")
       seq = math.max(seq + 1, segments.lastOption.getOrElse(-1L) + 1)
     }
+    throw new IllegalStateException(
+      s"could not claim a segment seq after $attempts tries")
   }
 
   /** Min/max of the first key column over the staged batch, written as
-    * a `.keyrange` sidecar INSIDE the segment dir (so the rename
-    * carries it atomically with the data). Powers `prunedSegments`. */
+    * a `.keyrange` sidecar INSIDE the segment dir (so the claim moves
+    * it atomically with the data). Base64 of the UTF-8 bytes — safe
+    * for keys containing newlines, and compared in UTF-8 byte order
+    * (Spark's own string collation) by prunedSegments. Powers
+    * `prunedSegments`. */
   private def writeKeyStats(stage: Path): Unit = {
     val df = spark.read.parquet(stage.toString)
     val k = keys.head
     val row = df.agg(min(col(k).cast("string")).as("lo"),
       max(col(k).cast("string")).as("hi")).head
     if (!row.isNullAt(0)) {
+      val b64 = java.util.Base64.getEncoder
+      def enc(s: String) = b64.encodeToString(s.getBytes("UTF-8"))
       val f = fs(stage)
       val out = f.create(new Path(stage, ".keyrange"), true)
-      try out.write(s"${row.getString(0)}\n${row.getString(1)}"
+      try out.write(s"b64\n${enc(row.getString(0))}\n${enc(row.getString(1))}"
         .getBytes("UTF-8"))
       finally out.close()
     }
   }
 
-  /** Parse a segment's `.keyrange` sidecar: (min, max) of its first
-    * key column. None for legacy segments written before stats. */
-  private def keyRange(seq: Long): Option[(String, String)] = {
+  /** Parse a segment's `.keyrange` sidecar: (min, max) UTF-8 key bytes
+    * of its first key column. None for segments without (readable)
+    * stats — those are never pruned. */
+  private def keyRange(seq: Long): Option[(Array[Byte], Array[Byte])] = {
     val p = new Path(segPath(seq), ".keyrange")
     val f = fs(p)
     if (!f.exists(p)) None
@@ -109,26 +152,14 @@ final case class LogTable(spark: SparkSession, path: String,
         val tmp = new Array[Byte](4096)
         var n = in.read(tmp)
         while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-        new String(buf.toByteArray, "UTF-8").split("\n", 2) match {
-          case Array(lo, hi) => Some((lo, hi))
-          case _ => None
+        new String(buf.toByteArray, "UTF-8").split("\n", 3) match {
+          case Array("b64", lo, hi) =>
+            val d = java.util.Base64.getDecoder
+            Some((d.decode(lo), d.decode(hi)))
+          case _ => None // unknown format: sound fallback (no pruning)
         }
       } finally in.close()
     }
-  }
-
-  /** Checked rename of a staged segment into the table; false when the
-    * target sequence is already claimed by another writer. The table
-    * root is created first: FileSystem.rename fails (HDFS/S3) or
-    * silently degrades to a non-atomic copy (RawLocalFileSystem) when
-    * the destination's parent does not exist. */
-  private def moveIntoTable(stage: Path, seq: Long): Boolean = {
-    val root = new Path(path)
-    val f = fs(root)
-    if (!f.exists(root)) require(f.mkdirs(root), s"mkdirs $root failed")
-    val target = new Path(segPath(seq))
-    if (f.exists(target)) false
-    else f.rename(stage, target)
   }
 
   /** Current state: per key, the row from the HIGHEST segment wins;
@@ -144,16 +175,35 @@ final case class LogTable(spark: SparkSession, path: String,
     resolve(segs, None)
   }
 
+  /** Unsigned-lexicographic UTF-8 byte compare — Spark's own string
+    * collation (UTF8String.compareTo), so the pruning decision agrees
+    * with the range filter `resolve` pushes into each segment scan
+    * (Java String compare is UTF-16 and disagrees above the BMP). */
+  private def byteCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
   /** Segments whose first-key [min, max] stats may intersect
-    * [lo, hi]. Legacy segments without a `.keyrange` sidecar are
+    * [lo, hi]. Segments without a (readable) `.keyrange` sidecar are
     * always kept (pruning must stay sound). */
-  def prunedSegments(lo: String, hi: String): Seq[Long] =
+  def prunedSegments(lo: String, hi: String): Seq[Long] = {
+    val loB = lo.getBytes("UTF-8")
+    val hiB = hi.getBytes("UTF-8")
     segments.filter { s =>
       keyRange(s) match {
-        case Some((mn, mx)) => !(mx < lo || mn > hi)
+        case Some((mn, mx)) =>
+          !(byteCompare(mx, loB) < 0 || byteCompare(mn, hiB) > 0)
         case None => true
       }
     }
+  }
 
   /** Range/point lookup on the FIRST key column: resolves
     * last-writer-wins over ONLY the segments whose min/max stats may
@@ -204,17 +254,27 @@ final case class LogTable(spark: SparkSession, path: String,
     if (old.size <= 1) return
     // the parquet write below fully materializes the resolved state
     // while the old segments still exist; they are only removed after
-    // the rename lands, so no lineage survives onto deleted paths
+    // the claim lands, so no lineage survives onto deleted paths
     val resolved = read.withColumn("op", lit("insert"))
-    var seq = old.last + 1
-    val stage = new Path(path + f".stage-$seq%08d-compact")
+    val stage = stagePath()
     resolved.write.mode(SaveMode.Overwrite).parquet(stage.toString)
     writeKeyStats(stage)
-    var attempts = 0
-    while (!moveIntoTable(stage, seq)) {
-      attempts += 1
-      require(attempts < 1000, s"could not claim a segment seq after $attempts tries")
-      seq = math.max(seq + 1, segments.lastOption.getOrElse(-1L) + 1)
+    // fresh = false: if ANY segment landed after `old` was listed, the
+    // snapshot is stale — claiming a higher sequence would let
+    // last-writer-wins resurrect keys the concurrent segment deleted.
+    // Abort instead (the staged snapshot is discarded); the next
+    // compaction cadence retries against the newer log.
+    val seq = claimSegment(stage, fresh = false)
+    if (seq < 0 || seq != old.last + 1) {
+      // seq > old.last + 1 means a writer landed in the claim window
+      // itself — the snapshot is already IN the log but stale rows in
+      // it are outranked only by later sequences, which is exactly the
+      // unsound case. Remove it again and let the next cycle compact.
+      if (seq >= 0) {
+        val p = new Path(segPath(seq))
+        require(fs(p).delete(p, true), s"delete stale compaction $p failed")
+      }
+      return
     }
     old.foreach { s =>
       val p = new Path(segPath(s))

@@ -505,39 +505,12 @@ object AlgoQueries {
         |SELECT vid, label, score FROM L3""".stripMargin
     },
     "q_algo_louvain" -> {
-      // synchronous modularity-ascent rounds, unrolled (MATERIALIZED:
-      // each round references the previous assignment three times)
-      val rounds = (0 until 6).map { r =>
-        s"""NBR$r AS MATERIALIZED (SELECT n.src AS vid, a.c
-           |  FROM N n JOIN A$r a ON a.vid = n.dst),
-           |KIN$r AS MATERIALIZED (SELECT vid, c, count(*) AS kin
-           |  FROM NBR$r GROUP BY 1, 2),
-           |SZ$r AS MATERIALIZED (SELECT c, count(*) AS sz FROM A$r GROUP BY 1),
-           |ST$r AS MATERIALIZED (SELECT a.c, sum(d.k) AS st
-           |  FROM A$r a JOIN DEG d ON d.vid = a.vid GROUP BY 1),
-           |STAY$r AS MATERIALIZED (SELECT a.vid,
-           |    (SELECT m2 FROM M) * coalesce(k2.kin, 0) - d.k * (s.st - d.k) AS stay
-           |  FROM A$r a JOIN DEG d ON d.vid = a.vid
-           |  JOIN ST$r s ON s.c = a.c
-           |  LEFT JOIN KIN$r k2 ON k2.vid = a.vid AND k2.c = a.c),
-           |CAND$r AS MATERIALIZED (SELECT k.vid, k.c, a.c AS c_i,
-           |    (SELECT m2 FROM M) * k.kin -
-           |      d.k * (s.st - CASE WHEN k.c = a.c THEN d.k ELSE 0 END) AS score
-           |  FROM KIN$r k JOIN ST$r s ON s.c = k.c JOIN SZ$r z ON z.c = k.c
-           |  JOIN DEG d ON d.vid = k.vid JOIN A$r a ON a.vid = k.vid
-           |  JOIN SZ$r zi ON zi.c = a.c
-           |  WHERE NOT (zi.sz = 1 AND z.sz = 1 AND k.c > a.c)),
-           |P$r AS MATERIALIZED (SELECT vid, c FROM
-           |  (SELECT cd.vid, cd.c, row_number() OVER
-           |     (PARTITION BY cd.vid ORDER BY cd.score DESC, cd.c) AS rn
-           |   FROM CAND$r cd JOIN STAY$r sy ON sy.vid = cd.vid
-           |   WHERE cd.c = cd.c_i OR cd.score > sy.stay)
-           |  WHERE rn = 1),
-           |A${r + 1} AS MATERIALIZED (SELECT a.vid,
-           |    CASE WHEN ('0x' || substr(md5(a.vid || '|$r'), 1, 15))::BIGINT % 2 = 0
-           |           AND p.c IS NOT NULL THEN p.c ELSE a.c END AS c
-           |  FROM A$r a LEFT JOIN P$r p ON p.vid = a.vid)""".stripMargin
-      }.mkString(",\n")
+      // synchronous modularity-ascent rounds, unrolled — generated by
+      // the SAME template as the multi-level oracle's levels, so the
+      // two replays can never drift apart
+      val rounds = (0 until 6).map(r =>
+        louvainRoundSql(r, "", "A", "N", "DEG", "", weighted = false))
+        .mkString(",\n")
       s"""WITH $coPurchaseCtes,
         |N AS (SELECT a AS src, b AS dst FROM UND
         |      UNION ALL SELECT b, a FROM UND),

@@ -89,9 +89,14 @@ object GraphQueries {
     // tables (PlanSpec asserts no Exchange). At 100 TB this is the
     // difference between shuffling the edge set per hop and never
     // shuffling it.
-    "q_bucketed_go" -> ((s, dir) => {
+    "q_bucketed_go" -> ((s0, dir) => {
       import graft.sources.GraphStore
-      GraphStore.enableManaged(s) // no-op when Verify/Bench pre-set a root
+      // when store-backing is OFF (an explicit flat A/B run, or a bare
+      // session), build the store on a conf-isolated session CLONE —
+      // enabling it on s0 itself would silently flip every later query
+      // of the session to store-backed and invalidate the A/B
+      val s = if (GraphStore.enabled(s0)) s0
+              else { val c = s0.newSession(); GraphStore.enableManaged(c); c }
       val g = gm(s, dir)
       GraphStore.twoHop(s, g.store.get)
         .groupBy("etype1", "etype2").agg(count(lit(1)).as("cnt"))
