@@ -101,13 +101,38 @@ object Traverse {
       case _ => false
     } catch { case _: Throwable => false }
 
+  /** True when the frame is a pure projection/filter/union over
+    * GraphStore bucketed scans — no shuffle, no join anywhere in its
+    * physical tree. Re-deriving such a frame per hop is just re-reading
+    * bucketed files (OS page cache behind them); persisting it would
+    * copy the whole edge set — BOTH directions for orient(Both) — into
+    * the block manager, which at 100 TB is the difference between a
+    * scan and a second cluster-wide copy of the table. Flat-parquet
+    * union views deliberately DON'T qualify (their leaves aren't
+    * bucketed): their per-hop re-derivation was measured slower than
+    * the cache in earlier rounds. */
+  def storedScanOnly(e: DataFrame): Boolean =
+    try {
+      val plan = e.queryExecution.sparkPlan
+      val shuffles = plan.collect {
+        case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => x
+      }
+      val leaves = plan.collectLeaves()
+      shuffles.isEmpty && leaves.nonEmpty && leaves.forall {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.bucketSpec.isDefined
+        case _ => false
+      }
+    } catch { case _: Throwable => false }
+
   /** Persist the oriented edge frame for a multi-step loop: every hop
     * joins against it, and without caching each step re-derives the
     * union-of-projections from the parquet scan. Skipped when the frame
-    * is already bucket-partitioned by src (see srcPartitioned) — the
-    * store IS the cache. */
+    * is already bucket-partitioned by src (see srcPartitioned) or is a
+    * pure view over stored scans (see storedScanOnly) — the store IS
+    * the cache. */
   def persistEdges(e: DataFrame, steps: Int): DataFrame =
-    if (steps > 1 && !srcPartitioned(e))
+    if (steps > 1 && !srcPartitioned(e) && !storedScanOnly(e))
       e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else e
 
