@@ -3,8 +3,10 @@ package graft
 /** Data-size-derived session dials. Round-10's scale ladder showed the
   * fixed `spark.sql.shuffle.partitions = cpus` starving wide shuffles
   * at the next decade (WCC at sf3: ~1.3 M rows per task on 41 M edges
-  * → a 4× hop that vanished with more partitions). The dial is the
-  * standard one: one shuffle task per ~64 MB of INPUT data, floored at
+  * → a 4× hop that vanished with more partitions). The dial: one
+  * shuffle task per 16 MB of COMPRESSED input (≈ the classic ~100 MB
+  * of in-flight data after the 4-6× decode/shuffle expansion — see
+  * shufflePartitions), floored at
   * the core count (never under-parallelize), capped at 4096 (AQE
   * coalesces small partitions back together, so over-provisioning is
   * cheap — under-provisioning is not recoverable at runtime). */

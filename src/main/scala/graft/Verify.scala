@@ -44,8 +44,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // store-backing on: every graph query rides the bucketed layout,
     // built once per dataset (GraphStore.ensure) under a JVM-managed
-    // root (deleted on exit)
-    sources.GraphStore.enableManaged(spark)
+    // root (deleted on exit). SPARK_GRAFT_STORE=off (same knob as
+    // Bench) runs the WHOLE oracle gate against the flat parquet
+    // views instead — run it periodically so flat-path regressions
+    // are still caught by the DuckDB hashes, not only by unit tests.
+    if (!sys.env.get("SPARK_GRAFT_STORE").contains("off"))
+      sources.GraphStore.enableManaged(spark)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q_a,q_b → dump just those (local iteration aid;
     // the driver never sets it, so the full gate is unaffected)

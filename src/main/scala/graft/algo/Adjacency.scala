@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   *
   *  - [[FrameAdjacency]] — an arbitrary oriented edge frame,
   *    repartitioned on src and persisted ONCE so each round's message
-  *    join reuses the cached layout (the pre-store posture; one
-  *    up-front shuffle of the whole edge set + a block-manager copy).
+  *    join reuses the cached layout (the posture for DERIVED graphs —
+  *    projections like co-purchase that exist only for the run; one
+  *    up-front shuffle of the derived edge set + a block-manager copy).
   *  - [[StoredAdjacency]] — GraphStore bucketed tables. Each side's
   *    message join reads the on-disk hash(src) layout directly: the
   *    edge set is NEVER shuffled and NEVER copied into executor
@@ -23,15 +24,25 @@ import org.apache.spark.sql.functions._
   *    difference between the two postures at 100 TB is shuffling and
   *    caching a 100 TB edge table per algorithm run versus not.
   *
+  * `keep` names extra edge columns retained alongside (src, dst) —
+  * payload expressions may reference them (e.g. an edge weight for
+  * SSSP, the multiplicity weight for Louvain). Callers must avoid
+  * state/edge column-name collisions in payloads.
+  *
   * Message MULTISETS are identical across implementations, so
   * algorithms whose update rules are order-independent (min-label WCC,
-  * argmin/argmax picks) produce bit-identical results on either. */
+  * argmin/argmax picks, exact-dyadic sums) produce bit-identical
+  * results on either. */
 sealed trait Adjacency {
-  /** Deliver `payload` columns (evaluated against the state row) to
-    * every out-neighbor of state("vid"). Result: (vid, payload...). */
+  /** Deliver `payload` columns (evaluated against the joined
+    * state-row × edge-row) to every out-neighbor of state("vid").
+    * Result: (vid = edge dst, payload...). */
   def send(state: DataFrame, payload: Seq[Column]): DataFrame
+  /** Aggregate the oriented edge rows grouped by src: (vid, aggs...).
+    * Aggregation expressions may reference `keep` columns. */
+  def bySrc(aggs: Seq[Column]): DataFrame
   /** Out-degree per source vertex over the oriented view: (vid, od). */
-  def outDegrees: DataFrame
+  def outDegrees: DataFrame = bySrc(Seq(count(lit(1)).as("od")))
   /** Release any resources pinned for the loop (cache blocks). */
   def release(): Unit
 }
@@ -39,8 +50,9 @@ sealed trait Adjacency {
 /** One oriented (src, dst) frame: repartition+persist once, one join
   * per send. `oriented` must already encode direction semantics (e.g.
   * union both directions for an undirected algorithm). */
-final class FrameAdjacency(oriented: DataFrame) extends Adjacency {
-  private val e = oriented.select("src", "dst")
+final class FrameAdjacency(oriented: DataFrame,
+                           keep: Seq[String] = Nil) extends Adjacency {
+  private val e = oriented.select(("src" +: "dst" +: keep).map(col): _*)
     .repartition(col("src"))
     .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -48,18 +60,18 @@ final class FrameAdjacency(oriented: DataFrame) extends Adjacency {
     e.join(state, e("src") === state("vid"))
       .select((e("dst").as("vid") +: payload): _*)
 
-  def outDegrees: DataFrame =
-    e.groupBy(col("src").as("vid")).agg(count(lit(1)).as("od"))
+  def bySrc(aggs: Seq[Column]): DataFrame =
+    e.groupBy(col("src").as("vid")).agg(aggs.head, aggs.tail: _*)
 
   def release(): Unit =
     try { e.unpersist(blocking = false); () } catch { case _: Throwable => () }
 }
 
 /** Bucketed store sides, each hash-partitioned by its own src column
-  * on disk (GraphStore `_out`, and `_in` reversed for the undirected
-  * view). send() joins per side and unions the messages, so every
-  * edge-side scan is exchange-free — unlike FrameAdjacency there is
-  * NO up-front repartition shuffle of the edge set.
+  * on disk (GraphStore `_out`, `_in` reversed for the undirected view,
+  * or `_und` directly). send() joins per side and unions the messages,
+  * so every edge-side scan is exchange-free — unlike FrameAdjacency
+  * there is NO up-front repartition shuffle of the edge set.
   *
   * `cacheSides` (default true) additionally persists each side:
   * caching an already-bucketed scan keeps its HashPartitioning (the
@@ -70,10 +82,11 @@ final class FrameAdjacency(oriented: DataFrame) extends Adjacency {
   * executor disks, and re-reading the bucketed files (OS page cache
   * behind them) is the sane posture. */
 final class StoredAdjacency(sides: Seq[DataFrame],
+                            keep: Seq[String] = Nil,
                             cacheSides: Boolean = true) extends Adjacency {
   require(sides.nonEmpty, "StoredAdjacency needs at least one side")
   private val narrow = sides.map { s =>
-    val n = s.select("src", "dst")
+    val n = s.select(("src" +: "dst" +: keep).map(col): _*)
     if (cacheSides)
       n.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else n
@@ -85,9 +98,10 @@ final class StoredAdjacency(sides: Seq[DataFrame],
         .select((e("dst").as("vid") +: payload): _*)
     }.reduce(_ unionByName _)
 
-  def outDegrees: DataFrame =
-    narrow.map(_.select(col("src").as("vid"))).reduce(_ unionByName _)
-      .groupBy("vid").agg(count(lit(1)).as("od"))
+  def bySrc(aggs: Seq[Column]): DataFrame =
+    narrow.map(_.select((col("src").as("vid") +: keep.map(col)): _*))
+      .reduce(_ unionByName _)
+      .groupBy("vid").agg(aggs.head, aggs.tail: _*)
 
   def release(): Unit = if (cacheSides) narrow.foreach { e =>
     try { e.unpersist(blocking = false); () } catch { case _: Throwable => () }

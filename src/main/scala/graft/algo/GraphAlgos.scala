@@ -250,16 +250,31 @@ object GraphAlgos {
   def labelPropagation(vertices: DataFrame, edges: DataFrame,
                        iters: Int): DataFrame = {
     val und = canonicalUndirected(edges)
-    val nbrs = und.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src")) // see connectedComponents
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = new FrameAdjacency(
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(und.select(col("b").as("src"), col("a").as("dst"))))
+    try lpaLoop(vertices, adj, iters)
+    finally adj.release()
+  }
+
+  /** LPA over a pre-built simple-undirected [[Adjacency]] — the
+    * GraphStore path: a [[StoredAdjacency]] of the bucketed `_und`
+    * table (self-loops dropped) runs every round's message join with
+    * ZERO edge-side Exchange and no per-run block-manager copy. The
+    * count/argmin rule is multiset-determined, so results are
+    * bit-identical to the frame path. */
+  def labelPropagation(vertices: DataFrame, adj: Adjacency,
+                       iters: Int): DataFrame =
+    lpaLoop(vertices, adj, iters)
+
+  private def lpaLoop(vertices: DataFrame, adj: Adjacency,
+                      iters: Int): DataFrame = {
     var labels = vertices.select(col("vid"), col("vid").as("label"))
       .mat()
     var round = 0
     while (round < iters) {
-      val counted = nbrs.join(labels, nbrs("src") === labels("vid"))
-        .groupBy(nbrs("dst").as("vid"), col("label"))
+      val counted = adj.send(labels, Seq(col("label")))
+        .groupBy("vid", "label")
         .agg(count(lit(1)).as("cnt"))
       val pick = counted.groupBy("vid")
         .agg(min_by(col("label"),
@@ -271,7 +286,6 @@ object GraphAlgos {
       labels = upd
       round += 1
     }
-    try { nbrs.unpersist(blocking = false) } catch { case _: Throwable => () }
     labels
   }
 
@@ -297,34 +311,52 @@ object GraphAlgos {
   def sccPinned(vertices: DataFrame, edges: DataFrame,
                 phases: Int, rounds: Int): DataFrame = {
     val e = edges.select("src", "dst").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adjOut = new FrameAdjacency(e)
+    val adjIn = new FrameAdjacency(
+      e.select(col("dst").as("src"), col("src").as("dst")))
+    try sccPinnedLoop(vertices, adjOut, adjIn, phases, rounds)
+    finally { adjOut.release(); adjIn.release() }
+  }
+
+  /** sccPinned over pre-built forward/backward [[Adjacency]] views (the
+    * GraphStore path: distinct bucketed out table + its reversed in
+    * twin — the edge set is NEVER materialized per phase). Instead of
+    * restricting the EDGE set to the remaining vertices each phase
+    * (a per-phase checkpoint copy of the edge frame), messages are
+    * restricted: the state holds only remaining vertices (src side
+    * filters itself) and a semi-join on the remaining set drops
+    * messages to assigned dsts — the same per-round multiset, zero
+    * edge copies. */
+  def sccPinned(vertices: DataFrame, adjOut: Adjacency, adjIn: Adjacency,
+                phases: Int, rounds: Int): DataFrame =
+    sccPinnedLoop(vertices, adjOut, adjIn, phases, rounds)
+
+  private def sccPinnedLoop(vertices: DataFrame, adjOut: Adjacency,
+                            adjIn: Adjacency, phases: Int,
+                            rounds: Int): DataFrame = {
     var rem = vertices.select("vid").distinct().mat()
     var acc: DataFrame = null
     var p = 0
     while (p < phases) {
-      val er = e
-        .join(rem.select(col("vid").as("src")), Seq("src"), "left_semi")
-        .join(rem.select(col("vid").as("dst")), Seq("dst"), "left_semi")
-        .select("src", "dst").mat()
-      // forward min-color
+      // forward min-color over the remaining set
       var color = rem.select(col("vid"), col("vid").as("color")).mat()
       var r = 0
       while (r < rounds) {
-        val msgs = er.join(color, er("src") === color("vid"))
-          .select(er("dst").as("vid"), col("color"))
+        val msgs = adjOut.send(color, Seq(col("color")))
+          .join(rem, Seq("vid"), "left_semi")
         val upd = color.unionByName(msgs)
           .groupBy("vid").agg(min(col("color")).as("color")).mat()
         graft.traverse.Traverse.freeCheckpoint(color)
         color = upd
         r += 1
       }
-      // backward reach from roots, within color
+      // backward reach from roots, within color (the inner join on the
+      // rem-only color frame keeps the walk inside the remaining set)
       var reach = color.filter(col("vid") === col("color"))
         .select(col("vid"), col("vid").as("root")).mat()
       r = 0
       while (r < rounds) {
-        val step = er.join(reach, er("dst") === reach("vid"))
-          .select(er("src").as("vid"), col("root"))
+        val step = adjIn.send(reach, Seq(col("root")))
           .join(color.select(col("vid"), col("color").as("c2")), Seq("vid"))
           .filter(col("c2") === col("root"))
           .select(col("vid"), col("root"))
@@ -344,14 +376,12 @@ object GraphAlgos {
       val rem2 = rem.join(assigned.select("vid"), Seq("vid"), "left_anti").mat()
       graft.traverse.Traverse.freeCheckpoint(rem)
       graft.traverse.Traverse.freeCheckpoint(color)
-      graft.traverse.Traverse.freeCheckpoint(er)
       // acc's union checkpoint copied assigned's rows (unless aliased on
       // the first phase) — mirror sccUntilConverged's release
       if (assigned ne acc) graft.traverse.Traverse.freeCheckpoint(assigned)
       rem = rem2
       p += 1
     }
-    try { e.unpersist(blocking = false) } catch { case _: Throwable => () }
     acc.unionByName(rem.select(col("vid"), col("vid").as("scc_id")))
   }
 
@@ -360,21 +390,19 @@ object GraphAlgos {
   def sccUntilConverged(vertices: DataFrame, edges: DataFrame,
                         maxRounds: Int = 64): DataFrame = {
     val e = edges.select("src", "dst").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adjOut = new FrameAdjacency(e)
+    val adjIn = new FrameAdjacency(
+      e.select(col("dst").as("src"), col("src").as("dst")))
     var rem = vertices.select("vid").distinct().mat()
     var remCnt = rem.count()
     var acc: DataFrame = null
     while (remCnt > 0) {
-      val er = e
-        .join(rem.select(col("vid").as("src")), Seq("src"), "left_semi")
-        .join(rem.select(col("vid").as("dst")), Seq("dst"), "left_semi")
-        .select("src", "dst").mat()
       var color = rem.select(col("vid"), col("vid").as("color")).mat()
       var changed = 1L
       var guard = 0
       while (changed > 0 && guard < maxRounds) {
-        val msgs = er.join(color, er("src") === color("vid"))
-          .select(er("dst").as("vid"), col("color"))
+        val msgs = adjOut.send(color, Seq(col("color")))
+          .join(rem, Seq("vid"), "left_semi")
         val upd = color.unionByName(msgs)
           .groupBy("vid").agg(min(col("color")).as("color")).mat()
         changed = upd.join(color.withColumnRenamed("color", "old"), Seq("vid"))
@@ -393,8 +421,7 @@ object GraphAlgos {
       var cnt = reach.count()
       guard = 0
       while (grew > 0 && guard < maxRounds) {
-        val step = er.join(reach, er("dst") === reach("vid"))
-          .select(er("src").as("vid"), col("root"))
+        val step = adjIn.send(reach, Seq(col("root")))
           .join(color.select(col("vid"), col("color").as("c2")), Seq("vid"))
           .filter(col("c2") === col("root"))
           .select(col("vid"), col("root"))
@@ -418,12 +445,11 @@ object GraphAlgos {
       graft.traverse.Traverse.freeCheckpoint(rem)
       graft.traverse.Traverse.freeCheckpoint(reach)
       graft.traverse.Traverse.freeCheckpoint(color)
-      graft.traverse.Traverse.freeCheckpoint(er)
       if (assigned ne acc) graft.traverse.Traverse.freeCheckpoint(assigned)
       rem = rem2
       remCnt = rem.count()
     }
-    try { e.unpersist(blocking = false) } catch { case _: Throwable => () }
+    adjOut.release(); adjIn.release()
     acc
   }
 
@@ -442,23 +468,34 @@ object GraphAlgos {
   def hanp(vertices: DataFrame, edges: DataFrame, iters: Int,
            delta: Double = 0.0625): DataFrame = {
     val und = canonicalUndirected(edges)
-    val nbrs0 = und.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-    val deg = nbrs0.groupBy("src").agg(count(lit(1)).as("deg"))
-    // sender degree folded into the edge frame ONCE — the per-round
-    // message join then touches a single persisted relation instead of
-    // re-joining deg every iteration
-    val nbrs = nbrs0.join(deg, Seq("src"))
-      .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = new FrameAdjacency(
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(und.select(col("b").as("src"), col("a").as("dst"))))
+    try hanpLoop(vertices, adj, iters, delta)
+    finally adj.release()
+  }
+
+  /** HANP over a pre-built simple-undirected [[Adjacency]] (the
+    * GraphStore `_und` path — see labelPropagation). The sender degree
+    * is folded into the STATE (one small join per round against the
+    * static degree frame) instead of into a persisted edge copy; the
+    * scored-vote multiset is identical, and every sum is dyadic-exact,
+    * so results are bit-identical to the frame path. */
+  def hanp(vertices: DataFrame, adj: Adjacency, iters: Int,
+           delta: Double): DataFrame =
+    hanpLoop(vertices, adj, iters, delta)
+
+  private def hanpLoop(vertices: DataFrame, adj: Adjacency, iters: Int,
+                       delta: Double): DataFrame = {
+    val deg = adj.outDegrees.mat() // (vid, od) — static across rounds
     var state = vertices.select(col("vid"), col("vid").as("label"),
       lit(1.0).as("score")).mat()
     var round = 0
     while (round < iters) {
-      val msgs = nbrs
-        .join(state, nbrs("src") === state("vid"))
-        .select(nbrs("dst").as("vid"), col("label"),
-          (col("score") * col("deg")).as("f"), col("score"))
+      // inner join: a vertex with no edges sends no messages anyway
+      val withDeg = state.join(deg, Seq("vid"))
+      val msgs = adj.send(withDeg, Seq(col("label"),
+        (col("score") * col("od")).as("f"), col("score")))
       val byLabel = msgs.groupBy("vid", "label")
         .agg(sum(col("f")).as("f"), max(col("score")).as("smax"))
       val w = org.apache.spark.sql.expressions.Window
@@ -476,7 +513,7 @@ object GraphAlgos {
       state = upd
       round += 1
     }
-    try { nbrs.unpersist(blocking = false) } catch { case _: Throwable => () }
+    graft.traverse.Traverse.freeCheckpoint(deg)
     state
   }
 
@@ -647,17 +684,43 @@ object GraphAlgos {
     * geometrically); contraction is one endpoint-mapping join + one
     * aggregation keyed on the community pair. */
   def louvainMultiLevel(edges: DataFrame, levels: Int,
-                        iters: Int): DataFrame = {
+                        iters: Int): DataFrame =
+    louvainML(edges, levels, iters, untilConverged = false)
+
+  /** Multi-level Louvain run to CONVERGENCE — the canonical stopping
+    * rule (Blondel et al. §2: "the passes are repeated until there are
+    * no more changes"): levels are added while the move phase still
+    * moves at least one vertex (every move is a strictly positive
+    * modularity gain, so no-moves ⇔ the ascent is done), capped at
+    * `maxLevels` as the runaway guard. The oracle-pinned fixed-`levels`
+    * form above replays bit-exactly in DuckDB; this form is the
+    * production default where the depth is data-dependent. */
+  def louvainMultiLevelAuto(edges: DataFrame, iters: Int,
+                            maxLevels: Int = 16): DataFrame =
+    louvainML(edges, maxLevels, iters, untilConverged = true)
+
+  private def louvainML(edges: DataFrame, levels: Int, iters: Int,
+                        untilConverged: Boolean): DataFrame = {
     require(levels >= 1, s"levels must be >= 1, got $levels")
     var cur = canonicalUndirected(edges).withColumn("w", lit(1L))
     var selfW: Option[DataFrame] = None
     var mapping: DataFrame = null // original vid -> current community
     var lastA: DataFrame = null
+    var done = false
     var l = 1
-    while (l <= levels) {
+    while (l <= levels && !done) {
       val tag = if (l == 1) "" else s"|L$l"
+      // materialize the level's edge frame ONCE in the driver:
+      // louvainMoves then sees a LogicalRDD leaf (its matIdempotent is
+      // a no-op) and the contraction below reuses the same checkpoint
+      // instead of re-running the canonicalization shuffle
+      cur = graft.Ckpt.matIdempotent(cur)
       // louvainMoves returns a checkpointed frame — no extra mat
       val a = louvainMoves(cur, selfW, iters, tag)
+      // convergence: one cheap action on the already-checkpointed
+      // assignment — a level that moved nothing ends the ascent
+      if (untilConverged)
+        done = a.filter(col("vid") =!= col("c")).count() == 0L
       lastA = a
       val prevMapping = mapping
       mapping =
@@ -670,7 +733,7 @@ object GraphAlgos {
           graft.traverse.Traverse.freeCheckpoint(mapping)
           m2
         }
-      if (l < levels) {
+      if (l < levels && !done) {
         val curM = graft.Ckpt.matIdempotent(cur)
         val am = a.select(col("vid").as("__av"), col("c").as("__ac"))
         val bm = a.select(col("vid").as("__bv"), col("c").as("__bc"))
@@ -753,13 +816,33 @@ object GraphAlgos {
     * src (a single shuffle, reused every step); each step is two joins
     * on the current-position key with the walker state checkpointed, so
     * plan depth stays constant like the BFS loops. */
-  def randomWalks(edges: DataFrame, starts: DataFrame, len: Int): DataFrame = {
+  def randomWalks(edges: DataFrame, starts: DataFrame, len: Int): DataFrame =
+    walksCore(edges.select("src", "dst").distinct(), starts, len)
+
+  /** randomWalks over a pre-deduped simple neighbor view (the
+    * GraphStore `_und` path): the per-run distinct is skipped, and a
+    * bucketed-scan input indexes its adjacency with a LOCAL sort (the
+    * window's partitionBy src is satisfied by the layout) behind a
+    * shuffle-free persist instead of a checkpoint copy. */
+  def randomWalksSimple(simple: DataFrame, starts: DataFrame,
+                        len: Int): DataFrame =
+    walksCore(simple, starts, len)
+
+  private def walksCore(simple: DataFrame, starts: DataFrame,
+                        len: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val simple = edges.select("src", "dst").distinct()
-    val adj = simple.withColumn("idx",
+    // a stored scan keeps its hash(src) layout through the window and
+    // the per-step joins: persist (no shuffle, released below) instead
+    // of a checkpoint copy; flat inputs checkpoint as before
+    val stored = graft.traverse.Traverse.storedScanOnly(simple) ||
+      graft.traverse.Traverse.srcPartitioned(simple)
+    val adj0 = simple.withColumn("idx",
         row_number().over(Window.partitionBy("src").orderBy("dst"))
           .cast("long") - 1)
-      .mat() // reused by every step; also caps plan depth
+    val adj = // reused by every step; also caps plan depth
+      if (stored)
+        adj0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else adj0.mat()
     val od = adj.groupBy("src").agg(count(lit(1)).as("od"))
     var cur = starts.select(col("vid").as("walker"), col("vid").as("cur"))
       .mat()
@@ -785,6 +868,10 @@ object GraphAlgos {
       if (i % 8 == 0) out = out.mat()
       i += 1
     }
+    // every per-step cur was checkpointed EAGERLY, so the adjacency is
+    // no longer in any live lineage — release the stored-path persist
+    if (stored)
+      try { adj.unpersist(blocking = false) } catch { case _: Throwable => () }
     out
   }
 
@@ -827,8 +914,23 @@ object GraphAlgos {
     * vertices on at least one counted path. */
   def betweenness(seeds: DataFrame, edges: DataFrame,
                   maxSteps: Int): DataFrame = {
-    val e = edges.select("src", "dst").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = new FrameAdjacency(edges.select("src", "dst").distinct())
+    try bcLoop(seeds, adj, maxSteps)
+    finally adj.release()
+  }
+
+  /** Betweenness over a pre-built DISTINCT directed [[Adjacency]] (the
+    * GraphStore path: the simple-view dedup is an exchange-free local
+    * aggregation over the bucketed scan, and neither BFS pass ever
+    * exchanges the edge side). Sigma sums are integer and delta sums
+    * multiset-determined per (origin, vid), so results match the frame
+    * path. */
+  def betweenness(seeds: DataFrame, adj: Adjacency,
+                  maxSteps: Int): DataFrame =
+    bcLoop(seeds, adj, maxSteps)
+
+  private def bcLoop(seeds: DataFrame, adj: Adjacency,
+                     maxSteps: Int): DataFrame = {
     // ---- forward: BFS levels with path counts ----
     var levels = Vector(
       seeds.select(col("vid").as("origin"), col("vid"),
@@ -838,8 +940,7 @@ object GraphAlgos {
     var frontierRows = 1L
     while (step <= maxSteps && frontierRows > 0) {
       val prev = levels.last
-      val nxt = prev.join(e, prev("vid") === e("src"))
-        .select(col("origin"), e("dst").as("vid"), col("sigma"))
+      val nxt = adj.send(prev, Seq(col("origin"), col("sigma")))
         .join(visited, Seq("origin", "vid"), "left_anti")
         .groupBy("origin", "vid").agg(sum(col("sigma")).as("sigma"))
         .mat()
@@ -873,9 +974,13 @@ object GraphAlgos {
       val lv = levels(l)
       val above = deltaAbove.select(col("origin").as("o2"),
         col("vid").as("w"), col("sigma").as("sigma_w"), col("delta"))
-      val contrib = lv.join(e, lv("vid") === e("src"))
-        .join(above, col("origin") === col("o2") && e("dst") === col("w"))
-        .groupBy(col("origin"), lv("vid"))
+      // deliver each level row to its successors via the adjacency
+      // (msg vid = successor; __v = the contributing vertex), then
+      // keep only successors one level up on the same origin
+      val contrib = adj.send(lv,
+          Seq(col("origin"), col("vid").as("__v"), col("sigma")))
+        .join(above, col("origin") === col("o2") && col("vid") === col("w"))
+        .groupBy(col("origin"), col("__v").as("vid"))
         .agg(sum(col("sigma").cast("double") / col("sigma_w") *
           (lit(1.0) + col("delta"))).as("delta"))
       // keep zero-dependency vertices: they still pass (1 + 0) upward
@@ -897,7 +1002,6 @@ object GraphAlgos {
     if (deltaAbove ne acc) graft.traverse.Traverse.freeCheckpoint(deltaAbove)
     graft.traverse.Traverse.freeCheckpoint(levels.head)
     if (levels.size >= 2) graft.traverse.Traverse.freeCheckpoint(levels.last)
-    try { e.unpersist(blocking = false) } catch { case _: Throwable => () }
     if (acc == null)
       seeds.sparkSession.emptyDataFrame
         .withColumn("vid", lit("")).withColumn("bc", lit(0.0)).limit(0)
@@ -925,10 +1029,30 @@ object GraphAlgos {
     * (partitioned by walker — never a global window); state is
     * checkpointed per step like every loop here. */
   def node2vecWalks(edges: DataFrame, starts: DataFrame, len: Int,
-                    backW: Double = 0.25, outW: Double = 0.25): DataFrame = {
+                    backW: Double = 0.25, outW: Double = 0.25): DataFrame =
+    node2vecCore(edges.select("src", "dst").distinct(), starts, len,
+      backW, outW)
+
+  /** node2vecWalks over a pre-deduped simple neighbor view (the
+    * GraphStore `_und` path — see randomWalksSimple): no per-run
+    * distinct, no checkpoint copy of the edge set; both the candidate
+    * expansion and the (prev, cand) existence probe join against the
+    * bucketed layout in place. */
+  def node2vecWalksSimple(simple: DataFrame, starts: DataFrame, len: Int,
+                          backW: Double = 0.25,
+                          outW: Double = 0.25): DataFrame =
+    node2vecCore(simple, starts, len, backW, outW)
+
+  private def node2vecCore(simple0: DataFrame, starts: DataFrame, len: Int,
+                           backW: Double, outW: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val TwoPow52 = 4503599627370496.0
-    val simple = edges.select("src", "dst").distinct().mat()
+    val stored = graft.traverse.Traverse.storedScanOnly(simple0) ||
+      graft.traverse.Traverse.srcPartitioned(simple0)
+    val simple = // scanned twice per step (candidates + existence probe)
+      if (stored)
+        simple0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else simple0.mat()
     var cur = starts.select(col("vid").as("walker"), col("vid").as("cur"),
       col("vid").as("prev")).mat()
     var out = cur.select(col("walker"), lit(0).as("step"),
@@ -966,6 +1090,10 @@ object GraphAlgos {
       if (i % 8 == 0) out = out.mat()
       i += 1
     }
+    // per-step curs were checkpointed eagerly — the stored persist can go
+    if (stored)
+      try { simple.unpersist(blocking = false) }
+      catch { case _: Throwable => () }
     out
   }
 
@@ -978,16 +1106,33 @@ object GraphAlgos {
     * constant. Path sums associate left-to-right, so an external
     * oracle replays them bit-for-bit. */
   def sssp(edges: DataFrame, source: String, iters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"),
-        col("weight").cast("double").as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var dist = e.sparkSession.range(1)
+    val adj = new FrameAdjacency(
+      edges.select(col("src"), col("dst"),
+        col("weight").cast("double").as("w")), keep = Seq("w"))
+    try ssspLoop(edges.sparkSession, adj, source, iters, col("w"))
+    finally adj.release()
+  }
+
+  /** SSSP over a pre-built directed [[Adjacency]] that `keep`s the
+    * columns `w` references (the GraphStore path: weight derived from
+    * a stored edge column, every relaxation join edge-side
+    * Exchange-free). min-aggregation is multiset-determined and path
+    * sums associate identically, so results match the frame path
+    * bit-for-bit. */
+  def sssp(spark: org.apache.spark.sql.SparkSession, adj: Adjacency,
+           source: String, iters: Int,
+           w: org.apache.spark.sql.Column): DataFrame =
+    ssspLoop(spark, adj, source, iters, w)
+
+  private def ssspLoop(spark: org.apache.spark.sql.SparkSession,
+                       adj: Adjacency, source: String, iters: Int,
+                       w: org.apache.spark.sql.Column): DataFrame = {
+    var dist = spark.range(1)
       .select(lit(source).as("vid"), lit(0.0).as("dist"))
       .mat()
     var round = 0
     while (round < iters) {
-      val ext = e.join(dist, e("src") === dist("vid"))
-        .select(e("dst").as("vid"), (col("dist") + col("w")).as("dist"))
+      val ext = adj.send(dist, Seq((col("dist") + w).as("dist")))
       val upd = dist.unionByName(ext)
         .groupBy("vid").agg(min(col("dist")).as("dist"))
         .mat()
@@ -995,7 +1140,6 @@ object GraphAlgos {
       dist = upd
       round += 1
     }
-    try { e.unpersist(blocking = false) } catch { case _: Throwable => () }
     dist
   }
 }

@@ -41,61 +41,94 @@ object PathFinder {
   def shortestPaths(srcs: DataFrame, dsts: DataFrame, edges: DataFrame,
                     maxSteps: Int, dir: Direction = Out,
                     singlePath: Boolean = false): DataFrame = {
-    val e = Traverse.persistEdges(
-      Traverse.orient(edges, dir).select("src", "dst"), maxSteps)
-    val dstSet = broadcast(dsts.select(col("vid").as("__target")).distinct())
-      .mat()
+    // BIDIRECTIONAL meet-in-the-middle (BFSShortestPathExecutor.cpp:12
+    // runs left AND right frontiers): a forward ball of ⌈n/2⌉ levels
+    // from srcs and a backward ball of ⌊n/2⌋ levels from dsts (over
+    // reversed edges), joined on the meeting vertex. On a graph of
+    // branching factor b this visits O(b^(n/2)) vertices per side
+    // instead of O(b^n) — the exponential difference on long caps.
+    //
+    // Exactness: every shortest o→t path (o ≠ t) visits its k-th
+    // vertex at forward depth exactly k and backward depth exactly
+    // L−k (else a shortcut would beat L), so EVERY split of every
+    // shortest path meets — the per-pair min + distinct below returns
+    // exactly the all-shortest-paths set the single-direction BFS
+    // produced. Self-pairs never match (the forward loop seeded its
+    // visited set with the origin), mirrored by the origin ≠ target
+    // filter.
+    val e0 = Traverse.orient(edges, dir).select("src", "dst")
+    val fMax = (maxSteps + 1) / 2
+    val bMax = maxSteps / 2
+    val eF = Traverse.persistEdges(e0, fMax)
+    val eB = Traverse.persistEdges(
+      e0.select(col("dst").as("src"), col("src").as("dst")), bMax)
 
-    var frontier = srcs.select(col("vid").as("origin"),
-      array(col("vid")).as("path"), col("vid")).mat()
-    var visited = frontier.select(col("origin"), col("vid")).mat()
-    // pairs already answered: stop extending them
-    var found: DataFrame = null
-    var cnt = frontier.count()
-    var step = 1
-    while (step <= maxSteps && cnt > 0) {
-      val nextRaw = Traverse.maybeBroadcast(frontier, cnt)
-        .join(e, frontier("vid") === e("src"))
-        .select(col("origin"),
-          concat(col("path"), array(e("dst"))).as("path"),
-          e("dst").as("vid"))
-      // per-origin shortest semantics: drop vertices already visited
-      val next = nextRaw.join(
-          visited.select(col("origin").as("vo"), col("vid").as("vv")),
-          nextRaw("origin") === col("vo") && nextRaw("vid") === col("vv"),
-          "left_anti")
-        .mat()
-      // checkpoint the (small) per-level hits so `found` never holds a
-      // reference to the (large) frontier checkpoints — which can then
-      // be freed as soon as they are superseded (session hygiene:
-      // without this a 94-query session accumulates every level of
-      // every BFS in the block manager until GC)
-      val hits = next.join(dstSet, next("vid") === col("__target"))
-        .select(col("origin").as("src"), col("vid").as("dst"),
-          array_join(col("path"), "->").as("path"), lit(step).as("hops"))
-        .mat()
-      found = if (found == null) hits else found.unionByName(hits)
-      val v2 = visited.unionByName(next.select("origin", "vid"))
-        .mat()
-      Traverse.freeCheckpoint(visited) // superseded by v2
-      Traverse.freeCheckpoint(frontier) // consumed by next + hits
-      visited = v2
-      frontier = next
-      cnt = frontier.count()
-      step += 1
+    // one BFS ball: (origin, vid, path, depth) rows for every vertex at
+    // its per-origin first-arrival depth ≤ lvls, all tied paths kept
+    def ball(seeds: DataFrame, e: DataFrame,
+             lvls: Int): (DataFrame, Seq[DataFrame]) = {
+      var frontier = seeds.select(col("vid").as("origin"), col("vid"),
+        array(col("vid")).as("path"), lit(0).as("depth")).mat()
+      var visited = frontier.select("origin", "vid").mat()
+      var levels = Vector(frontier)
+      var acc = frontier
+      var cnt = frontier.count()
+      var d = 1
+      while (d <= lvls && cnt > 0) {
+        val next = Traverse.maybeBroadcast(frontier, cnt)
+          .join(e, frontier("vid") === e("src"))
+          .select(col("origin"), e("dst").as("vid"),
+            concat(col("path"), array(e("dst"))).as("path"),
+            lit(d).as("depth"))
+          .join(visited.select(col("origin").as("vo"), col("vid").as("vv")),
+            col("origin") === col("vo") && col("vid") === col("vv"),
+            "left_anti")
+          .mat()
+        cnt = next.count()
+        if (cnt > 0) {
+          val v2 = visited.unionByName(next.select("origin", "vid")).mat()
+          Traverse.freeCheckpoint(visited)
+          visited = v2
+          levels :+= next
+          acc = acc.unionByName(next)
+          frontier = next
+        } else Traverse.freeCheckpoint(next)
+        d += 1
+      }
+      Traverse.freeCheckpoint(visited)
+      (acc, levels)
     }
-    Traverse.freeCheckpoint(frontier) // rows live in visited / hits
-    Traverse.freeCheckpoint(visited)
-    Traverse.freeCheckpoint(dstSet)
-    Traverse.releaseEdges(e, maxSteps) // hits are checkpointed
-    val out =
-      if (found == null)
-        srcs.sparkSession.emptyDataFrame
-          .select(lit("").as("src"), lit("").as("dst"),
-            lit("").as("path"), lit(0).as("hops")).limit(0)
-      else found
+
+    val (fAll, fLevels) = ball(srcs, eF, fMax)
+    val (bAll, bLevels) = ball(dsts.select(col("vid")).distinct(), eB, bMax)
+    val f = fAll.select(col("origin"), col("vid"),
+      col("path").as("__fpath"), col("depth").as("__fd"))
+    val b = bAll.select(col("origin").as("__target"), col("vid"),
+      col("path").as("__bpath"), col("depth").as("__bd"))
+    val cand = f.join(b, Seq("vid"))
+      .filter(col("origin") =!= col("__target"))
+      .withColumn("hops", col("__fd") + col("__bd"))
+    import org.apache.spark.sql.expressions.Window
+    val pw = Window.partitionBy("origin", "__target")
+    // a length-L path meets at EVERY split vertex — canonicalize on
+    // the ⌈L/2⌉ split instead of a distinct: prefix-multiplicity ×
+    // suffix-multiplicity at one split reproduces the single-direction
+    // loop's row multiplicity exactly (parallel (src,dst) edge rows
+    // legitimately duplicate a vid-rendered path)
+    val out = cand.withColumn("__min", min(col("hops")).over(pw))
+      .filter(col("hops") === col("__min") &&
+        col("__fd") === floor((col("hops") + 1) / 2).cast("int"))
+      .select(col("origin").as("src"), col("__target").as("dst"),
+        array_join(concat(col("__fpath"),
+          slice(reverse(col("__bpath")), lit(2), size(col("__bpath")))), "->")
+          .as("path"),
+        col("hops"))
+      .mat() // result-sized; lets every level checkpoint be freed
+    fLevels.foreach(Traverse.freeCheckpoint)
+    bLevels.foreach(Traverse.freeCheckpoint)
+    Traverse.releaseEdges(eF, fMax)
+    Traverse.releaseEdges(eB, bMax)
     if (singlePath) {
-      import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("src"), col("dst")).orderBy(col("path"))
       out.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
@@ -201,6 +234,15 @@ object PathFinder {
       case Traverse.In => bwd
       case Traverse.Both => fwd.unionByName(bwd)
     }
+    // DISJOINT endpoint sets take the bidirectional route (two half-
+    // depth balls instead of one full-depth ball — the 15-hop MATCH
+    // shortestPath caps are exponentially cheaper). Overlapping sets
+    // keep the single-direction loop: a src==dst pair's shortest path
+    // is a CYCLE (visited starts empty below), whose split-invariant
+    // does not hold for the meet-in-the-middle argument.
+    if (mode == "shortest" && maxSteps >= 1 &&
+        srcs.join(dsts, Seq("vid"), "left_semi").isEmpty)
+      return typedBidiShortest(srcs, dsts, e0, maxSteps, stepT)
     val e = Traverse.persistEdges(e0, maxSteps)
     val dstSet = broadcast(dsts.select(col("vid").as("__target")).distinct())
       .mat()
@@ -270,6 +312,96 @@ object PathFinder {
         .select(array(lit("")).cast(s"array<$vt>").as("vids"),
           array().cast(stepT).as("steps")).limit(0)
     else found
+  }
+
+  /** Meet-in-the-middle twin of the typedPathsRaw shortest loop for
+    * DISJOINT endpoint sets (the reference's left/right frontiers,
+    * BFSShortestPathExecutor.cpp:12): a ⌈n/2⌉-level forward ball from
+    * srcs and a ⌊n/2⌋-level backward ball from dsts over the
+    * REVERSED orientation (each oriented row flipped; the recorded
+    * step struct is unchanged — it is what the forward traversal at
+    * that position would have written). Shortest o→t paths (o ≠ t)
+    * place their k-th vertex at forward depth k and backward depth
+    * L−k exactly, so every split meets; per-pair min + distinct
+    * reproduce the single-direction result set bit-for-bit. */
+  private def typedBidiShortest(srcs: DataFrame, dsts: DataFrame,
+                                e0: DataFrame, maxSteps: Int,
+                                stepT: String): DataFrame = {
+    val fMax = (maxSteps + 1) / 2
+    val bMax = maxSteps / 2
+    val eF = Traverse.persistEdges(e0, fMax)
+    val eB = Traverse.persistEdges(
+      e0.select(col("dst").as("src"), col("src").as("dst"), col("etype"),
+        col("rank"), col("ss"), col("sd"), col("rev")), bMax)
+
+    def ball(seeds: DataFrame, e: DataFrame,
+             lvls: Int): (DataFrame, Seq[DataFrame]) = {
+      var frontier = seeds.select(col("vid").as("origin"), col("vid"),
+        array(col("vid")).as("vids"), array().cast(stepT).as("steps"),
+        lit(0).as("depth")).mat()
+      var visited = frontier.select("origin", "vid").mat()
+      var levels = Vector(frontier)
+      var acc = frontier
+      var cnt = frontier.count()
+      var d = 1
+      while (d <= lvls && cnt > 0) {
+        val next = Traverse.maybeBroadcast(frontier, cnt)
+          .join(e, frontier("vid") === e("src"))
+          .select(col("origin"), e("dst").as("vid"),
+            concat(col("vids"), array(e("dst"))).as("vids"),
+            concat(col("steps"), array(struct(e("ss").as("s"),
+              e("sd").as("d"), e("etype").as("t"), e("rank").as("r"),
+              e("rev").as("rev")))).as("steps"),
+            lit(d).as("depth"))
+          .join(visited.select(col("origin").as("vo"), col("vid").as("vv")),
+            col("origin") === col("vo") && col("vid") === col("vv"),
+            "left_anti")
+          .mat()
+        cnt = next.count()
+        if (cnt > 0) {
+          val v2 = visited.unionByName(next.select("origin", "vid")).mat()
+          Traverse.freeCheckpoint(visited)
+          visited = v2
+          levels :+= next
+          acc = acc.unionByName(next)
+          frontier = next
+        } else Traverse.freeCheckpoint(next)
+        d += 1
+      }
+      Traverse.freeCheckpoint(visited)
+      (acc, levels)
+    }
+
+    val (fAll, fLevels) = ball(srcs.select("vid").distinct(), eF, fMax)
+    val (bAll, bLevels) = ball(dsts.select("vid").distinct(), eB, bMax)
+    val f = fAll.select(col("origin"), col("vid"),
+      col("vids").as("__fv"), col("steps").as("__fs"),
+      col("depth").as("__fd"))
+    val b = bAll.select(col("origin").as("__target"), col("vid"),
+      col("vids").as("__bv"), col("steps").as("__bs"),
+      col("depth").as("__bd"))
+    import org.apache.spark.sql.expressions.Window
+    val pw = Window.partitionBy("origin", "__target")
+    // assemble: forward prefix ++ reversed backward suffix (the meeting
+    // vertex is the last element of both vids arrays — drop one copy).
+    // A length-L path meets at every split vertex — canonicalizing on
+    // the ⌈L/2⌉ split keeps each (vids, steps) row exactly once, with
+    // the same multiplicity the single-direction loop produced
+    val out = f.join(b, Seq("vid"))
+      .withColumn("__hops", col("__fd") + col("__bd"))
+      .withColumn("__min", min(col("__hops")).over(pw))
+      .filter(col("__hops") === col("__min") &&
+        col("__fd") === floor((col("__hops") + 1) / 2).cast("int"))
+      .select(
+        concat(col("__fv"),
+          slice(reverse(col("__bv")), lit(2), size(col("__bv")))).as("vids"),
+        concat(col("__fs"), reverse(col("__bs"))).as("steps"))
+      .mat() // result-sized; frees every level checkpoint below
+    fLevels.foreach(Traverse.freeCheckpoint)
+    bLevels.foreach(Traverse.freeCheckpoint)
+    Traverse.releaseEdges(eF, fMax)
+    Traverse.releaseEdges(eB, bMax)
+    out
   }
 
   /** Path serialization from the traversal vertex sequence + typed

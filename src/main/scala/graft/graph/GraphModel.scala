@@ -98,6 +98,31 @@ class GraphModel(val spark: SparkSession, sfDir: String) extends GraphCatalog {
     inRegion.select($"src", $"dst", lit("in_region").as("etype"), $"rank")
   ).reduce(_ unionByName _)
 
+  /** The per-type edge schemas (beyond src/dst/rank) — drives the
+    * stored edgesWithProps projection so its column ORDER replicates
+    * the flat union's exactly (edge-struct field order is
+    * user-visible in MATCH edge rendering). */
+  private val edgeTypeProps: Map[String, Seq[String]] = Map(
+    "placed" -> Seq("totalprice", "orderdate"),
+    "has_part" -> Seq("quantity", "extendedprice", "discount"),
+    "has_supp" -> Seq("quantity"),
+    "in_nation" -> Seq.empty,
+    "in_region" -> Seq.empty)
+
+  /** WIDE unified edge view — (src, dst, etype, rank, all props...)
+    * with per-type props NULL-padded. This is what the GraphStore
+    * persists: edge properties live in the same bucketed layout as
+    * the adjacency, so property-projecting traversals (GO YIELD,
+    * MATCH edge bindings, `$$`-prop filters) read props from the
+    * hash(src) partition-local scan instead of re-deriving flat
+    * per-type unions per query — the reference's economics (the row
+    * blob at the edge key IS the value, NebulaKeyUtils.h:61;
+    * GetNeighborsProcessor.cpp:32 serves props from the same read). */
+  private def flatEdgesWide: DataFrame =
+    edgeTypeNames.map { t =>
+      edgesByType(t).withColumn("etype", lit(t))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+
   /** The dataset's bucketed GraphStore name, built once per JVM when
     * store-backing is on (spark.graft.graphstore.dir set — Verify and
     * Bench enable it). The store is the reference's storage posture
@@ -107,7 +132,7 @@ class GraphModel(val spark: SparkSession, sfDir: String) extends GraphCatalog {
     * re-shuffling the union view per query. */
   private lazy val storeName: Option[String] =
     if (graft.sources.GraphStore.enabled(spark))
-      Some(graft.sources.GraphStore.ensure(spark, sfDir)(flatEdges, vertices))
+      Some(graft.sources.GraphStore.ensure(spark, sfDir)(flatEdgesWide, vertices))
     else None
 
   /** The attached store's name (None when store-backing is off) — for
@@ -115,11 +140,41 @@ class GraphModel(val spark: SparkSession, sfDir: String) extends GraphCatalog {
   def store: Option[String] = storeName
 
   /** Unified edge view (src, dst, etype, rank) — `GO ... OVER *`.
-    * Store-backed (bucketed by src) when the graph store is enabled;
-    * the flat per-query union otherwise. */
+    * Store-backed (bucketed by src; column pruning drops the prop
+    * columns at the scan) when the graph store is enabled; the flat
+    * per-query union otherwise. */
   def edges: DataFrame = storeName
-    .map(graft.sources.GraphStore.outEdges(spark, _))
+    .map(n => graft.sources.GraphStore.outEdges(spark, n)
+      .select($"src", $"dst", $"etype", $"rank"))
     .getOrElse(flatEdges)
+
+  /** Typed union with props — stored path reads the wide bucketed
+    * table (filter + projection over the hash(src) layout, column
+    * order replicated from the flat union so edge-struct rendering is
+    * identical); flat path unions the per-type tables. */
+  override def edgesWithProps(etypes: Seq[String]): DataFrame =
+    storeName match {
+      case Some(n) if etypes.nonEmpty && etypes.distinct == etypes =>
+        etypes.foreach { t =>
+          if (!edgeTypeProps.contains(t))
+            throw new IllegalArgumentException(s"unknown edge type $t")
+        }
+        // replay the flat unionByName(allowMissingColumns) column
+        // order: first type's columns, then each later type's new ones
+        val cols = scala.collection.mutable.LinkedHashSet.empty[String]
+        etypes.foreach { t =>
+          (Seq("src", "dst", "rank") ++ edgeTypeProps(t) :+ "__etype")
+            .foreach(cols += _)
+        }
+        val wide = graft.sources.GraphStore.outEdges(spark, n)
+        val base = if (etypes.toSet == edgeTypeNames.toSet) wide
+                   else wide.filter($"etype".isin(etypes: _*))
+        base.select(cols.toSeq.map {
+          case "__etype" => $"etype".as("__etype")
+          case c => col(c)
+        }: _*)
+      case _ => super.edgesWithProps(etypes)
+    }
 
   /** Message adjacency over the unified view for the iterative
     * algorithms — both directions (undirected algorithms). Stored:
@@ -136,11 +191,52 @@ class GraphModel(val spark: SparkSession, sfDir: String) extends GraphCatalog {
 
   /** Directed (out-edge) message adjacency for the iterative
     * algorithms. */
-  def adjacencyOut: graft.algo.Adjacency = storeName match {
+  def adjacencyOut: graft.algo.Adjacency = adjacencyOut(Nil)
+
+  /** Directed adjacency retaining extra edge columns (e.g. `rank` to
+    * derive a weight) — payloads of `send` may reference them. */
+  def adjacencyOut(keep: Seq[String]): graft.algo.Adjacency = storeName match {
     case Some(n) => new graft.algo.StoredAdjacency(Seq(
-      graft.sources.GraphStore.outEdges(spark, n)))
-    case None => new graft.algo.FrameAdjacency(flatEdges.select($"src", $"dst"))
+      graft.sources.GraphStore.outEdges(spark, n)), keep)
+    case None => new graft.algo.FrameAdjacency(flatEdges, keep)
   }
+
+  /** Directed adjacency over the DISTINCT (src, dst) simple view —
+    * path-counting algorithms (betweenness) that must see each
+    * neighbor pair once. Stored: the dedup is an exchange-free local
+    * aggregation (hash(src) bucketing satisfies the (src, dst)
+    * clustering), so the edge set still never shuffles. */
+  def adjacencyOutDistinct: graft.algo.Adjacency = storeName match {
+    case Some(n) => new graft.algo.StoredAdjacency(Seq(
+      graft.sources.GraphStore.outEdges(spark, n)
+        .select($"src", $"dst").distinct()))
+    case None => new graft.algo.FrameAdjacency(
+      flatEdges.select($"src", $"dst").distinct())
+  }
+
+  /** Simple undirected neighbor frame (src, dst): distinct over both
+    * orientations, self-loops once (or dropped). Stored: the `_und`
+    * bucketed table — the cluster-wide distinct was paid once at store
+    * build. Flat: derived per query. */
+  def undNeighbors(dropSelfLoops: Boolean = false): DataFrame =
+    storeName match {
+      case Some(n) =>
+        graft.sources.GraphStore.undNeighbors(spark, n, dropSelfLoops)
+      case None =>
+        val und = flatEdges.select($"src", $"dst")
+          .unionByName(flatEdges.select($"dst".as("src"), $"src".as("dst")))
+          .distinct()
+        if (dropSelfLoops) und.filter($"src" =!= $"dst") else und
+    }
+
+  /** Message adjacency over the simple undirected neighbor view — the
+    * undirected iterative algorithms (LPA, HANP). */
+  def adjacencyUnd(dropSelfLoops: Boolean = true): graft.algo.Adjacency =
+    storeName match {
+      case Some(n) => new graft.algo.StoredAdjacency(Seq(
+        graft.sources.GraphStore.undNeighbors(spark, n, dropSelfLoops)))
+      case None => new graft.algo.FrameAdjacency(undNeighbors(dropSelfLoops))
+    }
 
   // ---- GraphCatalog conformance ----
   def allEdges: DataFrame = edges

@@ -848,7 +848,12 @@ object MatchSeg {
         // print edges as inserted, whatever direction matched them)
         val tagged = base.withColumn("__osrc", col("src"))
           .withColumn("__odst", col("dst"))
-        val oriented = Traverse.orient(tagged, rel.dir)
+        // orientDedup: an undirected hop matches each relationship ONCE
+        // — the reversed side drops self-loops (fwd and rev rows are
+        // identical when src == dst) instead of a whole-frame distinct,
+        // so the hop frame stays a shuffle-free view over stored scans
+        // (openCypher relationship match; SelfReflectiveEdges.feature)
+        val oriented = Traverse.orientDedup(tagged, rel.dir)
         val propCols = base0.columns
           .filterNot(Seq("src", "dst", "rank", "__etype").contains)
         // re-using an already-bound edge var joins the two patterns ON
@@ -876,13 +881,7 @@ object MatchSeg {
                   propCols.map(p2 => col(p2).as(s"${ev}_$p2"))
               case None => Nil
             })
-        // an undirected hop matches each relationship ONCE: a Both
-        // orientation duplicates SELF-LOOP edges (fwd and rev rows are
-        // identical when src == dst) — collapse them (openCypher
-        // relationship match semantics; SelfReflectiveEdges.feature)
-        val hopF0 = oriented.select(kept: _*)
-        val hopF =
-          if (rel.dir == Both) hopF0.distinct() else hopF0
+        val hopF = oriented.select(kept: _*)
         val j0 = binding.join(hopF, col(fromVar) === col("__from"))
           .filter(!array_contains(col("__trail"), col("__heid")))
           .withColumn("__trail", concat(col("__trail"), array(col("__heid"))))
@@ -1011,11 +1010,11 @@ object MatchSeg {
     // copies all of it before the first hop even runs (round-4 VERDICT
     // #3); persist materializes lazily, partition by partition, as the
     // hop joins touch it, and is released at loop exit
-    val oriented0 = Traverse.orient(base, rel.dir)
-    // Both-direction self-loops: fwd and rev rows are identical — an
-    // undirected hop matches each relationship once (same rule as the
-    // single-hop path; SelfReflectiveEdges.feature)
-    val oriented = if (rel.dir == Both) oriented0.distinct() else oriented0
+    // orientDedup drops reversed self-loops instead of a whole-frame
+    // distinct (same rule as the single-hop path), keeping the frame a
+    // shuffle-free view over stored scans so persistEdges can skip the
+    // block-manager copy (SelfReflectiveEdges.feature stays green)
+    val oriented = Traverse.orientDedup(base, rel.dir)
     val e = Traverse.persistEdges(oriented, math.max(n, 2))
 
     val seeds = binding.select(col(fromVar).as("__o")).distinct()

@@ -73,8 +73,15 @@ final case class LogTable(spark: SparkSession, path: String,
     ()
   }
 
+  /** Staging dirs live INSIDE the table root under a dot-hidden name:
+    * Spark's file index skips dot/underscore basenames at every level,
+    * so even a stage dir that lands NESTED inside a claimed segment
+    * during the claimSegment TOCTOU window (rename onto a dir that
+    * appeared after the pre-check moves the source into it) is
+    * invisible to concurrent readers until it is un-nested. */
   private def stagePath(): Path =
-    new Path(path + f".stage-${java.util.UUID.randomUUID().toString.take(12)}")
+    new Path(path,
+      f".stage-${java.util.UUID.randomUUID().toString.take(12)}")
 
   /** Claim the next free sequence for a fully-written staged segment.
     * Two losing modes, both detected:

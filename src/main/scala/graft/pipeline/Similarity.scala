@@ -248,17 +248,24 @@ object Similarity {
                                idCol: String = "vec_id",
                                vecCol: String = "embedding",
                                maxBucket: Int = MaxBucketRows): DataFrame = {
-    val sigs = corpus.select(col(idCol), col(vecCol),
+    val sigs = corpus.select(col(idCol),
       posexplode(bandSignatures(col(vecCol), bands, planesPerBand, dims))
         .as(Seq("__band", "__bucket")))
     val b = capBuckets(sigs, Seq("__band", "__bucket"), maxBucket)
-    val l = b.select(col("__band"), col("__bucket"),
-      col(idCol).as("a"), col(vecCol).as("va"))
-    val r = b.select(col("__band"), col("__bucket"),
-      col(idCol).as("b"), col(vecCol).as("vb"))
-    l.join(r, Seq("__band", "__bucket")).filter(col("a") < col("b"))
+    val l = b.select(col("__band"), col("__bucket"), col(idCol).as("a"))
+    val r = b.select(col("__band"), col("__bucket"), col(idCol).as("b"))
+    // dedup the (a, b) candidates BEFORE cosine (the nearDupPairs
+    // shape): a pair colliding in k bands otherwise pays k cosine
+    // evaluations and ships both vectors through the bucket join —
+    // candidates carry only ids, vectors join back once per pair
+    val cands = l.join(r, Seq("__band", "__bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    cands
+      .join(vecs.select(col(idCol).as("a"), col(vecCol).as("va")), "a")
+      .join(vecs.select(col(idCol).as("b"), col(vecCol).as("vb")), "b")
       .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= threshold)
-      .distinct()
   }
 }

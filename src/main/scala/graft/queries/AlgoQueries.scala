@@ -62,9 +62,12 @@ object AlgoQueries {
     // (c→o→p/s→n→r).
     "q_algo_sssp" -> ((s, dir) => {
       val g = gm(s, dir)
-      val ew = g.edges.select(col("src"), col("dst"),
-        (col("rank") + 1).cast("double").as("weight"))
-      GraphAlgos.sssp(ew, "c:1", iters = 4)
+      // stored path: weight derived from the bucketed scan's rank
+      // column — every relaxation join edge-side Exchange-free
+      val adj = g.adjacencyOut(keep = Seq("rank"))
+      try GraphAlgos.sssp(s, adj, "c:1", iters = 4,
+        w = (col("rank") + 1).cast("double"))
+      finally adj.release()
     }),
     // 4-core of the co-purchase graph, 6 fixed peeling rounds (the
     // oracle unrolls the same rounds as a CTE chain).
@@ -78,8 +81,13 @@ object AlgoQueries {
       val seeds = g.customers
         .filter(expr("CAST(substr(vid, 3, 10) AS BIGINT) <= 5"))
         .select("vid")
-      GraphAlgos.betweenness(seeds, g.edges, maxSteps = 3)
+      // stored path: the simple-view dedup is an exchange-free local
+      // aggregation over the bucketed scan; both Brandes passes join
+      // the edge side in place
+      val adj = g.adjacencyOutDistinct
+      try GraphAlgos.betweenness(seeds, adj, maxSteps = 3)
         .select(col("vid"), roundPortable(col("bc"), 6).as("bc"))
+      finally adj.release()
     }),
     // closeness centrality of sampled seeds (ClosenessAlgo): one
     // multi-origin BFS covers all 10 seeds, closeness =
@@ -97,7 +105,11 @@ object AlgoQueries {
     // neighbor label, ties -> min label).
     "q_algo_lpa" -> ((s, dir) => {
       val g = gm(s, dir)
-      GraphAlgos.labelPropagation(g.vertices, g.edges, iters = 3)
+      // stored path: the `_und` table IS the simple undirected view
+      // LPA is defined over — zero edge-side Exchange per round
+      val adj = g.adjacencyUnd(dropSelfLoops = true)
+      try GraphAlgos.labelPropagation(g.vertices, adj, iters = 3)
+      finally adj.release()
     }),
     // SCC over the directed KNOWS graph (adjacent-order customers —
     // the only cyclic subgraph in the star schema): pinned FW-BW
@@ -122,7 +134,9 @@ object AlgoQueries {
     // votes, scores decay 1/16 per hop — dyadic, so exact replay)
     "q_algo_hanp" -> ((s, dir) => {
       val g = gm(s, dir)
-      GraphAlgos.hanp(g.vertices, g.edges, iters = 3)
+      val adj = g.adjacencyUnd(dropSelfLoops = true)
+      try GraphAlgos.hanp(g.vertices, adj, iters = 3, delta = 0.0625)
+      finally adj.release()
     }),
     // Louvain-style modularity ascent on the co-purchase graph, 6
     // gated rounds (~half the vertices move per round; all-integer
@@ -131,12 +145,16 @@ object AlgoQueries {
       GraphAlgos.louvain(coPurchase(s, dir), iters = 6)),
     // MULTI-LEVEL Louvain (Blondel et al. 2008): 4 move rounds, then
     // contract communities to a weighted supergraph (inter-community
-    // super-edges + self-loop weights), 4 more rounds there, unfold.
-    // The oracle replays the whole hierarchy — both levels' rounds,
-    // the contraction aggregations, and the unfold join — exactly
-    // (integer weights, md5 gates salted per level).
+    // super-edges + self-loop weights), 4 more rounds there, contract
+    // AGAIN, 4 rounds on the level-3 supergraph, unfold the 3-deep
+    // chain. The oracle replays the whole hierarchy — every level's
+    // rounds, both contraction aggregations, and the unfold joins —
+    // exactly (integer weights, md5 gates salted per level). The
+    // production entry point louvainMultiLevelAuto runs the same
+    // machinery to the canonical no-moves convergence instead of a
+    // pinned depth (AlgoSpec pins its behavior on a 3-tier fixture).
     "q_algo_louvain_ml" -> ((s, dir) =>
-      GraphAlgos.louvainMultiLevel(coPurchase(s, dir), levels = 2,
+      GraphAlgos.louvainMultiLevel(coPurchase(s, dir), levels = 3,
         iters = 4)),
     // node2vec-style walk corpus: 5 deterministic steps per customer.
     "q_algo_walks" -> ((s, dir) => randomWalkQuery(s, dir)),
@@ -145,12 +163,12 @@ object AlgoQueries {
     // with custkey <= 300 over the undirected unified graph
     "q_algo_node2vec" -> ((s, dir) => {
       val g = gm(s, dir)
-      val und = g.edges.select(col("src"), col("dst"))
-        .unionAll(g.edges.select(col("dst").as("src"), col("src").as("dst")))
       val starts = g.customers
         .filter(expr("CAST(substr(vid, 3, 10) AS BIGINT) <= 300"))
         .select("vid")
-      GraphAlgos.node2vecWalks(und, starts, len = 3)
+      // undNeighbors IS distinct(E ∪ revE) — the stored `_und` scan
+      // (flat sessions derive it per query, as before)
+      GraphAlgos.node2vecWalksSimple(g.undNeighbors(), starts, len = 3)
     }),
     // Neighbor-set Jaccard between orders sharing parts; hub parts
     // (in-degree > 40) dropped before pairing — the skew guard that
@@ -169,10 +187,10 @@ object AlgoQueries {
     * undirected view). */
   private def randomWalkQuery(s: SparkSession, dir: String): DataFrame = {
     val g = gm(s, dir)
-    val und = g.edges.select(col("src"), col("dst"))
-      .unionAll(g.edges.select(col("dst").as("src"), col("src").as("dst")))
     val starts = g.customers.select("vid")
-    GraphAlgos.randomWalks(und, starts, len = 5)
+    // undNeighbors IS distinct(E ∪ revE) — stored `_und` scan when
+    // attached, per-query derivation when flat
+    GraphAlgos.randomWalksSimple(g.undNeighbors(), starts, len = 5)
   }
 
   /** The co-purchase projection shared by the triangle-family queries:
@@ -521,15 +539,20 @@ object AlgoQueries {
         |SELECT vid, c FROM A6""".stripMargin
     },
     "q_algo_louvain_ml" -> {
-      // the full two-level hierarchy: 4 unrolled level-1 rounds, the
-      // contraction aggregations (weighted super-edges + self-loop
-      // weights), 4 weighted level-2 rounds with the SAME m2 (total
-      // weight is invariant under contraction), then the unfold join
+      // the full THREE-level hierarchy: 4 unrolled level-1 rounds, a
+      // contraction (weighted super-edges + self-loop weights), 4
+      // weighted level-2 rounds with the SAME m2 (total weight is
+      // invariant under contraction), a second contraction (level-2
+      // intra-edges + rolled-up prior self-weights), 4 level-3 rounds,
+      // then the unfold chain A4 → B4 → C4
       val l1 = (0 until 4).map(r =>
         louvainRoundSql(r, "", "A", "N", "DEG", "", weighted = false))
         .mkString(",\n")
       val l2 = (0 until 4).map(r =>
         louvainRoundSql(r, "B", "B", "N2", "DEG2", "|L2", weighted = true))
+        .mkString(",\n")
+      val l3 = (0 until 4).map(r =>
+        louvainRoundSql(r, "C", "C", "N3", "DEG3", "|L3", weighted = true))
         .mkString(",\n")
       s"""WITH $coPurchaseCtes,
         |N AS (SELECT a AS src, b AS dst FROM UND
@@ -554,8 +577,30 @@ object AlgoQueries {
         |    SELECT src AS vid, sum(w) AS k FROM N2 GROUP BY 1
         |    UNION ALL SELECT vid, 2 * sw FROM SELFW) GROUP BY 1),
         |B0 AS (SELECT vid, vid AS c FROM DEG2),
-        |$l2
-        |SELECT a.vid, b.c FROM A4 a JOIN B4 b ON b.vid = a.c""".stripMargin
+        |$l2,
+        |SUPER2 AS MATERIALIZED (
+        |  SELECT least(x.c, y.c) AS a, greatest(x.c, y.c) AS b,
+        |         sum(u.w)::BIGINT AS w
+        |  FROM SUPER u JOIN B4 x ON x.vid = u.a JOIN B4 y ON y.vid = u.b
+        |  WHERE x.c <> y.c GROUP BY 1, 2),
+        |SELFW2 AS MATERIALIZED (
+        |  SELECT vid, sum(sw)::BIGINT AS sw FROM (
+        |    SELECT x.c AS vid, u.w AS sw
+        |    FROM SUPER u JOIN B4 x ON x.vid = u.a JOIN B4 y ON y.vid = u.b
+        |    WHERE x.c = y.c
+        |    UNION ALL
+        |    SELECT b.c AS vid, s.sw FROM SELFW s JOIN B4 b ON b.vid = s.vid
+        |  ) GROUP BY 1),
+        |N3 AS (SELECT a AS src, b AS dst, w FROM SUPER2
+        |       UNION ALL SELECT b, a, w FROM SUPER2),
+        |DEG3 AS MATERIALIZED (
+        |  SELECT vid, sum(k)::BIGINT AS k FROM (
+        |    SELECT src AS vid, sum(w) AS k FROM N3 GROUP BY 1
+        |    UNION ALL SELECT vid, 2 * sw FROM SELFW2) GROUP BY 1),
+        |C0 AS (SELECT vid, vid AS c FROM DEG3),
+        |$l3
+        |SELECT a.vid, cc.c FROM A4 a JOIN B4 b ON b.vid = a.c
+        |JOIN C4 cc ON cc.vid = b.c""".stripMargin
     },
     "q_algo_walks" -> {
       val steps = (1 to 5).map { i =>

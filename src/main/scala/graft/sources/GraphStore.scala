@@ -17,7 +17,22 @@ import org.apache.spark.sql.functions._
   * AND its dst partition):
   *   - `<name>_out`: bucketed+sorted by src  (out-adjacency)
   *   - `<name>_in` : bucketed+sorted by dst  (in-adjacency)
+  *   - `<name>_und`: the SIMPLE undirected neighbor view — distinct
+  *     (src, dst) over both orientations, self-loops once — bucketed by
+  *     src. The undirected iterative algorithms (LPA, HANP, walks,
+  *     node2vec) consume exactly this view; deriving it per run costs a
+  *     cluster-wide distinct of the edge set, so the store pays that
+  *     shuffle ONCE at build and every run reads the layout in place.
   *   - `<name>_v`  : vertices bucketed by vid
+  *
+  * The edge tables carry the edges frame's FULL column set — edge
+  * properties included when the caller passes a wide frame — so
+  * property-projecting traversals (GO YIELD, MATCH edge bindings) read
+  * props from the same partition-local scan as the adjacency, the
+  * reference's economics exactly: the row blob at the edge key IS the
+  * property value (src/storage/query/GetNeighborsProcessor.cpp:32,
+  * src/common/utils/NebulaKeyUtils.h:61). Column pruning keeps
+  * adjacency-only readers narrow.
   *
   * The payoff, proven in PlanSpec: `twoHop` (in-adjacency ⋈
   * out-adjacency on the middle vertex) plans as a sort-merge join with
@@ -116,6 +131,14 @@ object GraphStore {
     }
     save(edges, s"${name}_out", "src")
     save(edges, s"${name}_in", "dst")
+    // simple undirected neighbor view: distinct over both orientations
+    // (reciprocal edges keep one row per orientation; self-loops one
+    // row total). The ONE distinct shuffle the undirected algorithms
+    // would otherwise each pay per run.
+    save(edges.select(col("src"), col("dst"))
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct(),
+      s"${name}_und", "src")
     save(vertices, s"${name}_v", "vid")
   }
 
@@ -136,6 +159,16 @@ object GraphStore {
     val rest = e.columns.filterNot(c => c == "src" || c == "dst")
     e.select((col("dst").as("src") +: col("src").as("dst") +:
       rest.map(col)): _*)
+  }
+
+  /** Simple undirected neighbor view (src, dst), bucketed by src:
+    * distinct over both orientations, self-loops once. `dropSelfLoops`
+    * filters (src ≠ dst) — a partition-preserving filter — for the
+    * algorithms defined over the loop-free simple graph (LPA, HANP). */
+  def undNeighbors(spark: SparkSession, name: String,
+                   dropSelfLoops: Boolean = false): DataFrame = {
+    val t = spark.table(s"${name}_und")
+    if (dropSelfLoops) t.filter(col("src") =!= col("dst")) else t
   }
 
   /** Vertices (bucketed by vid). */

@@ -76,6 +76,23 @@ object Traverse {
       edges.unionByName(rev)
   }
 
+  /** orient() for relationship-match semantics: an undirected (Both)
+    * hop must see each stored edge once per distinct orientation — a
+    * self-loop's forward and reversed rows are identical, so the
+    * reversed side drops self-loops instead of a post-union
+    * `.distinct()` (which was a full shuffle + hash-dedup of the
+    * property-carrying edge frame per query, and disqualified the
+    * frame from the storedScanOnly persist skip). Callers carry a
+    * unique edge-id column, so every other row pair differs and the
+    * result is exactly the set distinct() produced. */
+  def orientDedup(edges: DataFrame, dir: Direction): DataFrame = dir match {
+    case Both =>
+      val rev = edges.withColumnRenamed("src", "__tmp")
+        .withColumnRenamed("dst", "src").withColumnRenamed("__tmp", "dst")
+      edges.unionByName(rev.filter(col("src") =!= col("dst")))
+    case d => orient(edges, d)
+  }
+
   /** Materialize a frontier: truncate lineage + return (df, rowCount).
     * The count doubles as the loop's empty-check and broadcast signal. */
   private def materialize(df: DataFrame): (DataFrame, Long) = {

@@ -151,6 +151,39 @@ class AlgoSpec extends SparkSpec {
     assert(l1 == base, "louvainMultiLevel(levels=1) diverges from louvain")
   }
 
+  test("louvain level 3 + auto convergence: deeper never hurts, auto stops") {
+    import spark.implicits._
+    // same resolution-limit ring (16 triangles, single bridges): the
+    // ascent only ever moves on strictly positive gain, so each added
+    // level is monotone — Q(l3) ≥ Q(l2) ≥ Q(l1) — and the third level
+    // unfolds through the full A→B→C chain (structural correctness:
+    // every original vertex keeps exactly one community)
+    val cliques = 16
+    def v(c: Int, i: Int) = f"v$c%02d_$i"
+    val tri = (0 until cliques).flatMap(c => Seq(
+      (v(c, 0), v(c, 1)), (v(c, 1), v(c, 2)), (v(c, 0), v(c, 2))))
+    val bridges = (0 until cliques).map(c =>
+      (v(c, 0), v((c + 1) % cliques, 1)))
+    val edges = (tri ++ bridges).toDF("src", "dst")
+    val iters = 10
+    val l2 = GraphAlgos.louvainMultiLevel(edges, levels = 2, iters = iters)
+    val l3 = GraphAlgos.louvainMultiLevel(edges, levels = 3, iters = iters)
+    assert(l3.select("vid").distinct().count() == 48 && l3.count() == 48,
+      "level-3 unfold lost or duplicated vertices")
+    val q2 = GraphAlgos.modularity(edges, l2)
+    val q3 = GraphAlgos.modularity(edges, l3)
+    assert(q3 >= q2 - 1e-12,
+      s"a deeper hierarchy regressed modularity: l2 $q2 vs l3 $q3")
+    // the production convergence form (Blondel: repeat until no vertex
+    // moves) must reach at least the 2-level quality and terminate
+    // well before its level cap
+    val auto = GraphAlgos.louvainMultiLevelAuto(edges, iters = iters)
+    assert(auto.count() == 48)
+    val qa = GraphAlgos.modularity(edges, auto)
+    assert(qa >= q2 - 1e-12,
+      s"auto-depth run under-scored the pinned 2-level run: $qa vs $q2")
+  }
+
   test("scc: exact on cycles+bridge, pinned variant matches exact") {
     import spark.implicits._
     // two 2-cycles bridged a↔b → c↔d, plus e→a (e acyclic)

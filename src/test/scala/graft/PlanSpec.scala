@@ -357,6 +357,108 @@ class PlanSpec extends SparkSpec {
     assert(a == b, "stored WCC diverges from flat WCC")
   }
 
+  test("stored und adjacency: undirected algorithm sends never exchange the edge side") {
+    assume(have)
+    import graft.sources.GraphStore
+    val s2 = spark.newSession()
+    GraphStore.enableManaged(s2)
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val g = graft.graph.GraphModel(s2, dir)
+    // the _und table scan (with the self-loop filter) stays a pure
+    // bucketed view — LPA/HANP/walks ride it with no per-run shuffle
+    assert(graft.traverse.Traverse.srcPartitioned(
+      g.undNeighbors(dropSelfLoops = true)),
+      "_und scan not hash-partitioned by src")
+    val adj = g.adjacencyUnd(dropSelfLoops = true)
+    assert(adj.isInstanceOf[graft.algo.StoredAdjacency],
+      "store-backed adjacencyUnd is not a StoredAdjacency")
+    val state = g.vertices.select(col("vid"), col("vid").as("label"))
+    val plan = adj.send(state, Seq(col("label")))
+      .queryExecution.executedPlan
+    assert(bucketScansUnderExchange(plan) == 0,
+      s"und message join shuffles the edge side:\n${plan.toString.take(3000)}")
+    adj.release()
+    // LPA over the stored und view is bit-identical to the flat run
+    val gFlat = graft.graph.GraphModel(spark, dir)
+    val adj2 = g.adjacencyUnd(dropSelfLoops = true)
+    val a = graft.algo.GraphAlgos
+      .labelPropagation(g.vertices, adj2, iters = 2)
+      .collect().map(_.toSeq).toSet
+    adj2.release()
+    val b = graft.algo.GraphAlgos
+      .labelPropagation(gFlat.vertices, gFlat.edges, iters = 2)
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "stored LPA diverges from flat LPA")
+  }
+
+  test("stored directed adjacencies: sssp weights and betweenness dedup stay exchange-free") {
+    assume(have)
+    import graft.sources.GraphStore
+    val s2 = spark.newSession()
+    GraphStore.enableManaged(s2)
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val g = graft.graph.GraphModel(s2, dir)
+    // sssp: the relaxation join reads the bucketed scan in place, the
+    // weight expression derived from a kept edge column
+    val wAdj = g.adjacencyOut(keep = Seq("rank"))
+    val dist = s2.range(1).select(lit("c:1").as("vid"), lit(0.0).as("dist"))
+    val p1 = wAdj.send(dist, Seq((col("dist") + col("rank") + 1).as("dist")))
+      .queryExecution.executedPlan
+    assert(bucketScansUnderExchange(p1) == 0,
+      s"sssp relaxation shuffles the edge side:\n${p1.toString.take(3000)}")
+    wAdj.release()
+    // betweenness: the simple-view distinct over the bucketed scan is
+    // a LOCAL aggregation (hash(src) satisfies the (src,dst)
+    // clustering) — zero exchanges end to end on the edge side
+    val dedup = GraphStore.outEdges(s2, g.store.get)
+      .select("src", "dst").distinct()
+    assert(exchanges(dedup.queryExecution.executedPlan) == 0,
+      s"bucketed distinct shuffles:\n${dedup.queryExecution.executedPlan.toString.take(3000)}")
+    val bAdj = g.adjacencyOutDistinct
+    val seeds = g.customers.filter(expr("CAST(substr(vid, 3, 10) AS BIGINT) <= 2"))
+      .select(col("vid").as("origin"), col("vid"), lit(1L).as("sigma"))
+    val p2 = bAdj.send(seeds, Seq(col("origin"), col("sigma")))
+      .queryExecution.executedPlan
+    assert(bucketScansUnderExchange(p2) == 0,
+      s"betweenness forward send shuffles the edge side:\n${p2.toString.take(3000)}")
+    bAdj.release()
+  }
+
+  test("stored edge props: MATCH hop frames are pure views over bucketed scans") {
+    assume(have)
+    import graft.sources.GraphStore
+    import graft.traverse.Traverse
+    val s2 = spark.newSession()
+    GraphStore.enableManaged(s2)
+    val g = graft.graph.GraphModel(s2, dir)
+    // the property-carrying hop frame (edgesWithProps + Both-direction
+    // orientDedup — exactly the var-length MATCH shape) must qualify
+    // for the storedScanOnly persist skip: no shuffle anywhere, every
+    // leaf a bucketed scan, so loops re-read the store instead of
+    // copying 2× the edge set into the block manager
+    val base = g.edgesWithProps(g.edgeTypeNames)
+      .withColumn("__osrc", col("src")).withColumn("__odst", col("dst"))
+    val oriented = Traverse.orientDedup(base, Traverse.Both)
+    assert(Traverse.storedScanOnly(oriented),
+      "Both-direction props hop frame is not a pure stored view")
+    // flat sessions keep the old posture (persist) — sanity-check the
+    // gate does NOT claim flat unions
+    val gF = graft.graph.GraphModel(spark, dir)
+    val baseF = gF.edgesWithProps(gF.edgeTypeNames)
+      .withColumn("__osrc", col("src")).withColumn("__odst", col("dst"))
+    assert(!Traverse.storedScanOnly(Traverse.orientDedup(baseF, Traverse.Both)),
+      "flat props frame wrongly claims stored-scan-only")
+    // and the stored projection is schema+row identical to the flat one
+    val a = g.edgesWithProps(Seq("placed", "has_part"))
+    val b = gF.edgesWithProps(Seq("placed", "has_part"))
+    assert(a.columns.toSeq == b.columns.toSeq,
+      s"stored edgesWithProps column order diverges: ${a.columns.toSeq} vs ${b.columns.toSeq}")
+    assert(a.collect().map(_.toSeq).toSet == b.collect().map(_.toSeq).toSet,
+      "stored edgesWithProps rows diverge from flat")
+  }
+
   test("jaccard: pair join is an equi join on the shared neighbor, no cartesian") {
     assume(have)
     // the hub-cap semi join itself sits behind the localCheckpoint

@@ -160,6 +160,33 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map("a" -> 1, "b" -> 2, "x" -> 7), s"race lost a row: $got")
   }
 
+  test("LogTable: compaction cadence bounds segment count under a long drain") {
+    import graft.operators.LogTable
+    import graft.streaming.GraphIngest
+    // a week-long stream must not accumulate an unbounded segment list
+    // for LogTable.read (full reads legitimately scan all segments for
+    // LWW): ingestLog's compactEvery default folds the log every N
+    // batches, so the live segment count stays ≤ compactEvery at any
+    // drain length. 12 single-file batches, compactEvery = 4.
+    val root = java.nio.file.Files.createTempDirectory("graft-logbound")
+      .toString
+    val landing = s"$root/landing"
+    (1 to 12).foreach { i =>
+      Seq(("insert", s"v$i", "t", i.toLong, i))
+        .toDF("op", "src", "dst", "rank", "v")
+        .coalesce(1).write.mode("append").parquet(landing)
+      Thread.sleep(20) // distinct mtimes → deterministic file order
+    }
+    val t = LogTable(spark, s"$root/t", Seq("src", "dst", "rank"))
+    val q = GraphIngest.ingestLog(spark, landing, schemaFrom = landing,
+      t, checkpointDir = s"$root/ckpt", maxFilesPerTrigger = 1,
+      compactEvery = 4)
+    q.awaitTermination()
+    assert(t.segments.size <= 4,
+      s"drain left ${t.segments.size} segments — compaction cadence broken")
+    assert(t.read.count() == 12, "compaction lost rows")
+  }
+
   test("LogTable: key-range stats prune segments for point lookups") {
     import graft.operators.LogTable
     val root = java.nio.file.Files.createTempDirectory("graft-logprune")
