@@ -99,7 +99,10 @@ final class StoredAdjacency(sides: Seq[DataFrame],
     }.reduce(_ unionByName _)
 
   def bySrc(aggs: Seq[Column]): DataFrame =
-    narrow.map(_.select((col("src").as("vid") +: keep.map(col)): _*))
+    // keep dst in the pre-aggregation rows so aggregates over it
+    // resolve exactly as on the FrameAdjacency path
+    narrow.map(_.select((col("src").as("vid") +: col("dst") +:
+        keep.map(col)): _*))
       .reduce(_ unionByName _)
       .groupBy("vid").agg(aggs.head, aggs.tail: _*)
 

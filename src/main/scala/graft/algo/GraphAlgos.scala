@@ -310,12 +310,18 @@ object GraphAlgos {
     * the remaining set — the BFS shuffle shape, frames checkpointed. */
   def sccPinned(vertices: DataFrame, edges: DataFrame,
                 phases: Int, rounds: Int): DataFrame = {
-    val e = edges.select("src", "dst").distinct()
+    // checkpoint the dedup ONCE: both direction views read the same
+    // materialized frame instead of re-running the distinct shuffle
+    // per adjacency persist
+    val e = edges.select("src", "dst").distinct().mat()
     val adjOut = new FrameAdjacency(e)
     val adjIn = new FrameAdjacency(
       e.select(col("dst").as("src"), col("src").as("dst")))
     try sccPinnedLoop(vertices, adjOut, adjIn, phases, rounds)
-    finally { adjOut.release(); adjIn.release() }
+    finally {
+      adjOut.release(); adjIn.release()
+      graft.traverse.Traverse.freeCheckpoint(e)
+    }
   }
 
   /** sccPinned over pre-built forward/backward [[Adjacency]] views (the
@@ -342,10 +348,16 @@ object GraphAlgos {
       var color = rem.select(col("vid"), col("vid").as("color")).mat()
       var r = 0
       while (r < rounds) {
-        val msgs = adjOut.send(color, Seq(col("color")))
-          .join(rem, Seq("vid"), "left_semi")
-        val upd = color.unionByName(msgs)
-          .groupBy("vid").agg(min(col("color")).as("color")).mat()
+        // WCC's update shape: the left join both aggregates the
+        // messages into the existing state AND restricts them to the
+        // remaining set (color holds exactly rem) — no extra semi-join
+        val fromNbrs = adjOut.send(color, Seq(col("color")))
+          .groupBy("vid").agg(min(col("color")).as("__nc"))
+        val upd = color.join(fromNbrs, Seq("vid"), "left_outer")
+          .select(col("vid"),
+            least(col("color"), coalesce(col("__nc"), col("color")))
+              .as("color"))
+          .mat()
         graft.traverse.Traverse.freeCheckpoint(color)
         color = upd
         r += 1
@@ -389,10 +401,20 @@ object GraphAlgos {
     * phases repeated until every vertex is assigned. */
   def sccUntilConverged(vertices: DataFrame, edges: DataFrame,
                         maxRounds: Int = 64): DataFrame = {
-    val e = edges.select("src", "dst").distinct()
+    val e = edges.select("src", "dst").distinct().mat() // see sccPinned
     val adjOut = new FrameAdjacency(e)
     val adjIn = new FrameAdjacency(
       e.select(col("dst").as("src"), col("src").as("dst")))
+    try sccConvergedLoop(vertices, adjOut, adjIn, maxRounds)
+    finally {
+      adjOut.release(); adjIn.release()
+      graft.traverse.Traverse.freeCheckpoint(e)
+    }
+  }
+
+  private def sccConvergedLoop(vertices: DataFrame, adjOut: Adjacency,
+                               adjIn: Adjacency,
+                               maxRounds: Int): DataFrame = {
     var rem = vertices.select("vid").distinct().mat()
     var remCnt = rem.count()
     var acc: DataFrame = null
@@ -401,14 +423,18 @@ object GraphAlgos {
       var changed = 1L
       var guard = 0
       while (changed > 0 && guard < maxRounds) {
-        val msgs = adjOut.send(color, Seq(col("color")))
-          .join(rem, Seq("vid"), "left_semi")
-        val upd = color.unionByName(msgs)
-          .groupBy("vid").agg(min(col("color")).as("color")).mat()
-        changed = upd.join(color.withColumnRenamed("color", "old"), Seq("vid"))
-          .filter(col("color") =!= col("old")).count()
+        // WCC's update shape — the left join aggregates AND restricts
+        // to the remaining set in one pass (see sccPinnedLoop)
+        val fromNbrs = adjOut.send(color, Seq(col("color")))
+          .groupBy("vid").agg(min(col("color")).as("__nc"))
+        val upd = color.join(fromNbrs, Seq("vid"), "left_outer")
+          .select(col("vid"), col("color").as("__old"),
+            least(col("color"), coalesce(col("__nc"), col("color")))
+              .as("color"))
+          .mat()
+        changed = upd.filter(col("color") =!= col("__old")).count()
         graft.traverse.Traverse.freeCheckpoint(color)
-        color = upd
+        color = upd.drop("__old")
         guard += 1
       }
       // silent truncation here would SHATTER a >maxRounds-diameter SCC
@@ -569,7 +595,7 @@ object GraphAlgos {
     * the same shape as labelPropagation. */
   def louvain(edges: DataFrame, iters: Int): DataFrame =
     louvainMoves(canonicalUndirected(edges).withColumn("w", lit(1L)),
-      selfW = None, iters = iters, gateTag = "")
+      selfW = None, iters = iters, gateTag = "")._1
 
   /** One synchronous move phase over a WEIGHTED undirected simple
     * graph — the generalization multi-level Louvain needs for its
@@ -583,8 +609,17 @@ object GraphAlgos {
     * the historical rounds. All weights are integral (edge-multiplicity
     * counts), so every score is exact long arithmetic and an external
     * oracle replays rounds bit-for-bit. */
+  /** Returns (assignment, improvingMoveRemains). The second component
+    * is only computed when `trackImproving` (one extra candidate-score
+    * pass over the FINAL assignment): TRUE iff some vertex still has a
+    * strictly-positive-gain move — the exact Blondel "changes remain"
+    * signal, independent of the md5 mover gate (a gated-out vertex
+    * still counts, so the auto-depth driver never stops early because
+    * the gate starved a level). */
   private def louvainMoves(und: DataFrame, selfW: Option[DataFrame],
-                           iters: Int, gateTag: String): DataFrame = {
+                           iters: Int, gateTag: String,
+                           trackImproving: Boolean = false)
+      : (DataFrame, Boolean) = {
     // idempotent: a coarsened level passes an already-checkpointed
     // supergraph — re-matting it would duplicate every block
     val undM = graft.Ckpt.matIdempotent(und)
@@ -610,8 +645,11 @@ object GraphAlgos {
             lit(2L) * coalesce(col("sw"), lit(0L))).as("k"))
     }).mat()
     var assign = deg.select(col("vid"), col("vid").as("c")).mat()
-    var round = 0
-    while (round < iters) {
+
+    // candidate and staying scores against an assignment — the loop's
+    // per-round frames, also reusable for the post-loop improving-move
+    // probe (trackImproving)
+    def candStay(assign: DataFrame): (DataFrame, DataFrame) = {
       val nbrC = both.join(assign, both("dst") === assign("vid"))
         .select(both("src").as("vid"), col("c"), col("w"))
       val kin = nbrC.groupBy("vid", "c").agg(sum("w").as("kin"))
@@ -639,6 +677,12 @@ object GraphAlgos {
         .select(col("vid"),
           (lit(m2) * coalesce(col("kin_i"), lit(0L)) -
             col("k") * (col("st_i") - col("k"))).as("stay"))
+      (cand, stay)
+    }
+
+    var round = 0
+    while (round < iters) {
+      val (cand, stay) = candStay(assign)
       // hill-climb: move only on strictly positive gain over staying
       val pick = cand.join(stay, "vid")
         .filter(col("c") === col("c_i") || col("score") > col("stay"))
@@ -659,12 +703,21 @@ object GraphAlgos {
       assign = upd
       round += 1
     }
+    // improving-move probe over the FINAL assignment (auto-depth mode
+    // only): exact — a strictly-positive-gain candidate counts whether
+    // or not the md5 gate would have let it move this level
+    val improving = trackImproving && {
+      val (cand, stay) = candStay(assign)
+      !cand.join(stay, "vid")
+        .filter(col("c") =!= col("c_i") && col("score") > col("stay"))
+        .isEmpty
+    }
     try { both.unpersist(blocking = false) } catch { case _: Throwable => () }
     // undM passed in pre-materialized belongs to the caller (the
     // multi-level driver still contracts over it)
     if (undM ne und) graft.traverse.Traverse.freeCheckpoint(undM)
     graft.traverse.Traverse.freeCheckpoint(deg)
-    assign
+    (assign, improving)
   }
 
   /** MULTI-LEVEL Louvain (Blondel et al. 2008 — the full algorithm the
@@ -689,12 +742,14 @@ object GraphAlgos {
 
   /** Multi-level Louvain run to CONVERGENCE — the canonical stopping
     * rule (Blondel et al. §2: "the passes are repeated until there are
-    * no more changes"): levels are added while the move phase still
-    * moves at least one vertex (every move is a strictly positive
-    * modularity gain, so no-moves ⇔ the ascent is done), capped at
-    * `maxLevels` as the runaway guard. The oracle-pinned fixed-`levels`
-    * form above replays bit-exactly in DuckDB; this form is the
-    * production default where the depth is data-dependent. */
+    * no more changes"): levels are added while a strictly-positive-gain
+    * move still EXISTS against the level's final assignment (the exact
+    * criterion, probed gate-independently — a vertex the md5 mover gate
+    * happened to starve for a whole level still keeps the ascent
+    * alive; the next level re-salts the gate), capped at `maxLevels`
+    * as the runaway guard. The oracle-pinned fixed-`levels` form above
+    * replays bit-exactly in DuckDB; this form is the production
+    * default where the depth is data-dependent. */
   def louvainMultiLevelAuto(edges: DataFrame, iters: Int,
                             maxLevels: Int = 16): DataFrame =
     louvainML(edges, maxLevels, iters, untilConverged = true)
@@ -716,11 +771,19 @@ object GraphAlgos {
       // instead of re-running the canonicalization shuffle
       cur = graft.Ckpt.matIdempotent(cur)
       // louvainMoves returns a checkpointed frame — no extra mat
-      val a = louvainMoves(cur, selfW, iters, tag)
-      // convergence: one cheap action on the already-checkpointed
-      // assignment — a level that moved nothing ends the ascent
+      val (a, improving) =
+        louvainMoves(cur, selfW, iters, tag, trackImproving = untilConverged)
+      // convergence (Blondel §2): stop when the level's move phase
+      // changed NOTHING — then contraction is the identity and no
+      // deeper level can ever move. "No improving move remains" alone
+      // is NOT a stop signal (phase-1 local optima are exactly what
+      // contraction exists to escape — the resolution-limit ring);
+      // conversely "no moves made" alone could be the md5 mover gate
+      // starving a level, so the gate-independent probe keeps the
+      // ascent alive in that case (next level re-salts the gate).
       if (untilConverged)
-        done = a.filter(col("vid") =!= col("c")).count() == 0L
+        done = !improving &&
+          a.filter(col("vid") =!= col("c")).isEmpty
       lastA = a
       val prevMapping = mapping
       mapping =

@@ -38,97 +38,253 @@ object PathFinder {
     * pair is emitted the first level it is reached, which is its
     * shortest distance; ties (multiple shortest paths) all survive
     * unless singlePath. */
+  /** One side of the adaptive meet-in-the-middle search: frontier,
+    * accumulated levels (every row at its per-origin first-arrival
+    * depth — all tied paths kept), visited pruning, checkpoint
+    * lifecycle. `expand` applies the caller's raw one-hop extension,
+    * prunes it against visited, checkpoints, and bumps the depth. */
+  private final class BidiSide(seed0: DataFrame) {
+    var frontier: DataFrame = seed0
+    var acc: DataFrame = seed0
+    var levels: Vector[DataFrame] = Vector(seed0)
+    private var visited = seed0.select("origin", "vid").mat()
+    var top = 0
+    var cnt: Long = frontier.count()
+    def expand(raw: DataFrame): DataFrame = {
+      val next = raw.join(
+          visited.select(col("origin").as("vo"), col("vid").as("vv")),
+          col("origin") === col("vo") && col("vid") === col("vv"),
+          "left_anti")
+        .mat()
+      cnt = next.count()
+      if (cnt > 0) {
+        val v2 = visited.unionByName(next.select("origin", "vid")).mat()
+        Traverse.freeCheckpoint(visited)
+        visited = v2
+        levels :+= next
+        acc = acc.unionByName(next)
+        frontier = next
+        top += 1
+        next
+      } else { Traverse.freeCheckpoint(next); null }
+    }
+    def close(): Unit = Traverse.freeCheckpoint(visited)
+  }
+
+  /** ADAPTIVE bidirectional meet-in-the-middle driver (the reference's
+    * left/right frontiers, BFSShortestPathExecutor.cpp:12), shared by
+    * the plain and typed shortest-path surfaces. Each step expands the
+    * SMALLER frontier (asymmetric endpoint sets never blow up the big
+    * side), and the search stops as soon as ANY of:
+    *  - every (src, dst) pair has met — a pair's first meet happens
+    *    exactly when fTop + bTop reaches its distance (levels grow one
+    *    at a time, and a shortest path splits at every index), so on
+    *    fully-reachable endpoint sets the search runs distance-many
+    *    level expansions TOTAL, not maxSteps;
+    *  - either frontier empties — that side's ball is complete, so
+    *    every reachable pair already meets it (at depth-0 on the other
+    *    side if nowhere else);
+    *  - fTop + bTop = maxSteps — the cap.
+    * On a graph of branching factor b the two balls visit O(b^(n/2))
+    * vertices instead of the single-direction O(b^n).
+    *
+    * Exactness: every vertex of a shortest o→t path (o ≠ t) sits at
+    * forward depth = its index and backward depth = L − index (else a
+    * shortcut would beat L), so all shortest paths meet at every
+    * computed split; the caller reconstructs at the single canonical
+    * split min(fTop, L) — always computed, see the inequalities in
+    * the assembly — which reproduces the single-direction loop's row
+    * multiset (prefix-multiplicity × suffix-multiplicity at one split
+    * = whole-path multiplicity). Pairs with src == dst never meet
+    * here (cycle semantics stay on the single-direction loop).
+    *
+    * `pairsTotal` counts the resolvable (src ≠ dst) endpoint pairs;
+    * pass -1 to disable the met-pairs early exit. Returns the two
+    * sides, closed, with all level checkpoints still live. */
+  private def bidiDrive(fSide: BidiSide, bSide: BidiSide,
+                        eF: DataFrame, eB: DataFrame, maxSteps: Int,
+                        pairsTotal: Long,
+                        extendF: (DataFrame, Long, Int) => DataFrame,
+                        extendB: (DataFrame, Long, Int) => DataFrame)
+      : Unit = {
+    var met = 0L
+    var metPairs: DataFrame = null
+    def recordMeets(newLevel: DataFrame, other: BidiSide,
+                    newIsFwd: Boolean): Unit =
+      if (newLevel != null && pairsTotal >= 0) {
+        val nl = newLevel.select(col("origin"), col("vid")).distinct()
+        val ot = other.acc.select(col("origin").as("__o2"), col("vid"))
+          .distinct()
+        val p0 = nl.join(ot, Seq("vid"))
+        val pairs =
+          (if (newIsFwd)
+             p0.select(col("origin").as("__po"), col("__o2").as("__pt"))
+           else
+             p0.select(col("__o2").as("__po"), col("origin").as("__pt")))
+            .filter(col("__po") =!= col("__pt"))
+            .distinct()
+        val m2 = (if (metPairs == null) pairs
+                  else metPairs.unionByName(pairs).distinct()).mat()
+        if (metPairs != null) Traverse.freeCheckpoint(metPairs)
+        metPairs = m2
+        met = metPairs.count()
+      }
+    while (fSide.top + bSide.top < maxSteps &&
+           fSide.cnt > 0 && bSide.cnt > 0 &&
+           (pairsTotal < 0 || met < pairsTotal)) {
+      if (fSide.cnt <= bSide.cnt) {
+        val nl = fSide.expand(
+          extendF(fSide.frontier, fSide.cnt, fSide.top + 1))
+        recordMeets(nl, bSide, newIsFwd = true)
+      } else {
+        val nl = bSide.expand(
+          extendB(bSide.frontier, bSide.cnt, bSide.top + 1))
+        recordMeets(nl, fSide, newIsFwd = false)
+      }
+    }
+    if (metPairs != null) Traverse.freeCheckpoint(metPairs)
+    fSide.close(); bSide.close()
+  }
+
+  /** Resolvable-pair count for the met-pairs early exit: |srcs|×|dsts|
+    * minus the overlap (src == dst pairs never resolve here). Three
+    * cheap actions over the seed frames. */
+  private def resolvablePairs(srcs: DataFrame, dsts: DataFrame): Long = {
+    val s = srcs.select("vid").distinct()
+    val d = dsts.select("vid").distinct()
+    val sCnt = s.count(); val dCnt = d.count()
+    sCnt * dCnt - s.join(d, Seq("vid"), "left_semi").count()
+  }
+
+  /** Step-cap threshold for the bidirectional strategy. Shallow caps
+    * keep the single-direction loop: its level count is already small,
+    * and a backward ball from a high-fan-in endpoint set (e.g. sink
+    * vertices every edge points at) can cost more than the whole
+    * forward search — measured 1.6-2.6× on the 4-hop star-schema
+    * queries. Deep caps are where the forward ball's exponent
+    * dominates and the two half-depth balls (plus the met-pairs early
+    * exit) win — measured 0.69× on the 15-hop LDBC IC13. */
+  val BidiMinSteps = 6
+
   def shortestPaths(srcs: DataFrame, dsts: DataFrame, edges: DataFrame,
                     maxSteps: Int, dir: Direction = Out,
                     singlePath: Boolean = false): DataFrame = {
-    // BIDIRECTIONAL meet-in-the-middle (BFSShortestPathExecutor.cpp:12
-    // runs left AND right frontiers): a forward ball of ⌈n/2⌉ levels
-    // from srcs and a backward ball of ⌊n/2⌋ levels from dsts (over
-    // reversed edges), joined on the meeting vertex. On a graph of
-    // branching factor b this visits O(b^(n/2)) vertices per side
-    // instead of O(b^n) — the exponential difference on long caps.
-    //
-    // Exactness: every shortest o→t path (o ≠ t) visits its k-th
-    // vertex at forward depth exactly k and backward depth exactly
-    // L−k (else a shortcut would beat L), so EVERY split of every
-    // shortest path meets — the per-pair min + distinct below returns
-    // exactly the all-shortest-paths set the single-direction BFS
-    // produced. Self-pairs never match (the forward loop seeded its
-    // visited set with the origin), mirrored by the origin ≠ target
-    // filter.
+    if (maxSteps < BidiMinSteps)
+      return forwardShortest(srcs, dsts, edges, maxSteps, dir, singlePath)
     val e0 = Traverse.orient(edges, dir).select("src", "dst")
-    val fMax = (maxSteps + 1) / 2
-    val bMax = maxSteps / 2
-    val eF = Traverse.persistEdges(e0, fMax)
+    val eF = Traverse.persistEdges(e0, maxSteps)
     val eB = Traverse.persistEdges(
-      e0.select(col("dst").as("src"), col("src").as("dst")), bMax)
+      e0.select(col("dst").as("src"), col("src").as("dst")), maxSteps)
 
-    // one BFS ball: (origin, vid, path, depth) rows for every vertex at
-    // its per-origin first-arrival depth ≤ lvls, all tied paths kept
-    def ball(seeds: DataFrame, e: DataFrame,
-             lvls: Int): (DataFrame, Seq[DataFrame]) = {
-      var frontier = seeds.select(col("vid").as("origin"), col("vid"),
-        array(col("vid")).as("path"), lit(0).as("depth")).mat()
-      var visited = frontier.select("origin", "vid").mat()
-      var levels = Vector(frontier)
-      var acc = frontier
-      var cnt = frontier.count()
-      var d = 1
-      while (d <= lvls && cnt > 0) {
-        val next = Traverse.maybeBroadcast(frontier, cnt)
-          .join(e, frontier("vid") === e("src"))
-          .select(col("origin"), e("dst").as("vid"),
-            concat(col("path"), array(e("dst"))).as("path"),
-            lit(d).as("depth"))
-          .join(visited.select(col("origin").as("vo"), col("vid").as("vv")),
-            col("origin") === col("vo") && col("vid") === col("vv"),
-            "left_anti")
-          .mat()
-        cnt = next.count()
-        if (cnt > 0) {
-          val v2 = visited.unionByName(next.select("origin", "vid")).mat()
-          Traverse.freeCheckpoint(visited)
-          visited = v2
-          levels :+= next
-          acc = acc.unionByName(next)
-          frontier = next
-        } else Traverse.freeCheckpoint(next)
-        d += 1
-      }
-      Traverse.freeCheckpoint(visited)
-      (acc, levels)
-    }
+    def seed(seeds: DataFrame) = new BidiSide(
+      seeds.select(col("vid").as("origin"), col("vid"),
+        array(col("vid")).as("path"), lit(0).as("depth")).mat())
+    def extend(e: DataFrame)(frontier: DataFrame, cnt: Long,
+                             d: Int): DataFrame =
+      Traverse.maybeBroadcast(frontier, cnt)
+        .join(e, frontier("vid") === e("src"))
+        .select(col("origin"), e("dst").as("vid"),
+          concat(col("path"), array(e("dst"))).as("path"),
+          lit(d).as("depth"))
 
-    val (fAll, fLevels) = ball(srcs, eF, fMax)
-    val (bAll, bLevels) = ball(dsts.select(col("vid")).distinct(), eB, bMax)
-    val f = fAll.select(col("origin"), col("vid"),
+    val fS = seed(srcs)
+    val bS = seed(dsts.select(col("vid")).distinct())
+    bidiDrive(fS, bS, eF, eB, maxSteps,
+      resolvablePairs(srcs, dsts), extend(eF), extend(eB))
+
+    val f = fS.acc.select(col("origin"), col("vid"),
       col("path").as("__fpath"), col("depth").as("__fd"))
-    val b = bAll.select(col("origin").as("__target"), col("vid"),
+    val b = bS.acc.select(col("origin").as("__target"), col("vid"),
       col("path").as("__bpath"), col("depth").as("__bd"))
     val cand = f.join(b, Seq("vid"))
       .filter(col("origin") =!= col("__target"))
       .withColumn("hops", col("__fd") + col("__bd"))
     import org.apache.spark.sql.expressions.Window
     val pw = Window.partitionBy("origin", "__target")
-    // a length-L path meets at EVERY split vertex — canonicalize on
-    // the ⌈L/2⌉ split instead of a distinct: prefix-multiplicity ×
-    // suffix-multiplicity at one split reproduces the single-direction
-    // loop's row multiplicity exactly (parallel (src,dst) edge rows
-    // legitimately duplicate a vid-rendered path)
+    // canonical split min(fTop, L): always within both computed ball
+    // depths for a met pair (L ≤ fTop+bTop), and one split keeps the
+    // single-direction row multiplicity exactly (parallel (src, dst)
+    // edge rows legitimately duplicate a vid-rendered path)
     val out = cand.withColumn("__min", min(col("hops")).over(pw))
       .filter(col("hops") === col("__min") &&
-        col("__fd") === floor((col("hops") + 1) / 2).cast("int"))
+        col("__fd") === least(lit(fS.top), col("hops")))
       .select(col("origin").as("src"), col("__target").as("dst"),
         array_join(concat(col("__fpath"),
           slice(reverse(col("__bpath")), lit(2), size(col("__bpath")))), "->")
           .as("path"),
         col("hops"))
       .mat() // result-sized; lets every level checkpoint be freed
-    fLevels.foreach(Traverse.freeCheckpoint)
-    bLevels.foreach(Traverse.freeCheckpoint)
-    Traverse.releaseEdges(eF, fMax)
-    Traverse.releaseEdges(eB, bMax)
+    fS.levels.foreach(Traverse.freeCheckpoint)
+    bS.levels.foreach(Traverse.freeCheckpoint)
+    Traverse.releaseEdges(eF, maxSteps)
+    Traverse.releaseEdges(eB, maxSteps)
     if (singlePath) {
+      val w = Window.partitionBy(col("src"), col("dst")).orderBy(col("path"))
+      out.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    } else out
+  }
+
+  /** The classic single-direction BFS (shallow caps — see
+    * BidiMinSteps): per-origin visited pruning, hits collected the
+    * first level each (src, dst) pair is reached. */
+  private def forwardShortest(srcs: DataFrame, dsts: DataFrame,
+                              edges: DataFrame, maxSteps: Int,
+                              dir: Direction,
+                              singlePath: Boolean): DataFrame = {
+    val e = Traverse.persistEdges(
+      Traverse.orient(edges, dir).select("src", "dst"), maxSteps)
+    val dstSet = broadcast(dsts.select(col("vid").as("__target")).distinct())
+      .mat()
+
+    var frontier = srcs.select(col("vid").as("origin"),
+      array(col("vid")).as("path"), col("vid")).mat()
+    var visited = frontier.select(col("origin"), col("vid")).mat()
+    // pairs already answered: stop extending them
+    var found: DataFrame = null
+    var cnt = frontier.count()
+    var step = 1
+    while (step <= maxSteps && cnt > 0) {
+      val nextRaw = Traverse.maybeBroadcast(frontier, cnt)
+        .join(e, frontier("vid") === e("src"))
+        .select(col("origin"),
+          concat(col("path"), array(e("dst"))).as("path"),
+          e("dst").as("vid"))
+      // per-origin shortest semantics: drop vertices already visited
+      val next = nextRaw.join(
+          visited.select(col("origin").as("vo"), col("vid").as("vv")),
+          nextRaw("origin") === col("vo") && nextRaw("vid") === col("vv"),
+          "left_anti")
+        .mat()
+      // checkpoint the (small) per-level hits so `found` never holds a
+      // reference to the (large) frontier checkpoints — which can then
+      // be freed as soon as they are superseded (session hygiene)
+      val hits = next.join(dstSet, next("vid") === col("__target"))
+        .select(col("origin").as("src"), col("vid").as("dst"),
+          array_join(col("path"), "->").as("path"), lit(step).as("hops"))
+        .mat()
+      found = if (found == null) hits else found.unionByName(hits)
+      val v2 = visited.unionByName(next.select("origin", "vid"))
+        .mat()
+      Traverse.freeCheckpoint(visited) // superseded by v2
+      Traverse.freeCheckpoint(frontier) // consumed by next + hits
+      visited = v2
+      frontier = next
+      cnt = frontier.count()
+      step += 1
+    }
+    Traverse.freeCheckpoint(frontier) // rows live in visited / hits
+    Traverse.freeCheckpoint(visited)
+    Traverse.freeCheckpoint(dstSet)
+    Traverse.releaseEdges(e, maxSteps) // hits are checkpointed
+    val out =
+      if (found == null)
+        srcs.sparkSession.emptyDataFrame
+          .select(lit("").as("src"), lit("").as("dst"),
+            lit("").as("path"), lit(0).as("hops")).limit(0)
+      else found
+    if (singlePath) {
+      import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("src"), col("dst")).orderBy(col("path"))
       out.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
@@ -234,13 +390,16 @@ object PathFinder {
       case Traverse.In => bwd
       case Traverse.Both => fwd.unionByName(bwd)
     }
-    // DISJOINT endpoint sets take the bidirectional route (two half-
-    // depth balls instead of one full-depth ball — the 15-hop MATCH
-    // shortestPath caps are exponentially cheaper). Overlapping sets
-    // keep the single-direction loop: a src==dst pair's shortest path
-    // is a CYCLE (visited starts empty below), whose split-invariant
-    // does not hold for the meet-in-the-middle argument.
-    if (mode == "shortest" && maxSteps >= 1 &&
+    // Deep-cap DISJOINT endpoint sets take the bidirectional route
+    // (adaptive half-depth balls + met-pairs early exit instead of one
+    // full-depth ball — the 15-hop MATCH shortestPath caps are
+    // exponentially cheaper; see BidiMinSteps for the shallow-cap
+    // evidence). Overlapping sets keep the single-direction loop: a
+    // src==dst pair's shortest path is a CYCLE (visited starts empty
+    // below), whose split-invariant does not hold for the
+    // meet-in-the-middle argument. The disjointness probe (one limit-1
+    // semi-join action) is only paid on deep caps.
+    if (mode == "shortest" && maxSteps >= BidiMinSteps &&
         srcs.join(dsts, Seq("vid"), "left_semi").isEmpty)
       return typedBidiShortest(srcs, dsts, e0, maxSteps, stepT)
     val e = Traverse.persistEdges(e0, maxSteps)
@@ -315,92 +474,70 @@ object PathFinder {
   }
 
   /** Meet-in-the-middle twin of the typedPathsRaw shortest loop for
-    * DISJOINT endpoint sets (the reference's left/right frontiers,
-    * BFSShortestPathExecutor.cpp:12): a ⌈n/2⌉-level forward ball from
-    * srcs and a ⌊n/2⌋-level backward ball from dsts over the
-    * REVERSED orientation (each oriented row flipped; the recorded
-    * step struct is unchanged — it is what the forward traversal at
-    * that position would have written). Shortest o→t paths (o ≠ t)
-    * place their k-th vertex at forward depth k and backward depth
-    * L−k exactly, so every split meets; per-pair min + distinct
-    * reproduce the single-direction result set bit-for-bit. */
+    * DISJOINT endpoint sets, built on the adaptive [[bidiDrive]]: the
+    * backward ball walks the REVERSED orientation (each oriented row
+    * flipped; the recorded step struct is unchanged — it is what the
+    * forward traversal at that position would have written), the
+    * smaller frontier expands first, and the search stops at the
+    * first level where every pair has met. Per-pair min + the
+    * canonical split reproduce the single-direction result set
+    * bit-for-bit. */
   private def typedBidiShortest(srcs: DataFrame, dsts: DataFrame,
                                 e0: DataFrame, maxSteps: Int,
                                 stepT: String): DataFrame = {
-    val fMax = (maxSteps + 1) / 2
-    val bMax = maxSteps / 2
-    val eF = Traverse.persistEdges(e0, fMax)
+    val eF = Traverse.persistEdges(e0, maxSteps)
     val eB = Traverse.persistEdges(
       e0.select(col("dst").as("src"), col("src").as("dst"), col("etype"),
-        col("rank"), col("ss"), col("sd"), col("rev")), bMax)
+        col("rank"), col("ss"), col("sd"), col("rev")), maxSteps)
 
-    def ball(seeds: DataFrame, e: DataFrame,
-             lvls: Int): (DataFrame, Seq[DataFrame]) = {
-      var frontier = seeds.select(col("vid").as("origin"), col("vid"),
+    def seed(seeds: DataFrame) = new BidiSide(
+      seeds.select(col("vid").as("origin"), col("vid"),
         array(col("vid")).as("vids"), array().cast(stepT).as("steps"),
-        lit(0).as("depth")).mat()
-      var visited = frontier.select("origin", "vid").mat()
-      var levels = Vector(frontier)
-      var acc = frontier
-      var cnt = frontier.count()
-      var d = 1
-      while (d <= lvls && cnt > 0) {
-        val next = Traverse.maybeBroadcast(frontier, cnt)
-          .join(e, frontier("vid") === e("src"))
-          .select(col("origin"), e("dst").as("vid"),
-            concat(col("vids"), array(e("dst"))).as("vids"),
-            concat(col("steps"), array(struct(e("ss").as("s"),
-              e("sd").as("d"), e("etype").as("t"), e("rank").as("r"),
-              e("rev").as("rev")))).as("steps"),
-            lit(d).as("depth"))
-          .join(visited.select(col("origin").as("vo"), col("vid").as("vv")),
-            col("origin") === col("vo") && col("vid") === col("vv"),
-            "left_anti")
-          .mat()
-        cnt = next.count()
-        if (cnt > 0) {
-          val v2 = visited.unionByName(next.select("origin", "vid")).mat()
-          Traverse.freeCheckpoint(visited)
-          visited = v2
-          levels :+= next
-          acc = acc.unionByName(next)
-          frontier = next
-        } else Traverse.freeCheckpoint(next)
-        d += 1
-      }
-      Traverse.freeCheckpoint(visited)
-      (acc, levels)
-    }
+        lit(0).as("depth")).mat())
+    def extend(e: DataFrame)(frontier: DataFrame, cnt: Long,
+                             d: Int): DataFrame =
+      Traverse.maybeBroadcast(frontier, cnt)
+        .join(e, frontier("vid") === e("src"))
+        .select(col("origin"), e("dst").as("vid"),
+          concat(col("vids"), array(e("dst"))).as("vids"),
+          concat(col("steps"), array(struct(e("ss").as("s"),
+            e("sd").as("d"), e("etype").as("t"), e("rank").as("r"),
+            e("rev").as("rev")))).as("steps"),
+          lit(d).as("depth"))
 
-    val (fAll, fLevels) = ball(srcs.select("vid").distinct(), eF, fMax)
-    val (bAll, bLevels) = ball(dsts.select("vid").distinct(), eB, bMax)
-    val f = fAll.select(col("origin"), col("vid"),
+    val sSet = srcs.select("vid").distinct()
+    val dSet = dsts.select("vid").distinct()
+    val pairsTotal = sSet.count() * dSet.count() // disjoint by the gate
+    val fS = seed(sSet)
+    val bS = seed(dSet)
+    bidiDrive(fS, bS, eF, eB, maxSteps, pairsTotal, extend(eF), extend(eB))
+
+    val f = fS.acc.select(col("origin"), col("vid"),
       col("vids").as("__fv"), col("steps").as("__fs"),
       col("depth").as("__fd"))
-    val b = bAll.select(col("origin").as("__target"), col("vid"),
+    val b = bS.acc.select(col("origin").as("__target"), col("vid"),
       col("vids").as("__bv"), col("steps").as("__bs"),
       col("depth").as("__bd"))
     import org.apache.spark.sql.expressions.Window
     val pw = Window.partitionBy("origin", "__target")
     // assemble: forward prefix ++ reversed backward suffix (the meeting
-    // vertex is the last element of both vids arrays — drop one copy).
-    // A length-L path meets at every split vertex — canonicalizing on
-    // the ⌈L/2⌉ split keeps each (vids, steps) row exactly once, with
-    // the same multiplicity the single-direction loop produced
+    // vertex is the last element of both vids arrays — drop one copy);
+    // the canonical min(fTop, L) split keeps each (vids, steps) row
+    // exactly once (see shortestPaths)
     val out = f.join(b, Seq("vid"))
       .withColumn("__hops", col("__fd") + col("__bd"))
       .withColumn("__min", min(col("__hops")).over(pw))
       .filter(col("__hops") === col("__min") &&
-        col("__fd") === floor((col("__hops") + 1) / 2).cast("int"))
+        col("__fd") === least(lit(fS.top), col("__hops")))
       .select(
         concat(col("__fv"),
           slice(reverse(col("__bv")), lit(2), size(col("__bv")))).as("vids"),
         concat(col("__fs"), reverse(col("__bs"))).as("steps"))
       .mat() // result-sized; frees every level checkpoint below
-    fLevels.foreach(Traverse.freeCheckpoint)
-    bLevels.foreach(Traverse.freeCheckpoint)
-    Traverse.releaseEdges(eF, fMax)
-    Traverse.releaseEdges(eB, bMax)
+    fS.levels.foreach(Traverse.freeCheckpoint)
+    bS.levels.foreach(Traverse.freeCheckpoint)
+    Traverse.releaseEdges(eF, maxSteps)
+    Traverse.releaseEdges(eB, maxSteps)
     out
   }
 

@@ -98,16 +98,18 @@ class GraphModel(val spark: SparkSession, sfDir: String) extends GraphCatalog {
     inRegion.select($"src", $"dst", lit("in_region").as("etype"), $"rank")
   ).reduce(_ unionByName _)
 
-  /** The per-type edge schemas (beyond src/dst/rank) — drives the
-    * stored edgesWithProps projection so its column ORDER replicates
-    * the flat union's exactly (edge-struct field order is
-    * user-visible in MATCH edge rendering). */
-  private val edgeTypeProps: Map[String, Seq[String]] = Map(
-    "placed" -> Seq("totalprice", "orderdate"),
-    "has_part" -> Seq("quantity", "extendedprice", "discount"),
-    "has_supp" -> Seq("quantity"),
-    "in_nation" -> Seq.empty,
-    "in_region" -> Seq.empty)
+  /** The per-type edge prop columns (beyond src/dst/rank), DERIVED
+    * from the per-type frames so the stored edgesWithProps projection
+    * can never drift from the flat path when a type gains a column —
+    * drives the stored projection's column ORDER, which must replicate
+    * the flat union's exactly (edge-struct field order is user-visible
+    * in MATCH edge rendering). Lazy: resolves each frame's schema once
+    * per model. */
+  private lazy val edgeTypeProps: Map[String, Seq[String]] =
+    edgeTypeNames.map { t =>
+      t -> edgesByType(t).columns.toSeq
+        .filterNot(Seq("src", "dst", "rank").contains)
+    }.toMap
 
   /** WIDE unified edge view — (src, dst, etype, rank, all props...)
     * with per-type props NULL-padded. This is what the GraphStore
@@ -194,11 +196,16 @@ class GraphModel(val spark: SparkSession, sfDir: String) extends GraphCatalog {
   def adjacencyOut: graft.algo.Adjacency = adjacencyOut(Nil)
 
   /** Directed adjacency retaining extra edge columns (e.g. `rank` to
-    * derive a weight) — payloads of `send` may reference them. */
+    * derive a weight) — payloads of `send` may reference them. The
+    * flat fallback projects from the WIDE union so prop-column keeps
+    * resolve in both postures (column pruning reaches the scans
+    * either way). */
   def adjacencyOut(keep: Seq[String]): graft.algo.Adjacency = storeName match {
     case Some(n) => new graft.algo.StoredAdjacency(Seq(
       graft.sources.GraphStore.outEdges(spark, n)), keep)
-    case None => new graft.algo.FrameAdjacency(flatEdges, keep)
+    case None => new graft.algo.FrameAdjacency(
+      if (keep.forall(Seq("etype", "rank").contains)) flatEdges
+      else flatEdgesWide, keep)
   }
 
   /** Directed adjacency over the DISTINCT (src, dst) simple view —

@@ -267,5 +267,9 @@ object Similarity {
       .join(vecs.select(col(idCol).as("b"), col(vecCol).as("vb")), "b")
       .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= threshold)
+      // result-sized dedup: a duplicated idCol row in the corpus would
+      // otherwise fan each pair out per duplicate through the vector
+      // join-backs (idCol uniqueness is not a documented precondition)
+      .distinct()
   }
 }
