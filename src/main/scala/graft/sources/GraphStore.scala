@@ -124,8 +124,14 @@ object GraphStore {
     def save(df: DataFrame, table: String, key: String): Unit = {
       val spark = df.sparkSession
       spark.sql(s"DROP TABLE IF EXISTS $table")
-      df.write.mode(SaveMode.Overwrite).format("parquet")
+      val w = df.write.mode(SaveMode.Overwrite).format("parquet")
         .option("path", s"$dir/$table")
+      // edge tables additionally PARTITION by etype (directory-level,
+      // the reference's type-prefixed edge keys): a typed traversal
+      // prunes to its types' files instead of scanning the interleaved
+      // union — bucketing (and the exchange-free joins it buys) is
+      // per-table and survives partitioning
+      (if (df.columns.contains("etype")) w.partitionBy("etype") else w)
         .bucketBy(buckets, key).sortBy(key)
         .saveAsTable(table)
     }

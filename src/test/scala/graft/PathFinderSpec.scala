@@ -35,6 +35,60 @@ class PathFinderSpec extends SparkSpec {
     assert(r.count() == 0)
   }
 
+  test("shortestPaths deep cap (bidirectional): same rows as the forward loop") {
+    // maxSteps >= BidiMinSteps routes through the adaptive
+    // meet-in-the-middle search — results must be row-identical to the
+    // shallow-cap forward loop, including tie multiplicity
+    assert(PathFinder.BidiMinSteps <= 6)
+    val fwd = PathFinder.shortestPaths(Seq("a").toDF("vid"),
+        Seq("d", "f").toDF("vid"), edges, 5)
+      .select("src", "dst", "path", "hops")
+      .as[(String, String, String, Int)].collect().sorted.toSeq
+    val bidi = PathFinder.shortestPaths(Seq("a").toDF("vid"),
+        Seq("d", "f").toDF("vid"), edges, 8)
+      .select("src", "dst", "path", "hops")
+      .as[(String, String, String, Int)].collect().sorted.toSeq
+    assert(bidi == fwd, s"bidi $bidi != forward $fwd")
+    assert(bidi.toSet == Set(("a", "d", "a->b->d", 2),
+      ("a", "d", "a->c->d", 2), ("a", "f", "a->e->f", 2)))
+  }
+
+  test("shortestPaths deep cap: parallel edges keep the path multiplicity") {
+    // two stored (x, y) edge rows (different types in real data): the
+    // vid-rendered path x->y->z legitimately appears TWICE — the
+    // canonical-split reconstruction must not dedup it
+    val par = Seq(("x", "y"), ("x", "y"), ("y", "z"))
+      .toDF("src", "dst")
+    val r = PathFinder.shortestPaths(Seq("x").toDF("vid"),
+        Seq("z").toDF("vid"), par, 7)
+      .select("path").as[String].collect().toSeq
+    assert(r.size == 2 && r.toSet == Set("x->y->z"), s"got $r")
+  }
+
+  test("shortestPaths deep cap: long chain resolves past the half-depth split") {
+    // 7-hop chain under an 8-step cap: the two balls must cooperate
+    // across an uneven split (early exit fires when the pair meets)
+    val chain = (0 until 7).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+    val r = PathFinder.shortestPaths(Seq("n0").toDF("vid"),
+        Seq("n7").toDF("vid"), chain, 8)
+      .select("path", "hops").as[(String, Int)].collect().toSet
+    assert(r == Set(((0 to 7).map("n" + _).mkString("->"), 7)), s"got $r")
+  }
+
+  test("typedPathsRaw deep cap (bidirectional): same paths as the forward loop") {
+    val te = edges.withColumn("etype",
+      org.apache.spark.sql.functions.lit("t"))
+      .withColumn("rank", org.apache.spark.sql.functions.lit(0L))
+    def render(maxSteps: Int) =
+      PathFinder.typedPaths(Seq("a").toDF("vid"), Seq("d").toDF("vid"),
+          te, maxSteps, "shortest")
+        .select("p").as[String].collect().sorted.toSeq
+    // 5 = forward loop, 8 = bidirectional (disjoint endpoints) — the
+    // rendered typed paths must be identical
+    assert(render(8) == render(5), s"${render(8)} != ${render(5)}")
+    assert(render(8).size == 2) // both 2-hop ties
+  }
+
   test("allPaths: every simple path up to the cap") {
     val r = PathFinder.allPaths(Seq("a").toDF("vid"), Seq("d").toDF("vid"),
         edges, 4)
