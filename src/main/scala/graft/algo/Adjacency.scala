@@ -47,11 +47,52 @@ sealed trait Adjacency {
   def release(): Unit
 }
 
+object Adjacency {
+  /** Conf key: StoredAdjacency side caching. "true"/"false" force the
+    * posture; "auto" (the default) caches only while the dataset fits
+    * the [[ConfCacheMaxBytes]] budget — the 100-TB dial the scaladoc
+    * above names: a MEMORY_AND_DISK copy of the whole edge set onto
+    * executor disks is strictly cheaper at bench scale but a silent
+    * duplication of the edge table per algorithm run at cluster scale,
+    * where re-reading the bucketed files (OS page cache behind them)
+    * is the sane posture. */
+  val ConfCache = "spark.graft.adjacency.cache"
+  /** Conf key: the auto mode's dataset-size cutoff in bytes of
+    * compressed source parquet (default 8 GiB ≈ tens of GiB decoded —
+    * comfortably cacheable on any executor fleet worth the name, and
+    * far below any dataset where the duplicate copy would hurt). */
+  val ConfCacheMaxBytes = "spark.graft.adjacency.cacheMaxBytes"
+
+  /** Resolve the side-caching posture for a dataset (see [[ConfCache]]). */
+  def cacheSides(spark: org.apache.spark.sql.SparkSession,
+                 sfDir: String): Boolean =
+    spark.conf.get(ConfCache, "auto") match {
+      case "true"  => true
+      case "false" => false
+      case _ =>
+        val cap = spark.conf.get(ConfCacheMaxBytes,
+          (8L << 30).toString).toLong
+        graft.Tune.datasetBytes(sfDir) <= cap
+    }
+
+  /** `keep` names that would collide with the frame's own (src, dst)
+    * columns or the state's join key (vid) surface as
+    * AnalysisExceptions far from the misuse site (a duplicated column
+    * in bySrc's pre-aggregation projection, an ambiguous send()
+    * payload) — reject them eagerly at construction instead. */
+  private[algo] def checkKeep(keep: Seq[String]): Unit = {
+    val bad = keep.filter(Seq("src", "dst", "vid").contains)
+    require(bad.isEmpty,
+      s"Adjacency keep columns may not shadow src/dst/vid: ${bad.mkString(", ")}")
+  }
+}
+
 /** One oriented (src, dst) frame: repartition+persist once, one join
   * per send. `oriented` must already encode direction semantics (e.g.
   * union both directions for an undirected algorithm). */
 final class FrameAdjacency(oriented: DataFrame,
                            keep: Seq[String] = Nil) extends Adjacency {
+  Adjacency.checkKeep(keep)
   private val e = oriented.select(("src" +: "dst" +: keep).map(col): _*)
     .repartition(col("src"))
     .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -85,6 +126,7 @@ final class StoredAdjacency(sides: Seq[DataFrame],
                             keep: Seq[String] = Nil,
                             cacheSides: Boolean = true) extends Adjacency {
   require(sides.nonEmpty, "StoredAdjacency needs at least one side")
+  Adjacency.checkKeep(keep)
   private val narrow = sides.map { s =>
     val n = s.select(("src" +: "dst" +: keep).map(col): _*)
     if (cacheSides)

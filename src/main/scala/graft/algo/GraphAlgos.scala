@@ -475,7 +475,10 @@ object GraphAlgos {
       rem = rem2
       remCnt = rem.count()
     }
-    adjOut.release(); adjIn.release()
+    // adjacency lifecycle belongs to the OWNING wrapper (matching
+    // sccPinnedLoop): sccUntilConverged's finally releases both views;
+    // releasing here too would drop caches on caller-owned adjacencies
+    // if an Adjacency-taking overload is ever added
     acc
   }
 

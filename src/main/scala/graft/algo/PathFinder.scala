@@ -47,18 +47,43 @@ object PathFinder {
     var frontier: DataFrame = seed0
     var acc: DataFrame = seed0
     var levels: Vector[DataFrame] = Vector(seed0)
-    private var visited = seed0.select("origin", "vid").mat()
+    // DISTINCT (origin, vid) membership set: the frontier carries one
+    // row per PATH, so deduping each level before it joins the set
+    // keeps both the per-level anti-join's build side and the
+    // met-pairs join proportional to |reached|, not to path
+    // multiplicity (which grows exponentially on dense graphs)
+    private var visited = seed0.select("origin", "vid").distinct().mat()
     var top = 0
     var cnt: Long = frontier.count()
+    /** Per-origin final expansion depth for origins PRUNED from the
+      * frontier mid-search (origin, __cap); null while nothing was
+      * pruned. Origins still active at the end have cap = `top` —
+      * the assembly coalesces. */
+    var caps: DataFrame = null
+    private var prunedSet: DataFrame = null
+    // true while `frontier` is a prune()-produced checkpoint of its
+    // own (safe to free when superseded); false while it aliases a
+    // `levels` entry the assembly still needs
+    private var frontierOwned = false
+    /** The side's full (origin, vid) reached set — one incremental
+      * materialized frame, so the met-pairs check never re-distincts
+      * the accumulated ball. */
+    def visitedSet: DataFrame = visited
     def expand(raw: DataFrame): DataFrame = {
       val next = raw.join(
           visited.select(col("origin").as("vo"), col("vid").as("vv")),
           col("origin") === col("vo") && col("vid") === col("vv"),
           "left_anti")
         .mat()
+      if (frontierOwned) { // consumed by next (materialized above)
+        Traverse.freeCheckpoint(frontier); frontierOwned = false
+      }
       cnt = next.count()
       if (cnt > 0) {
-        val v2 = visited.unionByName(next.select("origin", "vid")).mat()
+        // next's pairs are disjoint from visited (the anti-join), so
+        // union-of-distincts stays distinct without a global re-dedup
+        val v2 = visited
+          .unionByName(next.select("origin", "vid").distinct()).mat()
         Traverse.freeCheckpoint(visited)
         visited = v2
         levels :+= next
@@ -68,7 +93,41 @@ object PathFinder {
         next
       } else { Traverse.freeCheckpoint(next); null }
     }
-    def close(): Unit = Traverse.freeCheckpoint(visited)
+    /** Drop fully-resolved origins from the frontier (they stop
+      * expanding; their accumulated levels stay for the assembly) and
+      * record their final depth = the side's current top. `done` is
+      * the CUMULATIVE resolved-origin set. */
+    def prune(done: DataFrame): Unit = {
+      val newly = (if (prunedSet == null) done
+                   else done.join(prunedSet.select(col("origin").as("__p2")),
+                     col("origin") === col("__p2"), "left_anti")
+                     .select("origin")).mat()
+      if (newly.count() > 0) {
+        val c2 = newly.select(col("origin"), lit(top).as("__cap"))
+        val caps2 = (if (caps == null) c2 else caps.unionByName(c2)).mat()
+        if (caps != null) Traverse.freeCheckpoint(caps)
+        caps = caps2
+        val p2 = caps2.select("origin").mat()
+        if (prunedSet != null) Traverse.freeCheckpoint(prunedSet)
+        prunedSet = p2
+        val f2 = frontier.join(p2.select(col("origin").as("__p3")),
+          col("origin") === col("__p3"), "left_anti").mat()
+        if (frontierOwned) Traverse.freeCheckpoint(frontier)
+        frontier = f2 // acc/levels keep their own checkpoints
+        frontierOwned = true
+        cnt = frontier.count()
+      }
+      Traverse.freeCheckpoint(newly)
+    }
+    def close(): Unit = {
+      Traverse.freeCheckpoint(visited)
+      if (prunedSet != null) Traverse.freeCheckpoint(prunedSet)
+      if (frontierOwned) { Traverse.freeCheckpoint(frontier); frontierOwned = false }
+      // caps stays live for the assembly; assemblies free it via
+      // closeCaps() once their result is materialized
+    }
+    def closeCaps(): Unit =
+      if (caps != null) { Traverse.freeCheckpoint(caps); caps = null }
   }
 
   /** ADAPTIVE bidirectional meet-in-the-middle driver (the reference's
@@ -109,12 +168,54 @@ object PathFinder {
       : Unit = {
     var met = 0L
     var metPairs: DataFrame = null
+    // per-origin / per-target required-meet counts for the resolved-
+    // pair pruning (origin overlap with the other endpoint set lowers
+    // its requirement by one — src == dst pairs never resolve here);
+    // seed-sized frames, built once
+    var needF: DataFrame = null
+    var needB: DataFrame = null
+    if (pairsTotal >= 0) {
+      val sSet = fSide.levels(0).select(col("origin")).distinct().mat()
+      val dSet = bSide.levels(0).select(col("origin")).distinct().mat()
+      val sCnt = sSet.count(); val dCnt = dSet.count()
+      needF = sSet
+        .join(dSet.select(col("origin").as("__d")),
+          col("origin") === col("__d"), "left_outer")
+        .select(col("origin"),
+          (lit(dCnt) - when(col("__d").isNotNull, 1).otherwise(0))
+            .as("__need")).mat()
+      needB = dSet
+        .join(sSet.select(col("origin").as("__s")),
+          col("origin") === col("__s"), "left_outer")
+        .select(col("origin"),
+          (lit(sCnt) - when(col("__s").isNotNull, 1).otherwise(0))
+            .as("__need")).mat()
+      Traverse.freeCheckpoint(sSet); Traverse.freeCheckpoint(dSet)
+    }
+    /** Origins of `side` (po = the metPairs column it owns) that have
+      * met EVERY required counterpart — stop expanding them. Their
+      * already-computed levels stay for the assembly; BidiSide.caps
+      * records each pruned origin's final depth, which the assemblies'
+      * per-origin canonical split uses (a pruned ball is complete up
+      * to its cap, and every pair of a pruned origin met while both
+      * balls were still within their caps — see the split inequality
+      * in the assembly comments). */
+    def pruneResolved(side: BidiSide, po: String, need: DataFrame): Unit =
+      if (metPairs != null) {
+        val metCnt = metPairs.groupBy(col(po).as("origin"))
+          .agg(count(lit(1)).as("__met"))
+        val done = need.join(metCnt, Seq("origin"), "left_outer")
+          .filter(coalesce(col("__met"), lit(0L)) >= col("__need"))
+          .select("origin")
+        side.prune(done)
+      }
     def recordMeets(newLevel: DataFrame, other: BidiSide,
                     newIsFwd: Boolean): Unit =
       if (newLevel != null && pairsTotal >= 0) {
         val nl = newLevel.select(col("origin"), col("vid")).distinct()
-        val ot = other.acc.select(col("origin").as("__o2"), col("vid"))
-          .distinct()
+        // the other side's reached set is its incrementally-maintained
+        // visited frame — no per-level re-distinct of the whole ball
+        val ot = other.visitedSet.select(col("origin").as("__o2"), col("vid"))
         val p0 = nl.join(ot, Seq("vid"))
         val pairs =
           (if (newIsFwd)
@@ -123,11 +224,30 @@ object PathFinder {
              p0.select(col("__o2").as("__po"), col("origin").as("__pt")))
             .filter(col("__po") =!= col("__pt"))
             .distinct()
-        val m2 = (if (metPairs == null) pairs
-                  else metPairs.unionByName(pairs).distinct()).mat()
-        if (metPairs != null) Traverse.freeCheckpoint(metPairs)
-        metPairs = m2
-        met = metPairs.count()
+        // incremental: only genuinely NEW pairs join the met set (and
+        // bump the count) — the accumulated set is never re-distincted
+        val fresh =
+          (if (metPairs == null) pairs
+           else pairs.join(metPairs
+               .select(col("__po").as("__mo"), col("__pt").as("__mt")),
+             col("__po") === col("__mo") && col("__pt") === col("__mt"),
+             "left_anti")).mat()
+        val freshCnt = fresh.count()
+        if (freshCnt > 0) {
+          met += freshCnt
+          val m2 = (if (metPairs == null) fresh
+                    else metPairs.unionByName(fresh)).mat()
+          if (metPairs != null) Traverse.freeCheckpoint(metPairs)
+          metPairs = m2
+          // new meets may have fully resolved some endpoints: stop
+          // expanding them (seeded many-pair searches otherwise keep
+          // growing every origin's ball until the LAST pair resolves)
+          if (met < pairsTotal) {
+            pruneResolved(fSide, "__po", needF)
+            pruneResolved(bSide, "__pt", needB)
+          }
+        }
+        Traverse.freeCheckpoint(fresh)
       }
     while (fSide.top + bSide.top < maxSteps &&
            fSide.cnt > 0 && bSide.cnt > 0 &&
@@ -143,6 +263,8 @@ object PathFinder {
       }
     }
     if (metPairs != null) Traverse.freeCheckpoint(metPairs)
+    if (needF != null) Traverse.freeCheckpoint(needF)
+    if (needB != null) Traverse.freeCheckpoint(needB)
     fSide.close(); bSide.close()
   }
 
@@ -201,13 +323,21 @@ object PathFinder {
       .withColumn("hops", col("__fd") + col("__bd"))
     import org.apache.spark.sql.expressions.Window
     val pw = Window.partitionBy("origin", "__target")
-    // canonical split min(fTop, L): always within both computed ball
-    // depths for a met pair (L ≤ fTop+bTop), and one split keeps the
-    // single-direction row multiplicity exactly (parallel (src, dst)
-    // edge rows legitimately duplicate a vid-rendered path)
-    val out = cand.withColumn("__min", min(col("hops")).over(pw))
+    // canonical split min(fcap_o, L), fcap_o = the origin's FINAL
+    // forward depth (fS.top, or its prune depth if it resolved early):
+    // always within both computed ball depths for a met pair — o's
+    // ball is complete to fcap_o; and if fcap_o < L the pair met while
+    // o was active, so some meet vertex v has bwd depth ≥ L − fcap_o,
+    // putting the backward ball's cap at ≥ L − fcap_o too. One split
+    // keeps the single-direction row multiplicity exactly (parallel
+    // (src, dst) edge rows legitimately duplicate a vid-rendered path).
+    val withCap =
+      if (fS.caps == null) cand.withColumn("__cap", lit(fS.top))
+      else cand.join(fS.caps, Seq("origin"), "left_outer")
+        .withColumn("__cap", coalesce(col("__cap"), lit(fS.top)))
+    val out = withCap.withColumn("__min", min(col("hops")).over(pw))
       .filter(col("hops") === col("__min") &&
-        col("__fd") === least(lit(fS.top), col("hops")))
+        col("__fd") === least(col("__cap"), col("hops")))
       .select(col("origin").as("src"), col("__target").as("dst"),
         array_join(concat(col("__fpath"),
           slice(reverse(col("__bpath")), lit(2), size(col("__bpath")))), "->")
@@ -216,6 +346,7 @@ object PathFinder {
       .mat() // result-sized; lets every level checkpoint be freed
     fS.levels.foreach(Traverse.freeCheckpoint)
     bS.levels.foreach(Traverse.freeCheckpoint)
+    fS.closeCaps(); bS.closeCaps()
     Traverse.releaseEdges(eF, maxSteps)
     Traverse.releaseEdges(eB, maxSteps)
     if (singlePath) {
@@ -522,13 +653,18 @@ object PathFinder {
     val pw = Window.partitionBy("origin", "__target")
     // assemble: forward prefix ++ reversed backward suffix (the meeting
     // vertex is the last element of both vids arrays — drop one copy);
-    // the canonical min(fTop, L) split keeps each (vids, steps) row
-    // exactly once (see shortestPaths)
-    val out = f.join(b, Seq("vid"))
+    // the canonical per-origin min(fcap_o, L) split keeps each
+    // (vids, steps) row exactly once (see shortestPaths)
+    val joined = f.join(b, Seq("vid"))
+    val withCap =
+      if (fS.caps == null) joined.withColumn("__cap", lit(fS.top))
+      else joined.join(fS.caps, Seq("origin"), "left_outer")
+        .withColumn("__cap", coalesce(col("__cap"), lit(fS.top)))
+    val out = withCap
       .withColumn("__hops", col("__fd") + col("__bd"))
       .withColumn("__min", min(col("__hops")).over(pw))
       .filter(col("__hops") === col("__min") &&
-        col("__fd") === least(lit(fS.top), col("__hops")))
+        col("__fd") === least(col("__cap"), col("__hops")))
       .select(
         concat(col("__fv"),
           slice(reverse(col("__bv")), lit(2), size(col("__bv")))).as("vids"),
@@ -536,6 +672,7 @@ object PathFinder {
       .mat() // result-sized; frees every level checkpoint below
     fS.levels.foreach(Traverse.freeCheckpoint)
     bS.levels.foreach(Traverse.freeCheckpoint)
+    fS.closeCaps(); bS.closeCaps()
     Traverse.releaseEdges(eF, maxSteps)
     Traverse.releaseEdges(eB, maxSteps)
     out

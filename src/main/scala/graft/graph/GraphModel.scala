@@ -107,7 +107,7 @@ class GraphModel(val spark: SparkSession, sfDir: String) extends GraphCatalog {
     * per model. */
   private lazy val edgeTypeProps: Map[String, Seq[String]] =
     edgeTypeNames.map { t =>
-      t -> edgesByType(t).columns.toSeq
+      t -> flatEdgesByType(t).columns.toSeq
         .filterNot(Seq("src", "dst", "rank").contains)
     }.toMap
 
@@ -122,7 +122,7 @@ class GraphModel(val spark: SparkSession, sfDir: String) extends GraphCatalog {
     * GetNeighborsProcessor.cpp:32 serves props from the same read). */
   private def flatEdgesWide: DataFrame =
     edgeTypeNames.map { t =>
-      edgesByType(t).withColumn("etype", lit(t))
+      flatEdgesByType(t).withColumn("etype", lit(t))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** The dataset's bucketed GraphStore name, built once per JVM when
@@ -178,6 +178,15 @@ class GraphModel(val spark: SparkSession, sfDir: String) extends GraphCatalog {
       case _ => super.edgesWithProps(etypes)
     }
 
+  /** StoredAdjacency side-caching posture for THIS dataset — the
+    * `spark.graft.adjacency.cache` dial (auto mode: cache while the
+    * dataset fits the byte budget; a 100-TB run re-reads the bucketed
+    * files instead of duplicating the edge set into the block
+    * manager). Either way the joins stay edge-side exchange-free —
+    * caching a bucketed scan preserves its HashPartitioning. */
+  private lazy val cacheAdj: Boolean =
+    graft.algo.Adjacency.cacheSides(spark, sfDir)
+
   /** Message adjacency over the unified view for the iterative
     * algorithms — both directions (undirected algorithms). Stored:
     * out table + reversed in table, each join exchange-free on the
@@ -185,7 +194,8 @@ class GraphModel(val spark: SparkSession, sfDir: String) extends GraphCatalog {
   def adjacencyBoth: graft.algo.Adjacency = storeName match {
     case Some(n) => new graft.algo.StoredAdjacency(Seq(
       graft.sources.GraphStore.outEdges(spark, n),
-      graft.sources.GraphStore.inEdgesReversed(spark, n)))
+      graft.sources.GraphStore.inEdgesReversed(spark, n)),
+      cacheSides = cacheAdj)
     case None => new graft.algo.FrameAdjacency(
       flatEdges.select($"src", $"dst")
         .unionByName(flatEdges.select($"dst".as("src"), $"src".as("dst"))))
@@ -202,7 +212,7 @@ class GraphModel(val spark: SparkSession, sfDir: String) extends GraphCatalog {
     * either way). */
   def adjacencyOut(keep: Seq[String]): graft.algo.Adjacency = storeName match {
     case Some(n) => new graft.algo.StoredAdjacency(Seq(
-      graft.sources.GraphStore.outEdges(spark, n)), keep)
+      graft.sources.GraphStore.outEdges(spark, n)), keep, cacheAdj)
     case None => new graft.algo.FrameAdjacency(
       if (keep.forall(Seq("etype", "rank").contains)) flatEdges
       else flatEdgesWide, keep)
@@ -216,7 +226,7 @@ class GraphModel(val spark: SparkSession, sfDir: String) extends GraphCatalog {
   def adjacencyOutDistinct: graft.algo.Adjacency = storeName match {
     case Some(n) => new graft.algo.StoredAdjacency(Seq(
       graft.sources.GraphStore.outEdges(spark, n)
-        .select($"src", $"dst").distinct()))
+        .select($"src", $"dst").distinct()), cacheSides = cacheAdj)
     case None => new graft.algo.FrameAdjacency(
       flatEdges.select($"src", $"dst").distinct())
   }
@@ -241,7 +251,8 @@ class GraphModel(val spark: SparkSession, sfDir: String) extends GraphCatalog {
   def adjacencyUnd(dropSelfLoops: Boolean = true): graft.algo.Adjacency =
     storeName match {
       case Some(n) => new graft.algo.StoredAdjacency(Seq(
-        graft.sources.GraphStore.undNeighbors(spark, n, dropSelfLoops)))
+        graft.sources.GraphStore.undNeighbors(spark, n, dropSelfLoops)),
+        cacheSides = cacheAdj)
       case None => new graft.algo.FrameAdjacency(undNeighbors(dropSelfLoops))
     }
 
@@ -263,7 +274,30 @@ class GraphModel(val spark: SparkSession, sfDir: String) extends GraphCatalog {
   def edgeTypeNames: Seq[String] =
     Seq("placed", "has_part", "has_supp", "in_nation", "in_region")
 
-  def edgesByType(etype: String): DataFrame = etype match {
+  /** One edge type's rows, flat-table column order (src, dst, rank,
+    * props...). Stored path: the wide bucketed table with an etype
+    * PARTITION filter + the type's column projection — the pruning the
+    * round-12 directory layout was built for (a typed traversal scans
+    * only its type's files, never the interleaved union; the scan
+    * keeps the hash(src) bucketing, so typed GO hops stay
+    * exchange-free on the edge side). The reference serves typed reads
+    * from the same type-prefixed keys as everything else
+    * (src/common/utils/NebulaKeyUtils.h:61). Flat sessions project the
+    * per-type source table directly. */
+  def edgesByType(etype: String): DataFrame = storeName match {
+    case Some(n) =>
+      val props = edgeTypeProps.getOrElse(etype,
+        throw new IllegalArgumentException(s"unknown edge type $etype"))
+      graft.sources.GraphStore.outEdges(spark, n)
+        .filter($"etype" === etype)
+        .select(("src" +: "dst" +: "rank" +: props).map(col): _*)
+    case None => flatEdgesByType(etype)
+  }
+
+  /** The flat per-type frames — the store's own build input, the
+    * schema source of truth (edgeTypeProps), and the store-off
+    * fallback. */
+  private def flatEdgesByType(etype: String): DataFrame = etype match {
     case "placed"    => placed
     case "has_part"  => hasPart
     case "has_supp"  => hasSupp

@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions._
   * amplification is bounded by compaction cadence — the ingest loop
   * calls it every N batches, exactly like an LSM.
   */
+object LogTable {
+  /** Conf key: orphaned-stage TTL in ms (see gcOrphanStages). */
+  val ConfStageTtl = "spark.graft.logtable.stageTtlMs"
+  val DefaultStageTtlMs: Long = 12L * 3600 * 1000
+}
+
 final case class LogTable(spark: SparkSession, path: String,
                           keys: Seq[String]) {
   import org.apache.hadoop.fs.Path
@@ -70,7 +76,7 @@ final case class LogTable(spark: SparkSession, path: String,
     batch.write.mode(SaveMode.Overwrite).parquet(stage.toString)
     writeKeyStats(stage)
     claimSegment(stage, fresh = true)
-    ()
+    gcOrphanStages()
   }
 
   /** Staging dirs live INSIDE the table root under a dot-hidden name:
@@ -142,6 +148,31 @@ final case class LogTable(spark: SparkSession, path: String,
       try out.write(s"b64\n${enc(row.getString(0))}\n${enc(row.getString(1))}"
         .getBytes("UTF-8"))
       finally out.close()
+    }
+  }
+
+  /** Remove crashed writers' orphaned staging dirs: root-level
+    * `.stage-*` entries older than [[LogTable.ConfStageTtl]] (default
+    * 12 h — conservative against a live writer's longest plausible
+    * batch write; a dir being written keeps a fresh mtime as files
+    * land in it). Runs piggybacked on append/compact, so a table that
+    * keeps ingesting self-heals after any writer crash; dot-hidden
+    * dirs were already invisible to readers, this just stops the disk
+    * leak. Safety does not DEPEND on the TTL: even if a pathological
+    * >TTL writer lost its stage, its claimSegment rename would fail
+    * loudly (require) — the claim protocol is untouched. */
+  private def gcOrphanStages(): Unit = {
+    val root = new Path(path)
+    val f = fs(root)
+    if (!f.exists(root)) return
+    val ttl = spark.conf.get(LogTable.ConfStageTtl,
+      LogTable.DefaultStageTtlMs.toString).toLong
+    val cutoff = System.currentTimeMillis() - ttl
+    f.listStatus(root).foreach { st =>
+      if (st.getPath.getName.startsWith(".stage-") &&
+          st.getModificationTime < cutoff)
+        try { f.delete(st.getPath, true); () }
+        catch { case _: Throwable => () } // best-effort: next cycle retries
     }
   }
 
@@ -257,6 +288,7 @@ final case class LogTable(spark: SparkSession, path: String,
     * read resolves the duplicate rows to the same values because the
     * compacted segment has the highest sequence. */
   def compact(): Unit = {
+    gcOrphanStages()
     val old = segments
     if (old.size <= 1) return
     // the parquet write below fully materializes the resolved state

@@ -66,6 +66,15 @@ object GraphStore {
     * fewer rows per bucket file. */
   val ConfBuckets = "spark.graft.graphstore.buckets"
 
+  /** Bumped whenever the on-disk layout changes shape (new tables,
+    * different columns/partitioning). Folded into the `ensure` name
+    * hash, so a persistent root written by an OLDER layout simply
+    * hashes to a different name and is rebuilt instead of passing the
+    * completeness probe and failing later with missing-table/column
+    * errors at query time. v2 = round-12 layout (wide prop columns,
+    * etype directory partitioning, `_und` table). */
+  private val LayoutVersion = "v2"
+
   def enabled(spark: SparkSession): Boolean =
     spark.conf.get(ConfDir, "").nonEmpty
 
@@ -107,7 +116,7 @@ object GraphStore {
     val buckets = spark.conf.get(ConfBuckets,
       spark.conf.get("spark.sql.shuffle.partitions", "32")).toInt
     val name = "gs_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$root|$key".getBytes("UTF-8"))
+      .digest(s"$root|$key|$LayoutVersion".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     locks.computeIfAbsent(name, _ => new Object).synchronized {
       // _v is written LAST — its presence proves a complete store

@@ -89,6 +89,54 @@ class PathFinderSpec extends SparkSpec {
     assert(render(8).size == 2) // both 2-hop ties
   }
 
+  test("bidi resolved-pair pruning: early origin keeps its tied paths") {
+    // s1 resolves at distance 2 (two tied routes) and is PRUNED from
+    // the forward frontier while s2's 7-hop chain keeps the search
+    // alive — the assembly's per-origin cap (fcap_{s1} < fS.top) must
+    // still reproduce s1's full tie multiplicity
+    val g = (Seq(("s1", "m1"), ("m1", "t"), ("s1", "m2"), ("m2", "t")) ++
+      (0 until 6).map(i => (s"c$i", s"c${i + 1}")) :+
+      ("s2", "c0") :+ ("c6", "t")).toDF("src", "dst")
+    val r = PathFinder.shortestPaths(
+        Seq("s1", "s2").toDF("vid"), Seq("t").toDF("vid"), g, 9)
+      .select("src", "dst", "path", "hops")
+      .as[(String, String, String, Int)].collect().toSet
+    assert(r == Set(
+      ("s1", "t", "s1->m1->t", 2), ("s1", "t", "s1->m2->t", 2),
+      ("s2", "t", "s2->c0->c1->c2->c3->c4->c5->c6->t", 8)), s"got $r")
+  }
+
+  test("bidi resolved-pair pruning: early target pruned from the backward ball") {
+    // symmetric case: t1 resolves early and leaves the BACKWARD
+    // frontier; t2's deep chain keeps expanding. Forward suffix
+    // existence at the canonical split must hold for the pruned t1.
+    val g = (Seq(("s", "m"), ("m", "t1")) ++
+      (0 until 5).map(i => (s"d$i", s"d${i + 1}")) :+
+      ("m", "d0") :+ ("d5", "t2")).toDF("src", "dst")
+    val r = PathFinder.shortestPaths(
+        Seq("s").toDF("vid"), Seq("t1", "t2").toDF("vid"), g, 9)
+      .select("dst", "path", "hops")
+      .as[(String, String, Int)].collect().toSet
+    assert(r == Set(("t1", "s->m->t1", 2),
+      ("t2", "s->m->d0->d1->d2->d3->d4->d5->t2", 8)), s"got $r")
+  }
+
+  test("typed bidi pruning: staggered pairs render like the deep forward loop") {
+    import org.apache.spark.sql.functions.lit
+    val g = (Seq(("s1", "m1"), ("m1", "t"), ("s1", "m2"), ("m2", "t")) ++
+      (0 until 6).map(i => (s"c$i", s"c${i + 1}")) :+
+      ("s2", "c0") :+ ("c6", "t")).toDF("src", "dst")
+      .withColumn("etype", lit("t")).withColumn("rank", lit(0L))
+    val r = PathFinder.typedPaths(Seq("s1", "s2").toDF("vid"),
+        Seq("t").toDF("vid"), g, 9, "shortest")
+      .select("p").as[String].collect().sorted.toSeq
+    assert(r == Seq(
+      "<(\"s1\")-[:t]->(\"m1\")-[:t]->(\"t\")>",
+      "<(\"s1\")-[:t]->(\"m2\")-[:t]->(\"t\")>",
+      "<(\"s2\")-[:t]->(\"c0\")-[:t]->(\"c1\")-[:t]->(\"c2\")-[:t]->(\"c3\")" +
+        "-[:t]->(\"c4\")-[:t]->(\"c5\")-[:t]->(\"c6\")-[:t]->(\"t\")>"), s"got $r")
+  }
+
   test("allPaths: every simple path up to the cap") {
     val r = PathFinder.allPaths(Seq("a").toDF("vid"), Seq("d").toDF("vid"),
         edges, 4)

@@ -426,6 +426,77 @@ class PlanSpec extends SparkSpec {
     bAdj.release()
   }
 
+  test("stored edgesByType: typed read prunes to its etype partition") {
+    assume(have)
+    import graft.sources.GraphStore
+    val s2 = spark.newSession()
+    GraphStore.enableManaged(s2)
+    val g = graft.graph.GraphModel(s2, dir)
+    val typed = g.edgesByType("placed")
+    // directory-level partition pruning: the scan carries an etype
+    // partition filter (only etype=placed files are listed), the
+    // round-12 layout's whole purpose
+    val scan = typed.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty, "typed read did not plan a file scan")
+    assert(scan.head.partitionFilters.exists(_.references.exists(
+        _.name == "etype")),
+      s"typed read has no etype partition filter:\n" +
+        typed.queryExecution.executedPlan.toString.take(2000))
+    // the pruned scan keeps the hash(src) bucketing — typed GO hops
+    // stay exchange-free on the edge side
+    assert(graft.traverse.Traverse.srcPartitioned(
+      typed.select("src", "dst")),
+      "etype-pruned scan lost its src bucketing")
+    // column order, schema, and rows replicate the flat per-type frame
+    val flat = graft.graph.GraphModel(spark, dir).edgesByType("placed")
+    assert(typed.columns.toSeq == flat.columns.toSeq,
+      s"typed column order diverges: ${typed.columns.toSeq} vs ${flat.columns.toSeq}")
+    assert(typed.collect().map(_.toSeq).toSet ==
+      flat.collect().map(_.toSeq).toSet,
+      "stored edgesByType rows diverge from flat")
+    // unknown types still fail loudly (Gql's tag-vs-etype dispatch
+    // catches exactly this)
+    intercept[IllegalArgumentException] { g.edgesByType("nope") }
+  }
+
+  test("adjacency cache dial: uncached sides still plan zero edge-side exchange") {
+    assume(have)
+    import graft.sources.GraphStore
+    val s2 = spark.newSession()
+    GraphStore.enableManaged(s2)
+    s2.conf.set(graft.algo.Adjacency.ConfCache, "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val g = graft.graph.GraphModel(s2, dir)
+    val adj = g.adjacencyBoth
+    val state = g.vertices.select(col("vid"), col("vid").as("label"))
+    val plan = adj.send(state, Seq(col("label"))).queryExecution.executedPlan
+    // the dial actually disabled the block-manager copy...
+    assert(!plan.toString.contains("InMemoryTableScan"),
+      s"cache=false still persists the sides:\n${plan.toString.take(2000)}")
+    // ...and the uncached path still reads the bucketed layout in
+    // place — the 100-TB posture: re-read files, never shuffle edges
+    assert(bucketScansUnderExchange(plan) == 0,
+      s"uncached side sits under an Exchange:\n${plan.toString.take(3000)}")
+    // results are bit-identical across the dial (same message multisets)
+    val a = graft.algo.GraphAlgos
+      .connectedComponents(g.vertices, adj, iters = 2, untilConverged = false)
+      .collect().map(_.toSeq).toSet
+    adj.release()
+    val s3 = spark.newSession()
+    GraphStore.enableManaged(s3)
+    s3.conf.set(graft.algo.Adjacency.ConfCache, "true")
+    val g3 = graft.graph.GraphModel(s3, dir)
+    val adj3 = g3.adjacencyBoth
+    val b = graft.algo.GraphAlgos
+      .connectedComponents(g3.vertices, adj3, iters = 2, untilConverged = false)
+      .collect().map(_.toSeq).toSet
+    adj3.release()
+    assert(a == b, "uncached WCC diverges from cached WCC")
+  }
+
   test("stored edge props: MATCH hop frames are pure views over bucketed scans") {
     assume(have)
     import graft.sources.GraphStore

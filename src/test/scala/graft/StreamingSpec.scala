@@ -160,6 +160,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map("a" -> 1, "b" -> 2, "x" -> 7), s"race lost a row: $got")
   }
 
+  test("LogTable: crashed writers' orphaned stage dirs are GC'd by age") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft-loggc")
+      .toString
+    val t = LogTable(spark, s"$root/t", Seq("k"))
+    t.append(Seq(("insert", "a", 1)).toDF("op", "k", "v"))
+    // simulate a crashed writer: a stage dir whose mtime is past the
+    // TTL (dot-hidden, so it was never reader-visible — just a leak)
+    val dead = new java.io.File(s"$root/t/.stage-deadbeef0000")
+    assert(dead.mkdirs())
+    new java.io.File(dead, "part-0.parquet").createNewFile()
+    assert(dead.setLastModified(
+      System.currentTimeMillis() - LogTable.DefaultStageTtlMs - 60000))
+    // a FRESH stage dir (in-flight writer) must survive the sweep
+    val live = new java.io.File(s"$root/t/.stage-cafebabe0000")
+    assert(live.mkdirs())
+    t.append(Seq(("insert", "b", 2)).toDF("op", "k", "v"))
+    assert(!dead.exists(), "orphaned stage dir not GC'd by append")
+    assert(live.exists(), "in-flight stage dir wrongly GC'd")
+    // claim protocol untouched: both appends landed, state is intact
+    val got = t.read.select("k", "v").as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 1, "b" -> 2), s"state after GC: $got")
+    // compact() runs the same sweep
+    assert(live.setLastModified(
+      System.currentTimeMillis() - LogTable.DefaultStageTtlMs - 60000))
+    t.compact()
+    assert(!live.exists(), "orphaned stage dir not GC'd by compact")
+  }
+
   test("LogTable: compaction cadence bounds segment count under a long drain") {
     import graft.operators.LogTable
     import graft.streaming.GraphIngest
