@@ -285,14 +285,24 @@ class GraphModel(val spark: SparkSession, sfDir: String) extends GraphCatalog {
     * (src/common/utils/NebulaKeyUtils.h:61). Flat sessions project the
     * per-type source table directly. */
   def edgesByType(etype: String): DataFrame = storeName match {
-    case Some(n) =>
-      val props = edgeTypeProps.getOrElse(etype,
-        throw new IllegalArgumentException(s"unknown edge type $etype"))
-      graft.sources.GraphStore.outEdges(spark, n)
-        .filter($"etype" === etype)
-        .select(("src" +: "dst" +: "rank" +: props).map(col): _*)
+    case Some(n) => typedFrames.synchronized {
+      typedFrames.getOrElseUpdate(etype, {
+        val props = edgeTypeProps.getOrElse(etype,
+          throw new IllegalArgumentException(s"unknown edge type $etype"))
+        graft.sources.GraphStore.outEdges(spark, n)
+          .filter($"etype" === etype)
+          .select(("src" +: "dst" +: "rank" +: props).map(col): _*)
+      })
+    }
     case None => flatEdgesByType(etype)
   }
+
+  // per-model memo of the stored typed frames: one query's planner
+  // touches the same type several times (data frame + schema probes),
+  // and each construction re-analyzes a filter+projection over the
+  // catalog table — measurable on sub-second queries
+  private val typedFrames =
+    scala.collection.mutable.HashMap.empty[String, DataFrame]
 
   /** The flat per-type frames — the store's own build input, the
     * schema source of truth (edgeTypeProps), and the store-off

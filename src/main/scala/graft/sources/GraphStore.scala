@@ -144,6 +144,7 @@ object GraphStore {
         .bucketBy(buckets, key).sortBy(key)
         .saveAsTable(table)
     }
+    invalidate(name) // fixed-name rebuild: drop memoized resolutions
     save(edges, s"${name}_out", "src")
     save(edges, s"${name}_in", "dst")
     // simple undirected neighbor view: distinct over both orientations
@@ -157,13 +158,45 @@ object GraphStore {
     save(vertices, s"${name}_v", "vid")
   }
 
+  // Resolved-table memo: one spark.table() costs ~10-30 ms of catalog
+  // + partition-metadata resolution, and a single MATCH/GO plans
+  // against the same stored table several times per query (hop
+  // frames, schema probes, adjacency sides) — on sub-second queries
+  // that resolution dominated the stored-vs-flat gap (round-12
+  // q_nql_match_var residual). DataFrames are immutable views over a
+  // shared FileStatusCache, so one resolution per (session, table) is
+  // always safe; write() invalidates its name (fixed-name rebuilds in
+  // tests). WeakHashMap on the session: closed sessions drop their
+  // entries with the session itself.
+  private val tableCache = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def cachedTable(spark: SparkSession, table: String): DataFrame = {
+    val per = tableCache.synchronized {
+      var m = tableCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        tableCache.put(spark, m)
+      }
+      m
+    }
+    per.computeIfAbsent(table, t => spark.table(t))
+  }
+
+  private def invalidate(name: String): Unit = tableCache.synchronized {
+    tableCache.values.forEach { m =>
+      val it = m.keySet().iterator()
+      while (it.hasNext) if (it.next().startsWith(name)) it.remove()
+    }
+  }
+
   /** Out-adjacency (bucketed by src). */
   def outEdges(spark: SparkSession, name: String): DataFrame =
-    spark.table(s"${name}_out")
+    cachedTable(spark, s"${name}_out")
 
   /** In-adjacency (bucketed by dst). */
   def inEdges(spark: SparkSession, name: String): DataFrame =
-    spark.table(s"${name}_in")
+    cachedTable(spark, s"${name}_in")
 
   /** In-adjacency REVERSED to traversal orientation: (src = stored dst,
     * dst = stored src), so its rows are hash-partitioned by the NEW
@@ -182,13 +215,13 @@ object GraphStore {
     * algorithms defined over the loop-free simple graph (LPA, HANP). */
   def undNeighbors(spark: SparkSession, name: String,
                    dropSelfLoops: Boolean = false): DataFrame = {
-    val t = spark.table(s"${name}_und")
+    val t = cachedTable(spark, s"${name}_und")
     if (dropSelfLoops) t.filter(col("src") =!= col("dst")) else t
   }
 
   /** Vertices (bucketed by vid). */
   def vertices(spark: SparkSession, name: String): DataFrame =
-    spark.table(s"${name}_v")
+    cachedTable(spark, s"${name}_v")
 
   /** All 2-hop paths (a)-[e1]->(m)-[e2]->(b): in-adjacency joined to
     * out-adjacency on the middle vertex. Both sides are bucketed on
