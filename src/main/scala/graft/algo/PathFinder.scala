@@ -59,15 +59,13 @@ object PathFinder {
       * frontier mid-search (origin, __cap); null while nothing was
       * pruned. Origins still active at the end have cap = `top` —
       * the assembly coalesces. */
-    var caps: DataFrame = null
-    private var prunedSet: DataFrame = null
-    // true while `frontier` is a prune()-produced checkpoint of its
-    // own (safe to free when superseded); false while it aliases a
-    // `levels` entry the assembly still needs
-    private var frontierOwned = false
+    /** Final expansion depth per PRUNED origin (stopped early because
+      * all its pairs resolved) — driver-side, bounded by the pruning
+      * seed-size gate. Unpruned origins implicitly cap at `top`. */
+    val capsLocal = scala.collection.mutable.HashMap.empty[Any, Int]
     /** The side's full (origin, vid) reached set — one incremental
-      * materialized frame, so the met-pairs check never re-distincts
-      * the accumulated ball. */
+      * DISTINCT materialized frame, so the met-pairs check never
+      * re-distincts the accumulated ball. */
     def visitedSet: DataFrame = visited
     def expand(raw: DataFrame): DataFrame = {
       val next = raw.join(
@@ -75,9 +73,6 @@ object PathFinder {
           col("origin") === col("vo") && col("vid") === col("vv"),
           "left_anti")
         .mat()
-      if (frontierOwned) { // consumed by next (materialized above)
-        Traverse.freeCheckpoint(frontier); frontierOwned = false
-      }
       cnt = next.count()
       if (cnt > 0) {
         // next's pairs are disjoint from visited (the anti-join), so
@@ -93,41 +88,32 @@ object PathFinder {
         next
       } else { Traverse.freeCheckpoint(next); null }
     }
-    /** Drop fully-resolved origins from the frontier (they stop
-      * expanding; their accumulated levels stay for the assembly) and
-      * record their final depth = the side's current top. `done` is
-      * the CUMULATIVE resolved-origin set. */
-    def prune(done: DataFrame): Unit = {
-      val newly = (if (prunedSet == null) done
-                   else done.join(prunedSet.select(col("origin").as("__p2")),
-                     col("origin") === col("__p2"), "left_anti")
-                     .select("origin")).mat()
-      if (newly.count() > 0) {
-        val c2 = newly.select(col("origin"), lit(top).as("__cap"))
-        val caps2 = (if (caps == null) c2 else caps.unionByName(c2)).mat()
-        if (caps != null) Traverse.freeCheckpoint(caps)
-        caps = caps2
-        val p2 = caps2.select("origin").mat()
-        if (prunedSet != null) Traverse.freeCheckpoint(prunedSet)
-        prunedSet = p2
-        val f2 = frontier.join(p2.select(col("origin").as("__p3")),
-          col("origin") === col("__p3"), "left_anti").mat()
-        if (frontierOwned) Traverse.freeCheckpoint(frontier)
-        frontier = f2 // acc/levels keep their own checkpoints
-        frontierOwned = true
-        cnt = frontier.count()
-      }
-      Traverse.freeCheckpoint(newly)
+    /** Stop expanding fully-resolved origins: record their final
+      * depth (= current top) and filter them out of the frontier with
+      * a literal predicate — it FUSES into the next hop join's scan
+      * of the frontier checkpoint, costing no extra action or copy.
+      * `cnt` intentionally keeps the pre-filter count (a safe upper
+      * bound for the smaller-side choice and the broadcast gate). */
+    def prune(newlyDone: Iterable[Any]): Unit = if (newlyDone.nonEmpty) {
+      newlyDone.foreach(o => capsLocal(o) = top)
+      frontier = frontier.filter(!col("origin").isin(newlyDone.toSeq: _*))
     }
-    def close(): Unit = {
-      Traverse.freeCheckpoint(visited)
-      if (prunedSet != null) Traverse.freeCheckpoint(prunedSet)
-      if (frontierOwned) { Traverse.freeCheckpoint(frontier); frontierOwned = false }
-      // caps stays live for the assembly; assemblies free it via
-      // closeCaps() once their result is materialized
+    /** The (origin, __cap) frame for the assembly's per-origin split —
+      * tiny by the gate, so callers broadcast it. None when nothing
+      * was pruned. */
+    def capsFrame: Option[DataFrame] = if (capsLocal.isEmpty) None else {
+      val spark = acc.sparkSession
+      val of = levels(0).schema("origin")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        of.copy(name = "origin"),
+        org.apache.spark.sql.types.StructField("__cap",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+      val rows = capsLocal.toSeq.map { case (o, d) =>
+        org.apache.spark.sql.Row(o, d) }
+      Some(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema))
     }
-    def closeCaps(): Unit =
-      if (caps != null) { Traverse.freeCheckpoint(caps); caps = null }
+    def close(): Unit = Traverse.freeCheckpoint(visited)
   }
 
   /** ADAPTIVE bidirectional meet-in-the-middle driver (the reference's
@@ -168,45 +154,50 @@ object PathFinder {
       : Unit = {
     var met = 0L
     var metPairs: DataFrame = null
-    // per-origin / per-target required-meet counts for the resolved-
-    // pair pruning (origin overlap with the other endpoint set lowers
-    // its requirement by one — src == dst pairs never resolve here);
-    // seed-sized frames, built once
-    var needF: DataFrame = null
-    var needB: DataFrame = null
-    if (pairsTotal >= 0) {
-      val sSet = fSide.levels(0).select(col("origin")).distinct().mat()
-      val dSet = bSide.levels(0).select(col("origin")).distinct().mat()
-      val sCnt = sSet.count(); val dCnt = dSet.count()
-      needF = sSet
-        .join(dSet.select(col("origin").as("__d")),
-          col("origin") === col("__d"), "left_outer")
-        .select(col("origin"),
-          (lit(dCnt) - when(col("__d").isNotNull, 1).otherwise(0))
-            .as("__need")).mat()
-      needB = dSet
-        .join(sSet.select(col("origin").as("__s")),
-          col("origin") === col("__s"), "left_outer")
-        .select(col("origin"),
-          (lit(sCnt) - when(col("__s").isNotNull, 1).otherwise(0))
-            .as("__need")).mat()
-      Traverse.freeCheckpoint(sSet); Traverse.freeCheckpoint(dSet)
+    // Resolved-pair pruning, gated to COLLECTABLE endpoint sets (the
+    // reference's FIND SHORTEST endpoint lists are user-supplied and
+    // small): both seed sets are collected once, the per-origin
+    // requirement map lives on the driver (overlap with the other
+    // endpoint set lowers a requirement by one — src == dst pairs
+    // never resolve here), and each meets-level pays ONE extra
+    // collect (per-origin met counts, ≤ seed-sized). A single-seed
+    // side never prunes (its full resolution IS the loop's exit
+    // condition), so single-pair deep searches like LDBC IC13 skip
+    // the bookkeeping entirely.
+    val PruneMaxSeeds = 1024
+    var needFm: Map[Any, Long] = null
+    var needBm: Map[Any, Long] = null
+    if (pairsTotal >= 2) {
+      val sv = fSide.levels(0).select(col("origin")).distinct()
+        .limit(PruneMaxSeeds + 1).collect().map(_.get(0)).toSeq
+      val dv = bSide.levels(0).select(col("origin")).distinct()
+        .limit(PruneMaxSeeds + 1).collect().map(_.get(0)).toSeq
+      if (sv.size <= PruneMaxSeeds && dv.size <= PruneMaxSeeds) {
+        val sSet = sv.toSet; val dSet = dv.toSet
+        if (sv.size > 1) needFm = sv.map(o =>
+          o -> (dv.size - (if (dSet(o)) 1 else 0)).toLong).toMap
+        if (dv.size > 1) needBm = dv.map(o =>
+          o -> (sv.size - (if (sSet(o)) 1 else 0)).toLong).toMap
+      }
     }
     /** Origins of `side` (po = the metPairs column it owns) that have
       * met EVERY required counterpart — stop expanding them. Their
-      * already-computed levels stay for the assembly; BidiSide.caps
+      * already-computed levels stay for the assembly; capsLocal
       * records each pruned origin's final depth, which the assemblies'
       * per-origin canonical split uses (a pruned ball is complete up
       * to its cap, and every pair of a pruned origin met while both
       * balls were still within their caps — see the split inequality
       * in the assembly comments). */
-    def pruneResolved(side: BidiSide, po: String, need: DataFrame): Unit =
-      if (metPairs != null) {
+    def pruneResolved(side: BidiSide, po: String,
+                      need: Map[Any, Long]): Unit =
+      if (metPairs != null && need != null) {
         val metCnt = metPairs.groupBy(col(po).as("origin"))
-          .agg(count(lit(1)).as("__met"))
-        val done = need.join(metCnt, Seq("origin"), "left_outer")
-          .filter(coalesce(col("__met"), lit(0L)) >= col("__need"))
-          .select("origin")
+          .agg(count(lit(1)).as("__met")).collect()
+        val done = metCnt.iterator
+          .filter(r => need.getOrElse(r.get(0), Long.MaxValue) <= r.getLong(1))
+          .map(_.get(0))
+          .filterNot(side.capsLocal.contains)
+          .toSeq
         side.prune(done)
       }
     def recordMeets(newLevel: DataFrame, other: BidiSide,
@@ -243,8 +234,8 @@ object PathFinder {
           // expanding them (seeded many-pair searches otherwise keep
           // growing every origin's ball until the LAST pair resolves)
           if (met < pairsTotal) {
-            pruneResolved(fSide, "__po", needF)
-            pruneResolved(bSide, "__pt", needB)
+            pruneResolved(fSide, "__po", needFm)
+            pruneResolved(bSide, "__pt", needBm)
           }
         }
         Traverse.freeCheckpoint(fresh)
@@ -263,8 +254,6 @@ object PathFinder {
       }
     }
     if (metPairs != null) Traverse.freeCheckpoint(metPairs)
-    if (needF != null) Traverse.freeCheckpoint(needF)
-    if (needB != null) Traverse.freeCheckpoint(needB)
     fSide.close(); bSide.close()
   }
 
@@ -331,10 +320,11 @@ object PathFinder {
     // putting the backward ball's cap at ≥ L − fcap_o too. One split
     // keeps the single-direction row multiplicity exactly (parallel
     // (src, dst) edge rows legitimately duplicate a vid-rendered path).
-    val withCap =
-      if (fS.caps == null) cand.withColumn("__cap", lit(fS.top))
-      else cand.join(fS.caps, Seq("origin"), "left_outer")
+    val withCap = fS.capsFrame match {
+      case None => cand.withColumn("__cap", lit(fS.top))
+      case Some(caps) => cand.join(broadcast(caps), Seq("origin"), "left_outer")
         .withColumn("__cap", coalesce(col("__cap"), lit(fS.top)))
+    }
     val out = withCap.withColumn("__min", min(col("hops")).over(pw))
       .filter(col("hops") === col("__min") &&
         col("__fd") === least(col("__cap"), col("hops")))
@@ -346,7 +336,6 @@ object PathFinder {
       .mat() // result-sized; lets every level checkpoint be freed
     fS.levels.foreach(Traverse.freeCheckpoint)
     bS.levels.foreach(Traverse.freeCheckpoint)
-    fS.closeCaps(); bS.closeCaps()
     Traverse.releaseEdges(eF, maxSteps)
     Traverse.releaseEdges(eB, maxSteps)
     if (singlePath) {
@@ -656,10 +645,11 @@ object PathFinder {
     // the canonical per-origin min(fcap_o, L) split keeps each
     // (vids, steps) row exactly once (see shortestPaths)
     val joined = f.join(b, Seq("vid"))
-    val withCap =
-      if (fS.caps == null) joined.withColumn("__cap", lit(fS.top))
-      else joined.join(fS.caps, Seq("origin"), "left_outer")
+    val withCap = fS.capsFrame match {
+      case None => joined.withColumn("__cap", lit(fS.top))
+      case Some(caps) => joined.join(broadcast(caps), Seq("origin"), "left_outer")
         .withColumn("__cap", coalesce(col("__cap"), lit(fS.top)))
+    }
     val out = withCap
       .withColumn("__hops", col("__fd") + col("__bd"))
       .withColumn("__min", min(col("__hops")).over(pw))
@@ -672,7 +662,6 @@ object PathFinder {
       .mat() // result-sized; frees every level checkpoint below
     fS.levels.foreach(Traverse.freeCheckpoint)
     bS.levels.foreach(Traverse.freeCheckpoint)
-    fS.closeCaps(); bS.closeCaps()
     Traverse.releaseEdges(eF, maxSteps)
     Traverse.releaseEdges(eB, maxSteps)
     out
