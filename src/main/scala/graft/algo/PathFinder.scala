@@ -55,10 +55,6 @@ object PathFinder {
     private var visited = seed0.select("origin", "vid").distinct().mat()
     var top = 0
     var cnt: Long = frontier.count()
-    /** Per-origin final expansion depth for origins PRUNED from the
-      * frontier mid-search (origin, __cap); null while nothing was
-      * pruned. Origins still active at the end have cap = `top` —
-      * the assembly coalesces. */
     /** Final expansion depth per PRUNED origin (stopped early because
       * all its pairs resolved) — driver-side, bounded by the pruning
       * seed-size gate. Unpruned origins implicitly cap at `top`. */
@@ -277,10 +273,27 @@ object PathFinder {
     * exit) win — measured 0.69× on the 15-hop LDBC IC13. */
   val BidiMinSteps = 6
 
+  /** Conf key overriding [[BidiMinSteps]] per session — for operators
+    * who know their graph's backward fan shape. An AUTOMATIC per-query
+    * probe was tried and rejected with measurement (round 13): the
+    * natural signal, 1-hop in-degree of the dst set, is demonstrably
+    * insufficient — on the 4-hop star-schema caps the backward level-1
+    * ball from the region sinks is 25 rows (looks bidi-safe) while the
+    * explosion arrives at depth 2 (the full customer/supplier layer)
+    * and forced bidi measures 1.66× the forward loop; seeing depth 2
+    * means running two backward hops, i.e. paying most of the loss
+    * before deciding. A constant calibrated on the measured crossover,
+    * overridable where the operator knows better, beats a probe that
+    * is wrong exactly on the shapes it exists to protect. */
+  val ConfBidiMinSteps = "spark.graft.bidiMinSteps"
+
+  private def bidiMinSteps(df: DataFrame): Int =
+    df.sparkSession.conf.get(ConfBidiMinSteps, BidiMinSteps.toString).toInt
+
   def shortestPaths(srcs: DataFrame, dsts: DataFrame, edges: DataFrame,
                     maxSteps: Int, dir: Direction = Out,
                     singlePath: Boolean = false): DataFrame = {
-    if (maxSteps < BidiMinSteps)
+    if (maxSteps < bidiMinSteps(edges))
       return forwardShortest(srcs, dsts, edges, maxSteps, dir, singlePath)
     val e0 = Traverse.orient(edges, dir).select("src", "dst")
     val eF = Traverse.persistEdges(e0, maxSteps)
@@ -519,7 +532,7 @@ object PathFinder {
     // below), whose split-invariant does not hold for the
     // meet-in-the-middle argument. The disjointness probe (one limit-1
     // semi-join action) is only paid on deep caps.
-    if (mode == "shortest" && maxSteps >= BidiMinSteps &&
+    if (mode == "shortest" && maxSteps >= bidiMinSteps(edges) &&
         srcs.join(dsts, Seq("vid"), "left_semi").isEmpty)
       return typedBidiShortest(srcs, dsts, e0, maxSteps, stepT)
     val e = Traverse.persistEdges(e0, maxSteps)

@@ -137,6 +137,21 @@ class PathFinderSpec extends SparkSpec {
         "-[:t]->(\"c4\")-[:t]->(\"c5\")-[:t]->(\"c6\")-[:t]->(\"t\")>"), s"got $r")
   }
 
+  test("bidiMinSteps conf dial routes shallow caps through bidi, same rows") {
+    val fwd = PathFinder.shortestPaths(Seq("a").toDF("vid"),
+        Seq("d", "f").toDF("vid"), edges, 5)
+      .select("src", "dst", "path", "hops")
+      .as[(String, String, String, Int)].collect().sorted.toSeq
+    spark.conf.set(PathFinder.ConfBidiMinSteps, "2")
+    try {
+      val bidi = PathFinder.shortestPaths(Seq("a").toDF("vid"),
+          Seq("d", "f").toDF("vid"), edges, 5)
+        .select("src", "dst", "path", "hops")
+        .as[(String, String, String, Int)].collect().sorted.toSeq
+      assert(bidi == fwd, s"dialed-down bidi $bidi != forward $fwd")
+    } finally spark.conf.unset(PathFinder.ConfBidiMinSteps)
+  }
+
   test("allPaths: every simple path up to the cap") {
     val r = PathFinder.allPaths(Seq("a").toDF("vid"), Seq("d").toDF("vid"),
         edges, 4)
