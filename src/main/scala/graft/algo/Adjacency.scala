@@ -49,19 +49,33 @@ sealed trait Adjacency {
 
 object Adjacency {
   /** Conf key: StoredAdjacency side caching. "true"/"false" force the
-    * posture; "auto" (the default) caches only while the dataset fits
-    * the [[ConfCacheMaxBytes]] budget — the 100-TB dial the scaladoc
-    * above names: a MEMORY_AND_DISK copy of the whole edge set onto
-    * executor disks is strictly cheaper at bench scale but a silent
-    * duplication of the edge table per algorithm run at cluster scale,
-    * where re-reading the bucketed files (OS page cache behind them)
-    * is the sane posture. */
+    * posture; "auto" (the default) caches only while the ESTIMATED
+    * DESERIALIZED copy ([[CacheExpansionFactor]] × compressed source
+    * parquet) fits [[CacheBudgetFraction]] of the fleet's aggregate
+    * storage memory — the 100-TB dial the scaladoc above names.
+    * Measured both ways at sf30 (7.4 GB source, SCALE.md round-13):
+    * the MEMORY_AND_DISK copy expands to ~34 GiB, overflows a 64 GiB
+    * JVM's storage pool onto local disk, and the spill traffic makes
+    * WCC 1.17× SLOWER than re-reading the bucketed files (1011.7 vs
+    * 861.8 s) and kills HANP outright with executor-disk exhaustion —
+    * while at sf10 (fits in memory) the cached posture wins. A flat
+    * source-byte cutoff cannot see either side of that line; the
+    * memory-derived budget scales with the fleet, so a 1000-executor
+    * cluster keeps caching exactly as long as it has the RAM for it. */
   val ConfCache = "spark.graft.adjacency.cache"
-  /** Conf key: the auto mode's dataset-size cutoff in bytes of
-    * compressed source parquet (default 8 GiB ≈ tens of GiB decoded —
-    * comfortably cacheable on any executor fleet worth the name, and
-    * far below any dataset where the duplicate copy would hurt). */
+  /** Conf key: optional hard cap (bytes) on the auto mode's EXPANDED
+    * estimate, for operators who want a tighter ceiling than the
+    * memory-derived budget (e.g. shared clusters where storage memory
+    * is contended). Unset = the memory budget alone decides. */
   val ConfCacheMaxBytes = "spark.graft.adjacency.cacheMaxBytes"
+  /** Deserialized bytes per compressed source-parquet byte. Measured:
+    * sf30's 7.4 GB dataset became a ~34 GiB block-manager copy
+    * (≈ 4.6×); 5 is the conservative planning figure. */
+  val CacheExpansionFactor = 5L
+  /** Fraction of aggregate max storage memory the auto mode may plan
+    * to occupy — the rest stays free for execution-side borrowing and
+    * the iteration state the algorithm loops themselves persist. */
+  val CacheBudgetFraction = 0.6
 
   /** Resolve the side-caching posture for a dataset (see [[ConfCache]]). */
   def cacheSides(spark: org.apache.spark.sql.SparkSession,
@@ -70,9 +84,15 @@ object Adjacency {
       case "true"  => true
       case "false" => false
       case _ =>
+        val expanded =
+          graft.Tune.datasetBytes(sfDir) * CacheExpansionFactor
+        // max storage memory summed over registered block managers
+        // (driver + executors); scales the decision with the fleet
+        val storage = spark.sparkContext.getExecutorMemoryStatus
+          .values.map(_._1).sum
         val cap = spark.conf.get(ConfCacheMaxBytes,
-          (8L << 30).toString).toLong
-        graft.Tune.datasetBytes(sfDir) <= cap
+          Long.MaxValue.toString).toLong
+        expanded <= math.min((storage * CacheBudgetFraction).toLong, cap)
     }
 
   /** `keep` names that would collide with the frame's own (src, dst)

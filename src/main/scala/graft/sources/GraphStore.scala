@@ -52,8 +52,15 @@ import org.apache.spark.sql.functions._
   * GetNeighbors (src/storage/query/GetNeighborsProcessor.cpp:32).
   *
   * Tables are registered in the session catalog with explicit parquet
-  * paths under `dir`, so the layout survives the session (re-`attach` to
-  * reuse) and nothing lands in the default warehouse.
+  * paths under `dir`, so the layout survives the session and nothing
+  * lands in the default warehouse. A `_GRAFT_META` marker (written
+  * LAST, after `_v` — its presence proves completeness) records the
+  * bucket count and per-table schemas, so a LATER session pointing
+  * `spark.graft.graphstore.dir` at the same root re-attaches with
+  * catalog DDL over the existing files instead of rebuilding —
+  * build-once/attach-many, the only sane deployment shape at 100 TB
+  * (measured: the sf30 rebuild a fresh catalog used to pay was
+  * 650-900 s; attach is seconds).
   */
 object GraphStore {
 
@@ -120,8 +127,18 @@ object GraphStore {
       .map("%02x".format(_)).mkString.take(12)
     locks.computeIfAbsent(name, _ => new Object).synchronized {
       // _v is written LAST — its presence proves a complete store
-      if (!spark.catalog.tableExists(s"${name}_v"))
-        write(edges, vertices, name, s"$root/$name", buckets)
+      if (!spark.catalog.tableExists(s"${name}_v")) {
+        // a FRESH catalog (new JVM / new metastore) attaching to a
+        // root some earlier session already built must not rewrite the
+        // data: the meta marker (written after _v, so its presence
+        // proves completeness) carries everything registration needs,
+        // and attach becomes catalog DDL over the existing files —
+        // seconds instead of the full build (measured 650-900 s at
+        // sf30). This is the deployment posture at 100 TB: one
+        // build-once job, every later session attaches.
+        if (!registerExisting(spark, name, s"$root/$name"))
+          write(edges, vertices, name, s"$root/$name", buckets)
+      }
     }
     name
   }
@@ -130,6 +147,7 @@ object GraphStore {
     * bucketed store named `name`. Idempotent: Overwrite mode. */
   def write(edges: DataFrame, vertices: DataFrame, name: String,
             dir: String, buckets: Int = 32): Unit = {
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     def save(df: DataFrame, table: String, key: String): Unit = {
       val spark = df.sparkSession
       spark.sql(s"DROP TABLE IF EXISTS $table")
@@ -140,9 +158,15 @@ object GraphStore {
       // prunes to its types' files instead of scanning the interleaved
       // union — bucketing (and the exchange-free joins it buys) is
       // per-table and survives partitioning
-      (if (df.columns.contains("etype")) w.partitionBy("etype") else w)
+      val parted = df.columns.contains("etype")
+      (if (parted) w.partitionBy("etype") else w)
         .bucketBy(buckets, key).sortBy(key)
         .saveAsTable(table)
+      // registration recipe for later sessions: the CATALOG schema
+      // (saveAsTable moves partition columns last — record it as
+      // written, not as passed)
+      entries += Seq(table, key, if (parted) "etype" else "",
+        spark.table(table).schema.toDDL).mkString("\t")
     }
     invalidate(name) // fixed-name rebuild: drop memoized resolutions
     save(edges, s"${name}_out", "src")
@@ -156,6 +180,69 @@ object GraphStore {
         .distinct(),
       s"${name}_und", "src")
     save(vertices, s"${name}_v", "vid")
+    // marker LAST (after _v): its presence proves a complete store to
+    // any later session's registerExisting
+    writeText(edges.sparkSession, s"$dir/$MetaFile",
+      (s"buckets=$buckets" +: entries).mkString("\n"))
+  }
+
+  /** Completeness + registration marker written at the store root. */
+  private val MetaFile = "_GRAFT_META"
+
+  /** Re-register a complete store written by an EARLIER session into
+    * this session's catalog — DDL over the existing files, no data
+    * rewrite. Bucket count and schemas come from the marker (they must
+    * describe the files as written; the current session's conf has no
+    * say). Returns false when no marker exists (nothing to attach). */
+  private def registerExisting(spark: SparkSession, name: String,
+                               dir: String): Boolean =
+    readText(spark, s"$dir/$MetaFile") match {
+      case None => false
+      case Some(text) =>
+        val lines = text.split("\n").toSeq
+        val buckets = lines.head.stripPrefix("buckets=").toInt
+        invalidate(name)
+        lines.tail.foreach { line =>
+          val Array(table, key, parts, schema) = line.split("\t", 4)
+          spark.sql(s"DROP TABLE IF EXISTS $table")
+          val partClause =
+            if (parts.nonEmpty) s"PARTITIONED BY ($parts)" else ""
+          spark.sql(
+            s"""CREATE TABLE $table ($schema) USING parquet
+               |$partClause
+               |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+               |LOCATION '$dir/$table'""".stripMargin)
+          // directory-partitioned tables need partition discovery; the
+          // listing is per-etype-directory, not per-file
+          if (parts.nonEmpty)
+            spark.sql(s"MSCK REPAIR TABLE $table")
+        }
+        true
+    }
+
+  private def writeText(spark: SparkSession, path: String,
+                        text: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readText(spark: SparkSession,
+                       path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
   }
 
   // Resolved-table memo: one spark.table() costs ~10-30 ms of catalog

@@ -497,6 +497,24 @@ class PlanSpec extends SparkSpec {
     assert(a == b, "uncached WCC diverges from cached WCC")
   }
 
+  test("adjacency auto cache: expanded estimate vs storage budget and cap") {
+    assume(have)
+    import graft.algo.Adjacency
+    val s2 = spark.newSession()
+    // tiny dataset: expanded estimate (5× source) is far inside any
+    // JVM's storage budget — auto caches
+    assert(Adjacency.cacheSides(s2, dir), "auto refused a tiny dataset")
+    // the optional hard cap bounds the EXPANDED estimate
+    s2.conf.set(Adjacency.ConfCacheMaxBytes, "1")
+    assert(!Adjacency.cacheSides(s2, dir), "1-byte cap did not disable")
+    s2.conf.unset(Adjacency.ConfCacheMaxBytes)
+    // forced postures win over auto
+    s2.conf.set(Adjacency.ConfCache, "false")
+    assert(!Adjacency.cacheSides(s2, dir))
+    s2.conf.set(Adjacency.ConfCache, "true")
+    assert(Adjacency.cacheSides(s2, dir))
+  }
+
   test("stored edge props: MATCH hop frames are pure views over bucketed scans") {
     assume(have)
     import graft.sources.GraphStore
@@ -540,5 +558,59 @@ class PlanSpec extends SparkSpec {
       s"jaccard pair join went cartesian:\n${plan.take(3000)}")
     assert(plan.contains("partial_count"),
       s"pair counting not map-side combined:\n${plan.take(3000)}")
+  }
+
+  // ---- round 13: build-once / attach-many ------------------------
+
+  test("store attach: a fresh catalog registers from the meta marker, no rewrite") {
+    assume(have)
+    import graft.sources.GraphStore
+    val g = graft.graph.GraphModel(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft-gstore-attach")
+    val s2 = spark.newSession()
+    s2.conf.set(GraphStore.ConfDir, root.toString)
+    s2.conf.set(GraphStore.ConfBuckets, "8")
+    val name = GraphStore.ensure(s2, dir)(g.edges, g.vertices)
+    val outRows = GraphStore.outEdges(s2, name)
+      .select("src", "dst", "etype").collect().map(_.toString).sorted.toSeq
+    val undCount = GraphStore.undNeighbors(s2, name).count()
+    def dataFiles: Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root.toString, name))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = dataFiles
+    assert(before.nonEmpty, "store wrote no parquet files")
+    // simulate a fresh catalog: drop every table, then re-ensure with
+    // thunks that THROW — attach must come from the marker alone
+    Seq("_out", "_in", "_und", "_v").foreach(sfx =>
+      s2.sql(s"DROP TABLE IF EXISTS $name$sfx"))
+    val name2 = GraphStore.ensure(s2, dir)(
+      sys.error("attach rebuilt the edges"),
+      sys.error("attach rebuilt the vertices"))
+    assert(name2 == name)
+    assert(dataFiles == before, "attach rewrote data files")
+    // same rows through the re-registered tables
+    assert(GraphStore.outEdges(s2, name)
+      .select("src", "dst", "etype").collect().map(_.toString).sorted.toSeq
+      == outRows, "re-registered out-adjacency rows diverge")
+    assert(GraphStore.undNeighbors(s2, name).count() == undCount)
+    // bucketing metadata survived the DDL round-trip: groupBy on the
+    // bucket key plans ZERO exchange over the re-registered table
+    val agg = GraphStore.outEdges(s2, name).groupBy("src").count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"re-registered table lost its bucketing:\n${plan.take(3000)}")
+    // etype directory partitioning survived: a typed filter prunes at
+    // the partition level (partition filters, not data filters)
+    val etype = GraphStore.outEdges(s2, name).select("etype")
+      .distinct().collect().map(_.getString(0)).head
+    val typed = GraphStore.outEdges(s2, name)
+      .filter(col("etype") === etype)
+    val tplan = typed.queryExecution.executedPlan.toString
+    assert(tplan.contains("PartitionFilters: [isnotnull(etype"),
+      s"typed read not partition-pruned after attach:\n${tplan.take(3000)}")
   }
 }
