@@ -49,7 +49,20 @@ object Ckpt {
     * default (MEMORY_AND_DISK deserialized). */
   val LevelKey = "spark.graft.checkpointLevel"
 
+  /** Plan-audit hook: SPARK_GRAFT_EXPLAIN_MAT=1 prints every frame's
+    * formatted plan right before it is materialized. Iterative loops
+    * checkpoint each round, so a query's final `explain` shows only
+    * LogicalRDD leaves — this knob is how the per-round plans (the
+    * ones that matter for loop optimizations) are captured. Off by
+    * default; no effect on the computed result. */
+  private val explainMat: Boolean =
+    sys.env.get("SPARK_GRAFT_EXPLAIN_MAT").contains("1")
+
   def mat(df: DataFrame): DataFrame = {
+    if (explainMat) {
+      println(s"---------- mat() plan ----------")
+      df.explain("formatted")
+    }
     val ck = confDir(df.sparkSession) match {
       case Some(d) =>
         val sc = df.sparkSession.sparkContext

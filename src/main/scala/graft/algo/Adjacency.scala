@@ -113,8 +113,14 @@ object Adjacency {
 final class FrameAdjacency(oriented: DataFrame,
                            keep: Seq[String] = Nil) extends Adjacency {
   Adjacency.checkKeep(keep)
+  // persisted SORTED by src: every send() is a sort-merge join on
+  // src, and a cached frame keeps its outputOrdering, so the per-round
+  // edge-side Sort elides — the sort is paid once at cache build
+  // instead of once per iteration (guide §2.4: establish the layout
+  // one operation needs once and reuse it).
   private val e = oriented.select(("src" +: "dst" +: keep).map(col): _*)
     .repartition(col("src"))
+    .sortWithinPartitions("src")
     .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   def send(state: DataFrame, payload: Seq[Column]): DataFrame =
@@ -150,7 +156,15 @@ final class StoredAdjacency(sides: Seq[DataFrame],
   private val narrow = sides.map { s =>
     val n = s.select(("src" +: "dst" +: keep).map(col): _*)
     if (cacheSides)
-      n.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // cached SORTED within the bucketed layout: a multi-file bucket
+      // loses its written sortBy order on read, so each round's
+      // sort-merge join would re-sort the whole edge side — sorting
+      // once INTO the cache (no shuffle; the hash(src) partitioning is
+      // untouched) elides that per-round Sort. The uncached 100-TB
+      // posture keeps the plain scan: a sort there would run per scan
+      // anyway, exactly what the join's own Sort already does.
+      n.sortWithinPartitions("src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else n
   }
 

@@ -527,12 +527,16 @@ object GraphAlgos {
         (col("score") * col("od")).as("f"), col("score")))
       val byLabel = msgs.groupBy("vid", "label")
         .agg(sum(col("f")).as("f"), max(col("score")).as("smax"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vid").orderBy(col("f").desc, col("label"))
-      val pick = byLabel.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vid"), col("label").as("nlabel"),
-          greatest(col("smax") - delta, lit(0.0)).as("nscore"))
+      // argmax f, ties → min label — as a min_by aggregate over the
+      // total (−f, label) key instead of a row_number window: labels
+      // are distinct per vid (group key above), so the pick is the
+      // same row, and the aggregate keeps the partial-agg path with no
+      // per-round sort (one Exchange instead of window sort+shuffle).
+      val pick = byLabel.groupBy("vid")
+        .agg(min_by(struct(col("label"), col("smax")),
+          struct((-col("f")).as("nf"), col("label").as("l"))).as("__w"))
+        .select(col("vid"), col("__w.label").as("nlabel"),
+          greatest(col("__w.smax") - delta, lit(0.0)).as("nscore"))
       val upd = state.join(pick, Seq("vid"), "left_outer")
         .select(col("vid"),
           coalesce(col("nlabel"), col("label")).as("label"),
@@ -635,6 +639,7 @@ object GraphAlgos {
     val both = undM.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .unionAll(undM.select(col("b").as("src"), col("a").as("dst"), col("w")))
       .repartition(col("src")) // see connectedComponents
+      .sortWithinPartitions("src") // elide the per-round join Sort
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nbrDeg = both.groupBy(col("src").as("vid")).agg(sum("w").as("k0"))
     val deg = (selfW match {
@@ -649,18 +654,33 @@ object GraphAlgos {
     }).mat()
     var assign = deg.select(col("vid"), col("vid").as("c")).mat()
 
-    // candidate and staying scores against an assignment — the loop's
-    // per-round frames, also reusable for the post-loop improving-move
-    // probe (trackImproving)
-    def candStay(assign: DataFrame): (DataFrame, DataFrame) = {
-      val nbrC = both.join(assign, both("dst") === assign("vid"))
-        .select(both("src").as("vid"), col("c"), col("w"))
+    // candidate scores WITH the staying score folded in — one pass
+    // over the message join per round instead of two (the historical
+    // split cand/stay formulation re-ran the whole kin subtree — edge
+    // join + aggregation — a second time for `stay`; guide §1.2: fix
+    // the distributed algorithm first). Exact equivalences used:
+    //  - `both` is orientation-symmetric (und ∪ reversed), so joining
+    //    the assignment on SRC and delivering to DST yields the same
+    //    (receiver, community, w) multiset as the historical dst-join
+    //    — and src is the cached frame's partition key, so the edge
+    //    side never exchanges or sorts per round;
+    //  - the own-community candidate row's score is EXACTLY the old
+    //    staying score m2·kin_i − k·(st_i − k); when no such row
+    //    exists, kin_i = 0 and stay = −k·(st_i − k), a per-vid
+    //    constant carried on every row — so one window over vid
+    //    replaces the second kin pass. All-long arithmetic throughout,
+    //    so every comparison is bit-identical to the split form.
+    def scoredCand(assign: DataFrame): DataFrame = {
+      val nbrC = both.join(assign, both("src") === assign("vid"))
+        .select(both("dst").as("vid"), col("c"), col("w"))
       val kin = nbrC.groupBy("vid", "c").agg(sum("w").as("kin"))
       val csize = assign.groupBy("c").agg(count(lit(1)).as("sz"))
       val sigtot = assign.join(deg, "vid").groupBy("c").agg(sum("k").as("st"))
       val cur = assign.withColumnRenamed("c", "c_i")
         .join(csize.withColumnRenamed("c", "c_i")
           .withColumnRenamed("sz", "sz_i"), "c_i")
+        .join(sigtot.withColumnRenamed("c", "c_i")
+          .withColumnRenamed("st", "st_i"), "c_i")
       val cand = kin.join(sigtot, "c").join(csize, "c")
         .join(deg, "vid").join(cur, "vid")
         // Grappolo swap rule: singleton → larger-id singleton is a
@@ -670,24 +690,19 @@ object GraphAlgos {
         .select(col("vid"), col("c"), col("c_i"),
           (lit(m2) * col("kin") - col("k") *
             (col("st") - when(col("c") === col("c_i"), col("k"))
-              .otherwise(lit(0L)))).as("score"))
-      // staying score (kin to own community may be 0 — no cand row)
-      val stay = cur.join(deg, "vid")
-        .join(sigtot.withColumnRenamed("c", "c_i")
-          .withColumnRenamed("st", "st_i"), "c_i")
-        .join(kin.withColumnRenamed("c", "c_i")
-          .withColumnRenamed("kin", "kin_i"), Seq("vid", "c_i"), "left_outer")
-        .select(col("vid"),
-          (lit(m2) * coalesce(col("kin_i"), lit(0L)) -
-            col("k") * (col("st_i") - col("k"))).as("stay"))
-      (cand, stay)
+              .otherwise(lit(0L)))).as("score"),
+          (-col("k") * (col("st_i") - col("k"))).as("stay0"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("vid")
+      cand.withColumn("stay",
+        coalesce(max(when(col("c") === col("c_i"), col("score"))).over(w),
+          col("stay0")))
     }
 
     var round = 0
     while (round < iters) {
-      val (cand, stay) = candStay(assign)
+      val scored = scoredCand(assign)
       // hill-climb: move only on strictly positive gain over staying
-      val pick = cand.join(stay, "vid")
+      val pick = scored
         .filter(col("c") === col("c_i") || col("score") > col("stay"))
         .groupBy("vid")
         .agg(min_by(col("c"),
@@ -710,8 +725,7 @@ object GraphAlgos {
     // only): exact — a strictly-positive-gain candidate counts whether
     // or not the md5 gate would have let it move this level
     val improving = trackImproving && {
-      val (cand, stay) = candStay(assign)
-      !cand.join(stay, "vid")
+      !scoredCand(assign)
         .filter(col("c") =!= col("c_i") && col("score") > col("stay"))
         .isEmpty
     }
@@ -909,7 +923,10 @@ object GraphAlgos {
       if (stored)
         adj0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else adj0.mat()
-    val od = adj.groupBy("src").agg(count(lit(1)).as("od"))
+    // materialized once: it is joined at EVERY step, and leaving it
+    // lazy re-runs the full edge-set aggregation per step (len extra
+    // passes over the adjacency for a vertex-sized frame)
+    val od = adj.groupBy("src").agg(count(lit(1)).as("od")).mat()
     var cur = starts.select(col("vid").as("walker"), col("vid").as("cur"))
       .mat()
     var out = cur.select(col("walker"), lit(0).as("step"), col("cur").as("vid"))
@@ -934,8 +951,10 @@ object GraphAlgos {
       if (i % 8 == 0) out = out.mat()
       i += 1
     }
-    // every per-step cur was checkpointed EAGERLY, so the adjacency is
-    // no longer in any live lineage — release the stored-path persist
+    // every per-step cur was checkpointed EAGERLY, so neither the
+    // adjacency nor the degree frame is in any live lineage — release
+    // the stored-path persist and the degree checkpoint
+    graft.traverse.Traverse.freeCheckpoint(od)
     if (stored)
       try { adj.unpersist(blocking = false) } catch { case _: Throwable => () }
     out

@@ -145,12 +145,24 @@ object SurfaceQueries {
           concat(lit("o:"), col("o_orderkey")).as("dst"),
           lit(0L).as("rank"),
           col("o_totalprice").as("totalprice"))
+      // distinct mtimes → deterministic batch order, stamped EXPLICITLY
+      // (setLastModified) instead of the historical Thread.sleep(1100):
+      // same ordering guarantee for the file source, without spending a
+      // measured second of the query's wall-clock on a timer
+      def stampNew(seen: Set[String], t: Long): Set[String] = {
+        val files = Option(new java.io.File(landing).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+        files.filterNot(f => seen(f.getName)).foreach(_.setLastModified(t))
+        files.map(_.getName).toSet
+      }
+      val t0 = System.currentTimeMillis() - 60000
       mut("insert", pmod(col("o_orderkey"), lit(3)) === 0)
         .coalesce(1).write.mode("append").parquet(landing)
-      Thread.sleep(1100) // distinct mtimes → deterministic batch order
+      val wave1 = stampNew(Set.empty, t0)
       mut("insert", pmod(col("o_orderkey"), lit(3)) === 1)
         .unionByName(mut("delete", pmod(col("o_orderkey"), lit(6)) === 0))
         .coalesce(1).write.mode("append").parquet(landing)
+      stampNew(wave1, t0 + 2000)
       val table = graft.operators.LogTable(s, s"$root/edges",
         Seq("src", "dst", "rank"))
       GraphIngest.ingestLog(s, landing, schemaFrom = landing, table,

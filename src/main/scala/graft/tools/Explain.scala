@@ -19,6 +19,10 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // plans must reflect the bench/verify posture: store-backed unless
+    // SPARK_GRAFT_STORE=off (same knob as Bench/Verify)
+    if (!sys.env.get("SPARK_GRAFT_STORE").contains("off"))
+      graft.sources.GraphStore.enableManaged(spark)
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
