@@ -76,6 +76,11 @@ object GraphAlgos {
       .mat()
     var round = 0
     var changed = 1L
+    // A fixpoint early-exit in oracle mode was tried and reverted with
+    // measurement (round 13): the bench graph's iteration counts are
+    // tuned to the diameter, so the exit never fires and the per-round
+    // changed-count is pure cost. `untilConverged` keeps paying it
+    // because there it IS the loop condition.
     while (round < iters && (!untilConverged || changed > 0)) {
       val fromNbrs = adj.send(labels, Seq(col("label")))
         .groupBy("vid")
@@ -155,15 +160,23 @@ object GraphAlgos {
     * (each triangle {x<y<z} enumerated exactly once as x→y, y→z, x→z).
     * The ordering key is total and data-derived, so an external oracle
     * replays it exactly. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    // canonical undirected simple edges (a < b, self-loops dropped)
-    val und = edges.select(
-        least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-    val deg = und.select(col("a").as("vid"))
-      .unionAll(und.select(col("b").as("vid")))
-      .groupBy("vid").agg(count(lit(1)).as("deg"))
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangleCore(canonicalUndirected(edges), None)
+
+  /** The wedge-join pipeline over an ALREADY-canonical undirected edge
+    * set (a < b, simple). Factored out so clusteringCoefficients can
+    * pass its canonicalized + checkpointed frame AND its degree frame
+    * straight in — the historical nesting re-ran least/greatest +
+    * filter + DISTINCT on data that was already distinct (a full
+    * shuffle + hash dedup of the edge set, guide §2.4 "a distinct on
+    * data that is already unique") and re-aggregated the degrees a
+    * second time. */
+  private def triangleCore(und: DataFrame,
+                           degOpt: Option[DataFrame]): DataFrame = {
+    val deg = degOpt.getOrElse(
+      und.select(col("a").as("vid"))
+        .unionAll(und.select(col("b").as("vid")))
+        .groupBy("vid").agg(count(lit(1)).as("deg")))
     // orient a→b when (deg,vid)(a) < (deg,vid)(b); broadcast-size deg
     // frames only when Spark decides to — plain equi-joins here
     val withDeg = und
@@ -188,15 +201,15 @@ object GraphAlgos {
     * triangles both come off the canonical edge set, so cc is exact and
     * oracle-replayable (integer operands, one IEEE division). */
   def clusteringCoefficients(edges: DataFrame): DataFrame = {
-    val und = edges.select(
-        least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+    val und = canonicalUndirected(edges)
       .mat() // scanned twice (degrees + triangle join tree)
     val deg = und.select(col("a").as("vid"))
       .unionAll(und.select(col("b").as("vid")))
       .groupBy("vid").agg(count(lit(1)).as("deg"))
-    deg.join(triangleCounts(und.select(col("a").as("src"), col("b").as("dst"))),
+      .mat() // joined on both orientation sides + the final cc join
+    // triangleCore reuses BOTH frames: no re-canonicalization (the
+    // historical inner distinct), no second degree aggregation
+    deg.join(triangleCore(und, Some(deg)),
         Seq("vid"), "left_outer")
       .select(col("vid"),
         when(col("deg") < 2, lit(0.0)).otherwise(
@@ -221,8 +234,16 @@ object GraphAlgos {
     * stays constant — the same loop shape as WCC. */
   def kCore(edges: DataFrame, k: Int, iters: Int): DataFrame = {
     var und = canonicalUndirected(edges).mat()
+    // peeling is monotone (each round's edge set ⊆ the previous), so a
+    // round that drops nothing is the fixpoint and every later round
+    // is an identity pass — skip them. The convergence signal is one
+    // count() per round against the ALREADY-materialized checkpoint
+    // (~free) vs three shuffles of the edge set per skipped round.
+    // Result-identical to running all `iters` rounds.
+    var cnt = und.count()
     var round = 0
-    while (round < iters) {
+    var converged = false
+    while (round < iters && !converged) {
       val deg = und.select(col("a").as("vid"))
         .unionAll(und.select(col("b").as("vid")))
         .groupBy("vid").agg(count(lit(1)).as("deg"))
@@ -232,6 +253,9 @@ object GraphAlgos {
         .join(keep.withColumnRenamed("vid", "b"), Seq("b"), "left_semi")
         .select("a", "b")
         .mat()
+      val c2 = upd.count()
+      converged = c2 == cnt
+      cnt = c2
       graft.traverse.Traverse.freeCheckpoint(und)
       und = upd
       round += 1
@@ -341,10 +365,18 @@ object GraphAlgos {
                             adjIn: Adjacency, phases: Int,
                             rounds: Int): DataFrame = {
     var rem = vertices.select("vid").distinct().mat()
+    var remCnt = rem.count()
     var acc: DataFrame = null
     var p = 0
-    while (p < phases) {
-      // forward min-color over the remaining set
+    // an exhausted remainder makes every later phase a no-op over
+    // empty frames — skip it (2 phases × 2 loops × `rounds` Spark
+    // jobs each otherwise run against nothing). Result-identical: a
+    // phase over ∅ assigns ∅.
+    while (p < phases && remCnt > 0) {
+      // forward min-color over the remaining set. (Per-round
+      // changed-count fixpoint exits were tried and reverted with
+      // measurement, round 13: the pinned rounds rarely converge early
+      // on the bench graph and 24 extra count actions cost ~1.5 s.)
       var color = rem.select(col("vid"), col("vid").as("color")).mat()
       var r = 0
       while (r < rounds) {
@@ -392,9 +424,13 @@ object GraphAlgos {
       // the first phase) — mirror sccUntilConverged's release
       if (assigned ne acc) graft.traverse.Traverse.freeCheckpoint(assigned)
       rem = rem2
+      remCnt = rem.count()
       p += 1
     }
-    acc.unionByName(rem.select(col("vid"), col("vid").as("scc_id")))
+    val singletons = rem.select(col("vid"), col("vid").as("scc_id"))
+    // acc is null only when the input vertex set was empty (the phase
+    // loop never ran) — the result is the empty singleton frame
+    if (acc == null) singletons else acc.unionByName(singletons)
   }
 
   /** Exact SCC: the same scheme with both loops run to fixpoint and
