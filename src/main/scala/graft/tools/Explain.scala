@@ -13,9 +13,20 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_lookup", "q_filter", "q_inner_join", "q_aggregate",
         "q_go_1", "q_cosine_topk", "q_dedup_exact")
+    // session shape mirrors Bench: same master/core count, same
+    // Tune-derived shuffle partitions, same AQE posture — plans
+    // captured here must be the plans the bench actually runs (at
+    // local[4]/4-partitions the hop joins broadcast where the bench's
+    // local[32]/sf0.1 plans sort-merge, hiding exactly the plan
+    // features under audit)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        graft.Tune.shufflePartitions(sfDir, cpus.toInt))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
