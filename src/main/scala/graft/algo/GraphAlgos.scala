@@ -598,17 +598,28 @@ object GraphAlgos {
     val capped = e.join(nbrDeg.filter(col("nd") <= maxNbrDeg).select("dst"),
         Seq("dst"), "left_semi")
       .mat() // scanned three times (deg + both pair sides)
-    val deg = capped.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
-    val common = capped.as("x").join(capped.as("y"),
+    val deg = capped.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // degrees ride the pair rows instead of joining the aggregated
+    // pair table back to the degree frame twice: the historical shape
+    // shuffled the PAIR table (the largest frame here — pairs ≥ edges
+    // whenever neighborhoods overlap) two extra times and ran a second
+    // full degree pass. d is constant per src, so min(d) in the pair
+    // aggregation recovers it exactly; the division is the same
+    // count/long arithmetic, so results are bit-identical (guide §2.3:
+    // aggregate before you shuffle; §2.4: fewer exchanges outright).
+    // materialized: the self-join below scans it twice, and without
+    // the checkpoint each side re-runs the whole enrichment (capped
+    // shuffle + degree aggregation) independently — the plan audit
+    // showed no subtree reuse
+    val enriched = capped.join(deg, "src").mat()
+    val common = enriched.as("x").join(enriched.as("y"),
         col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
       .groupBy(col("x.src").as("a"), col("y.src").as("b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
-      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
-      .select(col("a"), col("b"),
-        (col("common") * lit(1.0) /
-          (col("da") + col("db") - col("common"))).as("jaccard"))
+      .agg(count(lit(1)).as("common"),
+        min(col("x.d")).as("da"), min(col("y.d")).as("db"))
+    common.select(col("a"), col("b"),
+      (col("common") * lit(1.0) /
+        (col("da") + col("db") - col("common"))).as("jaccard"))
   }
 
   /** Louvain-style community detection: `iters` synchronous rounds of

@@ -50,7 +50,21 @@ object LdbcQueries {
     val orders = t(s, dir, "orders")
     val li = t(s, dir, "lineitem")
     val part = t(s, dir, "part")
-    val nSupp = supp.count() // scalar catalog stat (|supplier| rows)
+    // |supplier| enters the workAt derivation as a broadcast 1-row
+    // aggregate instead of the historical driver-side count(): the
+    // count was an eager Spark job paid by EVERY catalog construction
+    // (17 LDBC queries × one job) whether or not the query touched
+    // WORK_AT — as a lazy subtree it costs nothing until used
+    val suppCnt = supp.agg(count(lit(1)).as("__nsupp"))
+    // NOTE a catalog-level persist of the derived edge frames (knows/
+    // hasCreator/hasTag/comment) was tried and REVERTED with
+    // measurement (round 13, A-B-B-A min-of-3 at sf0.1): it forces
+    // materialization of the full frame on first touch, which defeats
+    // the id-seek queries' filter pushdown into the parquet scan —
+    // is5 2.12x, varseed 1.81x, is3 1.66x worse; only the var-length
+    // KNOWS queries won (ic1/ic13 ~0.82x, their loops already persist
+    // the oriented view via Traverse.persistEdges), family total
+    // 1.14x WORSE. Single-hop seeks keep the lazy projections.
 
     val person = cust.select(
       concat(lit("per:"), col("c_custkey")).as("vid"),
@@ -104,9 +118,9 @@ object LdbcQueries {
       .unionByName(supp.select(
         concat(lit("org:"), col("s_suppkey")).as("src"),
         concat(lit("plc:"), col("s_nationkey")).as("dst"), r0))
-    val workAt = cust.select(
+    val workAt = cust.crossJoin(broadcast(suppCnt)).select(
       concat(lit("per:"), col("c_custkey")).as("src"),
-      concat(lit("org:"), pmod(col("c_custkey"), lit(nSupp))).as("dst"), r0,
+      concat(lit("org:"), pmod(col("c_custkey"), col("__nsupp"))).as("dst"), r0,
       (lit(2000) + pmod(col("c_custkey"), lit(20))).cast("long")
         .as("workFrom"))
     val hasCreator = orders.select(
