@@ -721,14 +721,18 @@ object GraphAlgos {
       val nbrC = both.join(assign, both("src") === assign("vid"))
         .select(both("dst").as("vid"), col("c"), col("w"))
       val kin = nbrC.groupBy("vid", "c").agg(sum("w").as("kin"))
-      val csize = assign.groupBy("c").agg(count(lit(1)).as("sz"))
-      val sigtot = assign.join(deg, "vid").groupBy("c").agg(sum("k").as("st"))
+      // community size and Σtot in ONE aggregation pass (they key on
+      // the same c over the same assign⋈deg rows — deg covers every
+      // assigned vid, so the inner join drops nothing and the merged
+      // frame has exactly the historical csize/sigtot rows): one
+      // exchange and two downstream joins fewer per round
+      val stats = assign.join(deg, "vid").groupBy("c")
+        .agg(count(lit(1)).as("sz"), sum("k").as("st"))
       val cur = assign.withColumnRenamed("c", "c_i")
-        .join(csize.withColumnRenamed("c", "c_i")
-          .withColumnRenamed("sz", "sz_i"), "c_i")
-        .join(sigtot.withColumnRenamed("c", "c_i")
+        .join(stats.withColumnRenamed("c", "c_i")
+          .withColumnRenamed("sz", "sz_i")
           .withColumnRenamed("st", "st_i"), "c_i")
-      val cand = kin.join(sigtot, "c").join(csize, "c")
+      val cand = kin.join(stats, "c")
         .join(deg, "vid").join(cur, "vid")
         // Grappolo swap rule: singleton → larger-id singleton is a
         // would-be symmetric swap; drop the candidate
