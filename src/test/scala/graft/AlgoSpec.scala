@@ -81,6 +81,32 @@ class AlgoSpec extends SparkSpec {
     assert(core4.isEmpty, "4-core of K4+chain should be empty")
   }
 
+  test("kCore result is invariant to the round budget (converge-exit)") {
+    import spark.implicits._
+    // the r13 converge-exit stops peeling at the fixpoint — a huge
+    // round budget must give exactly the tuned budget's answer (and
+    // cheaply: rounds after convergence are skipped, not run)
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
+      "b" -> "d", "c" -> "d")
+    val edges = (k4 ++ Seq("d" -> "e", "e" -> "f", "f" -> "g")).toDF("src", "dst")
+    val tuned = GraphAlgos.kCore(edges, k = 3, iters = 6)
+      .as[String].collect().toSet
+    val huge = GraphAlgos.kCore(edges, k = 3, iters = 60)
+      .as[String].collect().toSet
+    assert(tuned == huge, s"tuned=$tuned huge=$huge")
+  }
+
+  test("sccPinned on an empty vertex set returns an empty assignment") {
+    import spark.implicits._
+    // r13 empty-remainder phase skip: the phase loop may now run zero
+    // times — the degenerate input must still yield a well-formed frame
+    val verts = Seq.empty[String].toDF("vid")
+    val edges = Seq.empty[(String, String)].toDF("src", "dst")
+    val out = GraphAlgos.sccPinned(verts, edges, phases = 2, rounds = 6)
+    assert(out.columns.toSeq == Seq("vid", "scc_id"))
+    assert(out.count() == 0)
+  }
+
   test("LPA converges a triangle to its min label, isolated keeps its own") {
     import spark.implicits._
     val verts = Seq("a", "b", "c", "x").toDF("vid")

@@ -201,6 +201,34 @@ class PlanSpec extends SparkSpec {
       s"variable seed did not become a semi-join pre-filter:\n${plan.take(3000)}")
   }
 
+  test("adjacency cache is sorted by src (per-round join Sort elides)") {
+    import spark.implicits._
+    // r13: FrameAdjacency persists its oriented edge frame SORTED
+    // within the hash(src) partitions, so every round's sort-merge
+    // join reads the cache in key order instead of re-sorting the
+    // whole edge side per round. Pin the cached plan's ordering.
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c")
+      .toDF("src", "dst")
+    val adj = new graft.algo.FrameAdjacency(edges)
+    try {
+      val sent = adj.send(Seq("a", "b").toDF("vid"),
+        Seq(org.apache.spark.sql.functions.col("vid").as("msg")))
+      val rels = sent.queryExecution.optimizedPlan.collect {
+        case im: org.apache.spark.sql.execution.columnar.InMemoryRelation => im
+      }
+      assert(rels.nonEmpty, "send() does not read the adjacency cache")
+      rels.foreach { im =>
+        // the cached plan itself must carry the partition-local sort
+        // on src ("], false" = global flag off: no extra exchange) —
+        // under AQE the wrapper hides outputOrdering until execution,
+        // so assert on the cached plan tree
+        val cp = im.cachedPlan.toString
+        assert(cp.contains("Sort [src") && cp.contains("], false"),
+          s"cache build is not a partition-local sort on src:\n${cp.take(1500)}")
+      }
+    } finally adj.release()
+  }
+
   test("bucketed store: 2-hop expansion joins with ZERO exchange") {
     assume(have)
     import graft.sources.GraphStore
