@@ -612,6 +612,10 @@ object GraphAlgos {
     // shuffle + degree aggregation) independently — the plan audit
     // showed no subtree reuse
     val enriched = capped.join(deg, "src").mat()
+    // capped is fully superseded once enriched is materialized (deg was
+    // computed during that materialization; nothing reads capped again)
+    // — free its blocks now instead of holding them for the session
+    graft.traverse.Traverse.freeCheckpoint(capped)
     val common = enriched.as("x").join(enriched.as("y"),
         col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
       .groupBy(col("x.src").as("a"), col("y.src").as("b"))
@@ -1068,24 +1072,37 @@ object GraphAlgos {
   private def bcLoop(seeds: DataFrame, adj: Adjacency,
                      maxSteps: Int): DataFrame = {
     // ---- forward: BFS levels with path counts ----
+    // Per-level row counts ride along (the loop counts every frontier
+    // anyway), so the growing per-level joins below can gate a
+    // BROADCAST of the small side exactly like every other reach-set
+    // join in the engine (Traverse.maybeBroadcast): while the visited /
+    // above sets fit the frontier cap, the anti-join and the backward
+    // dependency join run build-side-broadcast with ZERO extra
+    // exchange of the message set; past the cap they fall back to the
+    // historical sort-merge shape — no new scale risk (guide §3.1).
     var levels = Vector(
       seeds.select(col("vid").as("origin"), col("vid"),
         lit(1L).as("sigma")).mat())
+    var levelRows = Vector(levels.head.count())
     var visited = levels.head.select("origin", "vid").mat()
+    var visitedRows = levelRows.head
     var step = 1
     var frontierRows = 1L
     while (step <= maxSteps && frontierRows > 0) {
       val prev = levels.last
       val nxt = adj.send(prev, Seq(col("origin"), col("sigma")))
-        .join(visited, Seq("origin", "vid"), "left_anti")
+        .join(graft.traverse.Traverse.maybeBroadcast(visited, visitedRows),
+          Seq("origin", "vid"), "left_anti")
         .groupBy("origin", "vid").agg(sum(col("sigma")).as("sigma"))
         .mat()
       frontierRows = nxt.count()
       if (frontierRows > 0) {
         levels :+= nxt
+        levelRows :+= frontierRows
         val v2 = visited.unionByName(nxt.select("origin", "vid")).mat()
         graft.traverse.Traverse.freeCheckpoint(visited)
         visited = v2
+        visitedRows += frontierRows
       } else graft.traverse.Traverse.freeCheckpoint(nxt) // terminating empty frontier
       step += 1
     }
@@ -1112,10 +1129,17 @@ object GraphAlgos {
         col("vid").as("w"), col("sigma").as("sigma_w"), col("delta"))
       // deliver each level row to its successors via the adjacency
       // (msg vid = successor; __v = the contributing vertex), then
-      // keep only successors one level up on the same origin
+      // keep only successors one level up on the same origin. The
+      // `above` side is one BFS level (rows = levelRows(l+1), already
+      // counted in the forward pass) — while it fits the frontier cap
+      // it BROADCASTS, so neither the message set nor `above` is
+      // exchanged for this join and the only shuffle left is the
+      // map-side-combined dependency aggregation; a level past the cap
+      // falls back to the historical sort-merge join unchanged.
       val contrib = adj.send(lv,
           Seq(col("origin"), col("vid").as("__v"), col("sigma")))
-        .join(above, col("origin") === col("o2") && col("vid") === col("w"))
+        .join(graft.traverse.Traverse.maybeBroadcast(above, levelRows(l + 1)),
+          col("origin") === col("o2") && col("vid") === col("w"))
         .groupBy(col("origin"), col("__v").as("vid"))
         .agg(sum(col("sigma").cast("double") / col("sigma_w") *
           (lit(1.0) + col("delta"))).as("delta"))
@@ -1205,18 +1229,32 @@ object GraphAlgos {
           when(col("cand") === col("prev"), lit(backW))
             .when(col("pd").isNotNull, lit(1.0))
             .otherwise(lit(outW)).as("w"))
+      // ONE Window node per step (was three passes: running sum, a
+      // second max-over-partition window for the total, and a
+      // row_number pick): cw and tw share the same (partition, order)
+      // spec with different frames, so Catalyst plans them in a single
+      // Window operator; tw as the unbounded-frame sum equals the old
+      // max-of-running-sums bit-for-bit (weights are positive and
+      // WindowExec accumulates the unbounded frame in the same sort
+      // order, so it IS the last running sum). The first-over-threshold
+      // pick replaces the row_number window with a boundary filter:
+      // running sums are strictly increasing, so the picked row is
+      // exactly the one with cw > t and previous-cumulative = cw - w
+      // <= t — exact arithmetic because every weight is dyadic
+      // (0.25 / 1.0 defaults; see the node2vecWalks scaladoc) and the
+      // sums stay exact in IEEE double.
       val ordered = Window.partitionBy("walker").orderBy("cand")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val per = Window.partitionBy("walker")
+      val whole = Window.partitionBy("walker").orderBy("cand")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val scored = wts
         .withColumn("cw", sum(col("w")).over(ordered))
-        .withColumn("tw", max(sum(col("w")).over(ordered)).over(per))
+        .withColumn("tw", sum(col("w")).over(whole))
         .withColumn("t",
           (conv(substring(md5(concat(col("walker"), lit(s"|$i"))), 1, 13),
             16, 10).cast("double") / TwoPow52) * col("tw"))
-      val picked = scored.filter(col("cw") > col("t"))
-        .withColumn("rn", row_number().over(ordered))
-        .filter(col("rn") === 1)
+      val picked = scored.filter(col("cw") > col("t") &&
+        col("cw") - col("w") <= col("t"))
       // NOT freed (randomWalks posture): each step's frame stays
       // referenced by the accumulated output union until the i%8 re-mat
       cur = picked.select(col("walker"), col("cand").as("cur"),

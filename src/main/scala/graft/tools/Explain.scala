@@ -19,11 +19,14 @@ object Explain {
     // local[4]/4-partitions the hop joins broadcast where the bench's
     // local[32]/sf0.1 plans sort-merge, hiding exactly the plan
     // features under audit)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // tolerate a malformed SPARK_GRAFT_CPUS (audit tool: default beats
+    // a NumberFormatException before any plan prints)
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(4)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
-        graft.Tune.shufflePartitions(sfDir, cpus.toInt))
+        graft.Tune.shufflePartitions(sfDir, cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

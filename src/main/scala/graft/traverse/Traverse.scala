@@ -368,10 +368,18 @@ object Traverse {
     var cnt = 1L
     var step = 1
     while (step <= maxSteps && cnt > 0) {
+      // distinct on (origin, vid) ONLY, the constant dist stamped
+      // AFTER: keying the distinct on (origin, vid, dist) made its
+      // exchange useless to the anti-join below (HashPartitioning on a
+      // superset of the join keys does not satisfy the join's
+      // clustering), so every hop paid a SECOND message-sized exchange
+      // (guide §2.4: two operations keyed the same way share one
+      // exchange). Same rows — dist is constant within a step.
       val next = maybeBroadcast(frontier, cnt)
         .join(e, frontier("vid") === e("src"))
-        .select(col("origin"), e("dst").as("vid"), lit(step).as("dist"))
+        .select(col("origin"), e("dst").as("vid"))
         .distinct()
+        .withColumn("dist", lit(step))
       val unvisited = next.join(
         visited.select(col("origin").as("vo"), col("vid").as("vv")),
         next("origin") === col("vo") && next("vid") === col("vv"),

@@ -219,12 +219,21 @@ class PlanSpec extends SparkSpec {
       assert(rels.nonEmpty, "send() does not read the adjacency cache")
       rels.foreach { im =>
         // the cached plan itself must carry the partition-local sort
-        // on src ("], false" = global flag off: no extra exchange) —
-        // under AQE the wrapper hides outputOrdering until execution,
-        // so assert on the cached plan tree
-        val cp = im.cachedPlan.toString
-        assert(cp.contains("Sort [src") && cp.contains("], false"),
-          s"cache build is not a partition-local sort on src:\n${cp.take(1500)}")
+        // on src (global = false: no extra exchange) — under AQE the
+        // wrapper hides outputOrdering until execution, so assert on
+        // the cached plan tree. Structural match on SortExec (not the
+        // rendered string, whose format shifts across Spark versions).
+        val sorts = im.cachedPlan.collect {
+          case s: org.apache.spark.sql.execution.SortExec => s
+        }
+        assert(sorts.exists { s =>
+          !s.global && (s.sortOrder.headOption.map(_.child) match {
+            case Some(a: org.apache.spark.sql.catalyst.expressions.AttributeReference) =>
+              a.name == "src"
+            case _ => false
+          })
+        }, s"cache build is not a partition-local sort on src:\n${
+          im.cachedPlan.toString.take(1500)}")
       }
     } finally adj.release()
   }
