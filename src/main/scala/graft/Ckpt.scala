@@ -58,6 +58,21 @@ object Ckpt {
   private val explainMat: Boolean =
     sys.env.get("SPARK_GRAFT_EXPLAIN_MAT").contains("1")
 
+  /** Layout adoption dial (see InternalBridge.stripAndAdoptLayout):
+    * under AQE a local checkpoint records UnknownPartitioning even
+    * when its RDD is hash-partitioned + sorted on the loop key, so
+    * every round re-exchanges + re-sorts the state. "auto" (default)
+    * re-adopts the executed plan's layout when it is at least
+    * [[AdoptMinWidthKey]] partitions wide (default: the context's
+    * defaultParallelism = total cores) — at sf0.1 AQE coalesces the
+    * tiny states below any sane floor and nothing changes (the
+    * round-13 measurement that rejected unconditional adoption), at
+    * cluster scale the wide states keep their layout and the per-round
+    * state-side Exchange elides. "off" restores the historical
+    * behavior. */
+  val AdoptKey = "spark.graft.checkpoint.adoptLayout"
+  val AdoptMinWidthKey = "spark.graft.checkpoint.adoptMinWidth"
+
   def mat(df: DataFrame): DataFrame = {
     if (explainMat) {
       println(s"---------- mat() plan ----------")
@@ -75,7 +90,15 @@ object Ckpt {
           case None => df.localCheckpoint()
         }
     }
-    org.apache.spark.sql.graft.InternalBridge.stripOriginStats(ck)
+    if (df.sparkSession.conf.get(AdoptKey, "auto") == "off")
+      org.apache.spark.sql.graft.InternalBridge.stripOriginStats(ck)
+    else {
+      val minWidth = df.sparkSession.conf
+        .getOption(AdoptMinWidthKey).flatMap(_.toIntOption)
+        .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+      org.apache.spark.sql.graft.InternalBridge
+        .stripAndAdoptLayout(ck, df, math.max(2, minWidth))
+    }
   }
 
   /** mat() unless the frame is ALREADY a bare materialized scan (its

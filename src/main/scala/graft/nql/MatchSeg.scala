@@ -2324,7 +2324,24 @@ object MatchSeg {
     def base(): DataFrame =
       if (binding != null) binding
       else g.allVertices.sparkSession.range(1).drop("id")
-    m.stages.foreach {
+    // a later MATCH stage references the piped binding MORE THAN ONCE
+    // (the re-seek seed frame derived from it + the shared-var join
+    // back into it), so a lazy aggregating WITH boundary gets its
+    // whole upstream pipeline evaluated per reference — the round-14
+    // ic6 plan audit showed the full KNOWS*1..2⋈HAS_CREATOR⋈HAS_TAG
+    // subtree duplicated under the final join. Materialize DISTINCT /
+    // aggregated WITH results before a following MATCH: nothing pushes
+    // through the aggregation anyway (the seek-laziness lesson from the
+    // rejected round-13 catalog persist does not apply across an
+    // aggregate), and the frame is the pipe's small side by
+    // construction. Plain projection WITHs stay lazy — filters and
+    // column pruning still flow through those.
+    def matAggWith(i: Int, w: Proj): Unit =
+      if ((w.distinct || w.items.exists(it => Expr.hasAgg(it.e))) &&
+          m.stages.drop(i + 1).exists(_.isInstanceOf[MatchStage]) &&
+          binding != null)
+        binding = graft.Ckpt.mat(binding)
+    m.stages.zipWithIndex.foreach { case (stage, si) => stage match {
       case MatchStage(clauses) =>
         binding = execClauses(g, st, clauses, binding)
       case UnwindStage(e0, alias) =>
@@ -2420,7 +2437,8 @@ object MatchSeg {
       case w: Proj =>
         val (b2, s2) = applyWith(g, st, base(), w)
         binding = b2; st = s2
-    }
+        matAggWith(si, w)
+    } }
     applyReturn(g, st, base(), m.ret)
   }
 

@@ -223,7 +223,15 @@ class PlanSpec extends SparkSpec {
         // wrapper hides outputOrdering until execution, so assert on
         // the cached plan tree. Structural match on SortExec (not the
         // rendered string, whose format shifts across Spark versions).
-        val sorts = im.cachedPlan.collect {
+        // AdaptiveSparkPlanExec is a leaf to TreeNode.collect — unwrap
+        // it (pre-execution its current plan is the initial one, which
+        // carries the Sort under audit)
+        val unwrapped = im.cachedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        val sorts = unwrapped.collect {
           case s: org.apache.spark.sql.execution.SortExec => s
         }
         assert(sorts.exists { s =>
@@ -233,7 +241,7 @@ class PlanSpec extends SparkSpec {
             case _ => false
           })
         }, s"cache build is not a partition-local sort on src:\n${
-          im.cachedPlan.toString.take(1500)}")
+          unwrapped.toString.take(1500)}")
       }
     } finally adj.release()
   }
